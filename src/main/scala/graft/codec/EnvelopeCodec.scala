@@ -1,0 +1,49 @@
+package graft.codec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Wire codec for the message envelope
+  * `{"message":[{event,model_name,data:[payload…]}…]}`.
+  *
+  * Reference: serialization at lib/dionysus/producer/base_responder.rb:43-45
+  * (`to_json`), parsing at lib/dionysus/consumer/params_batch_processor.rb:15-17.
+  * JSON exists only at the topic boundary; inside the engine everything is
+  * columnar (SURVEY §1.1) — so encode is the *last* step before the sink and
+  * decode the *first* after the source, keeping the hot path in Tungsten.
+  */
+object EnvelopeCodec {
+
+  /** Assemble the envelope `value` for a frame that has
+    * `event`, `model_name`, `data: array<string>` columns. One event per
+    * message, matching the reference's per-record publish
+    * (karafka_responder_generator.rb:42-55). */
+  def encode(df: DataFrame): DataFrame =
+    df.withColumn("value",
+      to_json(struct(
+        array(struct(col("event"), col("model_name"), col("data"))).as("message"))))
+
+  /** Kafka-style message key `"Model:id"`
+    * (reference: lib/dionysus/producer/key.rb:11-13). */
+  def messageKey(modelName: Column, id: Column): Column =
+    concat(modelName, lit(":"), id.cast("string"))
+
+  /** Decode a topic frame with a `value` JSON column back into one row per
+    * event: `(event, model_name, data)`. Null values are tombstones and are
+    * skipped, as the consumer does (params_batch_processor.rb:20-24).
+    */
+  def decode(topicFrame: DataFrame): DataFrame =
+    topicFrame
+      .filter(col("value").isNotNull)
+      .select(from_json(col("value"), Schemas.envelope).as("env"))
+      .select(explode(col("env.message")).as("m"))
+      .select(col("m.event"), col("m.model_name"), col("m.data"))
+
+  /** Explode the per-event `data` array into one row per record payload,
+    * keeping the raw JSON string (undeclared attributes must survive,
+    * reference: README.md:932-937). */
+  def explodeRecords(events: DataFrame): DataFrame =
+    events.select(col("event"), col("model_name"),
+      explode(col("data")).as("payload_json"))
+}

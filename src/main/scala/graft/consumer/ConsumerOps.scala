@@ -1,0 +1,82 @@
+package graft.consumer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Consumer-side batch transforms: keep-latest dedup (C2), envelope decode
+  * (C3/C4), reserved-attribute mapping (C5), message filters (C6), and the
+  * synced_data column backfill (C16).
+  */
+object ConsumerOps {
+
+  /** C2 — keep-latest dedup within a batch: group by `(event, id)`, keep
+    * the record with max `updated_at`
+    * (reference: remove_duplicates_strategy.rb:20-26; default-on per topic,
+    * registry.rb:78-81).
+    *
+    * Window `row_number` over `(event, id)` ordered by `updated_at DESC`
+    * with a deterministic tiebreak. Partial aggregation (`max_by`) would
+    * also work; the window form preserves whole rows without struct
+    * repacking. State across micro-batches is the streaming variant
+    * (`dropDuplicatesWithinWatermark`, see [[graft.streaming.Pipeline]]).
+    */
+  def keepLatest(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(orderCol).desc +: tiebreak.map(col(_).desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** C3/C4 — decode + deserialize: envelope JSON → one row per record with
+    * both the parsed struct (registry schema) and the raw payload JSON
+    * (unknown attributes must survive into `synced_data`,
+    * reference: README.md:932-937). */
+  def decodeRecords(topicFrame: DataFrame, payloadSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.codec.EnvelopeCodec.explodeRecords(graft.codec.EnvelopeCodec.decode(topicFrame))
+      .withColumn("rec", from_json(col("payload_json"), payloadSchema))
+      .withColumn("synced_data", col("payload_json"))
+
+  /** C5 — reserved-attribute mapping: `id→synced_id`,
+    * `created_at→synced_created_at`, … links → `synced_<rel>_id` /
+    * `synced_<rel singular>_ids` (reference: deserializer.rb:41-52,125-135).
+    * Pure projection. */
+  def mapReservedAttrs(df: DataFrame): DataFrame =
+    Schemas.reservedRenames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+  /** Link-column naming for relationship ids (C5):
+    * to-one `synced_<rel>_id`, to-many `synced_<singular(rel)>_ids`,
+    * polymorphic adds `synced_<rel>_type`. */
+  def linkColName(rel: String, toMany: Boolean): String =
+    if (toMany) s"synced_${singularize(rel)}_ids" else s"synced_${rel}_id"
+
+  private def singularize(s: String): String =
+    if (s.endsWith("ies")) s.dropRight(3) + "y"
+    else if (s.endsWith("s")) s.dropRight(1)
+    else s
+
+  /** C6 — message filters: predicate chain; matching rows are dropped from
+    * the main flow and land in a quarantine side output
+    * (reference: params_batch_processor.rb:30-34, default_message_filter.rb:11-24).
+    * Returns (kept, quarantined). */
+  def messageFilter(df: DataFrame, drop: Column): (DataFrame, DataFrame) =
+    (df.filter(!coalesce(drop, lit(false))), df.filter(coalesce(drop, lit(false))))
+
+  /** C16 — backfill local columns from the stored raw payload:
+    * `record[col] = synced_data[col]` over the whole table
+    * (reference: assign_columns_from_synced_data.rb:11-26). The reference
+    * does id-batches of 1000 row-at-a-time; set-oriented Spark does it in
+    * one scan+overwrite. */
+  def backfillFromSyncedData(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, get_json_object(col("synced_data"), s"$$.$c"))
+    }
+}

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: quality scoring, token counting, language ID,
+  * document fingerprinting. All pure column expressions (codegen'd, no
+  * UDFs, no shuffle) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+
+  /** Quality metrics: token count, average token length, stopword ratio,
+    * and a binary keep/drop signal (the usual pre-training heuristic
+    * gates: document length band + minimum stopword density). */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val t = toks(text)
+    val nTok = size(t).cast("long")
+    val nStop = size(filter(t, (x: Column) => x.isin(stopwords: _*))).cast("long")
+    // chars minus the single separator spaces, averaged over tokens
+    val avgTokLen = (length(text) - (nTok - 1)).cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    Seq(
+      "n_tokens" -> nTok,
+      "avg_token_len" -> avgTokLen,
+      "stopword_ratio" -> stopRatio,
+      "keep" -> (nTok >= 10 && nTok <= 10000 && stopRatio >= 0.05).cast("long"))
+  }
+
+  /** Whitespace token count + BPE-ish subword count via a tokenizer regex
+    * (letter runs / digit runs / single punctuation — the classic
+    * pre-tokenizer split, portable across regex engines). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def whitespaceTokenCount(text: Column): Column = size(toks(text)).cast("long")
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
+  /** Polynomial rolling fingerprint over characters:
+    * fp = fold(chars, 0, (acc, c) → (acc·31 + codepoint(c)) mod 1e9+7).
+    * Order-sensitive (unlike a bag-of-words hash) and expressible in both
+    * engines for the oracle. */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc: Column, c: Column) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Language-ID marker words (tiny per-language stopword profiles —
+    * the classic n-gram/stopword heuristic at word granularity). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Predicted language = argmax of marker-word hits, ties broken by
+    * language code order; "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val t = toks(text)
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(t, (x: Column) => x.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = sort_array(array(scored: _*), asc = false).getItem(0)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Design for 100 TB:
+  *  - exact dedup groups on a 256-bit content hash, never on the raw text —
+  *    the shuffle moves 32 bytes + id per row instead of documents;
+  *  - MinHash signatures are built with one explode + one partial-aggregated
+  *    groupBy (map-side combine collapses per-doc shingles before the
+  *    shuffle); candidate generation joins on band keys so the cross
+  *    product never materializes;
+  *  - SimHash is computed entirely with higher-order array functions —
+  *    zero shuffle per document — and near-dup candidates come from a
+  *    16-bit band join (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands
+  *    equal);
+  *  - exact Jaccard verification runs only on candidate pairs.
+  */
+object TextDedup {
+
+  /** Tokenize on single spaces (kept dialect-portable for the oracle). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of `text`. n=1 → distinct tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n == 1) array_distinct(toks)
+    else {
+      // sliding window via transform over start indices
+      val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * representative. Returns (rep_id, n_copies) per distinct content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact Jaccard similarity of two token arrays (|∩| / |∪|), computed
+    * from intersection size only — no union materialization. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** n-gram Jaccard near-dup pairs within a blocking key. The block join is
+    * the scale lever: candidates are generated per block, so the quadratic
+    * term is bounded by block size, not corpus size. Returns
+    * (id_a, id_b, jac) with id_a < id_b and jac >= threshold. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      shingles(col(textCol), n).as("toks"))
+    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
+    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** MinHash signature columns: k independent permutations approximated by
+    * seeded xxhash64; signature_i = min over shingles of hash_i(shingle).
+    * One explode + one groupBy with k partial-aggregated mins. */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 2): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleN)).as("sh"))
+    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH candidate pairs: split the k-wide signature into `bands`
+    * bands of k/bands rows each, bucket-join on (band index, band hash),
+    * then verify candidates with exact Jaccard. Returns
+    * (id_a, id_b, est_jac, jac) with jac >= threshold. */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
+    val bandKeys = (0 until bands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bucketed = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // signature-estimated jaccard: fraction of equal minhash components
+    val sigA = sig.select((col("id").as("id_a") +: (0 until k).map(i => col(s"mh_$i").as(s"a_$i"))): _*)
+    val sigB = sig.select((col("id").as("id_b") +: (0 until k).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
+    val eq = (0 until k).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+    val toks = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("toks"))
+    cands
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jac", eq.reduce(_ + _).cast("double") / k)
+      .select("id_a", "id_b", "est_jac")
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
+  }
+
+  /** 64-bit SimHash over tokens, computed with higher-order functions only
+    * (no shuffle, no UDF): each token votes ±1 per bit via its xxhash64;
+    * the sign of the per-bit sum is the fingerprint bit. */
+  def simhash(text: Column): Column = {
+    val bitVotes = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc: Column, t: Column) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+          j => call_function("shiftright", xxhash64(t), j).bitwiseAND(1L) * 2 - 1),
+          (a: Column, v: Column) => a + v))
+    aggregate(
+      zip_with(bitVotes, sequence(lit(0), lit(63)),
+        (v: Column, j: Column) => when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc: Column, x: Column) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
+    * via 4×16-bit band join (pigeonhole over 4 bands covers hamming <= 3). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
+    banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

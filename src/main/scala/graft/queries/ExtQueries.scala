@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
+  * similarity search, text analysis, multimodal columns — over the
+  * `documents` and `embeddings` tables. Hash-based operators (MinHash,
+  * SimHash, LSH buckets) are rows-only here (xxhash64 is not portable to
+  * the oracle) and get exact-semantics coverage in ScalaTest instead.
+  */
+object ExtQueries {
+
+  val all: Map[String, Entry] = Map(
+
+    // Exact dedup via content hash: the shuffle carries 32-byte hashes,
+    // not documents.
+    "x01_dedup_exact" -> entry(
+      (s, dir) =>
+        TextDedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+          .select(col("rep_id"), col("n_copies"))
+          .orderBy(col("rep_id")),
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin),
+
+    // MinHash+LSH near-dup candidates, verified with exact Jaccard.
+    // Rows-only: xxhash64 signatures aren't oracle-portable.
+    "x02_dedup_minhash_lsh" -> rowsOnly(
+      (s, dir) =>
+        TextDedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
+            k = 16, bands = 8, shingleN = 2, threshold = 0.6)
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash fingerprints + hamming-banded near-dup pairs (rows-only).
+    "x03_dedup_simhash" -> rowsOnly(
+      (s, dir) =>
+        TextDedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 6)
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // n-gram Jaccard near-dup pairs within source blocks — exact integer
+    // set arithmetic, fully oracle-checkable.
+    "x04_dedup_ngram_jaccard" -> entry(
+      (s, dir) =>
+        TextDedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+            blockCol = "source", n = 1, threshold = 0.9)
+          .orderBy(col("id_a"), col("id_b")),
+      """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Brute-force cosine top-k ANN baseline: broadcast query set, HOF dot
+    // products in double precision, bounded per-query window.
+    "x05_ann_cosine_topk" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 100 === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 5)
+          .select(col("qid"), col("rnk"), col("nid"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0)
+        |SELECT qid, rnk, nid, round(sim, 4) AS sim FROM (
+        | SELECT qid, e.vec_id AS nid,
+        |  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv) AS sim,
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv) DESC, e.vec_id) AS rnk
+        | FROM embeddings e, q)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
+    // LSH-bucketed ANN (scale path) — rows-only (seeded hyperplanes).
+    "x06_ann_lsh" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.lshTopK(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 100 === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 5, nBits = 4)
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Quality scoring: length/stopword heuristics as scan-speed columns.
+    "x07_text_quality" -> entry(
+      (s, dir) => {
+        val metrics = TextAnalysis.qualityMetrics(col("text"))
+          .map { case (n, c) => c.as(n) }
+        tbl(s, dir, "documents")
+          .select((col("doc_id") +: metrics): _*)
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS avg_token_len,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS stopword_ratio,
+        | CAST(len(string_split(text, ' ')) BETWEEN 10 AND 10000
+        |   AND CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) >= 0.05 AS BIGINT) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Language ID via marker-word profiles (rows-only heuristic).
+    "x08_langid" -> rowsOnly(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("labeled"),
+            TextAnalysis.langId(col("text")).as("predicted"))
+          .orderBy(col("doc_id"))),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer regex.
+    "x09_token_count" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("bpe_tokens"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Order-sensitive polynomial rolling fingerprint — exact integer fold,
+    // oracle-checkable (DuckDB list_reduce folds from the first element,
+    // which equals Spark aggregate with zero=0 under acc·31+x).
+    "x10_fingerprint" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Multimodal plumbing: opaque binary column + typed metadata; the
+    // byte-length metadata is oracle-checkable, the decode stub is
+    // exercised in ScalaTest.
+    "x11_multimodal_meta" -> entry(
+      (s, dir) => {
+        val media = Multimodal.asMediaTable(tbl(s, dir, "documents"), "doc_id", "text")
+        media.select(col("id"), col("format"),
+            length(col("media")).cast("long").as("n_bytes"))
+          .orderBy(col("id"))
+      },
+      """SELECT doc_id AS id,
+        | ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY id""".stripMargin)
+  )
+}

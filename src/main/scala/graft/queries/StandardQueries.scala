@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.queries.Q._
+
+/** Standard relational surface (SURVEY §2.4): the reference implements no
+  * general-purpose SQL operators, so scans, joins, aggregations, windows,
+  * sorts/limits, set ops and scalar functions come from Spark built-ins —
+  * exercised here over the replicated star schema exactly as a user of the
+  * engine would query their replicas.
+  *
+  * Scale notes are per query: dimension joins are explicitly broadcast,
+  * filters/projections are written to push into the parquet scan, and
+  * aggregations rely on partial (map-side) aggregation.
+  */
+object StandardQueries {
+
+  private val dec = DecimalType(18, 2)
+
+  val all: Map[String, Entry] = Map(
+
+    // TPC-H Q1 shape: one scan, map-side partial agg on a 6-value grouping
+    // key; shuffles 6 rows per partition regardless of input size.
+    "q01_pricing_summary" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+            sum((col("l_extendedprice").cast(dec) *
+              (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // TPC-H Q6 shape: predicate + column pruning must reach the scan
+    // (PushedFilters on l_shipdate/l_discount/l_quantity; ReadSchema of 3
+    // columns). No shuffle at all beyond the final single-row agg.
+    "q02_filter_pushdown" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            sum((col("l_extendedprice").cast(dec) * col("l_discount").cast(dec)))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin),
+
+    // Fact⋈dim join: customer is the small side → broadcast hash join, no
+    // shuffle of orders. At 100 TB orders this stays a map-side join.
+    "q03_join_agg" -> entry(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Star join through 3 dimension hops; every dim side broadcast, so the
+    // only shuffle is the final tiny group-by.
+    "q04_multi_join" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val su = tbl(s, dir, "supplier")
+        val na = tbl(s, dir, "nation")
+        val re = tbl(s, dir, "region")
+        li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum((col("l_extendedprice").cast(dec) *
+              (lit(1).cast(dec) - col("l_discount").cast(dec)))).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+
+    // Window top-N per group: rank shuffles once on the partition key; the
+    // filter keeps the window state bounded (top-3).
+    "q05_window_topn" -> entry(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_mktsegment"), col("rnk"))
+      },
+      """SELECT c_mktsegment, rnk, o_orderkey, o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin),
+
+    // Grouping sets / rollup — Spark expands to a single shuffle with a
+    // grouping-id column, not one pass per set.
+    "q06_rollup" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("n"), col("sum_qty"))
+          .orderBy(col("returnflag"), col("linestatus"))
+      },
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin),
+
+    // Set operations (INTERSECT / EXCEPT) — hash-based distinct set ops at
+    // user-day granularity.
+    "q07_setops" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        def userDays(t: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        userDays("purchase").intersect(userDays("click")).except(userDays("error"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      """(SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'
+        | INTERSECT SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'click')
+        |EXCEPT SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, day""".stripMargin),
+
+    // Global sort + limit → TakeOrderedAndProject (per-partition top-K +
+    // driver merge of K·partitions rows, never a full sort at scale).
+    "q08_sort_limit" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin),
+
+    // Scalar function surface — pure projection, stays in one codegen stage.
+    "q09_scalar_functions" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          length(col("p_name")).cast("long").as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          (col("p_size") + 1).cast("long").as("size_plus"))
+          .orderBy(col("p_partkey"))
+      },
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substring(p_type, 1, 5) AS type_prefix,
+        | p_brand || ':' || p_type AS brand_type,
+        | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        | CAST(p_size + 1 AS BIGINT) AS size_plus
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // Sessionization: lag-based gap detection, one shuffle on user_id.
+    // All time arithmetic in integral microseconds for oracle parity.
+    "q10_sessionize" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        | FROM (SELECT user_id, epoch_us(ts) AS us,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |       FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  )
+}

@@ -1,0 +1,111 @@
+package graft.registry
+
+import org.apache.spark.sql.types._
+
+/** Declaration DSL — which models publish to which topics, with which
+  * dependencies / observers / partition keys.
+  *
+  * Reference: producer registry (lib/dionysus/producer/registry.rb:11-44,
+  * 78-162) and consumer registry (lib/dionysus/consumer/registry.rb:11-82).
+  * The Ruby class-macro DSL becomes plain Scala case classes: declarative
+  * data the engine resolves into Spark pipelines at plan time, not runtime
+  * metaprogramming. Validation mirrors
+  * lib/dionysus/producer/registry/validator.rb:82-102 (observer attributes
+  * must exist) and lib/dionysus/producer/genesis.rb:25-30 (dependency-only
+  * models cannot be backfilled directly).
+  */
+final case class Attribute(name: String, dataType: DataType = StringType)
+
+/** A to-one / to-many relationship; `fk` is the foreign-key column on the
+  * child (to-many) or on the parent (to-one). */
+final case class Association(name: String, model: String, fk: String)
+
+/** `observe:` config (reference: registry.rb:95-161): when `model`'s
+  * changeset intersects `attributes`, republish the records reached via
+  * `association` (possibly a dotted path `"a.b.c"`,
+  * reference: producer.rb:110-115). */
+final case class ObserverDef(model: String, attributes: Seq[String], association: String)
+
+/** One published model (reference: `publish Model, with: [...]`,
+  * registry.rb:78-80). `sideloads` are the `with:` dependency models whose
+  * changes republish the parent (P15) and which are embedded in the parent
+  * payload (P8). `serialize=false` is the bulk-delete DTO bypass that
+  * projects IDs only (reference: karafka_responder_generator.rb:72-75). */
+final case class ModelDef(
+    name: String,
+    primaryKey: String = "id",
+    attributes: Seq[Attribute] = Nil,
+    hasOne: Seq[Association] = Nil,
+    hasMany: Seq[Association] = Nil,
+    sideloads: Seq[String] = Nil,
+    observers: Seq[ObserverDef] = Nil,
+    softDeleteColumn: String = "canceled_at",
+    serialize: Boolean = true) {
+
+  /** Registry-derived payload StructType: declared attributes + reserved
+    * columns + links (SURVEY §1.2 schema stance). */
+  def payloadSchema: StructType = {
+    val declared = attributes.map(a => StructField(a.name, a.dataType))
+    val links = StructType(
+      hasOne.map(a => StructField(s"${a.name}", LongType)) ++
+      hasMany.map(a => StructField(s"${a.name}", ArrayType(LongType))))
+    StructType(
+      Seq(StructField("id", LongType, nullable = false)) ++ declared ++ Seq(
+        StructField("created_at", StringType),
+        StructField("updated_at", StringType),
+        StructField("canceled_at", StringType),
+        StructField("links", links)))
+  }
+}
+
+/** One topic (reference: `topic :name, partition_key:, genesis_replica:`,
+  * registry.rb:62-68; consumer options registry.rb:58-82). */
+final case class TopicDef(
+    name: String,
+    models: Seq[ModelDef],
+    partitionKeyAttr: Option[String] = None,
+    genesisReplica: Boolean = false,
+    importMode: Boolean = false,
+    dedupIncoming: Boolean = true)
+
+final case class Registry(namespace: String, topics: Seq[TopicDef]) {
+
+  /** `"{namespace}_{name}"` (reference: topic_name.rb:12-14); genesis
+    * replica gets a `_genesis` suffix (registry.rb:62-68). */
+  def topicName(t: TopicDef): String = s"${namespace}_${t.name}"
+  def genesisTopicName(t: TopicDef): String = s"${topicName(t)}_genesis"
+
+  def allModels: Seq[ModelDef] = topics.flatMap(_.models).distinctBy(_.name)
+
+  def modelDef(name: String): Option[ModelDef] = allModels.find(_.name == name)
+
+  /** Topics a model publishes to — the P3 fan-out mapping
+    * (reference: publishable.rb:71-84). */
+  def topicsFor(model: String): Seq[String] =
+    topics.filter(_.models.exists(_.name == model)).map(topicName)
+
+  /** Models that are *only* `with:` dependencies — Genesis must refuse them
+    * (P19, reference: genesis.rb:25-30,49-62). */
+  def dependencyOnlyModels: Set[String] = {
+    val published = topics.flatMap(_.models.map(_.name)).toSet
+    val deps = allModels.flatMap(_.sideloads).toSet
+    deps -- published
+  }
+
+  def requireGenesisAllowed(model: String): Unit =
+    require(!dependencyOnlyModels.contains(model),
+      s"Genesis cannot be executed for dependency-only model $model — stream its parent instead")
+
+  /** Plan-time validation (reference: validator.rb:82-102): every observed
+    * attribute must be a declared column of the observed model. */
+  def validate(): Unit = {
+    for {
+      m <- allModels
+      o <- m.observers
+      target <- modelDef(o.model)
+      attr <- o.attributes
+    } require(
+      target.attributes.exists(_.name == attr) || graft.model.Schemas.reservedAttrs.contains(attr),
+      s"observer on ${o.model} references unknown attribute $attr")
+  }
+}

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local driver-mimic: compare Verify output parquet against the DuckDB
+oracle. Usage: tools/check.py <sfDir> <verifyOutDir> [query ...]"""
+import sys, json, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+def rows_of(cur):
+    cols = [d[0] for d in cur.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(norm(r[i]) for i in order) for r in cur.fetchall()]
+    return [cols[i] for i in order], sorted(data, key=lambda t: tuple(str(x) for x in t))
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for q, sql in sorted(oracle.items()):
+        if only and q not in only:
+            continue
+        res_dir = os.path.join(out_dir, q)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {q}: no result dir"); n_fail += 1; continue
+        try:
+            got_cols, got = rows_of(con.execute(
+                f"SELECT * FROM read_parquet('{res_dir}/*.parquet')"))
+            want_cols, want = rows_of(con.execute(sql))
+        except Exception as e:
+            print(f"FAIL {q}: {e}"); n_fail += 1; continue
+        if got_cols != want_cols:
+            print(f"FAIL {q}: columns {got_cols} != {want_cols}"); n_fail += 1
+        elif got != want:
+            n_fail += 1
+            print(f"FAIL {q}: {len(got)} vs {len(want)} rows")
+            diff = [(g, w) for g, w in zip(got, want) if g != w][:3]
+            for g, w in diff:
+                print(f"   got  {g}\n   want {w}")
+            og = [r for r in got if r not in set(want)][:2]
+            ow = [r for r in want if r not in set(got)][:2]
+            if og: print(f"   only-got  {og}")
+            if ow: print(f"   only-want {ow}")
+        else:
+            n_pass += 1
+            print(f"PASS {q} ({len(got)} rows)")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Run graft.Verify outside sbt (fast iteration): tools/run_verify.sh <sfDir> <outDir>
+set -e
+cd "$(dirname "$0")/.."
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx8g \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  graft.Verify "$@"
