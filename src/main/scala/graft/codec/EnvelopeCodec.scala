@@ -29,6 +29,13 @@ object EnvelopeCodec {
   def messageKey(modelName: Column, id: Column): Column =
     concat(modelName, lit(":"), id.cast("string"))
 
+  /** P20 — tombstone rows: a null `value` under the resource key expunges
+    * the record from a compacted topic
+    * (reference: tombstone_publisher.rb:14-21). */
+  def tombstones(df: DataFrame, modelName: Column, idCol: Column): DataFrame =
+    df.select(messageKey(modelName, idCol).as("kafka_key"),
+      lit(null).cast("string").as("value"))
+
   /** Decode a topic frame with a `value` JSON column back into one row per
     * event: `(event, model_name, data)`. Null values are tombstones and are
     * skipped, as the consumer does (params_batch_processor.rb:20-24).

@@ -214,6 +214,25 @@ object ConsumerQueries {
         |WHERE pre.value IS DISTINCT FROM post.value
         |ORDER BY synced_id, attr""".stripMargin),
 
+    // C10 — bulk destroy (import mode): soft-delete every key in the
+    // incoming id set, set-oriented.
+    "c10_bulk_destroy" -> entry(
+      (s, dir) => {
+        val replica = tbl(s, dir, "customer").select(
+          col("c_custkey").as("synced_id"), col("c_name"),
+          lit(null).cast("timestamp").as("synced_canceled_at"))
+        val ids = tbl(s, dir, "customer")
+          .filter(col("c_acctbal") < 0).select(col("c_custkey").as("synced_id"))
+        Persistor.bulkDestroy(replica, ids, hard = false,
+            now = lit("2026-01-01 00:00:00").cast("timestamp"))
+          .select(col("synced_id"), col("c_name"),
+            unix_micros(col("synced_canceled_at")).as("canceled_us"))
+          .orderBy(col("synced_id"))
+      },
+      """SELECT c_custkey AS synced_id, c_name,
+        | CASE WHEN c_acctbal < 0 THEN epoch_us(TIMESTAMP '2026-01-01') END AS canceled_us
+        |FROM customer ORDER BY synced_id""".stripMargin),
+
     // C16 — backfill local columns from the stored raw payload JSON.
     "c16_synced_data_backfill" -> entry(
       (s, dir) => {

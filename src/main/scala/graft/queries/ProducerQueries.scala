@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.queries.Q._
-import graft.producer.{EventClassifier, Genesis, OutboxOps, Serializers}
+import graft.producer.{EventClassifier, Genesis, Observers, OutboxOps, Serializers}
 import graft.registry._
 
 /** Producer-side operators (SURVEY §2.1) exercised over the test tables.
@@ -172,6 +172,126 @@ object ProducerQueries {
       """SELECT event_id, CAST(event_id % 5 AS INT) AS attempts,
         | epoch_us(ts) + 5 * (1 << CAST(event_id % 5 AS INT)) * 1000000 AS retry_us
         |FROM events ORDER BY event_id""".stripMargin),
+
+    // P7 — serializer as projection: declared attributes + links (FK ids),
+    // built from the registry ModelDef and flattened for comparison.
+    "p07_serializer_projection" -> entry(
+      (s, dir) => {
+        val m = ModelDef("order", primaryKey = "o_orderkey",
+          attributes = Seq(Attribute("o_totalprice"), Attribute("o_orderstatus")),
+          hasOne = Seq(Association("customer", "customer", "o_custkey")))
+        tbl(s, dir, "orders")
+          .select(Serializers.payload(m).as("p"))
+          .select(col("p.id").as("id"),
+            col("p.o_totalprice").as("o_totalprice"),
+            col("p.o_orderstatus").as("o_orderstatus"),
+            col("p.links.customer").as("links_customer"))
+          .orderBy(col("id"))
+      },
+      """SELECT o_orderkey AS id, o_totalprice, o_orderstatus,
+        | o_custkey AS links_customer
+        |FROM orders ORDER BY id""".stripMargin),
+
+    // P8 — aggregate sideload: children nested under the parent (join +
+    // sorted collect_list), flattened to count + ordered id list.
+    "p08_aggregate_sideload" -> entry(
+      (s, dir) => {
+        val nested = Serializers.sideloadToMany(
+          tbl(s, dir, "orders"), "o_orderkey",
+          tbl(s, dir, "lineitem"), "l_orderkey",
+          as = "items", childCols = Seq("l_linenumber"))
+        nested.select(col("o_orderkey"),
+            coalesce(size(col("items")), lit(0)).cast("long").as("n_items"),
+            when(col("items").isNull, lit(""))
+              .otherwise(concat_ws(",",
+                transform(col("items"), x => x.getField("l_linenumber").cast("string"))))
+              .as("lines"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, coalesce(n, 0) AS n_items, coalesce(lines, '') AS lines
+        |FROM orders LEFT JOIN (
+        | SELECT l_orderkey, count(*) AS n,
+        |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+        | FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // P12 — publish ack/retry bookkeeping: successes stamped published_at,
+    // failures get attempts+1 and exponential-backoff retry_at.
+    "p12_acknowledge" -> entry(
+      (s, dir) => {
+        val ob = outboxFrame(s, dir)
+        val now = lit("2026-01-01 00:00:00").cast("timestamp")
+        val published = ob.filter(col("published_at").isNull && col("event_id") % 2 === 1)
+        val failed = ob.filter(col("published_at").isNull && col("event_id") % 10 === 6)
+        OutboxOps.acknowledge(ob, published, failed, now)
+          .select(col("event_id"), col("resource_id"), col("attempts"),
+            unix_micros(col("published_at")).as("pub_us"),
+            unix_micros(col("retry_at")).as("retry_us"),
+            col("error_class"))
+          .orderBy(col("event_id"))
+      },
+      s"""SELECT event_id, resource_id,
+        | CASE WHEN published_at IS NULL AND event_id % 10 = 6
+        |      THEN attempts + 1 ELSE attempts END AS attempts,
+        | CASE WHEN published_at IS NULL AND event_id % 2 = 1
+        |      THEN epoch_us(TIMESTAMP '2026-01-01') ELSE epoch_us(published_at) END AS pub_us,
+        | CASE WHEN published_at IS NULL AND event_id % 10 = 6
+        |      THEN epoch_us(TIMESTAMP '2026-01-01'
+        |                    + to_seconds(5 * (1 << (attempts + 1))))
+        |      ELSE epoch_us(retry_at) END AS retry_us,
+        | CASE WHEN published_at IS NULL AND event_id % 10 = 6
+        |      THEN 'PublishError' END AS error_class
+        |FROM ($outboxSql) ORDER BY event_id""".stripMargin),
+
+    // P14 — observer resolution: changed-attribute match against the
+    // observer registry, then FK join to the dependents.
+    "p14_observers" -> entry(
+      (s, dir) => {
+        val changes = tbl(s, dir, "orders").select(
+          lit("order").as("model_name"),
+          when(col("o_orderkey") % 4 === 0,
+            map(lit("o_totalprice"), array(lit("old"), lit("new"))))
+            .otherwise(map(lit("o_orderpriority"), array(lit("old"), lit("new"))))
+            .as("changeset"),
+          col("o_custkey"))
+        Observers.resolve(changes,
+            ObserverDef("order", Seq("o_totalprice"), "customer"),
+            dependentModel = "customer",
+            changesJoinCol = "o_custkey",
+            dependents = tbl(s, dir, "customer"),
+            dependentsJoinCol = "c_custkey", dependentsIdCol = "c_custkey")
+          .orderBy(col("resource_id"))
+      },
+      """SELECT DISTINCT c_custkey AS resource_id, 'customer_updated' AS event_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderkey % 4 = 0)
+        |ORDER BY resource_id""".stripMargin),
+
+    // P15 — dependency-parent republish: child changes → distinct parent
+    // ids, emitted as <parent>_updated.
+    "p15_dependency_parent" -> entry(
+      (s, dir) => {
+        Observers.dependencyParentEvents(
+            tbl(s, dir, "lineitem").filter(col("l_partkey") % 10 === 0),
+            childFkCol = "l_orderkey", parentModel = "order")
+          .orderBy(col("resource_id"))
+      },
+      """SELECT DISTINCT l_orderkey AS resource_id, 'order_updated' AS event_name
+        |FROM lineitem WHERE l_partkey % 10 = 0
+        |ORDER BY resource_id""".stripMargin),
+
+    // P20 — tombstones: null value under the resource key.
+    "p20_tombstone" -> entry(
+      (s, dir) => {
+        graft.codec.EnvelopeCodec.tombstones(
+            tbl(s, dir, "events").filter(col("event_id") % 7 === 0),
+            lit("Event"), col("event_id"))
+          .orderBy(col("kafka_key"))
+      },
+      """SELECT 'Event:' || CAST(event_id AS VARCHAR) AS kafka_key,
+        | CAST(NULL AS VARCHAR) AS value
+        |FROM events WHERE event_id % 7 = 0
+        |ORDER BY kafka_key""".stripMargin),
 
     // P16 — Genesis backfill scan: range + equality predicates (pushed to
     // the scan) and destroyed/updated classification of soft-deleted rows

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Hash-based ext operators (rows-only in the oracle gate) verified here
+  * with planted duplicates and hand-checkable fixtures. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight", "a"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partitions here", "a"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today", "b"), // exact dup of 1
+    (5L, "unrelated words forming a separate document with its own vocabulary", "b"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical content across blocks") {
+    val got = TextDedup.exact(docs, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("rep_id") == 1L
+      && got(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup and the exact dup") {
+    val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 8, shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must surface")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      "near-dup must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("simhash: identical docs 0 hamming; near-dups close; unrelated far") {
+    val sh = docs.select($"doc_id", TextDedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("ngram jaccard pairs respect blocking") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "source", n = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)), "cross-block pair must not appear")
+  }
+
+  test("brute-force and LSH ANN rank self first") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" % 250 === 0)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+    val self = bf.filter($"rnk" === 1).select("qid", "nid")
+      .as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall { case (a, b) => a == b },
+      "rank-1 neighbor must be the query itself")
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 3, nBits = 4)
+    val lshSelf = lsh.filter($"rnk" === 1).select("qid", "nid")
+      .as[(Long, Long)].collect()
+    assert(lshSelf.nonEmpty && lshSelf.forall { case (a, b) => a == b },
+      "same-bucket self must rank first under LSH")
+  }
+
+  test("fingerprint is order-sensitive, language id picks marker language") {
+    val fp = Seq((1L, "a b"), (2L, "b a")).toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t")).as[Long].collect()
+    assert(fp(0) != fp(1))
+    val lang = Seq("the cat and the dog is here", "der hund und die katze ist hier")
+      .toDF("t").select(TextAnalysis.langId($"t")).as[String].collect()
+    assert(lang(0) == "en" && lang(1) == "de")
+  }
+
+  test("multimodal decode stub: deterministic meta + frame sampling") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    val meta = Multimodal.decodeMeta(media)
+    val rows = meta.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(m => m.nBytes > 0 && m.width >= 64 && m.height >= 64))
+    // identical bytes → identical meta (determinism)
+    val byId = rows.map(m => m.id -> (m.width, m.height)).toMap
+    assert(byId(1L) == byId(4L))
+    val frames = Multimodal.sampleFrames(meta, every = 10)
+    assert(frames.count() >= rows.count(_.nFrames > 0))
+  }
+}

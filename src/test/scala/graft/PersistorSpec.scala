@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.consumer.Persistor
+
+/** C7/C8/C9 — staleness guard, soft delete, restore, hard delete. */
+class PersistorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def target(rows: (Long, String, Option[String], Double)*): DataFrame =
+    rows.toSeq
+      .map { case (id, u, c, v) => (id, ts(u), ts(u), c.map(ts).orNull, v) }
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "synced_canceled_at", "value")
+
+  private def updates(rows: (Long, String, Option[String], String, Double)*): DataFrame =
+    rows.toSeq
+      .map { case (id, u, c, e, v) => (id, ts(u), ts(u), c.map(ts).orNull, e, v) }
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "canceled_at", "event_type", "value")
+
+  private def state(df: DataFrame): Map[Long, (Double, Option[Timestamp])] =
+    df.collect().map(r => r.getLong(0) ->
+      (r.getDouble(4), Option(r.getTimestamp(3)))).toMap
+      .map { case (k, (v, c)) => k -> (v, c) }
+
+  test("fresh update wins, stale update dropped, tie persists (source wins)") {
+    val t = target(
+      (1L, "2024-01-02 00:00:00", None, 10.0),
+      (2L, "2024-01-02 00:00:00", None, 20.0),
+      (3L, "2024-01-02 00:00:00", None, 30.0))
+    val u = updates(
+      (1L, "2024-01-03 00:00:00", None, "updated", 11.0), // fresh → wins
+      (2L, "2024-01-01 00:00:00", None, "updated", 21.0), // stale → dropped
+      (3L, "2024-01-02 00:00:00", None, "updated", 31.0), // tie → persists
+      (4L, "2024-01-01 00:00:00", None, "created", 40.0)) // new key → insert
+    val got = state(Persistor.merge(t, u))
+    assert(got(1L)._1 == 11.0)
+    assert(got(2L)._1 == 20.0)
+    assert(got(3L)._1 == 31.0)
+    assert(got(4L)._1 == 40.0)
+  }
+
+  test("destroyed soft-deletes; later create restores; hard delete removes") {
+    val t = target((1L, "2024-01-01 00:00:00", None, 10.0),
+      (2L, "2024-01-01 00:00:00", Some("2024-01-01 00:00:00"), 20.0))
+    val u = updates(
+      (1L, "2024-01-02 00:00:00", None, "destroyed", 10.0),
+      // payload without canceled_at on a soft-deleted row → restore
+      (2L, "2024-01-02 00:00:00", None, "updated", 21.0))
+    val soft = state(Persistor.merge(t, u))
+    assert(soft(1L)._2.isDefined, "destroyed must set synced_canceled_at")
+    assert(soft(2L)._2.isEmpty, "update without canceled_at must restore")
+
+    val hard = Persistor.merge(t, u, hardDelete = true)
+    assert(hard.filter($"synced_id" === 1L).count() == 0)
+    assert(hard.filter($"synced_id" === 2L).count() == 1)
+  }
+
+  test("update with NO timestamps persists (NULLs persist rule)") {
+    val t = target((1L, "2024-01-05 00:00:00", None, 10.0))
+    val u = Seq((1L, null.asInstanceOf[Timestamp], null.asInstanceOf[Timestamp],
+        null.asInstanceOf[Timestamp], "updated", 99.0))
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "canceled_at", "event_type", "value")
+    val got = Persistor.merge(t, u).collect()
+    assert(got.length == 1 && got(0).getDouble(4) == 99.0)
+  }
+
+  test("bulkDestroy hard removes listed ids, soft stamps them") {
+    val t = target((1L, "2024-01-01 00:00:00", None, 1.0),
+      (2L, "2024-01-01 00:00:00", None, 2.0))
+    val ids = Seq(Tuple1(2L)).toDF("synced_id")
+    assert(Persistor.bulkDestroy(t, ids).select("synced_id")
+      .as[Long].collect().toSet == Set(1L))
+    val soft = Persistor.bulkDestroy(t, ids, hard = false,
+      now = lit("2026-01-01 00:00:00").cast("timestamp"))
+    assert(state(soft)(2L)._2.isDefined && state(soft)(1L)._2.isEmpty)
+  }
+
+  test("disassociateMissingChildren: anti-join cleanup per touched parent") {
+    val children = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L))
+      .toDF("parent_id", "child_id")
+    val incoming = Seq((10L, 1L), (10L, 2L)).toDF("parent_id", "child_id")
+    val kept = Persistor.disassociateMissingChildren(
+        children, incoming, "parent_id", "child_id")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == Set((10L, 1L), (10L, 2L), (20L, 1L)))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.{ParquetReplica, StatefulLww, StreamingPipeline}
+
+/** End-to-end Structured Streaming replication over a file topic, plus the
+  * stateful LWW fallback and registry validation. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("produce → file topic → consume → replica matches batch truth") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val topic = s"$tmp/topic"
+    val replica = new ParquetReplica(spark, s"$tmp/replica",
+      "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
+        "synced_canceled_at TIMESTAMP, value DOUBLE")
+
+    // stage the change stream into a directory (file-source contract)
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    StreamingPipeline.produce(spark, src, topic, s"$tmp/cp1")
+    StreamingPipeline.consume(spark, topic, replica, s"$tmp/cp2")
+
+    val got = replica.read()
+      .select($"synced_id", $"value", $"synced_canceled_at".isNotNull.as("canceled"))
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (k, v, c) => k -> (v, c) }.toMap
+
+    // batch truth: latest event per user (ties by event id are absent at
+    // this scale); canceled iff latest event_type is error
+    val truth = graft.queries.Q.tbl(spark, sf(), "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts").desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"value", ($"event_type" === "error").as("canceled"))
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (k, v, c) => k -> (v, c) }.toMap
+
+    assert(got.keySet == truth.keySet)
+    for ((k, (v, c)) <- truth) {
+      assert(got(k)._1 == v, s"value for user $k")
+      assert(got(k)._2 == c, s"canceled flag for user $k")
+    }
+
+    // idempotency: replaying the same topic into the replica converges
+    StreamingPipeline.consume(spark, topic, replica, s"$tmp/cp3")
+    val replayed = replica.read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    assert(replayed == got.map { case (k, (v, _)) => k -> v })
+  }
+
+  test("StatefulLww drops stale events across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-lww").toString
+    // two files = two micro-batches with MaxFilesPerTrigger(1):
+    // batch 1 carries the NEWER event, batch 2 the stale one
+    Seq(StatefulLww.Rec(1L, 2000L, 2.0, "updated"))
+      .toDF().write.parquet(s"$tmp/in/f1")
+    Seq(StatefulLww.Rec(1L, 1000L, 1.0, "updated"))
+      .toDF().write.parquet(s"$tmp/in/f2")
+    val schema = spark.read.parquet(s"$tmp/in/f1").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val out = StatefulLww(in.as[StatefulLww.Rec])
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("lww_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("lww_out").as[StatefulLww.Rec].collect()
+    // the newer event must be applied; the stale one must never overwrite
+    assert(rows.map(_.updated_us).max == 2000L)
+    assert(rows.count(_.updated_us == 1000L) == 0,
+      s"stale event leaked: ${rows.mkString(",")}")
+  }
+
+  test("registry validation: observer attrs + genesis dependency guard") {
+    import graft.registry._
+    val reg = Registry("v9", Seq(
+      TopicDef("orders", models = Seq(
+        ModelDef("order", attributes = Seq(Attribute("total")),
+          sideloads = Seq("order_line"),
+          observers = Seq(ObserverDef("order", Seq("total"), "customer")))))))
+    reg.validate() // fine
+    assert(reg.topicsFor("order") == Seq("v9_orders"))
+    assert(reg.dependencyOnlyModels == Set("order_line"))
+    intercept[IllegalArgumentException](reg.requireGenesisAllowed("order_line"))
+    val bad = Registry("v9", Seq(
+      TopicDef("orders", models = Seq(
+        ModelDef("order", attributes = Seq(Attribute("total")),
+          observers = Seq(ObserverDef("order", Seq("nope"), "customer")))))))
+    intercept[IllegalArgumentException](bad.validate())
+  }
+}
