@@ -57,6 +57,7 @@ object TextDedup {
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       shingles(col(textCol), n).as("toks"))
+      .localCheckpoint(eager = false) // tokenize once, not per join side
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
@@ -65,15 +66,33 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** MinHash signature columns: k independent permutations approximated by
-    * seeded xxhash64; signature_i = min over shingles of hash_i(shingle).
-    * One explode + one groupBy with k partial-aggregated mins. */
+  private val mixConsts: Array[Long] = {
+    val r = new scala.util.Random(20240812L)
+    Array.fill(64)(r.nextLong())
+  }
+
+  /** xor-rotate remix: derives hash-family member i from one base hash with
+    * bit ops only — ANSI-safe (no wraparound add/multiply, which Spark 4
+    * ANSI mode rejects) and far cheaper than k full hashes per shingle. */
+  private def mix(h: Column, i: Int): Column =
+    if (i == 0) h
+    else {
+      val r = (i * 7) % 61 + 1
+      h.bitwiseXOR(shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)))
+        .bitwiseXOR(lit(mixConsts(i)))
+    }
+
+  /** MinHash signature columns: k permutations approximated by xor-rotate
+    * remixes of one xxhash64 per shingle; signature_i = min over shingles
+    * of hash_i(shingle). One explode + one groupBy; the k mins partial-
+    * aggregate map-side, so the shuffle carries k longs per doc. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 2): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("sh"))
-    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"mh_$i"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val mins = (0 until k).map(i => min(mix(col("h"), i)).as(s"mh_$i"))
     exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -86,7 +105,10 @@ object TextDedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
+    // the signature frame feeds three branches (bucketing + both sides of
+    // the estimate join) — materialize it once
     val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
+      .localCheckpoint(eager = false)
     val bandKeys = (0 until bands).map { bd =>
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
@@ -100,6 +122,7 @@ object TextDedup {
     val sigB = sig.select((col("id").as("id_b") +: (0 until k).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
     val eq = (0 until k).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
     val toks = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("toks"))
+      .localCheckpoint(eager = false) // reused by both pair sides
     cands
       .join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("est_jac", eq.reduce(_ + _).cast("double") / k)
@@ -116,11 +139,12 @@ object TextDedup {
     * the sign of the per-bit sum is the fingerprint bit. */
   def simhash(text: Column): Column = {
     val bitVotes = aggregate(
-      tokens(text),
+      // hash each token ONCE, then fold the 64 bit-votes per hash
+      transform(tokens(text), (t: Column) => xxhash64(t)),
       array_repeat(lit(0L), 64),
-      (acc: Column, t: Column) =>
+      (acc: Column, h: Column) =>
         zip_with(acc, transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", xxhash64(t), j).bitwiseAND(1L) * 2 - 1),
+          j => call_function("shiftright", h, j).bitwiseAND(1L) * 2 - 1),
           (a: Column, v: Column) => a + v))
     aggregate(
       zip_with(bitVotes, sequence(lit(0), lit(63)),
@@ -129,20 +153,27 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
-    * via 4×16-bit band join (pigeonhole over 4 bands covers hamming <= 3). */
+    * via 4×16-bit band join (pigeonhole over 4 bands covers hamming <= 3).
+    *
+    * The hamming filter runs INSIDE the join stage, before any shuffle —
+    * band buckets can be huge on self-similar corpora, and shuffling the
+    * raw candidate pairs through a distinct would dominate; filtering
+    * first means only true near-dups reach the dedup shuffle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // materialize signatures once: both sides of the self-join would
+    // otherwise re-evaluate the (interpreted) HOF fingerprint per row
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .localCheckpoint(eager = false)
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*)).as("bk"))
     banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
+      .filter(col("x.id") < col("y.id") &&
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.sh").as("sh_a"), col("y.sh").as("sh_b")).distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
   }
 }
