@@ -54,14 +54,12 @@ object ConsumerOps {
 
   /** Link-column naming for relationship ids (C5):
     * to-one `synced_<rel>_id`, to-many `synced_<singular(rel)>_ids`,
-    * polymorphic adds `synced_<rel>_type`. */
+    * polymorphic adds `synced_<rel>_type`
+    * (see [[graft.codec.LinksFlattener]]). */
   def linkColName(rel: String, toMany: Boolean): String =
-    if (toMany) s"synced_${singularize(rel)}_ids" else s"synced_${rel}_id"
-
-  private def singularize(s: String): String =
-    if (s.endsWith("ies")) s.dropRight(3) + "y"
-    else if (s.endsWith("s")) s.dropRight(1)
-    else s
+    graft.codec.LinksFlattener.colName(rel,
+      if (toMany) graft.codec.LinksFlattener.ToMany
+      else graft.codec.LinksFlattener.ToOne)
 
   /** C6 — message filters: predicate chain; matching rows are dropped from
     * the main flow and land in a quarantine side output
@@ -69,6 +67,28 @@ object ConsumerOps {
     * Returns (kept, quarantined). */
   def messageFilter(df: DataFrame, drop: Column): (DataFrame, DataFrame) =
     (df.filter(!coalesce(drop, lit(false))), df.filter(coalesce(drop, lit(false))))
+
+  /** C14 — consumed-event publication: after a batch persists, emit one
+    * event per record `{topic_name, event_name, model_name,
+    * transformed_data, local_changes}` to an event bus / results topic
+    * (reference: batch_events_publisher.rb:12-39). In streaming this runs
+    * inside `foreachBatch` next to the merge. */
+  def consumedEvents(batch: DataFrame, topicName: String, modelName: String,
+      localChanges: Option[DataFrame] = None,
+      idCol: String = "synced_id"): DataFrame = {
+    val base = batch.select(
+      lit(topicName).as("topic_name"),
+      concat(lit(modelName + "_"), col("event_type")).as("event_name"),
+      lit(modelName).as("model_name"),
+      col(idCol),
+      to_json(struct(batch.columns.map(col): _*)).as("transformed_data"))
+    localChanges match {
+      case Some(lc) =>
+        base.join(lc.select(col(idCol), to_json(col("local_changes")).as("local_changes")),
+          Seq(idCol), "left")
+      case None => base.withColumn("local_changes", lit(null).cast("string"))
+    }
+  }
 
   /** C16 — backfill local columns from the stored raw payload:
     * `record[col] = synced_data[col]` over the whole table

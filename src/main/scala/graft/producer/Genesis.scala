@@ -49,6 +49,27 @@ object Genesis {
     when(softDeleteCol.isNotNull, lit(EventType.Destroyed))
       .otherwise(lit(EventType.Updated))
 
+  /** P18 — the `Genesis::Performed` control event: one message announcing
+    * the backfill window `{model, service, topic, start_at, end_at}` where
+    * `end_at = start_at + days + safety_delay` (reference: genesis.rb:38-47,
+    * 60 s safety delay config.rb:73-75). Emitted once from the driver to a
+    * control topic. */
+  def performedEvent(
+      spark: org.apache.spark.sql.SparkSession,
+      model: String, service: String, topic: String,
+      startAt: java.sql.Timestamp, numberOfDays: Int,
+      safetyDelaySeconds: Int = 60): DataFrame = {
+    import org.apache.spark.sql.functions.{to_json, struct}
+    val endAt = new java.sql.Timestamp(
+      startAt.getTime + numberOfDays * 86400000L + safetyDelaySeconds * 1000L)
+    import spark.implicits._
+    Seq((model, service, topic, startAt, endAt))
+      .toDF("model", "service", "topic", "start_at", "end_at")
+      .select(lit("genesis_performed").as("event"),
+        to_json(struct(col("model"), col("service"), col("topic"),
+          col("start_at"), col("end_at"))).as("data"))
+  }
+
   /** P17 — batch assignment + schedule: id-ordered batches of `batchSize`,
     * batch *n* delayed by `n · time_per_batch` where
     * `time_per_batch = totalSeconds / ⌈rows/batchSize⌉`

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.codec.LinksFlattener
+import graft.codec.LinksFlattener.{Polymorphic, ToMany, ToOne}
+import graft.consumer.ConsumerOps
+
+/** The reference's golden deserializer fixture (FIXTURES.md §2, verbatim
+  * from spec/dionysus/consumer/deserializer_spec.rb:10-68) driven through
+  * envelope decode → links flattening → reserved-attribute mapping, and
+  * asserted against the canonical output contract
+  * (deserializer.rb:41-52,125-135,143-145).
+  */
+class GoldenFixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload =
+    """{
+      |  "id": 1,
+      |  "name": "BookingSync",
+      |  "created_at": "2020-01-01 12:00:00",
+      |  "updated_at": "2020-01-02 12:00:01",
+      |  "canceled_at": "2020-01-02 12:00:02",
+      |  "comments": [ { "content": "comment" } ],
+      |  "settings": { "default_arrival_time": 11 },
+      |  "links": {
+      |    "account": 2,
+      |    "fee": 10,
+      |    "bookings": [3, 4],
+      |    "rental": null,
+      |    "taxes": [],
+      |    "clients": [20],
+      |    "users": [],
+      |    "bookable": { "type": "Property", "id": 123 },
+      |    "empty_bookable": {}
+      |  },
+      |  "fee": {
+      |    "links": { "rentals_fee": 101 },
+      |    "id": 10,
+      |    "name": "cleaning",
+      |    "rentals_fee": {
+      |      "id": 101, "always_applied": true,
+      |      "created_at": "2021-01-01 12:00:00",
+      |      "updated_at": "2021-01-02 12:00:01",
+      |      "canceled_at": "2021-01-02 12:00:02"
+      |    }
+      |  },
+      |  "bookable": { "links": {}, "id": 123, "synced_created_at": "2100-01-01 12:00:00" },
+      |  "clients": [
+      |    {
+      |      "links": { "messages": [201] },
+      |      "id": 20,
+      |      "fullname": "Rich Piana",
+      |      "messages": [ { "id": 201, "message": "inbox message" } ]
+      |    }
+      |  ]
+      |}""".stripMargin
+
+  // registry-derived schema for the fixture model (SURVEY §1.2): links
+  // shapes are declared, unknown attrs survive in the raw payload string
+  private val linksSchema = StructType(Seq(
+    StructField("account", LongType), StructField("fee", LongType),
+    StructField("bookings", ArrayType(LongType)),
+    StructField("rental", LongType),
+    StructField("taxes", ArrayType(LongType)),
+    StructField("clients", ArrayType(LongType)),
+    StructField("users", ArrayType(LongType)),
+    StructField("bookable", StructType(Seq(
+      StructField("type", StringType), StructField("id", LongType)))),
+    StructField("empty_bookable", StructType(Seq(
+      StructField("type", StringType), StructField("id", LongType))))))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("created_at", StringType),
+    StructField("updated_at", StringType),
+    StructField("canceled_at", StringType),
+    StructField("comments", ArrayType(StructType(Seq(StructField("content", StringType))))),
+    StructField("settings", StructType(Seq(StructField("default_arrival_time", LongType)))),
+    StructField("links", linksSchema),
+    StructField("fee", StructType(Seq(
+      StructField("links", StructType(Seq(StructField("rentals_fee", LongType)))),
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("rentals_fee", StructType(Seq(
+        StructField("id", LongType), StructField("always_applied", BooleanType),
+        StructField("created_at", StringType), StructField("updated_at", StringType),
+        StructField("canceled_at", StringType))))))),
+    StructField("bookable", StructType(Seq(
+      StructField("links", StructType(Nil)),
+      StructField("id", LongType), StructField("synced_created_at", StringType)))),
+    StructField("clients", ArrayType(StructType(Seq(
+      StructField("links", StructType(Seq(StructField("messages", ArrayType(LongType))))),
+      StructField("id", LongType), StructField("fullname", StringType),
+      StructField("messages", ArrayType(StructType(Seq(
+        StructField("id", LongType), StructField("message", StringType)))))))))))
+
+  private lazy val parsed = Seq(payload).toDF("payload_json")
+    .withColumn("r", from_json($"payload_json", schema))
+    .select($"payload_json", $"r.*")
+
+  test("links classification: scalar, array, empty, null, polymorphic") {
+    val flat = LinksFlattener.flatten(parsed, Seq(
+      "account" -> ToOne, "fee" -> ToOne, "rental" -> ToOne,
+      "bookings" -> ToMany, "taxes" -> ToMany, "clients" -> ToMany,
+      "users" -> ToMany, "bookable" -> Polymorphic,
+      "empty_bookable" -> Polymorphic))
+    val row = ConsumerOps.mapReservedAttrs(flat).collect()(0)
+    def g[T](c: String): T = row.getAs[T](c)
+    def gl(c: String): List[Long] = row.getSeq[Long](row.fieldIndex(c)).toList
+    assert(g[Long]("synced_id") == 1L)
+    assert(g[String]("synced_created_at") == "2020-01-01 12:00:00")
+    assert(g[String]("synced_updated_at") == "2020-01-02 12:00:01")
+    assert(g[String]("synced_canceled_at") == "2020-01-02 12:00:02")
+    assert(g[Long]("synced_account_id") == 2L)
+    assert(g[Long]("synced_fee_id") == 10L)
+    assert(row.isNullAt(row.fieldIndex("synced_rental_id")))
+    assert(gl("synced_booking_ids") == List(3L, 4L))
+    assert(gl("synced_tax_ids") == List())
+    assert(gl("synced_client_ids") == List(20L))
+    assert(gl("synced_user_ids") == List())
+    assert(g[Long]("synced_bookable_id") == 123L)
+    assert(g[String]("synced_bookable_type") == "Property")
+    assert(row.isNullAt(row.fieldIndex("synced_empty_bookable_id")))
+    // plain attributes pass through untouched
+    assert(g[String]("name") == "BookingSync")
+    assert(row.getAs[org.apache.spark.sql.Row]("settings").getLong(0) == 11L)
+    assert(row.getAs[Seq[org.apache.spark.sql.Row]]("comments").head.getString(0) == "comment")
+  }
+
+  test("nested has_one recursion: fee → rentals_fee with its own links") {
+    val fee = parsed.select($"fee.*")
+    val feeFlat = LinksFlattener.flatten(fee, Seq("rentals_fee" -> ToOne))
+    val feeRow = ConsumerOps.mapReservedAttrs(feeFlat).collect()(0)
+    assert(feeRow.getAs[Long]("synced_id") == 10L)
+    assert(feeRow.getAs[Long]("synced_rentals_fee_id") == 101L)
+    val rf = ConsumerOps.mapReservedAttrs(parsed.select($"fee.rentals_fee.*")).collect()(0)
+    assert(rf.getAs[Long]("synced_id") == 101L)
+    assert(rf.getAs[Boolean]("always_applied"))
+    assert(rf.getAs[String]("synced_canceled_at") == "2021-01-02 12:00:02")
+  }
+
+  test("nested has_many recursion: clients → messages") {
+    val clients = parsed.select(explode($"clients").as("c")).select($"c.*")
+    val cFlat = LinksFlattener.flatten(clients, Seq("messages" -> ToMany))
+    val cRow = ConsumerOps.mapReservedAttrs(cFlat).collect()(0)
+    assert(cRow.getAs[Long]("synced_id") == 20L)
+    assert(cRow.getAs[String]("fullname") == "Rich Piana")
+    assert(cRow.getSeq[Long](cRow.fieldIndex("synced_message_ids")).toList == List(201L))
+    val msgs = clients.select(explode($"messages").as("m")).select($"m.*")
+    val mRow = ConsumerOps.mapReservedAttrs(msgs).collect()(0)
+    assert(mRow.getAs[Long]("synced_id") == 201L)
+    assert(mRow.getAs[String]("message") == "inbox message")
+  }
+
+  test("unknown attributes survive in the raw payload (synced_data)") {
+    // the raw JSON string rides alongside the parsed struct — a consumer
+    // stores it as synced_data even when no local column exists
+    val raw = parsed.select(get_json_object($"payload_json", "$.settings.default_arrival_time"))
+      .as[String].collect()(0)
+    assert(raw == "11")
+  }
+}
