@@ -50,18 +50,24 @@ object TextDedup {
 
   /** n-gram Jaccard near-dup pairs within a blocking key. The block join is
     * the scale lever: candidates are generated per block, so the quadratic
-    * term is bounded by block size, not corpus size. Returns
+    * term is bounded by block size, not corpus size. The per-pair
+    * intersection uses the native codegen'd merge-walk
+    * ([[graft.functions.SortedIntersectSize]]) over once-sorted token
+    * arrays — this is the engine's hottest inner loop. Returns
     * (id_a, id_b, jac) with id_a < id_b and jac >= threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      shingles(col(textCol), n).as("toks"))
-      .localCheckpoint(eager = false) // tokenize once, not per join side
+      sort_array(shingles(col(textCol), n)).as("toks"))
+      .localCheckpoint(eager = false) // tokenize+sort once, not per join side
     val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
     val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
+    val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jac",
+        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
