@@ -66,6 +66,54 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nCentroids` cells; each query probes its `nProbe`
+    * nearest cells and scores only those vectors. At 100 TB the corpus is
+    * written partitioned by cell id (one shuffle, reused by every query
+    * batch), centroids are driver-side constants, and `nProbe` trades
+    * recall for scan fraction (~nProbe/nCentroids of the corpus). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val features = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("arr"))
+      .withColumn("features", array_to_vector(col("arr")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("features").fit(features)
+
+    val assigned = model.transform(features)
+      .select(col("nid"), col("arr").as("cv"), col("prediction").as("cell"))
+      .withColumn("cn", norm(col("cv")))
+
+    // probe ranking: distance of each query to every centroid (plan-time
+    // literals), keep the nProbe nearest cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    }
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("c", explode(array(centroids: _*)))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("c.cvec"), (x: Column, y: Column) => (x - y) * (x - y)),
+        lit(0.0), (acc: Column, x: Column) => acc + x))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = q.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("c.cell").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), "cell")
+      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost. */

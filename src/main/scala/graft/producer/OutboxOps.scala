@@ -98,6 +98,14 @@ object OutboxOps {
       .drop("__pub", "__fail")
   }
 
+  /** P13 — per-topic writer serialization. The reference takes a Redlock
+    * so at most one worker publishes a topic at a time (runner.rb:52-77);
+    * Spark gets the same guarantee structurally: repartition by topic puts
+    * each topic in exactly one task, and the checkpointed sink gives
+    * single-writer-per-partition ordering — no distributed lock. */
+  def partitionByTopic(outbox: DataFrame): DataFrame =
+    outbox.repartition(col("topic"))
+
   /** P22 — latency aggregation over the last interval (reference:
     * lib/dionysus/producer/outbox/latency_tracker.rb:15-42):
     * min/max/avg(published_at − created_at) over rows published in the

@@ -89,6 +89,19 @@ object ExtQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // IVF ANN (scale path): KMeans coarse quantizer + multi-probe
+    // (rows-only: clustering is engine-specific).
+    "x13_ann_ivf" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 100 === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nCentroids = 16, nProbe = 4)
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // Quality scoring: length/stopword heuristics as scan-speed columns.
     "x07_text_quality" -> entry(
       (s, dir) => {
@@ -144,6 +157,17 @@ object ExtQueries {
         | list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Approximate distinct via HLL++ sketches (rows-only: sketch estimates
+    // are engine-specific). At 100 TB this replaces exact distinct wherever
+    // a ±2% answer is acceptable — mergeable, single-pass, fixed memory.
+    "x12_approx_distinct" -> rowsOnly(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy(col("event_type"))),
 
     // Multimodal plumbing: opaque binary column + typed metadata; the
     // byte-length metadata is oracle-checkable, the decode stub is

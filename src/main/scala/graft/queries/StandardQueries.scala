@@ -200,6 +200,24 @@ object StandardQueries {
         | CAST(p_size + 1 AS BIGINT) AS size_plus
         |FROM part ORDER BY p_partkey""".stripMargin),
 
+    // Distinct aggregation (exact). The approximate HLL path
+    // (approx_count_distinct) is demonstrated rows-only in x12 — sketches
+    // are not oracle-comparable across engines.
+    "q11_distinct_agg" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("user_id"), col("ts").cast("date")).as("n_user_days"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT (user_id, CAST(ts AS DATE))) AS n_user_days,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Sessionization: lag-based gap detection, one shuffle on user_id.
     // All time arithmetic in integral microseconds for oracle parity.
     "q10_sessionize" -> entry(

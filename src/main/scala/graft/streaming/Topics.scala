@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** The topic boundary behind one interface (SURVEY §7.2 step 7): the
+  * engine's pipelines target [[TopicSink]]/[[TopicSource]], and the
+  * deployment picks Kafka or files. Frames at this boundary carry
+  * `kafka_key: string`, `value: string (nullable — null = tombstone)`, and
+  * optionally `partition_key`/`ts`.
+  */
+trait TopicSink {
+  /** Attach the sink to a streaming writer for `topic`. */
+  def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row]
+}
+
+trait TopicSource {
+  /** Open the topic as a streaming frame with (kafka_key, value, ...). */
+  def open(spark: SparkSession, topic: String): DataFrame
+}
+
+/** File-backed topic (one directory per topic) — the mode exercised in this
+  * container. Per-topic ordering comes from file sequencing +
+  * checkpointing; the P13 per-topic single-writer lock of the reference is
+  * unnecessary because each topic has exactly one streaming query
+  * (see [[graft.producer.OutboxOps.partitionByTopic]] for the
+  * within-query equivalent). */
+final class FileTopics(root: String) extends TopicSink with TopicSource {
+  def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
+    w.format("parquet").option("path", s"$root/$topic")
+
+  def open(spark: SparkSession, topic: String): DataFrame = {
+    val path = s"$root/$topic"
+    spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+  }
+}
+
+/** Kafka-backed topic — the production mode. Compiles against the stable
+  * DataSource API by name; requires the spark-sql-kafka connector on the
+  * classpath at runtime (not present in this container, so exercised only
+  * through the shared interface contract). Keys map to Kafka message keys
+  * (per-partition ordering), `partition_key` to the partitioner input, and
+  * null `value` publishes a tombstone for log compaction. */
+final class KafkaTopics(bootstrapServers: String) extends TopicSink with TopicSource {
+  def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
+    w.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+
+  def open(spark: SparkSession, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("key").cast("string").as("kafka_key"),
+        col("value").cast("string").as("value"),
+        col("timestamp").as("ts"))
+}

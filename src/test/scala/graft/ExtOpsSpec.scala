@@ -65,6 +65,22 @@ class ExtOpsSpec extends SparkSpec {
       "same-bucket self must rank first under LSH")
   }
 
+  test("IVF ANN: self in probed cell ranks first; decent recall vs brute force") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 3)
+    val self = ivf.filter($"rnk" === 1).select("qid", "nid")
+      .as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall { case (a, b) => a == b },
+      "query's own cell is always probed → self must rank first")
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val got = ivf.select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall@5 too low: $recall")
+  }
+
   test("fingerprint is order-sensitive, language id picks marker language") {
     val fp = Seq((1L, "a b"), (2L, "b a")).toDF("id", "t")
       .select(TextAnalysis.fingerprint($"t")).as[Long].collect()
