@@ -127,15 +127,22 @@ object TextDedup {
     val sigA = sig.select((col("id").as("id_a") +: (0 until k).map(i => col(s"mh_$i").as(s"a_$i"))): _*)
     val sigB = sig.select((col("id").as("id_b") +: (0 until k).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
     val eq = (0 until k).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
-    val toks = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("toks"))
-      .localCheckpoint(eager = false) // reused by both pair sides
+    graft.functions.Functions.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("id"),
+        sort_array(shingles(col(textCol), shingleN)).as("toks"))
+      .localCheckpoint(eager = false) // shingle+sort once, reused by both sides
+    val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
+    // broadcast the per-doc lookups: checkpointed frames have no size
+    // stats, so without the hint the planner shuffles the (wide) shingle
+    // arrays once per candidate pair
     cands
-      .join(sigA, "id_a").join(sigB, "id_b")
+      .join(broadcast(sigA), "id_a").join(broadcast(sigB), "id_b")
       .withColumn("est_jac", eq.reduce(_ + _).cast("double") / k)
       .select("id_a", "id_b", "est_jac")
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+      .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
+      .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
+      .withColumn("jac",
+        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
   }
