@@ -129,6 +129,33 @@ object Persistor {
     keep.unionByName(kept)
   }
 
+  /** One child model's slice of an aggregate persist (C11). `updates`
+    * carry the parent FK so disassociation knows the incoming id list. */
+  final case class ChildBatch(
+      target: DataFrame, updates: DataFrame,
+      parentFk: String, childKey: String = "synced_id")
+
+  /** C11 — aggregate persistence orchestration: merge the parent, merge
+    * each nested child model as a non-aggregate-root event, then remove
+    * children of touched parents that are absent from the incoming list
+    * (reference: persistor.rb:102-152 recursion + README.md:869-874
+    * anti-join cleanup). Returns (parent state, child states) — each an
+    * independent merge, so the whole aggregate persists with one shuffle
+    * per model. */
+  def persistAggregate(
+      parentTarget: DataFrame, parentUpdates: DataFrame,
+      children: Seq[ChildBatch]): (DataFrame, Seq[DataFrame]) = {
+    val parent = merge(parentTarget, parentUpdates)
+    val childStates = children.map { cb =>
+      val merged = merge(cb.target, cb.updates)
+      disassociateMissingChildren(
+        merged,
+        cb.updates.select(col(cb.parentFk), col(cb.childKey)),
+        cb.parentFk, cb.childKey)
+    }
+    (parent, childStates)
+  }
+
   /** C12 — change tracking: diff the post-merge rows against the pre-merge
     * snapshot, emitting `map(attr → [old, new])` per changed key
     * (reference: persistor.rb:76,119,144). With a transactional format this

@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * At 100 TB, power-law keys (one tenant, one language, one hot document
+  * cluster) make single reducers the bottleneck. Two standard levers:
+  * AQE's runtime skew-join splitting (enabled via conf), and explicit
+  * salting for aggregations/joins whose skew is known up front — this
+  * file implements the latter as a reusable two-phase aggregation.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: phase 1 aggregates on
+    * `(key, hash(row) % salt)` so each hot key spreads over `salt`
+    * reducers; phase 2 re-combines per key. The caller declares how each
+    * partial re-combines (`"sum"`, `"max"`, `"min"`) — identical results
+    * to a direct groupBy for decomposable aggregates.
+    */
+  def saltedAgg(
+      df: DataFrame, keyCol: String, salt: Int,
+      aggs: Seq[(String, Column, String)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val phase1 = salted.groupBy(col(keyCol), col("__salt"))
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map { case (n, c, _) => c.as(s"__p_$n") }: _*)
+    val recombined = aggs.map {
+      case (n, _, "sum") => sum(col(s"__p_$n")).as(n)
+      case (n, _, "max") => max(col(s"__p_$n")).as(n)
+      case (n, _, "min") => min(col(s"__p_$n")).as(n)
+      case (n, _, other) =>
+        throw new IllegalArgumentException(s"unsupported recombine $other for $n")
+    }
+    phase1.groupBy(col(keyCol))
+      .agg(recombined.head, recombined.tail: _*)
+  }
+}

@@ -218,6 +218,43 @@ object StandardQueries {
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Event-time tumbling-window aggregation — the batch twin of the
+    // streaming `window()` agg (Structured Streaming runs the identical
+    // expression with a watermark; see StreamingPipelineSpec).
+    "q12_windowed_agg" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+          .select(unix_micros(col("w.start")).as("window_us"),
+            col("event_type"), col("n"), col("sum_cents"))
+          .orderBy(col("window_us"), col("event_type"))
+      },
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin),
+
+    // Skew mitigation: two-phase salted aggregation — identical result to
+    // the direct group-by (the oracle IS the direct group-by), but the
+    // first shuffle spreads each hot key over `salt` buckets so no single
+    // reducer owns a whole key. The technique for power-law keys at 100 TB.
+    "q13_salted_agg" -> entry(
+      (s, dir) => {
+        graft.ext.Skew.saltedAgg(
+            tbl(s, dir, "events"), keyCol = "event_type", salt = 8,
+            aggs = Seq(
+              ("n", count(lit(1)), "sum"),
+              ("sum_cents", sum(round(col("value") * 100).cast("long")), "sum"),
+              ("max_cents", max(round(col("value") * 100).cast("long")), "max")))
+          .orderBy(col("event_type"))
+      },
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Sessionization: lag-based gap detection, one shuffle on user_id.
     // All time arithmetic in integral microseconds for oracle parity.
     "q10_sessionize" -> entry(

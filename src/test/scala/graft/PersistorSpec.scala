@@ -82,6 +82,34 @@ class PersistorSpec extends SparkSpec {
     assert(state(soft)(2L)._2.isDefined && state(soft)(1L)._2.isEmpty)
   }
 
+  test("persistAggregate: parent + children merge with disassociation") {
+    // parent booking 1 with fees 10,11 locally; incoming aggregate keeps
+    // fee 10 (updated) and adds fee 12 — fee 11 must disassociate
+    val parentT = target((1L, "2024-01-01 00:00:00", None, 100.0))
+    val parentU = updates((1L, "2024-01-02 00:00:00", None, "updated", 110.0))
+    val childT = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[Timestamp], 1.0, 1L),
+      (11L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[Timestamp], 2.0, 1L))
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "synced_canceled_at", "value", "parent_id")
+    val childU = Seq(
+      (10L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"),
+        null.asInstanceOf[Timestamp], "updated", 1.5, 1L),
+      (12L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00"),
+        null.asInstanceOf[Timestamp], "created", 3.0, 1L))
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "canceled_at", "event_type", "value", "parent_id")
+    val (parent, Seq(child)) = Persistor.persistAggregate(parentT, parentU,
+      Seq(Persistor.ChildBatch(childT, childU, "parent_id")))
+    assert(state(parent)(1L)._1 == 110.0)
+    val childIds = child.select("synced_id").as[Long].collect().toSet
+    assert(childIds == Set(10L, 12L), s"got $childIds")
+    assert(child.filter($"synced_id" === 10L).select("value")
+      .as[Double].collect()(0) == 1.5)
+  }
+
   test("disassociateMissingChildren: anti-join cleanup per touched parent") {
     val children = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L))
       .toDF("parent_id", "child_id")

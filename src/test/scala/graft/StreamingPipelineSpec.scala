@@ -78,6 +78,38 @@ class StreamingPipelineSpec extends SparkSpec {
       s"stale event leaked: ${rows.mkString(",")}")
   }
 
+  test("streaming event-time window agg with watermark matches batch") {
+    val tmp = Files.createTempDirectory("graft-win").toString
+    val batchEvents = graft.queries.Q.tbl(spark, sf(), "events")
+      .select($"ts", $"event_type")
+    batchEvents.write.parquet(s"$tmp/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val agg = in.withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"event_type", $"n")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_out")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, n) => (w.getTime, t) -> n }.toMap
+    val want = batchEvents
+      .groupBy(window($"ts", "1 hour"), $"event_type").agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"event_type", $"n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, t, n) => (w.getTime, t) -> n }.toMap
+    assert(got.nonEmpty, "watermark must close and emit windows")
+    // append mode emits only closed windows; every emitted window must
+    // match the batch truth exactly
+    got.foreach { case (k, n) => assert(want(k) == n, s"window $k") }
+    // and all but the final (still-open) windows must have been emitted
+    assert(got.size >= want.size - 5, s"${got.size} vs ${want.size}")
+  }
+
   test("registry validation: observer attrs + genesis dependency guard") {
     import graft.registry._
     val reg = Registry("v9", Seq(
