@@ -16,7 +16,7 @@ import graft.registry._
 object ProducerQueries {
 
   /** The running example registry: event types as "models". */
-  private[queries] val registry = Registry("v1", Seq(
+  val registry = Registry("v1", Seq(
     TopicDef("events", models = Seq("click", "view", "signup", "purchase", "error").map(n => ModelDef(n))),
     TopicDef("purchases", models = Seq(ModelDef("purchase"))),
     TopicDef("alerts", models = Seq(ModelDef("error")))))

@@ -110,6 +110,28 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.size >= want.size - 5, s"${got.size} vs ${want.size}")
   }
 
+  test("Engine: registry → one replica per topic with routed models") {
+    val tmp = Files.createTempDirectory("graft-engine").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val reg = graft.queries.ProducerQueries.registry // v1: events/purchases/alerts
+    val states = Engine.runAvailableNow(spark, reg, src, s"$tmp/work")
+    assert(states.keySet == Set("v1_events", "v1_purchases", "v1_alerts"))
+    val all = states("v1_events").replica.read()
+    val purchases = states("v1_purchases").replica.read()
+    val alerts = states("v1_alerts").replica.read()
+    assert(all.count() > 0 && purchases.count() > 0 && alerts.count() > 0)
+    // routing: purchases replica only holds users whose purchase events
+    // exist; every purchase-topic user appears in the full events replica
+    val purchaseUsers = purchases.select("synced_id").as[Long].collect().toSet
+    val allUsers = all.select("synced_id").as[Long].collect().toSet
+    assert(purchaseUsers.subsetOf(allUsers))
+    // alerts topic only ever sees 'error' events → every row soft-deleted
+    assert(alerts.filter($"synced_canceled_at".isNull).count() == 0)
+  }
+
   test("registry validation: observer attrs + genesis dependency guard") {
     import graft.registry._
     val reg = Registry("v9", Seq(
