@@ -23,7 +23,11 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // drop checkpointed intermediates so they can't accumulate across
+      // the query sweep and skew later timings via GC pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      t
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -128,9 +128,13 @@ object TextDedup {
     val sigB = sig.select((col("id").as("id_b") +: (0 until k).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
     val eq = (0 until k).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
     graft.functions.Functions.register(df.sparkSession)
+    // verify on HASHED shingles: sorted long arrays are ~2× smaller to
+    // broadcast and ~2× faster to merge-walk than the raw strings; 64-bit
+    // collisions are negligible for near-dup verification
     val toks = df.select(col(idCol).as("id"),
-        sort_array(shingles(col(textCol), shingleN)).as("toks"))
-      .localCheckpoint(eager = false) // shingle+sort once, reused by both sides
+        sort_array(transform(shingles(col(textCol), shingleN),
+          (t: Column) => xxhash64(t))).as("toks"))
+      .localCheckpoint(eager = false) // shingle+hash+sort once, reused by both sides
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     // broadcast the per-doc lookups: checkpointed frames have no size
     // stats, so without the hint the planner shuffles the (wide) shingle

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `sorted_intersect_size(a, b)` — intersection cardinality of two SORTED,
-  * de-duplicated string arrays via a linear merge walk.
+  * de-duplicated string or long arrays via a linear merge walk.
   *
   * A native Catalyst expression with `doGenCode`: the generated loop runs
   * inside whole-stage codegen with zero allocation, vs. the built-in
@@ -28,13 +28,21 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_size"
 
+  private def elemIsLong: Boolean = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val n1 = x.numElements(); val n2 = y.numElements()
+    val longs = elemIsLong
     while (i < n1 && j < n2) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cmp =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -47,12 +55,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
       val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
-      val u = classOf[UTF8String].getName
+      val cmpExpr =
+        if (elemIsLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |final int $n1 = $a.numElements(), $n2 = $b.numElements();
          |while ($i < $n1 && $j < $n2) {
-         |  final int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final int $cmp = $cmpExpr;
          |  if ($cmp == 0) { $c++; $i++; $j++; }
          |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
