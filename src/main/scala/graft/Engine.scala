@@ -25,7 +25,7 @@ object Engine {
 
   private val replicaSchema =
     "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
-      "synced_canceled_at TIMESTAMP, value DOUBLE"
+      "synced_canceled_at TIMESTAMP, value DOUBLE, synced_data STRING"
 
   /** Run the full registry over a change-stream directory: per topic,
     * producer (classify models → envelope → topic dir) then consumer
@@ -82,7 +82,8 @@ object Engine {
           regexp_extract(col("event"), "event_(.*)", 1).as("event_type"),
           col("rec.id").as("synced_id"),
           col("rec.value").as("value"),
-          timestamp_micros(col("rec.updated_us")).as("synced_updated_at"))
+          timestamp_micros(col("rec.updated_us")).as("synced_updated_at"),
+          col("synced_data"))
         .withColumn("synced_created_at", col("synced_updated_at"))
         .withColumn("canceled_at",
           when(col("event_type") === "destroyed", col("synced_updated_at")))

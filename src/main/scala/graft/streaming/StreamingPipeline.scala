@@ -83,7 +83,9 @@ object StreamingPipeline {
         regexp_extract(col("event"), "event_(.*)", 1).as("event_type"),
         col("rec.id").as("synced_id"),
         col("rec.value").as("value"),
-        timestamp_micros(col("rec.updated_us")).as("synced_updated_at"))
+        timestamp_micros(col("rec.updated_us")).as("synced_updated_at"),
+        // the full raw payload always rides along (README.md:932-937)
+        col("synced_data"))
       .withColumn("synced_created_at", col("synced_updated_at"))
       .withColumn("canceled_at",
         when(col("event_type") === "destroyed", col("synced_updated_at")))

@@ -15,7 +15,7 @@ class StreamingPipelineSpec extends SparkSpec {
     val topic = s"$tmp/topic"
     val replica = new ParquetReplica(spark, s"$tmp/replica",
       "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
-        "synced_canceled_at TIMESTAMP, value DOUBLE")
+        "synced_canceled_at TIMESTAMP, value DOUBLE, synced_data STRING")
 
     // stage the change stream into a directory (file-source contract)
     val src = s"$tmp/src"
