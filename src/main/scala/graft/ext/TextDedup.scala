@@ -24,14 +24,18 @@ object TextDedup {
   /** Tokenize on single spaces (kept dialect-portable for the oracle). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of `text`. n=1 → distinct tokens. */
+  /** Distinct word n-gram shingles of `text`. n=1 → distinct tokens; a
+    * document shorter than n tokens contributes its whole token sequence
+    * as one shingle (beware: `sequence(a, b)` DESCENDS when a > b, so the
+    * short-doc case must be guarded, not clamped). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     if (n == 1) array_distinct(toks)
     else {
-      // sliding window via transform over start indices
-      val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      val idx = sequence(lit(0), size(toks) - n)
+      when(size(toks) >= n,
+        array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array(concat_ws(" ", toks)))
     }
   }
 

@@ -16,6 +16,15 @@ class ExtOpsSpec extends SparkSpec {
     (5L, "unrelated words forming a separate document with its own vocabulary", "b"))
     .toDF("doc_id", "text", "source")
 
+  test("shingles: short documents degrade to a single whole-text shingle") {
+    val got = Seq("one", "one two", "one two three")
+      .toDF("t").select(TextDedup.shingles($"t", 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == List("one"))
+    assert(got(1) == List("one two"))
+    assert(got(2) == List("one two three"))
+  }
+
   test("exact dedup groups identical content across blocks") {
     val got = TextDedup.exact(docs, "doc_id", "text")
       .filter($"n_copies" > 1).collect()
