@@ -68,6 +68,22 @@ object ConsumerOps {
   def messageFilter(df: DataFrame, drop: Column): (DataFrame, DataFrame) =
     (df.filter(!coalesce(drop, lit(false))), df.filter(coalesce(drop, lit(false))))
 
+  /** C17 — dead-letter pass-through: rows whose processing raises land in
+    * a quarantine directory instead of failing the query (reference: the
+    * consumer registry's dead-letter topic option, registry.rb:58-82).
+    * Used inside `foreachBatch`: try the happy path for the whole batch;
+    * on failure, persist the poison batch and continue. Batch-level (not
+    * row-level) because Spark transforms are all-or-nothing per task —
+    * row-level isolation belongs in upstream message filters (C6). */
+  def withDeadLetter(batch: DataFrame, deadLetterDir: String)
+      (persist: DataFrame => Unit): Boolean =
+    try { persist(batch); true }
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        batch.write.mode("append").parquet(deadLetterDir)
+        false
+    }
+
   /** C14 — consumed-event publication: after a batch persists, emit one
     * event per record `{topic_name, event_name, model_name,
     * transformed_data, local_changes}` to an event bus / results topic

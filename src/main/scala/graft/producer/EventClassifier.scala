@@ -49,4 +49,18 @@ object EventClassifier {
     * (reference: outbox/event_name.rb:11-25). */
   def eventName(modelName: Column, eventType: Column): Column =
     concat(modelName, lit("_"), eventType)
+
+  /** Changeset construction from a change feed's old/new images: the
+    * `attr → [old, new]` map of attributes that actually changed
+    * (reference: `previous_changes` capture, outbox/publishable.rb:86-95).
+    * Null-safe comparison so null→value and value→null both register.
+    * Feeds observer matching (P14) and the outbox `changeset` column. */
+  def changeset(pairs: Seq[(String, Column, Column)]): Column = {
+    val entries = pairs.map { case (attr, oldC, newC) =>
+      when(!(oldC <=> newC),
+        struct(lit(attr).as("attr"),
+          array(oldC.cast("string"), newC.cast("string")).as("change")))
+    }
+    map_from_entries(filter(array(entries: _*), (e: Column) => e.isNotNull))
+  }
 }

@@ -43,6 +43,58 @@ class InfraOpsSpec extends SparkSpec {
     assert(got(1).getAs[String]("local_changes") == null)
   }
 
+  test("changeset: null-safe diff of old/new images feeds observer match") {
+    import graft.producer.EventClassifier
+    import graft.registry.ObserverDef
+    val df = Seq(
+      (1L, "a", "a", 1.0, 2.0),   // price changed
+      (2L, "a", "b", 1.0, 1.0),   // name changed
+      (3L, "a", "a", 1.0, 1.0),   // nothing changed
+      (4L, null.asInstanceOf[String], "a", 1.0, 1.0)) // null → value
+      .toDF("id", "old_name", "new_name", "old_price", "new_price")
+      .withColumn("changeset", EventClassifier.changeset(Seq(
+        ("name", col("old_name"), col("new_name")),
+        ("price", col("old_price"), col("new_price")))))
+    val keys = df.select($"id", map_keys($"changeset").as("ks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(keys(1L) == Seq("price") && keys(2L) == Seq("name"))
+    assert(keys(3L).isEmpty && keys(4L) == Seq("name"))
+    // observer on price fires only for row 1
+    val fired = df.filter(graft.producer.Observers.matches($"changeset",
+      ObserverDef("m", Seq("price"), "x"))).select("id").as[Long].collect()
+    assert(fired.toSeq == Seq(1L))
+  }
+
+  test("registry-derived payload schema parses a canonical payload") {
+    import graft.registry._
+    val m = ModelDef("booking",
+      attributes = Seq(Attribute("name"),
+        Attribute("amount", org.apache.spark.sql.types.DoubleType)),
+      hasOne = Seq(Association("account", "account", "account_id")),
+      hasMany = Seq(Association("fees", "fee", "booking_id")))
+    val payload =
+      """{"id": 7, "name": "x", "amount": 9.5,
+        |"links": {"account": 2, "fees": [3, 4]}}""".stripMargin
+    val row = Seq(payload).toDF("j")
+      .select(from_json($"j", m.payloadSchema).as("r")).select($"r.*")
+      .collect()(0)
+    assert(row.getAs[Long]("id") == 7L)
+    assert(row.getAs[Double]("amount") == 9.5)
+    val links = row.getAs[org.apache.spark.sql.Row]("links")
+    assert(links.getAs[Long]("account") == 2L)
+    assert(links.getSeq[Long](links.fieldIndex("fees")).toList == List(3L, 4L))
+  }
+
+  test("C17: dead-letter pass-through quarantines poison batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    val batch = Seq((1L, "ok")).toDF("id", "v")
+    assert(ConsumerOps.withDeadLetter(batch, s"$tmp/dead")(_ => ()))
+    val ok = ConsumerOps.withDeadLetter(batch, s"$tmp/dead")(_ =>
+      throw new RuntimeException("boom"))
+    assert(!ok)
+    assert(spark.read.parquet(s"$tmp/dead").count() == 1)
+  }
+
   test("I1/I2: monitor captures lifecycle events; health reflects activity") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mon").toString
     val monitor = new Monitor
