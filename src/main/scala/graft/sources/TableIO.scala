@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format table IO (SURVEY §2.4: the reference's only sources are
+  * ActiveRecord tables (JDBC) and Kafka; file formats come from Spark
+  * built-ins). One declarative entry point so registry configs can name a
+  * format + path/DSN instead of wiring readers by hand.
+  *
+  * Format notes for scale: parquet/orc are the only formats with predicate
+  * pushdown + column pruning + splittable compression — CSV/JSON exist for
+  * ingest boundaries, land them into parquet before heavy querying. JDBC
+  * reads parallelize only with explicit partitioning bounds
+  * (`partitionColumn`/`numPartitions`), otherwise they're a single task.
+  */
+object TableIO {
+
+  sealed trait Source { def read(spark: SparkSession): DataFrame }
+
+  final case class Parquet(path: String) extends Source {
+    def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  }
+
+  final case class Csv(path: String, schema: Option[StructType] = None,
+      header: Boolean = true) extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val r = spark.read.option("header", header.toString)
+      schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+    }
+  }
+
+  final case class JsonLines(path: String, schema: Option[StructType] = None)
+      extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val r = spark.read
+      schema.fold(r)(r.schema).json(path)
+    }
+  }
+
+  final case class Orc(path: String) extends Source {
+    def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+  }
+
+  /** JDBC source with explicit parallelism bounds — a boundless JDBC read
+    * is one task regardless of cluster size. Untestable in this container
+    * (no database), exercised through the shared interface contract. */
+  final case class Jdbc(url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None) extends Source {
+    def read(spark: SparkSession): DataFrame = {
+      val r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+      partitionColumn.fold(r) { case (c, lo, hi, n) =>
+        r.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", n)
+      }.load()
+    }
+  }
+}

@@ -95,6 +95,25 @@ class InfraOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/dead").count() == 1)
   }
 
+  test("TableIO: parquet/csv/json/orc round-trip the same rows") {
+    import graft.sources.TableIO
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val df = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    df.write.parquet(s"$tmp/p"); df.write.option("header", "true").csv(s"$tmp/c")
+    df.write.json(s"$tmp/j"); df.write.orc(s"$tmp/o")
+    val want = df.orderBy($"doc_id").collect().toSeq
+    val schema = df.schema
+    for (src <- Seq(TableIO.Parquet(s"$tmp/p"),
+        TableIO.Csv(s"$tmp/c", Some(schema)),
+        TableIO.JsonLines(s"$tmp/j", Some(schema)),
+        TableIO.Orc(s"$tmp/o"))) {
+      val got = src.read(spark).select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id").collect().toSeq
+      assert(got == want, src.toString)
+    }
+  }
+
   test("I1/I2: monitor captures lifecycle events; health reflects activity") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mon").toString
     val monitor = new Monitor

@@ -71,6 +71,43 @@ class PersistorSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getDouble(4) == 99.0)
   }
 
+  test("property: merge matches the reference guard for random states") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tsGen: Gen[Option[Long]] = Gen.frequency(
+      4 -> Gen.choose(1L, 100L).map(Some(_)), 1 -> Gen.const(None))
+    // per key: optional local row, optional (pre-deduped) incoming update
+    val keyState = for { t <- Gen.option(tsGen); u <- Gen.option(tsGen) } yield (t, u)
+    val prop = Prop.forAll(Gen.listOfN(6, keyState)) { states =>
+      val keyed = states.zipWithIndex
+      def ts(o: Long) = new Timestamp(o * 86400000L)
+      val tgt = keyed.collect { case ((Some(t), _), k) =>
+        (k.toLong, t.map(ts).orNull, t.map(ts).orNull,
+          null.asInstanceOf[Timestamp], 1.0) }
+        .toDF("synced_id", "synced_updated_at", "synced_created_at",
+          "synced_canceled_at", "value")
+      val upd = keyed.collect { case ((_, Some(u)), k) =>
+        (k.toLong, u.map(ts).orNull, u.map(ts).orNull,
+          null.asInstanceOf[Timestamp], "updated", 2.0) }
+        .toDF("synced_id", "synced_updated_at", "synced_created_at",
+          "canceled_at", "event_type", "value")
+      val got = Persistor.merge(tgt, upd).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      // reference guard (synchronizable_model.rb:16-26): persist unless
+      // both timestamps exist and the event's is strictly older
+      val want = keyed.flatMap {
+        case ((None, None), _) => None
+        case ((Some(_), None), k) => Some(k.toLong -> 1.0)
+        case ((None, Some(_)), k) => Some(k.toLong -> 2.0)
+        case ((Some(t), Some(u)), k) =>
+          val stale = t.isDefined && u.isDefined && u.get < t.get
+          Some(k.toLong -> (if (stale) 1.0 else 2.0))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bulkDestroy hard removes listed ids, soft stamps them") {
     val t = target((1L, "2024-01-01 00:00:00", None, 1.0),
       (2L, "2024-01-01 00:00:00", None, 2.0))
