@@ -255,6 +255,40 @@ object StandardQueries {
         | CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // EXISTS / semi-join: customers with at least one urgent order —
+    // left_semi never duplicates or widens rows.
+    "q14_exists_semijoin" -> entry(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Pivot-style conditional aggregation: one pass, one shuffle — the
+    // scalable form of PIVOT (explicit columns, no second metadata pass).
+    "q15_conditional_pivot" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        def cnt(t: String) =
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+        ev.groupBy(col("user_id"))
+          .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"))
+          .orderBy(col("user_id"))
+      },
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // Sessionization: lag-based gap detection, one shuffle on user_id.
     // All time arithmetic in integral microseconds for oracle parity.
     "q10_sessionize" -> entry(
