@@ -169,6 +169,21 @@ object ExtQueries {
             countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type"))),
 
+    // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
+    // explode → partial-aggregated count → ordered limit. The sketch form
+    // (FreqSketch SpaceSaving aggregate) covers the case where the
+    // distinct-token shuffle itself is the bottleneck (see ExtOpsSpec).
+    "x14_token_topk" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+
     // Multimodal plumbing: opaque binary column + typed metadata; the
     // byte-length metadata is oracle-checkable, the decode stub is
     // exercised in ScalaTest.

@@ -90,6 +90,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 too low: $recall")
   }
 
+  test("FreqSketch: sketch heavy hitters cover the exact top tokens") {
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select(explode(split($"text", " ")).as("tok"))
+    val exact = docs.groupBy($"tok").count()
+      .orderBy($"count".desc, $"tok").limit(5)
+      .select("tok").as[String].collect().toSet
+    val sketch = docs.agg(graft.functions.FreqSketch($"tok", 64).as("m"))
+      .select(explode($"m").as(Seq("tok", "n")))
+      .orderBy($"n".desc, $"tok").limit(10)
+      .select("tok").as[String].collect().toSet
+    assert(exact.subsetOf(sketch),
+      s"exact top-5 $exact must appear in sketch top-10 $sketch")
+  }
+
   test("fingerprint is order-sensitive, language id picks marker language") {
     val fp = Seq((1L, "a b"), (2L, "b a")).toDF("id", "t")
       .select(TextAnalysis.fingerprint($"t")).as[Long].collect()
