@@ -47,6 +47,18 @@ object TextAnalysis {
     aggregate(split(text, ""), lit(0L),
       (acc: Column, c: Column) => (acc * 31 + ascii(c)) % 1000000007L)
 
+  /** Text normalization / scrubbing for training corpora: lowercase,
+    * redact email-like and long-digit tokens (PII hygiene), strip
+    * non-alphanumerics, collapse whitespace. Pure regex projection —
+    * scan-speed, and portable across engines for the oracle. */
+  def cleaned(text: Column): Column = {
+    val lowered = lower(text)
+    val noEmail = regexp_replace(lowered, "[a-z0-9._%+-]+@[a-z0-9.-]+", "<email>")
+    val noLongNum = regexp_replace(noEmail, "[0-9]{7,}", "<num>")
+    val noPunct = regexp_replace(noLongNum, "[^a-z0-9<> ]", " ")
+    trim(regexp_replace(noPunct, " +", " "))
+  }
+
   /** Language-ID marker words (tiny per-language stopword profiles —
     * the classic n-gram/stopword heuristic at word granularity). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -155,6 +155,50 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
   }
 
+  /** Near-dup cluster resolution: connected components over a pair list by
+    * iterative min-label propagation — each node adopts the smallest id
+    * reachable so far; converges in O(diameter) rounds (near-dup clusters
+    * are shallow, so few rounds; `maxIterations` bounds pathological
+    * chains). Input: (id_a, id_b) pairs; output: (id, component) with
+    * component = min id of the cluster. The standard last step of a dedup
+    * pipeline: keep one representative per component.
+    *
+    * Each round is two shuffles over the edge list; at 100 TB scale,
+    * checkpoint every few rounds to cut lineage (done here via
+    * localCheckpoint on the label frame). */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    // eager: the loop reuses edges and labels every round — lazy
+    // checkpoints would re-derive the full upstream lineage per iteration
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // propagate: candidate label = min over neighbors' labels and own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nb_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nb_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over tokens, computed with higher-order functions only
     * (no shuffle, no UDF): each token votes ±1 per bit via its xxhash64;
     * the sign of the per-bit sum is the fingerprint bit. */

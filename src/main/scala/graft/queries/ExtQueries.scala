@@ -169,6 +169,41 @@ object ExtQueries {
             countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type"))),
 
+    // Text normalization / PII scrubbing — regex projection, portable to
+    // the oracle (DuckDB needs the 'g' flag for global replacement).
+    "x15_text_clean" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.cleaned(col("text")).as("clean"),
+            length(TextAnalysis.cleaned(col("text"))).cast("long").as("clean_len"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(text),
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |   '[0-9]{7,}', '<num>', 'g'),
+        |   '[^a-z0-9<> ]', ' ', 'g'),
+        |   ' +', ' ', 'g')) AS clean,
+        | CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(text),
+        |   '[a-z0-9._%+-]+@[a-z0-9.-]+', '<email>', 'g'),
+        |   '[0-9]{7,}', '<num>', 'g'),
+        |   '[^a-z0-9<> ]', ' ', 'g'),
+        |   ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Near-dup cluster resolution: Jaccard pairs → connected components →
+    // one representative per cluster (rows-only: consumes LSH pairs).
+    "x16_dedup_clusters" -> rowsOnly(
+      (s, dir) => {
+        val pairs = TextDedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", n = 1, threshold = 0.9)
+        TextDedup.connectedComponents(pairs)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .orderBy(col("component"))
+      }),
+
     // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
     // explode → partial-aggregated count → ordered limit. The sketch form
     // (FreqSketch SpaceSaving aggregate) covers the case where the

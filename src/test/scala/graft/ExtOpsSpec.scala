@@ -90,6 +90,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 too low: $recall")
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val comp = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(5L, 6L).map(comp) == Seq(5L, 5L))
+    assert(Seq(8L, 9L, 10L).map(comp) == Seq(8L, 8L, 8L))
+  }
+
+  test("text cleaning: lowercase, redact, strip, collapse") {
+    val got = Seq("Contact Bob@Example.COM or call 12345678!!  Now.")
+      .toDF("t").select(TextAnalysis.cleaned($"t")).as[String].collect()(0)
+    assert(got == "contact <email> or call <num> now")
+  }
+
   test("FreqSketch: sketch heavy hitters cover the exact top tokens") {
     val docs = graft.queries.Q.tbl(spark, sf(), "documents")
       .select(explode(split($"text", " ")).as("tok"))
