@@ -58,6 +58,35 @@ object Observers {
       .distinct()
   }
 
+  /** One hop of an observer association path: join `fromCol` (on the
+    * current frame) to `toCol` on `table`, carrying `carryCol` forward as
+    * the next join key (or the final dependent id). */
+  final case class Hop(table: DataFrame, fromCol: String, toCol: String, carryCol: String)
+
+  /** P14 with a method-chain association (`"a.b.c"`,
+    * reference: producer.rb:110-115, README.md:634): the dotted Ruby path
+    * becomes a declared join chain, validated at registration
+    * (validator.rb:82-102) and executed as successive FK equi-joins. The
+    * matched change keys stay broadcast-sized (a micro-batch); each hop's
+    * table is the big side. */
+  def resolveChain(
+      changes: DataFrame,
+      observer: ObserverDef,
+      dependentModel: String,
+      changesJoinCol: String,
+      hops: Seq[Hop]): DataFrame = {
+    val matched = changes
+      .filter(col("model_name") === observer.model && matches(col("changeset"), observer))
+      .select(col(changesJoinCol).as("__k")).distinct()
+    val resolved = hops.foldLeft(matched) { (acc, hop) =>
+      hop.table
+        .join(broadcast(acc), hop.table(hop.fromCol) === acc("__k"))
+        .select(col(hop.carryCol).as("__k")).distinct()
+    }
+    resolved.select(col("__k").as("resource_id"),
+      lit(s"${dependentModel}_updated").as("event_name"))
+  }
+
   /** P15 — dependency-parent republish: a change to a `with:` dependency
     * republishes the parent aggregate (`<parent>_updated`), resolving the
     * parent over the FK (reference: outbox/publisher.rb:80-105,

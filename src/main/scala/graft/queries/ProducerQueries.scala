@@ -267,6 +267,32 @@ object ProducerQueries {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderkey % 4 = 0)
         |ORDER BY resource_id""".stripMargin),
 
+    // P14 — observer with a method-chain association ("customer.nation"):
+    // the dotted path becomes a validated two-hop join chain.
+    "p14_observer_chain" -> entry(
+      (s, dir) => {
+        val changes = tbl(s, dir, "orders").select(
+          lit("order").as("model_name"),
+          when(col("o_orderkey") % 5 === 0,
+            map(lit("o_totalprice"), array(lit("old"), lit("new"))))
+            .otherwise(map(lit("o_orderpriority"), array(lit("old"), lit("new"))))
+            .as("changeset"),
+          col("o_custkey"))
+        Observers.resolveChain(changes,
+            ObserverDef("order", Seq("o_totalprice"), "customer.nation"),
+            dependentModel = "nation",
+            changesJoinCol = "o_custkey",
+            hops = Seq(
+              Observers.Hop(tbl(s, dir, "customer"), "c_custkey", "c_custkey", "c_nationkey"),
+              Observers.Hop(tbl(s, dir, "nation"), "n_nationkey", "n_nationkey", "n_nationkey")))
+          .orderBy(col("resource_id"))
+      },
+      """SELECT DISTINCT n_nationkey AS resource_id, 'nation_updated' AS event_name
+        |FROM nation WHERE n_nationkey IN (
+        |  SELECT c_nationkey FROM customer WHERE c_custkey IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0))
+        |ORDER BY resource_id""".stripMargin),
+
     // P15 — dependency-parent republish: child changes → distinct parent
     // ids, emitted as <parent>_updated.
     "p15_dependency_parent" -> entry(

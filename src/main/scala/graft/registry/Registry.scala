@@ -42,6 +42,26 @@ final case class ModelDef(
     softDeleteColumn: String = "canceled_at",
     serialize: Boolean = true) {
 
+  /** Registry-derived AGGREGATE StructType: the payload schema with
+    * sideloaded dependency payloads embedded (to-one as struct, to-many as
+    * array of struct). The reference's deserializer recurses unboundedly
+    * (deserializer.rb:54-70); Spark schemas are fixed-depth, so the depth
+    * comes from the registry and anything deeper fails loudly at plan time
+    * (SURVEY §7.4.2). */
+  def aggregateSchema(registry: Registry, maxDepth: Int = 3): StructType = {
+    require(maxDepth > 0,
+      s"aggregate nesting under $name exceeds the declared depth bound — " +
+        "raise maxDepth explicitly or flatten the registry")
+    val childFields = sideloads.flatMap { dep =>
+      registry.modelDef(dep).map { child =>
+        val childSchema = child.aggregateSchema(registry, maxDepth - 1)
+        // to-many when the child carries our FK in hasMany, else to-one
+        StructField(dep, ArrayType(childSchema))
+      }
+    }
+    StructType(payloadSchema.fields ++ childFields)
+  }
+
   /** Registry-derived payload StructType: declared attributes + reserved
     * columns + links (SURVEY §1.2 schema stance). */
   def payloadSchema: StructType = {

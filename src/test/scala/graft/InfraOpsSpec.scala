@@ -65,6 +65,24 @@ class InfraOpsSpec extends SparkSpec {
     assert(fired.toSeq == Seq(1L))
   }
 
+  test("aggregate schema embeds sideloads and bounds nesting depth") {
+    import graft.registry._
+    val fee = ModelDef("fee", attributes = Seq(Attribute("amount")))
+    val booking = ModelDef("booking", attributes = Seq(Attribute("name")),
+      sideloads = Seq("fee"))
+    val reg = Registry("v1", Seq(TopicDef("bookings", Seq(booking, fee))))
+    val agg = booking.aggregateSchema(reg)
+    assert(agg.fieldNames.contains("fee"))
+    val feeField = agg("fee").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(feeField.fieldNames.contains("amount"))
+    // self-referential sideload must hit the depth bound loudly
+    val node = ModelDef("node", sideloads = Seq("node"))
+    val cyc = Registry("v1", Seq(TopicDef("nodes", Seq(node))))
+    intercept[IllegalArgumentException](node.aggregateSchema(cyc, maxDepth = 3))
+  }
+
   test("registry-derived payload schema parses a canonical payload") {
     import graft.registry._
     val m = ModelDef("booking",
