@@ -68,14 +68,24 @@ object Serializers {
   def partitionKey(attr: Option[String], default: String = "account_id"): Column =
     col(attr.getOrElse(default)).cast("string")
 
-  /** P3 — topic fan-out: one change → one outbox/publish row per declared
-    * topic. Registry-driven `explode` of a literal topics array — no join,
-    * no shuffle; the registry is plan-time metadata
-    * (reference: publishable.rb:71-84, outbox.rb:38-54). */
-  def topicFanout(df: DataFrame, registry: Registry, modelCol: String = "model_name"): DataFrame = {
+  /** P3/P11 — topic fan-out: one change → one outbox/publish row per
+    * declared topic, plus the `_genesis` replica topic where declared
+    * (reference: publishable.rb:71-84, outbox.rb:38-54; genesis replica
+    * registry.rb:62-68, `genesis_only` skip karafka_responder_generator.rb:16-68).
+    * Registry-driven `explode` of a literal topics array — no join, no
+    * shuffle; the registry is plan-time metadata. */
+  def topicFanout(df: DataFrame, registry: Registry,
+      modelCol: String = "model_name", genesisOnly: Boolean = false): DataFrame = {
+    def targets(model: String): Seq[String] =
+      registry.topics.filter(_.models.exists(_.name == model)).flatMap { t =>
+        val primary = if (genesisOnly && t.genesisReplica) Nil
+          else Seq(registry.topicName(t))
+        val replica = if (t.genesisReplica) Seq(registry.genesisTopicName(t)) else Nil
+        primary ++ replica
+      }
     val mapping = map(
       registry.allModels.flatMap { m =>
-        Seq(lit(m.name), array(registry.topicsFor(m.name).map(lit): _*))
+        Seq(lit(m.name), array(targets(m.name).map(lit): _*))
       }: _*)
     df.withColumn("topic", explode(element_at(mapping, col(modelCol))))
   }

@@ -65,6 +65,23 @@ class InfraOpsSpec extends SparkSpec {
     assert(fired.toSeq == Seq(1L))
   }
 
+  test("P11: genesis-replica fan-out doubles topics; genesis_only skips primary") {
+    import graft.registry._
+    import graft.producer.Serializers
+    val reg = Registry("v2", Seq(
+      TopicDef("bookings", Seq(ModelDef("booking")), genesisReplica = true),
+      TopicDef("fees", Seq(ModelDef("fee")))))
+    val df = Seq("booking", "fee").toDF("model_name")
+    def topics(genesisOnly: Boolean) =
+      Serializers.topicFanout(df, reg, genesisOnly = genesisOnly)
+        .select("model_name", "topic").as[(String, String)].collect().toSet
+    assert(topics(false) == Set(
+      ("booking", "v2_bookings"), ("booking", "v2_bookings_genesis"),
+      ("fee", "v2_fees")))
+    assert(topics(true) == Set(
+      ("booking", "v2_bookings_genesis"), ("fee", "v2_fees")))
+  }
+
   test("aggregate schema embeds sideloads and bounds nesting depth") {
     import graft.registry._
     val fee = ModelDef("fee", attributes = Seq(Attribute("amount")))
