@@ -45,6 +45,33 @@ class OutboxOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("highest_since_creation") == 3630L)
   }
 
+  test("OutboxWorker.tick: publishes pending, acks successes, schedules retries") {
+    import graft.producer.OutboxWorker
+    val full = outbox
+      .withColumn("partition_key", lit(null).cast("string"))
+      .withColumn("failed_at", lit(null).cast("timestamp"))
+      .withColumn("error_class", lit(null).cast("string"))
+      .withColumn("error_message", lit(null).cast("string"))
+      .withColumn("updated_at", col("created_at"))
+      .withColumn("changeset", lit(null).cast("string"))
+    val now = lit("2026-01-04 00:00:00").cast("timestamp")
+    var publishedKeys = Seq.empty[String]
+    val after = OutboxWorker.tick(full, now, batchSizePerTopic = 10,
+      publish = batch => {
+        publishedKeys = batch.select("resource_id").as[String].collect().toSeq
+        batch.filter($"resource_id" === "2") // simulate failure of record 2
+      })
+    val byId = after.select("resource_id", "published_at", "attempts", "retry_at")
+      .collect().map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getInt(2), r.getTimestamp(3))).toMap
+    assert(publishedKeys.toSet == Set("1", "2", "4"))
+    assert(byId("1")._1 != null && byId("4")._1 != null, "successes acked")
+    assert(byId("2")._1 == null && byId("2")._2 == 3, "failure keeps pending, attempts+1")
+    assert(byId("2")._3 != null && byId("2")._3.after(ts("2026-01-04 00:00:00")),
+      "failure scheduled for backoff retry")
+    assert(byId("3")._1 == ts("2026-01-01 01:00:00"), "already-published untouched")
+  }
+
   test("P13 partitionByTopic: each topic lands in exactly one partition") {
     val parts = OutboxOps.partitionByTopic(outbox)
       .select(col("topic"), spark_partition_id().as("p"))
