@@ -123,14 +123,20 @@ object TextDedup {
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val bucketed = sig.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    // carry the whole signature on the banded rows: the estimate then
+    // computes inside the candidate join — no signature-lookup joins later
+    val bucketed = sig.select(col("id"),
+      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+      explode(array(bandKeys: _*)).as("bk"))
+    val eqCount = aggregate(
+      zip_with(col("x.sig"), col("y.sig"),
+        (a: Column, b: Column) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc: Column, v: Column) => acc + v)
     val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    // signature-estimated jaccard: fraction of equal minhash components
-    val sigA = sig.select((col("id").as("id_a") +: (0 until k).map(i => col(s"mh_$i").as(s"a_$i"))): _*)
-    val sigB = sig.select((col("id").as("id_b") +: (0 until k).map(i => col(s"mh_$i").as(s"b_$i"))): _*)
-    val eq = (0 until k).map(i => when(col(s"a_$i") === col(s"b_$i"), 1).otherwise(0))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (eqCount.cast("double") / k).as("est_jac"))
+      .distinct()
     graft.functions.Functions.register(df.sparkSession)
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
     // broadcast and ~2× faster to merge-walk than the raw strings; 64-bit
@@ -144,9 +150,6 @@ object TextDedup {
     // stats, so without the hint the planner shuffles the (wide) shingle
     // arrays once per candidate pair
     cands
-      .join(broadcast(sigA), "id_a").join(broadcast(sigB), "id_b")
-      .withColumn("est_jac", eq.reduce(_ + _).cast("double") / k)
-      .select("id_a", "id_b", "est_jac")
       .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
       .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
       .withColumn("jac",
