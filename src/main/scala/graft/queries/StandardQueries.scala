@@ -289,6 +289,71 @@ object StandardQueries {
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
 
+    // Range join, bucketed: purchases within 1 hour after each signup.
+    // The naive theta-join explodes; bucketing time into join-width bins
+    // and joining each signup to its bin and the next bounds the fan-out
+    // to two buckets per row — the scalable range-join decomposition.
+    "q16_range_join" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val hourUs = 3600L * 1000000L
+        val signups = ev.filter(col("event_type") === "signup")
+          .withColumn("bucket",
+            explode(array(floor(col("us") / hourUs), floor(col("us") / hourUs) + 1)))
+          .select(col("user_id"), col("event_id").as("s_id"),
+            col("us").as("s_us"), col("bucket"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .withColumn("bucket", floor(col("us") / hourUs))
+          .select(col("user_id"), col("us").as("p_us"), col("bucket"))
+        signups.join(purchases, Seq("user_id", "bucket"))
+          .filter(col("p_us") >= col("s_us") && col("p_us") - col("s_us") <= hourUs)
+          .groupBy(col("s_id"))
+          .agg(count(lit(1)).as("n_purchases_1h"))
+          .orderBy(col("s_id"))
+      },
+      """SELECT s.event_id AS s_id, count(*) AS n_purchases_1h
+        |FROM events s JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND epoch_us(p.ts) >= epoch_us(s.ts)
+        | AND epoch_us(p.ts) - epoch_us(s.ts) <= 3600000000
+        |GROUP BY s.event_id ORDER BY s_id""".stripMargin),
+
+    // As-of join: for each purchase, the user's most recent prior (or
+    // simultaneous) signup. Composed from built-ins (SURVEY §7.3
+    // preference order): union both streams, one per-user window pass,
+    // last non-null carry-forward — one shuffle, no point lookups. The
+    // oracle uses DuckDB's native ASOF JOIN.
+    "q17_asof_join" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+        val tagged = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id"), col("us"),
+            lit(0).as("tag"), col("us").as("s_us"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"), col("us"),
+              lit(1).as("tag"), lit(null).cast("long").as("s_us")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("tag"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tagged
+          .withColumn("prev_signup_us", last(col("s_us"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"), col("us"), col("prev_signup_us"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT p.event_id, p.user_id, p.us, s.s_us AS prev_signup_us
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS s_us FROM events
+        |                WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.us >= s.s_us
+        |ORDER BY p.event_id""".stripMargin),
+
     // Sessionization: lag-based gap detection, one shuffle on user_id.
     // All time arithmetic in integral microseconds for oracle parity.
     "q10_sessionize" -> entry(
