@@ -66,6 +66,24 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs above a
+    * similarity threshold. The small side broadcasts through a nested-loop
+    * join with the `id_a < id_b` triangle predicate; at 100 TB corpus
+    * scale the candidate set comes from [[lshTopK]]/[[ivfTopK]] buckets
+    * instead and this exact scorer runs within buckets only. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
     * corpus into `nCentroids` cells; each query probes its `nProbe`
     * nearest cells and scores only those vectors. At 100 TB the corpus is

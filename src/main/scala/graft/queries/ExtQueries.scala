@@ -78,6 +78,22 @@ object ExtQueries {
         | FROM embeddings e, q)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
 
+    // Embedding-cosine near-dup pairs: exact triangle scoring above a
+    // threshold (candidates come from LSH/IVF buckets at corpus scale).
+    "x17_embedding_neardup" -> entry(
+      (s, dir) =>
+        Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("id_a"), col("id_b")),
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+
     // LSH-bucketed ANN (scale path) — rows-only (seeded hyperplanes).
     "x06_ann_lsh" -> rowsOnly(
       (s, dir) => {

@@ -108,6 +108,20 @@ class PersistorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("merge is idempotent: replaying the same batch changes nothing") {
+    val t = target(
+      (1L, "2024-01-02 00:00:00", None, 10.0),
+      (2L, "2024-01-02 00:00:00", Some("2024-01-01 00:00:00"), 20.0))
+    val u = updates(
+      (1L, "2024-01-03 00:00:00", None, "updated", 11.0),
+      (2L, "2024-01-03 00:00:00", None, "destroyed", 20.0),
+      (3L, "2024-01-01 00:00:00", None, "created", 30.0))
+    val once = Persistor.merge(t, u)
+    val twice = Persistor.merge(once, u)
+    assert(state(once) == state(twice),
+      "at-least-once replay must converge to the same replica state")
+  }
+
   test("bulkDestroy hard removes listed ids, soft stamps them") {
     val t = target((1L, "2024-01-01 00:00:00", None, 1.0),
       (2L, "2024-01-01 00:00:00", None, 2.0))
