@@ -20,15 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays in double precision, sequential
-    * left-to-right — deterministic and oracle-parity-safe. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x: Column, y: Column) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
+  /** Dot product in double precision, sequential left-to-right —
+    * deterministic and oracle-parity-safe. Uses the native codegen
+    * [[graft.functions.VectorDot]] (similarity scoring runs this once per
+    * candidate pair; the HOF form interprets with per-element boxing).
+    * Callers must have run `Functions.register` on the session — every
+    * Similarity entry point does. */
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, (x: Column) => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc: Column, x: Column) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -38,6 +38,7 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -74,6 +75,7 @@ object Similarity {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
     val a = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
@@ -94,6 +96,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -139,6 +142,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
     val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
       .withColumn("bucket", lshSignature(col("cv"), planes))

@@ -77,9 +77,14 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 /** Session registration for the engine's native functions; idempotent. */
 object Functions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot",
+      exprs => VectorDot(exprs(0), exprs(1)),
+      "built-in")
+  }
 }
