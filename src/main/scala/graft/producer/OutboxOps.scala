@@ -80,6 +80,9 @@ object OutboxOps {
     val key = Seq("resource_class", "resource_id", "event_name", "topic", "created_at")
     val pub = published.select(key.map(col): _*).withColumn("__pub", lit(true))
     val fail = failed.select(key.map(col): _*).withColumn("__fail", lit(true))
+    // success clears the whole error state, matching the reference's
+    // mark_as_published UPDATE (records_processor.rb:50-55: published_at
+    // set, error_class/error_message/failed_at/retry_at nulled)
     outbox
       .join(broadcast(pub), key, "left")
       .join(broadcast(fail), key, "left")
@@ -87,14 +90,21 @@ object OutboxOps {
         when(col("__pub"), now).otherwise(col("published_at")))
       .withColumn("attempts",
         when(col("__fail"), col("attempts") + 1).otherwise(col("attempts")))
-      .withColumn("failed_at", when(col("__fail"), now).otherwise(col("failed_at")))
+      .withColumn("failed_at",
+        when(col("__pub"), lit(null).cast("timestamp"))
+          .when(col("__fail"), now).otherwise(col("failed_at")))
       .withColumn("retry_at",
-        when(col("__fail"),
-          now + make_dt_interval(lit(0), lit(0), lit(0),
-            lit(5) * pow(lit(2), col("attempts"))))
+        when(col("__pub"), lit(null).cast("timestamp"))
+          .when(col("__fail"),
+            now + make_dt_interval(lit(0), lit(0), lit(0),
+              lit(5) * pow(lit(2), col("attempts"))))
           .otherwise(col("retry_at")))
-      .withColumn("error_class", when(col("__fail"), errorClass).otherwise(col("error_class")))
-      .withColumn("error_message", when(col("__fail"), errorMessage).otherwise(col("error_message")))
+      .withColumn("error_class",
+        when(col("__pub"), lit(null).cast("string"))
+          .when(col("__fail"), errorClass).otherwise(col("error_class")))
+      .withColumn("error_message",
+        when(col("__pub"), lit(null).cast("string"))
+          .when(col("__fail"), errorMessage).otherwise(col("error_message")))
       .drop("__pub", "__fail")
   }
 

@@ -39,13 +39,16 @@ object OutboxWorker {
       .filter(col("__rn") <= batchSizePerTopic)
       .drop("__rn")
 
-    // P6: collapse consecutive duplicates before hitting the sink
-    val deduped = OutboxOps.collapseConsecutiveDuplicates(batch)
-      .localCheckpoint(eager = true) // publish + ack both consume it
+    // P6: collapse consecutive duplicates before hitting the sink. NOTE
+    // the reference marks the FULL batch (minus failures) as published —
+    // collapsed duplicates are acked without being sent
+    // (records_processor.rb:24-26: published = records - failed)
+    val checkpointedBatch = batch.localCheckpoint(eager = true)
+    val deduped = OutboxOps.collapseConsecutiveDuplicates(checkpointedBatch)
 
     // P11/P12: publish, then write back ack/retry state
     val failed = publish(deduped).localCheckpoint(eager = true)
-    val succeeded = deduped.join(failed,
+    val succeeded = checkpointedBatch.join(failed,
       Seq("resource_class", "resource_id", "event_name", "topic", "created_at"),
       "left_anti")
     OutboxOps.acknowledge(outbox, succeeded, failed, now)

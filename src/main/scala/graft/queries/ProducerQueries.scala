@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.queries.Q._
-import graft.producer.{EventClassifier, Genesis, Observers, OutboxOps, Serializers}
+import graft.producer.{EventClassifier, Genesis, Observers, OutboxOps, OutboxWorker, Serializers}
 import graft.registry._
 
 /** Producer-side operators (SURVEY §2.1) exercised over the test tables.
@@ -235,13 +235,42 @@ object ProducerQueries {
         |      THEN attempts + 1 ELSE attempts END AS attempts,
         | CASE WHEN published_at IS NULL AND event_id % 2 = 1
         |      THEN epoch_us(TIMESTAMP '2026-01-01') ELSE epoch_us(published_at) END AS pub_us,
-        | CASE WHEN published_at IS NULL AND event_id % 10 = 6
+        | CASE WHEN published_at IS NULL AND event_id % 2 = 1 THEN NULL
+        |      WHEN published_at IS NULL AND event_id % 10 = 6
         |      THEN epoch_us(TIMESTAMP '2026-01-01'
         |                    + to_seconds(5 * (1 << (attempts + 1))))
         |      ELSE epoch_us(retry_at) END AS retry_us,
         | CASE WHEN published_at IS NULL AND event_id % 10 = 6
         |      THEN 'PublishError' END AS error_class
         |FROM ($outboxSql) ORDER BY event_id""".stripMargin),
+
+    // P4+P6+P12 composed — one outbox worker tick across all pending
+    // topics in a single plan: per-topic head batch, consecutive-duplicate
+    // collapse (acked but not resent, matching the reference), success
+    // acknowledgment clearing error state.
+    "p12_worker_tick" -> entry(
+      (s, dir) => {
+        OutboxWorker.tick(outboxFrame(s, dir),
+            now = lit("2026-01-01 00:00:00").cast("timestamp"),
+            batchSizePerTopic = 50,
+            publish = b => b.filter(lit(false)))
+          .select(col("event_id"), col("resource_id"),
+            unix_micros(col("published_at")).as("pub_us"),
+            unix_micros(col("retry_at")).as("retry_us"))
+          .orderBy(col("event_id"))
+      },
+      s"""WITH ob AS ($outboxSql),
+        |r AS (SELECT event_id,
+        |       row_number() OVER (PARTITION BY topic ORDER BY created_at, resource_id) AS rn
+        |      FROM ob
+        |      WHERE published_at IS NULL
+        |        AND (retry_at IS NULL OR retry_at <= TIMESTAMP '2026-01-01'))
+        |SELECT ob.event_id, ob.resource_id,
+        | CASE WHEN r.rn <= 50 THEN epoch_us(TIMESTAMP '2026-01-01')
+        |      ELSE epoch_us(ob.published_at) END AS pub_us,
+        | CASE WHEN r.rn <= 50 THEN NULL ELSE epoch_us(ob.retry_at) END AS retry_us
+        |FROM ob LEFT JOIN r ON ob.event_id = r.event_id
+        |ORDER BY ob.event_id""".stripMargin),
 
     // P14 — observer resolution: changed-attribute match against the
     // observer registry, then FK join to the dependents.
