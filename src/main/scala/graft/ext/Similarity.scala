@@ -67,23 +67,79 @@ object Similarity {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Embedding-cosine near-duplicate pairs: exact all-pairs above a
-    * similarity threshold. The small side broadcasts through a nested-loop
-    * join with the `id_a < id_b` triangle predicate; at 100 TB corpus
-    * scale the candidate set comes from [[lshTopK]]/[[ivfTopK]] buckets
-    * instead and this exact scorer runs within buckets only. */
+  /** Embedding-cosine near-duplicate pairs, exact, via a blocked
+    * (chunk-pair) self-join — the distributed form of the all-pairs
+    * triangle. Ids hash into `blocks` chunks; each unordered chunk pair
+    * (lo ≤ hi) becomes one join bucket, a row joins as the LEFT role in
+    * buckets `(ch, x ≥ ch)` and the RIGHT role in `(x ≤ ch, ch)`, so every
+    * id pair meets in exactly one bucket exactly once — no `distinct`, no
+    * broadcast, no nested-loop over the corpus. Per-task memory is two
+    * chunks (~2n/blocks rows); shuffle volume is (blocks+1)× the vector
+    * table. Exact all-pairs is inherently O(n²) compute — this spreads it
+    * evenly across the cluster instead of funneling it through a broadcast
+    * that would BE the corpus at 100 TB. For high thresholds where a
+    * candidate filter is acceptable, [[cosineNearDupPairsLsh]] cuts the
+    * quadratic term and is the preferred 100 TB path. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 8): DataFrame = {
     graft.functions.Functions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    val a = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("ch", pmod(xxhash64(col("id")), lit(blocks)).cast("int"))
+    // sequence() is ascending here (ch <= blocks-1, 0 <= ch) — the a>b
+    // descending trap does not apply
+    val leftKeys = transform(sequence(col("ch"), lit(blocks - 1)),
+      x => struct(col("ch").as("lo"), x.as("hi")))
+    val rightKeys = transform(sequence(lit(0), col("ch")),
+      x => struct(x.as("lo"), col("ch").as("hi")))
+    val l = base.select(explode(leftKeys).as("pk"),
+      col("id").as("id_l"), col("v").as("vl"), col("n").as("nl"))
+    val r = base.select(explode(rightKeys).as("pk"),
+      col("id").as("id_r"), col("v").as("vr"), col("n").as("nr"))
+    l.join(r, Seq("pk"))
+      // same-chunk bucket sees both orientations: keep the triangle half.
+      // Cross-chunk buckets see each pair once in arbitrary orientation.
+      .filter(col("pk.lo") =!= col("pk.hi") || col("id_l") < col("id_r"))
+      .withColumn("sim", dot(col("vl"), col("vr")) / (col("nl") * col("nr")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("sim"))
+  }
+
+  /** LSH-banded near-dup (the 100 TB default for high thresholds):
+    * candidates share at least one band of a random-hyperplane signature,
+    * exact cosine runs only within buckets. Recall is probabilistic —
+    * a pair at similarity s shares a band with probability
+    * 1-(1-(1-acos(s)/π)^bitsPerBand)^bands — so thresholds near 1 are
+    * caught almost surely and the quadratic term shrinks to bucket sizes.
+    * For exact semantics at loose thresholds use [[cosineNearDupPairs]]. */
+  def cosineNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 32, bands: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val planes = hyperplanes(nBits, dim, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("sig", lshSignature(col("v"), planes))
+      .localCheckpoint(eager = false) // signature once, not per join side
+    val banded = base.select(col("id"), col("v"), col("n"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+            .as("bits"))): _*)).as("bk"))
+    banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      // score INSIDE the join stage: only above-threshold pairs reach the
+      // dedup shuffle (pairs sharing several bands dedup on identical sims)
+      .withColumn("sim",
+        dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
+      .distinct()
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the

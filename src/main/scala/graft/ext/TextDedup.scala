@@ -139,19 +139,21 @@ object TextDedup {
       .distinct()
     graft.functions.Functions.register(df.sparkSession)
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
-    // broadcast and ~2× faster to merge-walk than the raw strings; 64-bit
+    // move and ~2× faster to merge-walk than the raw strings; 64-bit
     // collisions are negligible for near-dup verification
     val toks = df.select(col(idCol).as("id"),
         sort_array(transform(shingles(col(textCol), shingleN),
           (t: Column) => xxhash64(t))).as("toks"))
       .localCheckpoint(eager = false) // shingle+hash+sort once, reused by both sides
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
-    // broadcast the per-doc lookups: checkpointed frames have no size
-    // stats, so without the hint the planner shuffles the (wide) shingle
-    // arrays once per candidate pair
+    // verification is a shuffle equi-join on id: the hashed-shingle table
+    // streams through one exchange per side — each doc's shingles move
+    // exactly twice, regardless of candidate fan-out, and nothing is
+    // broadcast, so the plan survives a corpus that does not fit on one
+    // executor (a broadcast here would BE the corpus at 100 TB)
     cands
-      .join(broadcast(toks.select(col("id").as("id_a"), col("toks").as("toks_a"))), "id_a")
-      .join(broadcast(toks.select(col("id").as("id_b"), col("toks").as("toks_b"))), "id_b")
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jac",
         inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
       .filter(col("jac") >= threshold)

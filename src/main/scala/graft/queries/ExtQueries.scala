@@ -94,6 +94,16 @@ object ExtQueries {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // LSH-banded near-dup (the 100 TB default for high thresholds):
+    // candidates from hyperplane-signature bands, exact cosine within
+    // buckets only — rows-only (seeded hyperplanes).
+    "x18_embedding_neardup_lsh" -> rowsOnly(
+      (s, dir) =>
+        Similarity.cosineNearDupPairsLsh(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.5, nBits = 32, bands = 8)
+          .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("id_a"), col("id_b"))),
+
     // LSH-bucketed ANN (scale path) — rows-only (seeded hyperplanes).
     "x06_ann_lsh" -> rowsOnly(
       (s, dir) => {

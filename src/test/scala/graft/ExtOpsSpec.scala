@@ -90,6 +90,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 too low: $recall")
   }
 
+  test("blocked near-dup pairs equal naive all-pairs (every block count)") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    // naive all-pairs triangle as the in-test oracle (the shape the
+    // operator deliberately avoids at scale)
+    val base = emb.select($"vec_id".as("id"), $"embedding".as("v"))
+      .withColumn("n", Similarity.norm($"v"))
+    val naive = base.select($"id".as("id_a"), $"v".as("va"), $"n".as("na"))
+      .crossJoin(base.select($"id".as("id_b"), $"v".as("vb"), $"n".as("nb")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("sim", Similarity.dot($"va", $"vb") / ($"na" * $"nb"))
+      .filter($"sim" >= 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.4, blocks = blocks)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"blocks=$blocks produced duplicates")
+      assert(got.toSet == naive, s"blocks=$blocks diverged from all-pairs")
+    }
+  }
+
+  test("LSH near-dup catches planted near-identical vectors") {
+    val rnd = new scala.util.Random(7L)
+    def vec(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val a = vec(64)
+    val aJitter = a.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = Seq((1L, a), (2L, aJitter)) ++
+      (3L to 40L).map(i => i -> vec(64))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairsLsh(df, "vec_id", "embedding",
+        threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "planted near-identical pair must surface")
+    assert(!got.exists(p => p._1 > 2L), "random vectors must not pair at 0.95")
+  }
+
   test("connected components: chains merge, islands stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
       .toDF("id_a", "id_b")
