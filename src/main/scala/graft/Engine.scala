@@ -1,102 +1,312 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
-import graft.codec.EnvelopeCodec
-import graft.consumer.ConsumerOps
-import graft.registry.Registry
-import graft.streaming.ParquetReplica
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.codec.{EnvelopeCodec, LinksFlattener}
+import graft.consumer.{ConsumerOps, Persistor}
+import graft.model.Schemas.EventType
+import graft.producer.{EventClassifier, Serializers}
+import graft.registry.{ModelDef, Registry, TopicDef}
+import graft.streaming.{FileTopics, ParquetReplica, TopicSink, TopicSource}
 
-/** The thin entry point wiring a [[Registry]] into streaming queries — the
-  * Spark analogue of `Dionysus.initialize_application!`
-  * (reference: lib/dionysus.rb:23-41; SURVEY §7.1): one producer query and
-  * one consumer query per declared topic, file-topic transport, replica
-  * tables per topic.
+/** The registry-driven engine — the Spark analogue of
+  * `Dionysus.initialize_application!` (reference: lib/dionysus.rb:23-41):
+  * every producer responder and consumer is *generated from the registry*
+  * (karafka_responder_generator.rb:16-68, karafka_consumer_generator.rb:10-48),
+  * never hand-written per model.
   *
-  * `Trigger.AvailableNow` drains everything and returns (the test/backfill
-  * mode); a live deployment passes `Trigger.ProcessingTime("200
-  * milliseconds")` — the reference's 0.2 s outbox poll loop (I5) — and
-  * keeps the returned queries running.
+  * Producer side, derived per declared model: change classification (P2),
+  * wire payload from declared attributes (P7), sideload embedding via a
+  * stream-static join against the dependency model's snapshot (P8),
+  * destroyed-record projection (P9), message key (P10), envelope encode
+  * (P11). Consumer side, also derived: envelope decode with the
+  * registry-derived `from_json` schema (C3/C4), reserved-attribute mapping
+  * and links flattening (C5), recursive extraction of embedded sideload
+  * records into their own model replicas (C4), LWW merge (C7/C8/C9), and
+  * to-many disassociation of vanished children (C11).
+  *
+  * All topic queries start before any is awaited — the reference runs one
+  * runner thread per topic (I5); here each topic is an independent
+  * Structured Streaming query. `Trigger.AvailableNow` drains everything
+  * and returns (test/backfill mode); a live deployment passes
+  * `Trigger.ProcessingTime(...)` and keeps the returned queries running.
+  *
+  * Scale notes: the per-model wire projection is pure column logic (no
+  * shuffle); the sideload embed shuffles child-by-FK once and joins — with
+  * small dimension models Catalyst broadcasts, with large ones it
+  * sort-merge-joins, both correct at 100 TB. Replicas are per *model* (the
+  * consumer's tables), not per topic, so a model reachable through several
+  * topics converges to one table; concurrent merges are serialized by the
+  * storage layer ([[ParquetReplica.transform]] here, transactional MERGE in
+  * production).
   */
 object Engine {
 
-  final case class TopicState(topic: String, replica: ParquetReplica)
+  /** Binds declared models to physical change sources — the piece of the
+    * deployment the registry cannot know (the reference gets it from
+    * ActiveRecord; Spark gets it from whatever CDC feed exists).
+    *
+    * `changes` returns a *streaming* frame of the model's changed rows and
+    * must carry: the primary-key column, every declared attribute column,
+    * every `hasOne` FK column, and the meta columns `__op`
+    * (insert/update/delete), `__old_canceled`/`__new_canceled` (soft-delete
+    * column images, null when absent) and `__ts` (event-time timestamp).
+    *
+    * `snapshot` returns a *static* frame of the model's current rows
+    * (attribute columns + primary key + FK columns + `__ts`), used to
+    * embed sideloaded children at serialization time — the set-oriented
+    * form of the reference fetching dependents from the database inside
+    * the serializer (serializer.rb:17-51). */
+  trait ModelBindings {
+    def changes(spark: SparkSession, model: ModelDef): DataFrame
+    def snapshot(spark: SparkSession, model: ModelDef): DataFrame
+  }
 
-  private val replicaSchema =
-    "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
-      "synced_canceled_at TIMESTAMP, value DOUBLE, synced_data STRING"
+  final case class EngineResult(
+      topics: Seq[String],
+      replicas: Map[String, ParquetReplica])
 
-  /** Run the full registry over a change-stream directory: per topic,
-    * producer (classify models → envelope → topic dir) then consumer
-    * (decode → dedup → LWW merge into the topic's replica). Returns the
-    * replica handle per topic name. */
+  /** Every model the consumer persists: published models plus sideloaded
+    * dependency models (each gets its own replica table). */
+  def consumedModels(registry: Registry): Seq[ModelDef] =
+    (registry.allModels ++
+      registry.allModels.flatMap(_.sideloads).distinct
+        .flatMap(registry.modelDef)).distinctBy(_.name)
+
+  /** Drain the registry end-to-end over file topics under `workDir`:
+    * all producer queries concurrently, then all consumer queries
+    * concurrently, returning the per-model replicas. */
   def runAvailableNow(
       spark: SparkSession,
       registry: Registry,
-      sourceDir: String,
-      workDir: String,
-      modelCol: String = "event_type"): Map[String, TopicState] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(sourceDir).schema
+      bindings: ModelBindings,
+      workDir: String): EngineResult = {
+    registry.validate()
+    val topics = new FileTopics(s"$workDir/topics")
 
-    registry.topics.map { t =>
-      val topicName = registry.topicName(t)
-      val models = t.models.map(_.name)
-      val topicDir = s"$workDir/topics/$topicName"
+    // producer half: one query per topic, started together, then drained
+    val producers = registry.topics.map { t =>
+      produceTopic(spark, registry, t, bindings, topics,
+        s"$workDir/cp/produce/${registry.topicName(t)}")
+    }
+    producers.foreach(_.awaitTermination())
 
-      // producer half: model filter (registry-routed), upsert/cancel
-      // classification, envelope encode
-      val events = spark.readStream.schema(schema).parquet(sourceDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .filter(col(modelCol).isin(models: _*))
-      val wire = EnvelopeCodec.encode(events.select(
-          when(col(modelCol) === "error", lit("event_destroyed"))
-            .otherwise(lit("event_updated")).as("event"),
-          lit("Event").as("model_name"),
-          array(to_json(struct(
-            col("user_id").as("id"),
-            col(modelCol).as("event_type"), col("value"),
-            unix_micros(col("ts")).as("updated_us")))).as("data"),
-          col("ts")))
-        .withColumn("kafka_key",
-          concat(lit("Event:"), get_json_object(element_at(col("data"), 1), "$.id")))
-        .select("kafka_key", "value", "ts")
-      val pq = wire.writeStream.format("parquet")
-        .option("path", topicDir)
-        .option("checkpointLocation", s"$workDir/cp/produce/$topicName")
-        .trigger(Trigger.AvailableNow()).start()
-      pq.awaitTermination()
-
-      // consumer half: decode → in-batch keep-latest → idempotent merge
-      val replica = new ParquetReplica(spark, s"$workDir/replicas/$topicName",
-        replicaSchema)
-      val topicSchema = spark.read.parquet(topicDir).schema
-      val decoded = ConsumerOps.decodeRecords(
-          spark.readStream.schema(topicSchema).parquet(topicDir)
-            .withWatermark("ts", "1 hour")
-            .dropDuplicatesWithinWatermark("kafka_key", "value"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id LONG, event_type STRING, value DOUBLE, updated_us LONG"))
-        .select(
-          regexp_extract(col("event"), "event_(.*)", 1).as("event_type"),
-          col("rec.id").as("synced_id"),
-          col("rec.value").as("value"),
-          timestamp_micros(col("rec.updated_us")).as("synced_updated_at"),
-          col("synced_data"))
-        .withColumn("synced_created_at", col("synced_updated_at"))
-        .withColumn("canceled_at",
-          when(col("event_type") === "destroyed", col("synced_updated_at")))
-      val cq = decoded.writeStream.outputMode("append")
-        .option("checkpointLocation", s"$workDir/cp/consume/$topicName")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          replica.merge(ConsumerOps.keepLatest(batch,
-            keyCols = Seq("synced_id"), orderCol = "synced_updated_at"))
-        }
-        .trigger(Trigger.AvailableNow()).start()
-      cq.awaitTermination()
-
-      topicName -> TopicState(topicName, replica)
+    // consumer half: replicas per model, one query per topic
+    val replicas = consumedModels(registry).map { m =>
+      m.name -> new ParquetReplica(spark,
+        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL)
     }.toMap
+    val consumers = registry.topics.map { t =>
+      consumeTopic(spark, registry, t, topics, replicas,
+        s"$workDir/cp/consume/${registry.topicName(t)}")
+    }
+    consumers.foreach(_.awaitTermination())
+
+    EngineResult(registry.topics.map(registry.topicName), replicas)
+  }
+
+  // ----------------------------------------------------------------- producer
+
+  /** One topic's producer query: union of the registry-derived wire frames
+    * of its models, enveloped and written to the topic. */
+  private def produceTopic(
+      spark: SparkSession,
+      registry: Registry,
+      t: TopicDef,
+      bindings: ModelBindings,
+      sink: TopicSink,
+      checkpointDir: String): StreamingQuery = {
+    val wire = t.models.map(modelWire(spark, registry, t, _, bindings))
+      .reduce(_.unionByName(_))
+    val enveloped = EnvelopeCodec.encode(wire)
+      .select("kafka_key", "partition_key", "value", "ts")
+    sink(enveloped.writeStream, registry.topicName(t))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One model's wire frame: classify (P2), embed sideloads (P8), project
+    * the payload (P7/P9), key (P10). Everything except the sideload join is
+    * a single codegen'd projection. */
+  private def modelWire(
+      spark: SparkSession,
+      registry: Registry,
+      t: TopicDef,
+      m: ModelDef,
+      bindings: ModelBindings): DataFrame = {
+    val classified = bindings.changes(spark, m)
+      .withColumn("__et", EventClassifier.eventType(
+        col("__op"), col("__old_canceled"), col("__new_canceled")))
+      .filter(col("__et").isNotNull)
+
+    // P8: left-join each sideloaded child's snapshot, pre-aggregated by FK
+    // into (embedded payload array, id array) — one shuffle per child model,
+    // then a stream-static join Catalyst sizes (broadcast for small dims).
+    val sideloaded = m.sideloads.foldLeft(classified) { (df, dep) =>
+      val assoc = m.hasMany.find(_.model == dep).getOrElse(
+        throw new IllegalArgumentException(
+          s"sideload $dep on ${m.name} needs a matching hasMany association"))
+      val child = registry.modelDef(dep).getOrElse(
+        throw new IllegalArgumentException(s"unknown sideload model $dep"))
+      val childPayload = Serializers.wirePayload(child,
+        col("__ts"), col("__ts"), lit(null).cast("timestamp"))
+      val nested = bindings.snapshot(spark, child)
+        .select(col(assoc.fk).cast("long").as("__pk"),
+          struct(col(child.primaryKey).cast("long").as("k"),
+            childPayload.as("p")).as("__kp"))
+        .groupBy(col("__pk"))
+        // unique child keys ⇒ sort_array orders by k deterministically
+        .agg(sort_array(collect_list(col("__kp"))).as("__kids"))
+        .select(col("__pk"),
+          col("__kids.p").as(s"__emb_$dep"),
+          col("__kids.k").as(s"__ids_${assoc.name}"))
+      df.join(nested, col(m.primaryKey).cast("long") === col("__pk"), "left")
+        .drop("__pk")
+    }
+
+    val manyIds = m.sideloads
+      .flatMap(dep => m.hasMany.find(_.model == dep))
+      .map(a => a.name -> col(s"__ids_${a.name}"))
+    val embedded = m.sideloads.map(dep => dep -> col(s"__emb_$dep"))
+
+    val destroyed = col("__et") === EventType.Destroyed
+    val canceledAt = coalesce(col("__new_canceled"),
+      when(destroyed, col("__ts")))
+    val payloadJson = when(destroyed,
+      to_json(Serializers.destroyedPayload(m,
+        col("__ts"), col("__ts"), canceledAt)))
+      .otherwise(to_json(Serializers.wirePayload(m,
+        col("__ts"), col("__ts"), canceledAt, manyIds, embedded)))
+
+    sideloaded.select(
+      EventClassifier.eventName(lit(m.name), col("__et")).as("event"),
+      lit(m.name).as("model_name"),
+      array(payloadJson).as("data"),
+      EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
+      Serializers.partitionKey(
+        t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+      col("__ts").as("ts"))
+  }
+
+  // ----------------------------------------------------------------- consumer
+
+  /** One topic's consumer query: decode, watermarked exact-resend dedup
+    * (C2 streaming form), then per micro-batch merge each declared model —
+    * and each embedded sideload model — into its replica. */
+  private def consumeTopic(
+      spark: SparkSession,
+      registry: Registry,
+      t: TopicDef,
+      source: TopicSource,
+      replicas: Map[String, ParquetReplica],
+      checkpointDir: String): StreamingQuery = {
+    val wire = source.open(spark, registry.topicName(t))
+    val deduped =
+      if (t.dedupIncoming)
+        wire.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("kafka_key", "value")
+      else wire
+    val events = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        t.models.foreach(mergeModel(registry, _, batch, replicas))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Event-type suffix of a wire event name (`order_line_created` →
+    * `created`). */
+  private def eventTypeCol: Column =
+    regexp_extract(col("event"), "_(created|updated|destroyed)$", 1)
+
+  /** Merge one model's slice of a decoded batch (and, recursively, its
+    * embedded sideload records) into the replicas. */
+  private def mergeModel(
+      registry: Registry,
+      m: ModelDef,
+      batch: DataFrame,
+      replicas: Map[String, ParquetReplica]): Unit = {
+    val parsed = batch
+      .filter(col("model_name") === m.name)
+      .select(eventTypeCol.as("event_type"),
+        from_json(col("payload_json"), m.aggregateSchema(registry)).as("rec"),
+        col("payload_json"))
+
+    mergeRecords(m, parsed, replicas(m.name))
+
+    // C4 recursion: embedded sideload payloads persist as their own models
+    m.sideloads.foreach { dep =>
+      val child = registry.modelDef(dep).get
+      val assoc = m.hasMany.find(_.model == dep).get
+      val live = parsed.filter(col("event_type") =!= EventType.Destroyed)
+      val childParsed = live
+        .select(explode(col(s"rec.$dep")).as("rec"))
+        .select(lit(EventType.Updated).as("event_type"), col("rec"),
+          to_json(col("rec")).as("payload_json"))
+      mergeRecords(child, childParsed, replicas(dep))
+
+      // C11: children of touched parents absent from the incoming id list
+      // disassociate — needs the child replica to carry the FK attribute
+      if (child.attributes.exists(_.name == assoc.fk)) {
+        val incoming = live.select(
+          col("rec.id").as(assoc.fk),
+          explode_outer(col(s"rec.links.${assoc.name}")).as("synced_id"))
+        if (!incoming.isEmpty)
+          replicas(dep).transform(Persistor.disassociateMissingChildren(
+            _, incoming, parentKey = assoc.fk, childKey = "synced_id"))
+      }
+    }
+  }
+
+  /** Shape parsed records onto the model's replica schema (C5 renames,
+    * links flattening) and LWW-merge. Destroyed events carry only the key
+    * and timestamps on the wire (P9), so their merge preserves the current
+    * row's attributes — the reference's `record.cancel` touches only
+    * `canceled_at` (synchronizable_model.rb:40-50). */
+  private def mergeRecords(
+      m: ModelDef,
+      parsed: DataFrame,
+      replica: ParquetReplica): Unit = {
+    val linkCols = m.linkKinds.map { case (rel, kind) =>
+      LinksFlattener.colName(rel, kind)
+    }
+    val flattened =
+      if (m.linkKinds.isEmpty) parsed
+      else LinksFlattener.flatten(
+        parsed.withColumn("links", col("rec.links")), m.linkKinds)
+    val shaped = flattened.select(
+      col("event_type") +:
+        col("rec.id").as("synced_id") +:
+        m.attributes.map(a => col(s"rec.${a.name}").as(a.name)) ++:
+        Seq(
+          col("rec.created_at").cast("timestamp").as("synced_created_at"),
+          col("rec.updated_at").cast("timestamp").as("synced_updated_at"),
+          col("rec.canceled_at").cast("timestamp").as("canceled_at")) ++:
+        linkCols.map(col) ++:
+        Seq(col("payload_json").as("synced_data")): _*)
+    val latest = ConsumerOps.keepLatest(shaped,
+      keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
+
+    // preserve current attributes under destroy (key-only payload)
+    val preserve = m.attributes.map(_.name) ++ linkCols :+ "synced_created_at"
+    replica.transform { current =>
+      val cur = current.select(
+        col("synced_id") +:
+          preserve.map(c => col(c).as(s"__cur_$c")): _*)
+      val enriched = latest
+        .join(cur, Seq("synced_id"), "left")
+        .select(
+          latest.columns.filterNot(preserve.contains).map(col) ++
+            preserve.map(c =>
+              when(col("event_type") === EventType.Destroyed,
+                coalesce(col(s"__cur_$c"), col(c)))
+                .otherwise(col(c)).as(c)): _*)
+      Persistor.merge(current, enriched)
+    }
   }
 }

@@ -24,12 +24,64 @@ object Serializers {
     * (to-many link arrays come from the sideload join, P8). */
   def payload(m: ModelDef, extra: Seq[(String, Column)] = Nil): Column = {
     val attrs = m.attributes.map(a => col(a.name).as(a.name))
-    val links = struct(
-      (m.hasOne.map(a => col(a.fk).as(a.name)) ++
-        extra.map { case (n, c) => c.as(n) }): _*)
-    struct(
-      (col(m.primaryKey).as("id") +: attrs) ++ Seq(links.as("links")): _*)
+    val linkFields =
+      m.hasOne.map(a => col(a.fk).as(a.name)) ++
+        extra.map { case (n, c) => c.as(n) }
+    val links =
+      if (linkFields.isEmpty) Nil
+      else Seq(struct(linkFields: _*).as("links"))
+    struct((col(m.primaryKey).as("id") +: attrs) ++ links: _*)
   }
+
+  /** ISO-ish timestamp wire format — castable back to TimestampType with
+    * full µs precision (reference serializes ActiveRecord timestamps as
+    * strings; the exact format is an implementation detail of the codec). */
+  private def iso(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** P7+P8 — full registry-derived wire payload matching
+    * [[ModelDef.payloadSchema]]/[[ModelDef.aggregateSchema]]: declared
+    * attributes + reserved timestamps + `links` (to-one FKs from the row,
+    * to-many id arrays from the sideload join) + embedded sideload payload
+    * arrays. This is the column-expression analogue of the reference's
+    * generated per-model serializer (karafka_responder_generator.rb:16-68 +
+    * model_serializer.rb:63-89). */
+  def wirePayload(
+      m: ModelDef,
+      createdAt: Column,
+      updatedAt: Column,
+      canceledAt: Column,
+      manyIds: Seq[(String, Column)] = Nil,
+      embedded: Seq[(String, Column)] = Nil): Column = {
+    val attrs = m.attributes.map(a => col(a.name).as(a.name))
+    val linkFields =
+      m.hasOne.map(a => col(a.fk).as(a.name)) ++
+        manyIds.map { case (n, c) => c.as(n) }
+    val links =
+      if (linkFields.isEmpty) Nil
+      else Seq(struct(linkFields: _*).as("links"))
+    struct(
+      (col(m.primaryKey).cast("long").as("id") +: attrs) ++ Seq(
+        iso(createdAt).as("created_at"),
+        iso(updatedAt).as("updated_at"),
+        iso(canceledAt).as("canceled_at")) ++ links ++
+        embedded.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** P9-adjacent — wire payload for a destroyed record: primary key plus
+    * the reserved timestamps. The reference serializes deletions as
+    * `{primary_key}` only (deleted_record_serializer.rb:4-16, the
+    * [[deletedProjection]] operator); the engine's wire form keeps the
+    * event timestamps so set-oriented LWW replay stays deterministic —
+    * without them a replayed old destroy would rank as "always persist"
+    * and could cancel a newer update. */
+  def destroyedPayload(m: ModelDef, createdAt: Column, updatedAt: Column,
+      canceledAt: Column): Column =
+    struct(
+      col(m.primaryKey).cast("long").as("id"),
+      iso(createdAt).as("created_at"),
+      iso(updatedAt).as("updated_at"),
+      iso(canceledAt).as("canceled_at"))
 
   /** P8 — aggregate sideload: embed dependency records as nested arrays in
     * the parent payload (reference: serializer.rb:17-51, README.md:120,135).

@@ -16,10 +16,12 @@ import graft.registry._
 object ProducerQueries {
 
   /** The running example registry: event types as "models". */
+  private def eventModel(n: String) = ModelDef(n,
+    attributes = Seq(Attribute("value", org.apache.spark.sql.types.DoubleType)))
   val registry = Registry("v1", Seq(
-    TopicDef("events", models = Seq("click", "view", "signup", "purchase", "error").map(n => ModelDef(n))),
-    TopicDef("purchases", models = Seq(ModelDef("purchase"))),
-    TopicDef("alerts", models = Seq(ModelDef("error")))))
+    TopicDef("events", models = Seq("click", "view", "signup", "purchase", "error").map(eventModel)),
+    TopicDef("purchases", models = Seq(eventModel("purchase"))),
+    TopicDef("alerts", models = Seq(eventModel("error")))))
 
   /** Derived outbox frame over `events` — deterministic synthetic
     * publish/retry state so P4/P5/P6/P12 have something to chew on. */

@@ -63,18 +63,50 @@ final case class ModelDef(
   }
 
   /** Registry-derived payload StructType: declared attributes + reserved
-    * columns + links (SURVEY §1.2 schema stance). */
+    * columns + links (SURVEY §1.2 schema stance). Models with no declared
+    * associations carry no `links` field (an empty struct round-trips as
+    * JSON noise). */
   def payloadSchema: StructType = {
     val declared = attributes.map(a => StructField(a.name, a.dataType))
-    val links = StructType(
+    val linkFields =
       hasOne.map(a => StructField(s"${a.name}", LongType)) ++
-      hasMany.map(a => StructField(s"${a.name}", ArrayType(LongType))))
+      hasMany.map(a => StructField(s"${a.name}", ArrayType(LongType)))
+    val links =
+      if (linkFields.isEmpty) Nil
+      else Seq(StructField("links", StructType(linkFields)))
     StructType(
       Seq(StructField("id", LongType, nullable = false)) ++ declared ++ Seq(
         StructField("created_at", StringType),
         StructField("updated_at", StringType),
-        StructField("canceled_at", StringType),
-        StructField("links", links)))
+        StructField("canceled_at", StringType)) ++ links)
+  }
+
+  /** Declared link names with their flattening kind (C5). */
+  def linkKinds: Seq[(String, graft.codec.LinksFlattener.LinkKind)] =
+    hasOne.map(a => a.name -> (graft.codec.LinksFlattener.ToOne: graft.codec.LinksFlattener.LinkKind)) ++
+      hasMany.map(a => a.name -> (graft.codec.LinksFlattener.ToMany: graft.codec.LinksFlattener.LinkKind))
+
+  /** Consumer-side storage schema for this model's replica table: reserved
+    * `synced_*` columns (C5 renames applied at plan time) + declared
+    * attributes + flattened link columns + the raw payload (`synced_data`,
+    * reference: README.md:932-937). The Spark analogue of the consumer's
+    * per-model ActiveRecord table. */
+  def replicaSchema: StructType = {
+    import graft.codec.LinksFlattener
+    val attrs = attributes.map(a => StructField(a.name, a.dataType))
+    val links = linkKinds.map {
+      case (rel, LinksFlattener.ToMany) =>
+        StructField(LinksFlattener.colName(rel, LinksFlattener.ToMany),
+          ArrayType(LongType))
+      case (rel, kind) =>
+        StructField(LinksFlattener.colName(rel, kind), LongType)
+    }
+    StructType(
+      Seq(StructField("synced_id", LongType, nullable = false)) ++ attrs ++ Seq(
+        StructField("synced_created_at", TimestampType),
+        StructField("synced_updated_at", TimestampType),
+        StructField("synced_canceled_at", TimestampType)) ++ links ++
+        Seq(StructField("synced_data", StringType)))
   }
 }
 
@@ -88,7 +120,12 @@ final case class TopicDef(
     importMode: Boolean = false,
     dedupIncoming: Boolean = true)
 
-final case class Registry(namespace: String, topics: Seq[TopicDef]) {
+/** `dependencyModels` declares `with:`-only dependency models that are
+  * never published directly but must be resolvable for sideload schemas —
+  * the analogue of the reference registering the Ruby model class without
+  * a `publish` line. */
+final case class Registry(namespace: String, topics: Seq[TopicDef],
+    dependencyModels: Seq[ModelDef] = Nil) {
 
   /** `"{namespace}_{name}"` (reference: topic_name.rb:12-14); genesis
     * replica gets a `_genesis` suffix (registry.rb:62-68). */
@@ -97,7 +134,11 @@ final case class Registry(namespace: String, topics: Seq[TopicDef]) {
 
   def allModels: Seq[ModelDef] = topics.flatMap(_.models).distinctBy(_.name)
 
-  def modelDef(name: String): Option[ModelDef] = allModels.find(_.name == name)
+  /** Resolve a model by name — published models first, then `with:`-only
+    * dependency models (the reference resolves either through the same
+    * Ruby constant lookup, registry.rb:78-80). */
+  def modelDef(name: String): Option[ModelDef] =
+    allModels.find(_.name == name).orElse(dependencyModels.find(_.name == name))
 
   /** Topics a model publishes to — the P3 fan-out mapping
     * (reference: publishable.rb:71-84). */

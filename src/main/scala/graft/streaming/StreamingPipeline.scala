@@ -165,12 +165,26 @@ final class ParquetReplica(spark: SparkSession, root: String,
     else spark.read.parquet(s"$root/v$v")
   }
 
+  /** Apply an arbitrary state transition and publish the next version.
+    * Serialized per replica root (JVM-wide lock): a model reachable through
+    * several topics is merged by several concurrent streaming queries
+    * ([[graft.Engine]]); a transactional table format serializes
+    * concurrent MERGEs the same way at the storage layer. */
+  def transform(f: DataFrame => DataFrame): Unit =
+    ParquetReplica.lockFor(root).synchronized {
+      val next = currentVersion + 1
+      f(read()).write.mode("overwrite").parquet(s"$root/v$next")
+      java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
+    }
+
   /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract) into the
     * current snapshot and publish the next version. */
-  def merge(updates: DataFrame): Unit = {
-    val next = currentVersion + 1
-    Persistor.merge(read(), updates)
-      .write.mode("overwrite").parquet(s"$root/v$next")
-    java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
-  }
+  def merge(updates: DataFrame): Unit =
+    transform(current => Persistor.merge(current, updates))
+}
+
+object ParquetReplica {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
 }

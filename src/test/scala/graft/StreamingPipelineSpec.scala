@@ -110,26 +110,126 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.size >= want.size - 5, s"${got.size} vs ${want.size}")
   }
 
-  test("Engine: registry → one replica per topic with routed models") {
+  /** Adapter binding the demo registry's "models" (event types) to the
+    * synthetic events table: each event row is an upsert of the user
+    * aggregate, 'error' rows soft-delete it. */
+  private final class EventsBindings(sourceDir: String) extends Engine.ModelBindings {
+    private def base(s: org.apache.spark.sql.SparkSession) = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(sourceDir).schema
+      s.readStream.schema(schema).parquet(sourceDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    def changes(s: org.apache.spark.sql.SparkSession, m: graft.registry.ModelDef) =
+      base(s).filter($"event_type" === m.name)
+        .select($"user_id".as("id"), $"value",
+          lit("update").as("__op"),
+          lit(null).cast("timestamp").as("__old_canceled"),
+          when($"event_type" === "error", $"ts").as("__new_canceled"),
+          $"ts".as("__ts"))
+    def snapshot(s: org.apache.spark.sql.SparkSession, m: graft.registry.ModelDef) =
+      throw new UnsupportedOperationException("demo registry has no sideloads")
+  }
+
+  test("Engine: registry-driven per-model replicas with routed topics") {
     val tmp = Files.createTempDirectory("graft-engine").toString
     val src = s"$tmp/src"
     new java.io.File(src).mkdirs()
     Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
       java.nio.file.Paths.get(s"$src/events.parquet"))
     val reg = graft.queries.ProducerQueries.registry // v1: events/purchases/alerts
-    val states = Engine.runAvailableNow(spark, reg, src, s"$tmp/work")
-    assert(states.keySet == Set("v1_events", "v1_purchases", "v1_alerts"))
-    val all = states("v1_events").replica.read()
-    val purchases = states("v1_purchases").replica.read()
-    val alerts = states("v1_alerts").replica.read()
-    assert(all.count() > 0 && purchases.count() > 0 && alerts.count() > 0)
-    // routing: purchases replica only holds users whose purchase events
-    // exist; every purchase-topic user appears in the full events replica
-    val purchaseUsers = purchases.select("synced_id").as[Long].collect().toSet
-    val allUsers = all.select("synced_id").as[Long].collect().toSet
-    assert(purchaseUsers.subsetOf(allUsers))
-    // alerts topic only ever sees 'error' events → every row soft-deleted
-    assert(alerts.filter($"synced_canceled_at".isNull).count() == 0)
+    val res = Engine.runAvailableNow(spark, reg, new EventsBindings(src), s"$tmp/work")
+    assert(res.topics.toSet == Set("v1_events", "v1_purchases", "v1_alerts"))
+    assert(res.replicas.keySet ==
+      Set("click", "view", "signup", "purchase", "error"))
+    res.replicas.values.foreach(r => assert(r.read().count() > 0))
+    // purchase values: registry-derived serializer must round-trip the
+    // declared attribute — compare against the batch truth (latest
+    // purchase event per user)
+    val purchases = res.replicas("purchase").read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    val truth = graft.queries.Q.tbl(spark, sf(), "events")
+      .filter($"event_type" === "purchase")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts").desc, $"event_id".desc)))
+      .filter($"rn" === 1)
+      .select($"user_id", $"value").as[(Long, Double)].collect().toMap
+    assert(purchases.keySet == truth.keySet)
+    truth.foreach { case (k, v) => assert(purchases(k) == v, s"user $k") }
+    // the error model only ever receives destroys → every row soft-deleted
+    val errors = res.replicas("error").read()
+    assert(errors.count() > 0 &&
+      errors.filter($"synced_canceled_at".isNull).count() == 0)
+  }
+
+  test("Engine: sideloads embed, flatten to synced_* links, and persist children") {
+    import graft.registry._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tmp = Files.createTempDirectory("graft-engine-agg").toString
+
+    // 2-model registry: order sideloads order_line (a dependency-only model)
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", DoubleType)),
+      hasMany = Seq(Association("order_lines", "order_line", fk = "order_id")),
+      sideloads = Seq("order_line"))
+    val lineDef = ModelDef("order_line",
+      attributes = Seq(Attribute("order_id", LongType),
+        Attribute("qty", DoubleType)))
+    val reg = Registry("shop", Seq(TopicDef("orders", Seq(orderDef))),
+      dependencyModels = Seq(lineDef))
+
+    // stage a small change stream (orders) + child snapshot (lineitem)
+    val ordersSrc = s"$tmp/orders"
+    graft.queries.Q.tbl(spark, sf(), "orders").limit(50)
+      .select($"o_orderkey".as("id"), $"o_totalprice".as("total"),
+        lit("insert").as("__op"),
+        lit(null).cast("timestamp").as("__old_canceled"),
+        lit(null).cast("timestamp").as("__new_canceled"),
+        $"o_orderdate".cast("timestamp").as("__ts"))
+      .write.parquet(ordersSrc)
+    // the synthetic lineitem repeats (orderkey, linenumber) — aggregate to
+    // one row per pair so the child primary key is genuinely unique
+    val linesSnap = graft.queries.Q.tbl(spark, sf(), "lineitem")
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(sum($"l_quantity").cast("double").as("qty"),
+        max($"l_shipdate").cast("timestamp").as("__ts"))
+      .select(($"l_orderkey" * 10 + $"l_linenumber").as("id"),
+        $"l_orderkey".as("order_id"), $"qty", $"__ts")
+
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(ordersSrc).schema).parquet(ordersSrc)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = linesSnap
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+
+    val orders = res.replicas("order").read()
+    val lines = res.replicas("order_line").read()
+    assert(orders.count() == 50)
+    // links flattened to the reserved to-many column, ordered child ids
+    assert(orders.columns.contains("synced_order_line_ids"))
+    val gotIds = orders.select($"synced_id", $"synced_order_line_ids")
+      .as[(Long, Seq[Long])].collect().toMap
+    val wantIds = linesSnap
+      .join(orders.select($"synced_id".as("order_id")), Seq("order_id"))
+      .groupBy($"order_id").agg(sort_array(collect_list($"id")).as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    for ((k, ids) <- wantIds) assert(gotIds(k) == ids, s"order $k")
+    // orders with no lineitems carry a null link array, not a crash
+    assert(gotIds.keySet.size == 50)
+    // embedded children persisted into their own replica with C5 renames
+    assert(lines.columns.toSet.intersect(
+      Set("synced_id", "order_id", "qty", "synced_updated_at")).size == 4)
+    val wantLineCount = wantIds.values.map(_.size).sum
+    assert(lines.count() == wantLineCount,
+      s"${lines.count()} vs $wantLineCount")
+    // child attribute round-trips through embed → explode → merge
+    val qty = lines.select($"synced_id", $"qty").as[(Long, Double)].collect().toMap
+    val wantQty = linesSnap
+      .join(orders.select($"synced_id".as("order_id")), Seq("order_id"))
+      .select($"id", $"qty").as[(Long, Double)].collect().toMap
+    wantQty.foreach { case (k, v) => assert(qty(k) == v, s"line $k") }
   }
 
   test("registry validation: observer attrs + genesis dependency guard") {
