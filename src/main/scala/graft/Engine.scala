@@ -74,16 +74,21 @@ object Engine {
       registry.allModels.flatMap(_.sideloads).distinct
         .flatMap(registry.modelDef)).distinctBy(_.name)
 
-  /** Drain the registry end-to-end over file topics under `workDir`:
-    * all producer queries concurrently, then all consumer queries
-    * concurrently, returning the per-model replicas. */
+  /** Drain the registry end-to-end: all producer queries concurrently,
+    * then all consumer queries concurrently, returning the per-model
+    * replicas. The topic transport is a constructor argument — the default
+    * file topics under `workDir` for this container, `new KafkaTopics
+    * (bootstrapServers)` for a broker deployment (the reference's only
+    * integration surface, spec/integration_spec.rb); swapping is a config
+    * change, not a rewrite. */
   def runAvailableNow(
       spark: SparkSession,
       registry: Registry,
       bindings: ModelBindings,
-      workDir: String): EngineResult = {
+      workDir: String,
+      transport: Option[TopicSink with TopicSource] = None): EngineResult = {
     registry.validate()
-    val topics = new FileTopics(s"$workDir/topics")
+    val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
 
     // producer half: one query per topic, started together, then drained
     val producers = registry.topics.map { t =>
