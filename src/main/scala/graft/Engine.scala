@@ -297,21 +297,20 @@ object Engine {
     val latest = ConsumerOps.keepLatest(shaped,
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
 
-    // preserve current attributes under destroy (key-only payload)
+    // preserve current attributes under destroy (key-only payload); the
+    // join is key-local, so the incremental merge stays touched-bucket-only
     val preserve = m.attributes.map(_.name) ++ linkCols :+ "synced_created_at"
-    replica.transform { current =>
+    replica.merge(latest, (current, upd) => {
       val cur = current.select(
         col("synced_id") +:
           preserve.map(c => col(c).as(s"__cur_$c")): _*)
-      val enriched = latest
-        .join(cur, Seq("synced_id"), "left")
+      upd.join(cur, Seq("synced_id"), "left")
         .select(
-          latest.columns.filterNot(preserve.contains).map(col) ++
+          upd.columns.filterNot(preserve.contains).map(col) ++
             preserve.map(c =>
               when(col("event_type") === EventType.Destroyed,
                 coalesce(col(s"__cur_$c"), col(c)))
                 .otherwise(col(c)).as(c)): _*)
-      Persistor.merge(current, enriched)
-    }
+    })
   }
 }

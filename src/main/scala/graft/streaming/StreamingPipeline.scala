@@ -137,16 +137,26 @@ object StatefulLww {
   }
 }
 
-/** Minimal snapshot-versioned parquet replica store — the pure-Parquet
-  * stand-in for a transactional table (Delta `MERGE INTO` in production;
-  * SURVEY §7.3). Each merge writes snapshot `v{n+1}` and flips a pointer
-  * file; readers resolve the pointer. Merges are idempotent (LWW guard),
-  * so at-least-once replay of a micro-batch converges to the same state.
-  * At scale this layer is a transactional format; the operator on top
-  * ([[Persistor.merge]]) is unchanged.
+/** Hash-bucketed, manifest-versioned parquet replica store — the
+  * pure-Parquet stand-in for a transactional table (Delta `MERGE INTO` in
+  * production; SURVEY §7.3).
+  *
+  * Layout: rows live in per-bucket directories (`v{n}/__b={k}`, bucket =
+  * `pmod(hash(synced_id), buckets)`); each version has a manifest mapping
+  * bucket → directory, and `LATEST` points at the current manifest. A
+  * merge rewrites ONLY the buckets containing updated keys — untouched
+  * buckets are carried forward by reference, their files never rewritten
+  * (the transaction-log pattern; O(batch ∩ buckets), not O(table), per
+  * micro-batch). Merges are idempotent (LWW guard), so at-least-once
+  * replay converges.
+  *
+  * At 100 TB this layer is a transactional table format with thousands of
+  * buckets/partitions; the operator on top ([[Persistor.merge]]) and the
+  * touched-bucket pruning are unchanged.
   */
 final class ParquetReplica(spark: SparkSession, root: String,
-    schemaDDL: String) {
+    schemaDDL: String, buckets: Int = 16) {
+  require(buckets > 0)
   private val fs = new java.io.File(root)
   fs.mkdirs()
 
@@ -157,30 +167,86 @@ final class ParquetReplica(spark: SparkSession, root: String,
       new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
     else -1
 
-  def read(): DataFrame = {
-    val v = currentVersion
-    if (v < 0)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
-    else spark.read.parquet(s"$root/v$v")
+  /** bucket → directory (relative to root) of the given version. */
+  def manifest(v: Int): Map[Int, String] =
+    if (v < 0) Map.empty
+    else {
+      val f = new java.io.File(fs, s"v$v.manifest")
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).linesIterator
+        .filter(_.nonEmpty)
+        .map { line =>
+          val Array(b, path) = line.split("\t", 2)
+          b.toInt -> path
+        }.toMap
+    }
+
+  private def schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+
+  private def empty: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) empty
+    else spark.read.schema(schema).parquet(dirs.map(d => s"$root/$d"): _*)
+
+  def read(): DataFrame = readDirs(manifest(currentVersion).values.toSeq)
+
+  private def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(buckets))
+
+  /** Write `df` bucket-partitioned under `v{next}` and return the bucket →
+    * directory entries actually written (empty buckets leave no dir). */
+  private def writeBuckets(df: DataFrame, next: Int): Map[Int, String] = {
+    df.withColumn("__b", bucketOf(col("synced_id")))
+      .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
+    val dirs = Option(new java.io.File(fs, s"v$next")
+        .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
+      .getOrElse(Array.empty)
+    dirs.map(d => d.getName.stripPrefix("__b=").toInt -> s"v$next/${d.getName}")
+      .toMap
   }
 
-  /** Apply an arbitrary state transition and publish the next version.
-    * Serialized per replica root (JVM-wide lock): a model reachable through
-    * several topics is merged by several concurrent streaming queries
-    * ([[graft.Engine]]); a transactional table format serializes
-    * concurrent MERGEs the same way at the storage layer. */
+  private def publish(next: Int, man: Map[Int, String]): Unit = {
+    val body = man.toSeq.sorted.map { case (b, p) => s"$b\t$p" }.mkString("\n")
+    java.nio.file.Files.write(
+      new java.io.File(fs, s"v$next.manifest").toPath, body.getBytes)
+    java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
+  }
+
+  /** Apply an arbitrary state transition over the FULL table and publish
+    * the next version (used for whole-table operations like C11
+    * disassociation). Serialized per replica root (JVM-wide lock): a model
+    * reachable through several topics is merged by several concurrent
+    * streaming queries ([[graft.Engine]]); a transactional table format
+    * serializes concurrent MERGEs the same way at the storage layer. */
   def transform(f: DataFrame => DataFrame): Unit =
     ParquetReplica.lockFor(root).synchronized {
       val next = currentVersion + 1
-      f(read()).write.mode("overwrite").parquet(s"$root/v$next")
-      java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
+      publish(next, writeBuckets(f(read()), next))
     }
 
-  /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract) into the
-    * current snapshot and publish the next version. */
-  def merge(updates: DataFrame): Unit =
-    transform(current => Persistor.merge(current, updates))
+  /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract) into
+    * the replica, rewriting only the buckets that contain updated keys;
+    * every other bucket is carried forward by reference. `prepare` may
+    * reshape the updates against the current rows of the touched buckets
+    * first (key-local by construction — e.g. the destroy path preserving
+    * current attributes). */
+  def merge(updates: DataFrame,
+      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+    ParquetReplica.lockFor(root).synchronized {
+      val v = currentVersion
+      val next = v + 1
+      val man = manifest(v)
+      // bounded driver-side collect: at most `buckets` distinct values
+      val touched = updates
+        .select(bucketOf(col("synced_id")).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
+      val written =
+        writeBuckets(Persistor.merge(target, prepare(target, updates)), next)
+      publish(next, (man -- touched) ++ written)
+    }
 }
 
 object ParquetReplica {

@@ -170,4 +170,49 @@ class PersistorSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(kept == Set((10L, 1L), (10L, 2L), (20L, 1L)))
   }
+
+  test("ParquetReplica merge rewrites only touched buckets") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString
+    val replica = new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE", buckets = 8)
+
+    // seed all buckets
+    replica.merge(updates(
+      (1L to 64L).map(i =>
+        (i, "2024-01-01 00:00:00", None: Option[String], "created",
+          i.toDouble)): _*))
+    val manBefore = replica.manifest(replica.currentVersion)
+    assert(manBefore.keySet == (0 until 8).toSet)
+    def filesOf(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$root/$dir")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    }
+    val before = manBefore.map { case (b, dir) => b -> filesOf(dir) }
+
+    // merge one key → exactly its bucket rewrites
+    replica.merge(updates(
+      (7L, "2024-02-01 00:00:00", None, "updated", 777.0)))
+    val manAfter = replica.manifest(replica.currentVersion)
+    val touched = manAfter.filter { case (b, d) => manBefore(b) != d }.keySet
+    assert(touched.size == 1, s"touched $touched")
+    // untouched buckets: same directories, same files, byte-stable
+    (manAfter -- touched).foreach { case (b, dir) =>
+      assert(dir == manBefore(b))
+      assert(filesOf(dir) == before(b), s"bucket $b files changed")
+    }
+    // correctness of the incremental state
+    val got = replica.read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    assert(got.size == 64 && got(7L) == 777.0 && got(8L) == 8.0)
+
+    // stale update against an untouched snapshot still loses
+    replica.merge(updates(
+      (7L, "2024-01-15 00:00:00", None, "updated", 1.0)))
+    assert(replica.read().filter($"synced_id" === 7L)
+      .select("value").as[Double].collect()(0) == 777.0)
+  }
 }
