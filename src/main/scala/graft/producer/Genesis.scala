@@ -94,4 +94,32 @@ object Genesis {
     val perBatch = totalSeconds.toDouble / batches
     withBatch.withColumn("__delay_seconds", (col("__batch") * perBatch).cast("double"))
   }
+
+  /** P17 scale path — id-range batch assignment: `__batch = (id − min) div
+    * batchSize`, a pure projection with no global sort and no
+    * single-partition exchange (the min/max bounds are one cheap agg pass).
+    * Identical to [[assignBatches]] when ids are dense and contiguous; with
+    * gaps, batches are id *ranges* — exactly how the reference's
+    * `in_batches(of:)` walks a clustered primary key, so sparse ranges
+    * simply yield smaller batches. The schedule spreads the batch count
+    * evenly over `totalSeconds` as in
+    * sidekiq_batched_job_distributor.rb:17-23. */
+  def assignBatchesDense(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 1000,
+      totalSeconds: Long = 24 * 3600): DataFrame = {
+    val bounds = df.agg(
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).collect()(0)
+    if (bounds.isNullAt(0))
+      return df.withColumn("__batch", lit(null).cast("long"))
+        .withColumn("__delay_seconds", lit(null).cast("double"))
+    val (minId, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val batches = (maxId - minId) / batchSize + 1
+    val perBatch = totalSeconds.toDouble / batches
+    df.withColumn("__batch",
+        expr(s"(cast(`$idCol` as bigint) - ${minId}L) div ${batchSize}L"))
+      .withColumn("__delay_seconds",
+        (col("__batch") * perBatch).cast("double"))
+  }
 }

@@ -391,6 +391,21 @@ object ProducerQueries {
         |      FROM orders)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // P17 scale path — id-range batching: pure projection, no global sort.
+    // The oracle restates the same closed form over min/max bounds.
+    "p17_dense_batches" -> entry(
+      (s, dir) => {
+        Genesis.assignBatchesDense(tbl(s, dir, "orders"), "o_orderkey",
+            batchSize = 1000, totalSeconds = 86400)
+          .select(col("o_orderkey"), col("__batch").as("batch"),
+            col("__delay_seconds").as("delay_s"))
+          .orderBy(col("o_orderkey"))
+      },
+      """SELECT o_orderkey, (o_orderkey - mn) // 1000 AS batch,
+        | CAST(((o_orderkey - mn) // 1000) * (86400.0 / ((mx - mn) // 1000 + 1)) AS DOUBLE) AS delay_s
+        |FROM orders, (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // P22 — latency aggregation: min/max/avg publish latency per topic.
     // Latency carried as exact integral cents (round(value·100)).
     "p22_latency_agg" -> entry(

@@ -21,6 +21,23 @@ class InfraOpsSpec extends SparkSpec {
     assert(data.contains("2026-01-03T00:01:00"))
   }
 
+  test("P17: dense batching matches the sorted form; plan has no global sort") {
+    // dense contiguous ids → identical assignment to the window form
+    val df = spark.range(0, 1000).select(($"id" + 500).as("id"))
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"__batch", $"__delay_seconds")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val parity = grab(Genesis.assignBatches(df, "id", 100, 3600))
+    val dense = grab(Genesis.assignBatchesDense(df, "id", 100, 3600))
+    assert(dense == parity)
+    // the dense plan must be a pure projection: no window, no
+    // single-partition exchange
+    val plan = Genesis.assignBatchesDense(df, "id", 100, 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("P21: suppression gate empties publish plans built while suppressed") {
     val df = Seq(1, 2, 3).toDF("x")
     assert(Suppressor.gate(df).count() == 3)
