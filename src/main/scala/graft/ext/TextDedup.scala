@@ -65,13 +65,22 @@ object TextDedup {
     graft.functions.Functions.register(df.sparkSession)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       sort_array(shingles(col(textCol), n)).as("toks"))
+      .withColumn("sz", size(col("toks")))
       .localCheckpoint(eager = false) // tokenize+sort once, not per join side
-    val a = t.select(col("id").as("id_a"), col("block"), col("toks").as("toks_a"))
-    val b = t.select(col("id").as("id_b"), col("block"), col("toks").as("toks_b"))
+    val a = t.select(col("id").as("id_a"), col("block"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = t.select(col("id").as("id_b"), col("block"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      // length prefilter: |∩| ≤ min(|a|,|b|) and |∪| ≥ max(|a|,|b|), so
+      // jac ≤ min/max — pairs failing the size ratio cannot reach the
+      // threshold and skip the merge-walk entirely. The 1e-6 slack keeps
+      // float-boundary pairs; they fall through to the exact filter.
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")) * threshold - 1e-6)
       .withColumn("jac",
-        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
+        inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -161,45 +170,82 @@ object TextDedup {
   }
 
   /** Near-dup cluster resolution: connected components over a pair list by
-    * iterative min-label propagation — each node adopts the smallest id
-    * reachable so far; converges in O(diameter) rounds (near-dup clusters
-    * are shallow, so few rounds; `maxIterations` bounds pathological
-    * chains). Input: (id_a, id_b) pairs; output: (id, component) with
-    * component = min id of the cluster. The standard last step of a dedup
-    * pipeline: keep one representative per component.
+    * min-label propagation with pointer jumping — each round a node adopts
+    * the smallest label in its closed neighborhood, then shortcuts to its
+    * label's label (`c ← c[c]`, the path-doubling step of Shiloach–Vishkin
+    * -style CC). Reach roughly doubles per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter). Input: (id_a, id_b)
+    * pairs; output: (id, component) with component = min id of the cluster
+    * — identical fixpoint to plain propagation, reached in fewer rounds.
+    * The standard last step of a dedup pipeline: keep one representative
+    * per component.
     *
-    * Each round is two shuffles over the edge list; at 100 TB scale,
-    * checkpoint every few rounds to cut lineage (done here via
-    * localCheckpoint on the label frame). */
+    * Each round is three bounded shuffles over the edge/label lists; the
+    * convergence probe is shuffle-free (a changed flag carried on the
+    * checkpointed label frame). At 100 TB the label frame is one row per
+    * *node that appears in a near-dup pair* — orders of magnitude smaller
+    * than the corpus — and lineage is cut every round via eager
+    * localCheckpoint. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     // eager: the loop reuses edges and labels every round — lazy
-    // checkpoints would re-derive the full upstream lineage per iteration
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // checkpoints would re-derive the full upstream lineage per iteration.
+    // Checkpoint the pair list BEFORE symmetrizing: a union of two selects
+    // over the raw `pairs` would evaluate the (expensive) pair-generation
+    // plan once per branch.
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true)
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
+
+    // right-size the loop's shuffles to the dup graph, not the session
+    // default: the label/edge frames are bounded by the pair count (tiny
+    // vs the corpus), and AQE cannot coalesce inside a checkpointed loop.
+    // ~500k edges per partition keeps tasks meaningful at any scale.
+    val sess = pairs.sparkSession
+    val defaultParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L,
+      math.min(edges.count() / 500000L, defaultParts.toLong)).toInt
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      connectedComponentsLoop(edges, maxIterations)
+    } finally sess.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+  }
+
+  private def connectedComponentsLoop(
+      edges: DataFrame, maxIterations: Int): DataFrame = {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
     var converged = false
     var i = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && i < maxIterations) {
+      val t0 = System.nanoTime()
       // propagate: candidate label = min over neighbors' labels and own
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nb_component"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      val hop = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nb_component"), col("component")))
-            .as("component"))
+            .as("c1"))
+      // pointer jump: follow the adopted label to ITS freshly-adopted
+      // label — labels are node ids, so this is a self-join on the frame
+      val jump = hop.select(col("id").as("jid"), col("c1").as("jc"))
+      val next = hop.join(jump, col("c1") === col("jid"), "left")
+        .select(col("id"),
+          coalesce(col("jc"), col("c1")).as("component"),
+          (coalesce(col("jc"), col("c1")) =!= col("old")).as("__changed"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      // probe the checkpointed frame directly: no join, no shuffle
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.select(col("id"), col("component"))
       i += 1
+      if (debug) println(f"cc round $i: ${(System.nanoTime() - t0) / 1e9}%.2fs converged=$converged")
     }
     labels
   }
