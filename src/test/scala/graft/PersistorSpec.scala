@@ -108,6 +108,121 @@ class PersistorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: classifier → merge over random op sequences matches the reference interpreter") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.producer.EventClassifier
+
+    // one source row per key evolving through insert → update* → delete?,
+    // with random soft-delete transitions (SURVEY §7.4.4: the P2 × C9
+    // interplay — soft delete, restore, update-after-soft-delete
+    // suppression — composed end to end)
+    final case class SrcOp(key: Long, seq: Int, ts: Long, op: String,
+        oldC: Option[Long], newC: Option[Long])
+
+    def opsFor(key: Int, cancels: List[Boolean], del: Boolean): Seq[SrcOp] = {
+      var cur: Option[Long] = None
+      val body = cancels.zipWithIndex.map { case (c, i) =>
+        val ts = key * 100L + i + 1
+        val newC = if (c) Some(ts) else None
+        val o = SrcOp(key.toLong, i, ts, if (i == 0) "insert" else "update",
+          if (i == 0) None else cur, newC)
+        cur = newC
+        o
+      }
+      if (del)
+        body :+ SrcOp(key.toLong, cancels.size, key * 100L + cancels.size + 1,
+          "delete", cur, cur)
+      else body
+    }
+
+    // the reference truth table (outbox.rb:74-102) + replica semantics
+    // (synchronizable_model.rb:40-67): destroy soft-deletes, create/update
+    // restore when the payload lacks canceled_at, canceled→canceled
+    // updates are suppressed
+    def refClassify(o: SrcOp): Option[String] = o.op match {
+      case "insert" => Some("created")
+      case "delete" => Some("destroyed")
+      case _ => (o.oldC.isDefined, o.newC.isDefined) match {
+        case (false, true) => Some("destroyed")
+        case (true, false) => Some("created")
+        case (true, true) => None
+        case _ => Some("updated")
+      }
+    }
+    def interpret(ops: Seq[SrcOp]): Map[Long, (Double, Option[Long])] = {
+      var st = Map.empty[Long, (Double, Option[Long])]
+      ops.sortBy(o => (o.key, o.ts)).foreach { o =>
+        refClassify(o) match {
+          case Some("destroyed") =>
+            st += o.key -> (o.seq.toDouble, Some(o.newC.getOrElse(o.ts)))
+          case Some(_) => st += o.key -> (o.seq.toDouble, o.newC)
+          case None => ()
+        }
+      }
+      st
+    }
+
+    val keyGen = for {
+      n <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf(true, false))
+      del <- Gen.oneOf(true, false)
+    } yield (cs, del)
+
+    val emptyReplica = target()
+    def finalState(df: DataFrame): Map[Long, (Double, Option[Long])] =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), Option(r.getTimestamp(3)).map(_.getTime / 1000))).toMap
+
+    val prop = Prop.forAll(Gen.listOfN(5, keyGen)) { scenarios =>
+      val ops = scenarios.zipWithIndex.flatMap { case ((cs, del), k) =>
+        opsFor(k, cs, del)
+      }
+      // engine path: classify with the ACTUAL P2 column function
+      val opsDf = ops.map(o => (o.key, o.seq, o.ts, o.op, o.oldC, o.newC))
+        .toDF("key", "seq", "ts", "op", "oldC", "newC")
+      val classified = opsDf.select(col("key"), col("seq"), col("ts"),
+          col("newC"),
+          EventClassifier.eventType(col("op"),
+            col("oldC"), col("newC")).as("et"))
+        .filter(col("et").isNotNull)
+      val updatesAll = classified.select(
+        col("key").as("synced_id"),
+        timestamp_seconds(col("ts")).as("synced_updated_at"),
+        timestamp_seconds(col("ts")).as("synced_created_at"),
+        timestamp_seconds(when(col("et") === "destroyed",
+          coalesce(col("newC"), col("ts"))).otherwise(col("newC")))
+          .as("canceled_at"),
+        col("et").as("event_type"),
+        col("seq").cast("double").as("value"),
+        col("ts"))
+      val rows = updatesAll.collect()
+
+      def applyBatches(batches: Seq[Seq[org.apache.spark.sql.Row]]): Map[Long, (Double, Option[Long])] = {
+        var replica = emptyReplica
+        batches.filter(_.nonEmpty).foreach { b =>
+          val bdf = spark.createDataFrame(
+            spark.sparkContext.parallelize(b.toSeq), updatesAll.schema)
+            .drop("ts")
+          replica = Persistor.merge(replica, bdf)
+        }
+        finalState(replica)
+      }
+
+      val want = interpret(ops)
+      val ordered = rows.sortBy(r => (r.getLong(0), r.getLong(6)))
+      val oneShot = applyBatches(Seq(ordered.toSeq))
+      val chunked = applyBatches(ordered.grouped(3).map(_.toSeq).toSeq)
+      val shuffled = applyBatches(
+        ordered.sortBy(r => (r.getLong(6) * 2654435761L) % 97)
+          .grouped(3).map(_.toSeq).toSeq)
+      val ok = oneShot == want && chunked == want && shuffled == want
+      if (!ok) println(s"want=$want one=$oneShot chunk=$chunked shuf=$shuffled ops=$ops")
+      ok
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge is idempotent: replaying the same batch changes nothing") {
     val t = target(
       (1L, "2024-01-02 00:00:00", None, 10.0),
