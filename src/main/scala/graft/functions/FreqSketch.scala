@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-import scala.collection.mutable
 
 /** SpaceSaving frequent-items sketch as a typed [[Aggregator]] — the
   * custom-aggregate form SURVEY §4 reserves for operators built-ins can't
@@ -13,39 +13,43 @@ import scala.collection.mutable
   * disappears and only `capacity`-sized buffers move.
   *
   * Standard SpaceSaving semantics: an unseen item evicts the current
-  * minimum counter and inherits its count (+1), so reported counts
-  * overestimate by at most the evicted minimum. Merge sums counters and
-  * re-trims to capacity.
+  * minimum counter (deterministic (count, key) tiebreak) and inherits its
+  * count (+1), so reported counts overestimate by at most the evicted
+  * minimum. Merge sums counters and re-trims to capacity.
+  *
+  * The buffer is an immutable map under an [[ExpressionEncoder]] — a
+  * Tungsten map the shuffle can size and compare, not an opaque Kryo
+  * blob; per-item update cost is bounded by `capacity`.
   */
 final case class FreqSketchAgg(capacity: Int)
-    extends Aggregator[String, mutable.Map[String, Long], Map[String, Long]] {
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 
-  def zero: mutable.Map[String, Long] = mutable.Map.empty
+  def zero: Map[String, Long] = Map.empty
 
-  def reduce(b: mutable.Map[String, Long], item: String): mutable.Map[String, Long] = {
-    if (b.contains(item)) b(item) += 1L
-    else if (b.size < capacity) b(item) = 1L
-    else {
-      val (minK, minV) = b.minBy(_._2)
-      b.remove(minK)
-      b(item) = minV + 1L
+  def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    b.get(item) match {
+      case Some(v) => b.updated(item, v + 1L)
+      case None if b.size < capacity => b.updated(item, 1L)
+      case None =>
+        val (minK, minV) = b.minBy { case (k, v) => (v, k) }
+        (b - minK).updated(item, minV + 1L)
     }
-    b
+
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val m = b.foldLeft(a) { case (acc, (k, v)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + v)
+    }
+    if (m.size > capacity)
+      m.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity).toMap
+    else m
   }
 
-  def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long]): mutable.Map[String, Long] = {
-    b.foreach { case (k, v) => a(k) = a.getOrElse(k, 0L) + v }
-    if (a.size > capacity)
-      mutable.Map(a.toSeq.sortBy { case (k, v) => (-v, k) }.take(capacity): _*)
-    else a
-  }
+  def finish(b: Map[String, Long]): Map[String, Long] = b
 
-  def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
-
-  def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-    Encoders.kryo[mutable.Map[String, Long]]
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
   def outputEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    ExpressionEncoder[Map[String, Long]]()
 }
 
 object FreqSketch {
