@@ -132,21 +132,20 @@ object TextDedup {
       val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"mh_$i"))
       struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
     }
+    graft.functions.Functions.register(df.sparkSession)
     // carry the whole signature on the banded rows: the estimate then
-    // computes inside the candidate join — no signature-lookup joins later
+    // computes inside the candidate join — no signature-lookup joins
+    // later. Signature agreement runs once per candidate pair (the
+    // quadratic hot path), so it uses the native codegen expression.
     val bucketed = sig.select(col("id"),
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
       explode(array(bandKeys: _*)).as("bk"))
-    val eqCount = aggregate(
-      zip_with(col("x.sig"), col("y.sig"),
-        (a: Column, b: Column) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc: Column, v: Column) => acc + v)
+    val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
     val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (eqCount.cast("double") / k).as("est_jac"))
       .distinct()
-    graft.functions.Functions.register(df.sparkSession)
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
     // move and ~2× faster to merge-walk than the raw strings; 64-bit
     // collisions are negligible for near-dup verification

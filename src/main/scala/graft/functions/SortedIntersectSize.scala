@@ -86,5 +86,9 @@ object Functions {
       "vector_dot",
       exprs => VectorDot(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "positional_eq_count",
+      exprs => PositionalEqCount(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -33,4 +33,35 @@ class FunctionsSpec extends SparkSpec {
       .filter($"native" =!= $"builtin").count()
     assert(diff == 0)
   }
+
+  test("positional_eq_count: agreement count equals the HOF form") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L), 2),
+      (Seq(1L, 2L), Seq(1L, 2L), 2),
+      (Seq(7L), Seq(8L), 0),
+      (Seq.empty[Long], Seq.empty[Long], 0))
+      .toDF("a", "b", "want")
+    df.select(call_function("positional_eq_count", $"a", $"b").as("got"), $"want")
+      .collect().foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null propagation
+    val n = Seq((Seq(1L), null.asInstanceOf[Seq[Long]])).toDF("a", "b")
+      .select(call_function("positional_eq_count", $"a", $"b")).collect()
+    assert(n(0).isNullAt(0))
+    // agrees with the interpreted HOF on arbitrary signatures
+    val sigs = graft.ext.TextDedup.minhashSignatures(
+      graft.queries.Q.tbl(spark, sf(), "documents"), "doc_id", "text", 16, 2)
+      .select(array((0 until 16).map(i => col(s"mh_$i")): _*).as("s"))
+      .limit(200).localCheckpoint(true)
+    val pairs = sigs.as("x").crossJoin(sigs.as("y").limit(20))
+    val hof = aggregate(
+      zip_with(col("x.s"), col("y.s"),
+        (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          when(a === b, 1).otherwise(0)),
+      lit(0), (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + v)
+    val mism = pairs.select(
+        call_function("positional_eq_count", col("x.s"), col("y.s")).as("native"),
+        hof.as("builtin"))
+      .filter($"native" =!= $"builtin").count()
+    assert(mism == 0)
+  }
 }
