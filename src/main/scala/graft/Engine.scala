@@ -67,6 +67,21 @@ object Engine {
       topics: Seq[String],
       replicas: Map[String, ParquetReplica])
 
+  /** Consumer-side behavior knobs, all registry-adjacent (the reference
+    * configures these per consumer app):
+    *  - `messageFilters`: per-topic drop predicate over the decoded frame
+    *    (`event`, `model_name`, `payload_json`) — matching rows land in
+    *    `workDir/quarantine/<topic>` instead of the replicas (C6).
+    *  - `deadLetter`: poison micro-batches park in `workDir/dlq/<topic>`
+    *    instead of failing the query (C17's DLQ topic).
+    *  - `publishConsumedEvents`: after each merge, append
+    *    `{topic_name, event_name, model_name, synced_id, transformed_data}`
+    *    rows to `workDir/consumed/<topic>` — the C14 event bus. */
+  final case class EngineOptions(
+      messageFilters: Map[String, Column] = Map.empty,
+      deadLetter: Boolean = true,
+      publishConsumedEvents: Boolean = false)
+
   /** Every model the consumer persists: published models plus sideloaded
     * dependency models (each gets its own replica table). */
   def consumedModels(registry: Registry): Seq[ModelDef] =
@@ -86,7 +101,8 @@ object Engine {
       registry: Registry,
       bindings: ModelBindings,
       workDir: String,
-      transport: Option[TopicSink with TopicSource] = None): EngineResult = {
+      transport: Option[TopicSink with TopicSource] = None,
+      options: EngineOptions = EngineOptions()): EngineResult = {
     registry.validate()
     val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
 
@@ -103,12 +119,51 @@ object Engine {
         s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL)
     }.toMap
     val consumers = registry.topics.map { t =>
-      consumeTopic(spark, registry, t, topics, replicas,
-        s"$workDir/cp/consume/${registry.topicName(t)}")
+      consumeTopic(spark, registry, t, topics, replicas, workDir, options)
     }
     consumers.foreach(_.awaitTermination())
 
     EngineResult(registry.topics.map(registry.topicName), replicas)
+  }
+
+  /** P16–P18 through the registry-derived serializer: stream the model's
+    * current snapshot as `<model>_updated` / `<model>_destroyed` (already-
+    * soft-deleted rows, standard_job.rb:34-38) wire rows into each topic
+    * the model publishes to — the `_genesis` replica topic where declared,
+    * the primary topic otherwise. The snapshot may carry a `__canceled`
+    * column for the soft-delete image; dependency-only models are refused
+    * (P19). The scan is one batch append per topic; pacing at scale is
+    * writer partitioning ([[graft.producer.Genesis.assignBatchesDense]]),
+    * not driver-side sleeps. */
+  def genesis(
+      spark: SparkSession,
+      registry: Registry,
+      bindings: ModelBindings,
+      modelName: String,
+      workDir: String,
+      transport: Option[TopicSink with TopicSource] = None): Seq[String] = {
+    registry.requireGenesisAllowed(modelName)
+    val m = registry.modelDef(modelName).getOrElse(
+      throw new IllegalArgumentException(s"unknown model $modelName"))
+    val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
+    val snap = bindings.snapshot(spark, m)
+    val canceled =
+      if (snap.columns.contains("__canceled")) col("__canceled")
+      else lit(null).cast("timestamp")
+    val changes = snap
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", canceled)
+    registry.topics.filter(_.models.exists(_.name == modelName)).map { t =>
+      val target =
+        if (t.genesisReplica) registry.genesisTopicName(t)
+        else registry.topicName(t)
+      val wire = EnvelopeCodec.encode(
+        modelWire(spark, registry, t, m, changes, bindings))
+        .select("kafka_key", "partition_key", "value", "ts")
+      topics.appendBatch(wire, target)
+      target
+    }
   }
 
   // ----------------------------------------------------------------- producer
@@ -122,7 +177,8 @@ object Engine {
       bindings: ModelBindings,
       sink: TopicSink,
       checkpointDir: String): StreamingQuery = {
-    val wire = t.models.map(modelWire(spark, registry, t, _, bindings))
+    val wire = t.models.map(m =>
+        modelWire(spark, registry, t, m, bindings.changes(spark, m), bindings))
       .reduce(_.unionByName(_))
     val enveloped = EnvelopeCodec.encode(wire)
       .select("kafka_key", "partition_key", "value", "ts")
@@ -140,8 +196,9 @@ object Engine {
       registry: Registry,
       t: TopicDef,
       m: ModelDef,
+      changes: DataFrame,
       bindings: ModelBindings): DataFrame = {
-    val classified = bindings.changes(spark, m)
+    val classified = changes
       .withColumn("__et", EventClassifier.eventType(
         col("__op"), col("__old_canceled"), col("__new_canceled")))
       .filter(col("__et").isNotNull)
@@ -206,8 +263,10 @@ object Engine {
       t: TopicDef,
       source: TopicSource,
       replicas: Map[String, ParquetReplica],
-      checkpointDir: String): StreamingQuery = {
-    val wire = source.open(spark, registry.topicName(t))
+      workDir: String,
+      options: EngineOptions): StreamingQuery = {
+    val topicName = registry.topicName(t)
+    val wire = source.open(spark, topicName)
     val deduped =
       if (t.dedupIncoming)
         wire.withWatermark("ts", "1 hour")
@@ -216,9 +275,28 @@ object Engine {
     val events = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
     events.writeStream
       .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
+      .option("checkpointLocation", s"$workDir/cp/consume/$topicName")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        t.models.foreach(mergeModel(registry, _, batch, replicas))
+        // C6: quarantine side output before anything persists
+        val kept = options.messageFilters.get(topicName) match {
+          case Some(drop) =>
+            val (ok, dropped) = ConsumerOps.messageFilter(batch, drop)
+            dropped.write.mode("append")
+              .parquet(s"$workDir/quarantine/$topicName")
+            ok
+          case None => batch
+        }
+        val consumedDir =
+          if (options.publishConsumedEvents)
+            Some(s"$workDir/consumed/$topicName") else None
+        def persist(b: DataFrame): Unit =
+          t.models.foreach(
+            mergeModel(registry, _, b, replicas, topicName, consumedDir))
+        // C17: poison batches park in the DLQ instead of failing the query
+        if (options.deadLetter)
+          ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
+        else persist(kept)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -235,14 +313,16 @@ object Engine {
       registry: Registry,
       m: ModelDef,
       batch: DataFrame,
-      replicas: Map[String, ParquetReplica]): Unit = {
+      replicas: Map[String, ParquetReplica],
+      topicName: String,
+      consumedDir: Option[String]): Unit = {
     val parsed = batch
       .filter(col("model_name") === m.name)
       .select(eventTypeCol.as("event_type"),
         from_json(col("payload_json"), m.aggregateSchema(registry)).as("rec"),
         col("payload_json"))
 
-    mergeRecords(m, parsed, replicas(m.name))
+    mergeRecords(m, parsed, replicas(m.name), topicName, consumedDir)
 
     // C4 recursion: embedded sideload payloads persist as their own models
     m.sideloads.foreach { dep =>
@@ -253,7 +333,7 @@ object Engine {
         .select(explode(col(s"rec.$dep")).as("rec"))
         .select(lit(EventType.Updated).as("event_type"), col("rec"),
           to_json(col("rec")).as("payload_json"))
-      mergeRecords(child, childParsed, replicas(dep))
+      mergeRecords(child, childParsed, replicas(dep), topicName, consumedDir)
 
       // C11: children of touched parents absent from the incoming id list
       // disassociate — needs the child replica to carry the FK attribute
@@ -276,7 +356,9 @@ object Engine {
   private def mergeRecords(
       m: ModelDef,
       parsed: DataFrame,
-      replica: ParquetReplica): Unit = {
+      replica: ParquetReplica,
+      topicName: String,
+      consumedDir: Option[String]): Unit = {
     val linkCols = m.linkKinds.map { case (rel, kind) =>
       LinksFlattener.colName(rel, kind)
     }
@@ -296,6 +378,12 @@ object Engine {
         Seq(col("payload_json").as("synced_data")): _*)
     val latest = ConsumerOps.keepLatest(shaped,
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
+
+    // C14: publish consumed events next to the merge (batch_events_publisher)
+    consumedDir.foreach { dir =>
+      ConsumerOps.consumedEvents(latest, topicName, m.name)
+        .write.mode("append").parquet(dir)
+    }
 
     // preserve current attributes under destroy (key-only payload); the
     // join is key-local, so the incremental merge stays touched-bucket-only

@@ -14,6 +14,10 @@ import org.apache.spark.sql.Row
 trait TopicSink {
   /** Attach the sink to a streaming writer for `topic`. */
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row]
+
+  /** Batch append to `topic` — the Genesis backfill path (P16/P17): the
+    * whole-table scan is a batch job, not a stream. */
+  def appendBatch(df: DataFrame, topic: String): Unit
 }
 
 trait TopicSource {
@@ -30,6 +34,9 @@ trait TopicSource {
 final class FileTopics(root: String) extends TopicSink with TopicSource {
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
     w.format("parquet").option("path", s"$root/$topic")
+
+  def appendBatch(df: DataFrame, topic: String): Unit =
+    df.write.mode("append").parquet(s"$root/$topic")
 
   def open(spark: SparkSession, topic: String): DataFrame = {
     val path = s"$root/$topic"
@@ -48,6 +55,13 @@ final class KafkaTopics(bootstrapServers: String) extends TopicSink with TopicSo
     w.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
+
+  def appendBatch(df: DataFrame, topic: String): Unit =
+    df.selectExpr("kafka_key AS key", "value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .save()
 
   def open(spark: SparkSession, topic: String): DataFrame =
     spark.readStream.format("kafka")

@@ -232,6 +232,63 @@ class StreamingPipelineSpec extends SparkSpec {
     wantQty.foreach { case (k, v) => assert(qty(k) == v, s"line $k") }
   }
 
+  test("Engine: message filter quarantines, consumed events publish, genesis backfills") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-opts").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val reg = Registry("v2", Seq(
+      TopicDef("events", models = Seq(
+        ModelDef("click", attributes = Seq(Attribute("value", DoubleType))),
+        ModelDef("view", attributes = Seq(Attribute("value", DoubleType)))))))
+    val bindings = new EventsBindings(src)
+    // drop every 'view' message at the consumer boundary (C6)
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(
+        messageFilters = Map("v2_events" -> ($"model_name" === "view")),
+        publishConsumedEvents = true))
+    assert(res.replicas("click").read().count() > 0)
+    assert(res.replicas("view").read().count() == 0,
+      "filtered model must never reach its replica")
+    val quarantined = spark.read.parquet(s"$tmp/work/quarantine/v2_events")
+    assert(quarantined.count() > 0 &&
+      quarantined.filter($"model_name" =!= "view").count() == 0)
+    // C14: consumed events carry names + ids for everything merged
+    val consumed = spark.read.parquet(s"$tmp/work/consumed/v2_events")
+    assert(consumed.filter($"model_name" === "click").count() ==
+      res.replicas("click").read().count())
+    assert(consumed.select("event_name").distinct()
+      .as[String].collect().forall(_.startsWith("click_")))
+
+    // P16: genesis streams the click snapshot into the primary topic
+    val clickSnap = graft.queries.Q.tbl(spark, sf(), "events")
+      .filter($"event_type" === "click")
+      .groupBy($"user_id".as("id"))
+      .agg(max($"value").as("value"), max($"ts").as("__ts"))
+    val gBindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        bindings.changes(s, m)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = clickSnap
+    }
+    val targets = Engine.genesis(spark, reg, gBindings, "click", s"$tmp/gen")
+    assert(targets == Seq("v2_events"))
+    val wire = spark.read.parquet(s"$tmp/gen/topics/v2_events")
+    val genesisRows = graft.codec.EnvelopeCodec.explodeRecords(
+      graft.codec.EnvelopeCodec.decode(wire))
+    // exactly one <model>_updated genesis event per snapshot row
+    assert(genesisRows.filter($"event" === "click_updated").count() ==
+      clickSnap.count())
+    // dependency-only models are refused (P19)
+    val depReg = Registry("v3", Seq(
+      TopicDef("orders", Seq(ModelDef("order", sideloads = Seq("line"))))),
+      dependencyModels = Seq(ModelDef("line")))
+    intercept[IllegalArgumentException](
+      Engine.genesis(spark, depReg, gBindings, "line", s"$tmp/work"))
+  }
+
   test("registry validation: observer attrs + genesis dependency guard") {
     import graft.registry._
     val reg = Registry("v9", Seq(
