@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.codec.{EnvelopeCodec, LinksFlattener}
 import graft.consumer.{ConsumerOps, Persistor}
 import graft.model.Schemas.EventType
-import graft.producer.{EventClassifier, Serializers}
+import graft.producer.{EventClassifier, Observers, Serializers}
 import graft.registry.{ModelDef, Registry, TopicDef}
 import graft.streaming.{FileTopics, ParquetReplica, TopicSink, TopicSource}
 
@@ -177,9 +177,13 @@ object Engine {
       bindings: ModelBindings,
       sink: TopicSink,
       checkpointDir: String): StreamingQuery = {
-    val wire = t.models.map(m =>
-        modelWire(spark, registry, t, m, bindings.changes(spark, m), bindings))
-      .reduce(_.unionByName(_))
+    val primary = t.models.map(m =>
+      modelWire(spark, registry, t, m, bindings.changes(spark, m), bindings))
+    // P14/P15: models observing another model's attributes republish their
+    // dependent records when a matching changeset arrives
+    val observer = t.models.flatMap(m =>
+      m.observers.map(o => observerWire(spark, registry, t, m, o, bindings)))
+    val wire = (primary ++ observer).reduce(_.unionByName(_))
     val enveloped = EnvelopeCodec.encode(wire)
       .select("kafka_key", "partition_key", "value", "ts")
     sink(enveloped.writeStream, registry.topicName(t))
@@ -246,6 +250,59 @@ object Engine {
       EventClassifier.eventName(lit(m.name), col("__et")).as("event"),
       lit(m.name).as("model_name"),
       array(payloadJson).as("data"),
+      EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
+      Serializers.partitionKey(
+        t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+      col("__ts").as("ts"))
+  }
+
+  /** P14/P15 — one observer's republish stream: filter the OBSERVED
+    * model's change feed to rows whose changeset intersects the declared
+    * attributes (`__changeset: map<string, array<string>>` on the feed,
+    * built by [[EventClassifier.changeset]]), navigate the declared
+    * association to the dependent records, and re-serialize them as
+    * `<model>_updated` (reference: producer.rb:101-120 +
+    * outbox/publisher.rb:41-61). Single-hop associations stream here;
+    * dotted chains compose via [[graft.producer.Observers.resolve]] in
+    * batch. The matched keys are the micro-batch (small side); the
+    * dependent snapshot is the table — the join keeps the snapshot
+    * unbroadcast, so the plan survives a dependent table of any size. */
+  private def observerWire(
+      spark: SparkSession,
+      registry: Registry,
+      t: TopicDef,
+      m: ModelDef,
+      o: graft.registry.ObserverDef,
+      bindings: ModelBindings): DataFrame = {
+    val observed = registry.modelDef(o.model).getOrElse(
+      throw new IllegalArgumentException(s"unknown observed model ${o.model}"))
+    val feed = bindings.changes(spark, observed)
+    require(feed.columns.contains("__changeset"),
+      s"observer on ${o.model} needs a __changeset column in its change feed")
+    val matched = feed.filter(Observers.matches(col("__changeset"), o))
+    val assoc = (observed.hasMany ++ observed.hasOne)
+      .find(_.name == o.association).getOrElse(
+        throw new IllegalArgumentException(
+          s"observer association ${o.association} is not declared on ${o.model}"))
+    val isMany = observed.hasMany.exists(_.name == o.association)
+    val snap = bindings.snapshot(spark, m)
+    val dependents =
+      if (isMany) {
+        // FK on the dependent: matched observed ids → dependents by FK
+        matched.select(col(observed.primaryKey).cast("long").as("__k"))
+          .join(snap, col(assoc.fk).cast("long") === col("__k"))
+          .drop("__k")
+      } else {
+        // FK on the observed row: its value IS the dependent key
+        matched.select(col(assoc.fk).cast("long").as("__k"))
+          .join(snap, col(m.primaryKey).cast("long") === col("__k"))
+          .drop("__k")
+      }
+    dependents.select(
+      lit(s"${m.name}_${EventType.Updated}").as("event"),
+      lit(m.name).as("model_name"),
+      array(to_json(Serializers.wirePayload(m,
+        col("__ts"), col("__ts"), lit(null).cast("timestamp")))).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
       Serializers.partitionKey(
         t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),

@@ -289,6 +289,68 @@ class StreamingPipelineSpec extends SparkSpec {
       Engine.genesis(spark, depReg, gBindings, "line", s"$tmp/work"))
   }
 
+  test("Engine: observed attribute change republishes dependent records") {
+    import graft.registry._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val tmp = Files.createTempDirectory("graft-engine-obs").toString
+
+    // booking publishes and observes rental.name via rental's `bookings`
+    // association; rental itself is never published
+    val bookingDef = ModelDef("booking",
+      attributes = Seq(Attribute("price", DoubleType),
+        Attribute("rental_id", LongType)),
+      observers = Seq(ObserverDef("rental", Seq("name"), "bookings")))
+    val rentalDef = ModelDef("rental",
+      attributes = Seq(Attribute("name", StringType)),
+      hasMany = Seq(Association("bookings", "booking", fk = "rental_id")))
+    val reg = Registry("v4", Seq(TopicDef("bookings", Seq(bookingDef))),
+      dependencyModels = Seq(rentalDef))
+
+    // change feeds: one booking insert; rental 1 changes `name`,
+    // rental 2 changes an unobserved attribute
+    val meta = Seq(
+      lit("update").as("__op"),
+      lit(null).cast("timestamp").as("__old_canceled"),
+      lit(null).cast("timestamp").as("__new_canceled"))
+    val bookingChangesDir = s"$tmp/chg_booking"
+    Seq((100L, 9.5, 1L)).toDF("id", "price", "rental_id")
+      .select(col("*") +: (meta :+
+        lit("2026-01-01 00:00:00").cast("timestamp").as("__ts")): _*)
+      .write.parquet(bookingChangesDir)
+    val rentalChangesDir = s"$tmp/chg_rental"
+    Seq((1L, "nm"), (2L, "other")).toDF("id", "attr")
+      .select(col("id"),
+        map(col("attr"), array(lit("a"), lit("b"))).as("__changeset"))
+      .select(col("*") +: (meta :+
+        lit("2026-01-02 00:00:00").cast("timestamp").as("__ts")): _*)
+      .withColumn("__changeset",
+        when(col("id") === 1L, map(lit("name"), array(lit("a"), lit("b"))))
+          .otherwise(map(lit("beds"), array(lit("1"), lit("2")))))
+      .write.parquet(rentalChangesDir)
+    // bookings table snapshot: rentals 1 and 2 have two bookings each
+    val bookingsSnap = Seq(
+      (100L, 9.5, 1L), (101L, 8.0, 1L), (200L, 7.0, 2L), (201L, 6.0, 2L))
+      .toDF("id", "price", "rental_id")
+      .withColumn("__ts", lit("2026-01-03 00:00:00").cast("timestamp"))
+
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val dir = if (m.name == "rental") rentalChangesDir else bookingChangesDir
+        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = bookingsSnap
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val replica = res.replicas("booking").read()
+    // rental 1's bookings republished (100 via both paths, 101 only via
+    // the observer); rental 2's bookings untouched (unobserved attribute)
+    val ids = replica.select("synced_id").as[Long].collect().toSet
+    assert(ids == Set(100L, 101L), s"got $ids")
+    // the republished record carries the full serialized payload
+    assert(replica.filter($"synced_id" === 101L)
+      .select("price").as[Double].collect()(0) == 8.0)
+  }
+
   test("registry validation: observer attrs + genesis dependency guard") {
     import graft.registry._
     val reg = Registry("v9", Seq(
