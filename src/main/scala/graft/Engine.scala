@@ -348,7 +348,7 @@ object Engine {
             Some(s"$workDir/consumed/$topicName") else None
         def persist(b: DataFrame): Unit =
           t.models.foreach(
-            mergeModel(registry, _, b, replicas, topicName, consumedDir))
+            mergeModel(registry, t, _, b, replicas, topicName, consumedDir))
         // C17: poison batches park in the DLQ instead of failing the query
         if (options.deadLetter)
           ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
@@ -365,9 +365,13 @@ object Engine {
     regexp_extract(col("event"), "_(created|updated|destroyed)$", 1)
 
   /** Merge one model's slice of a decoded batch (and, recursively, its
-    * embedded sideload records) into the replicas. */
+    * embedded sideload records) into the replicas. Import-mode topics
+    * (reference: persistor.rb:12-24) bulk-upsert `created` batches and
+    * HARD-destroy `destroyed` ids — no soft delete, no attribute
+    * preservation. */
   private def mergeModel(
       registry: Registry,
+      t: TopicDef,
       m: ModelDef,
       batch: DataFrame,
       replicas: Map[String, ParquetReplica],
@@ -378,6 +382,19 @@ object Engine {
       .select(eventTypeCol.as("event_type"),
         from_json(col("payload_json"), m.aggregateSchema(registry)).as("rec"),
         col("payload_json"))
+
+    if (t.importMode) {
+      val shaped = shapeRecords(m, parsed)
+      replicas(m.name).merge(
+        shaped.filter(col("event_type") =!= EventType.Destroyed))
+      val destroyedIds = shaped
+        .filter(col("event_type") === EventType.Destroyed)
+        .select(col("synced_id"))
+      if (!destroyedIds.isEmpty)
+        replicas(m.name).transform(
+          Persistor.bulkDestroy(_, destroyedIds, hard = true))
+      return
+    }
 
     mergeRecords(m, parsed, replicas(m.name), topicName, consumedDir)
 
@@ -410,12 +427,9 @@ object Engine {
     * and timestamps on the wire (P9), so their merge preserves the current
     * row's attributes — the reference's `record.cancel` touches only
     * `canceled_at` (synchronizable_model.rb:40-50). */
-  private def mergeRecords(
-      m: ModelDef,
-      parsed: DataFrame,
-      replica: ParquetReplica,
-      topicName: String,
-      consumedDir: Option[String]): Unit = {
+  /** Project parsed records onto the model's replica update shape: C5
+    * renames, link flattening, timestamp casts, raw payload carry. */
+  private def shapeRecords(m: ModelDef, parsed: DataFrame): DataFrame = {
     val linkCols = m.linkKinds.map { case (rel, kind) =>
       LinksFlattener.colName(rel, kind)
     }
@@ -423,7 +437,7 @@ object Engine {
       if (m.linkKinds.isEmpty) parsed
       else LinksFlattener.flatten(
         parsed.withColumn("links", col("rec.links")), m.linkKinds)
-    val shaped = flattened.select(
+    flattened.select(
       col("event_type") +:
         col("rec.id").as("synced_id") +:
         m.attributes.map(a => col(s"rec.${a.name}").as(a.name)) ++:
@@ -433,6 +447,18 @@ object Engine {
           col("rec.canceled_at").cast("timestamp").as("canceled_at")) ++:
         linkCols.map(col) ++:
         Seq(col("payload_json").as("synced_data")): _*)
+  }
+
+  private def mergeRecords(
+      m: ModelDef,
+      parsed: DataFrame,
+      replica: ParquetReplica,
+      topicName: String,
+      consumedDir: Option[String]): Unit = {
+    val linkCols = m.linkKinds.map { case (rel, kind) =>
+      LinksFlattener.colName(rel, kind)
+    }
+    val shaped = shapeRecords(m, parsed)
     val latest = ConsumerOps.keepLatest(shaped,
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
 

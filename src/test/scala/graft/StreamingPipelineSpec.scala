@@ -289,6 +289,27 @@ class StreamingPipelineSpec extends SparkSpec {
       Engine.genesis(spark, depReg, gBindings, "line", s"$tmp/work"))
   }
 
+  test("Engine: import-mode topics bulk-upsert and HARD-destroy") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-import").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Files.copy(java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    def m(n: String) = ModelDef(n,
+      attributes = Seq(Attribute("value", DoubleType)))
+    val reg = Registry("v5", Seq(
+      TopicDef("bulk", models = Seq(m("signup"), m("error")),
+        importMode = true)))
+    val res = Engine.runAvailableNow(spark, reg, new EventsBindings(src),
+      s"$tmp/work")
+    // upserts land; destroyed ids are REMOVED, not soft-deleted
+    assert(res.replicas("signup").read().count() > 0)
+    assert(res.replicas("error").read().count() == 0,
+      "import-mode destroy must hard-delete")
+  }
+
   test("Engine: observed attribute change republishes dependent records") {
     import graft.registry._
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
