@@ -24,6 +24,28 @@ object ExtQueries {
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin),
 
+    // Corpus length-distribution quantiles per source (curation QA):
+    // exact interpolated percentiles — one partial-aggregated shuffle;
+    // at 100 TB swap `percentile` for `percentile_approx` (fixed-memory
+    // sketch, same plan shape).
+    "x19_token_quantiles" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).as("n"))
+          .groupBy(col("source"))
+          .agg(percentile(col("n"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+          .select(col("source"),
+            col("qs").getItem(0).as("q25"),
+            col("qs").getItem(1).as("q50"),
+            col("qs").getItem(2).as("q75"))
+          .orderBy(col("source")),
+      """SELECT source,
+        | quantile_cont(n, 0.25) AS q25,
+        | quantile_cont(n, 0.50) AS q50,
+        | quantile_cont(n, 0.75) AS q75
+        |FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.
     "x02_dedup_minhash_lsh" -> rowsOnly(
