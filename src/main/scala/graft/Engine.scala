@@ -109,22 +109,57 @@ object Engine {
     // producer half: one query per topic, started together, then drained
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
-        s"$workDir/cp/produce/${registry.topicName(t)}")
+        s"$workDir/cp/produce/${registry.topicName(t)}",
+        Trigger.AvailableNow())
     }
     producers.foreach(_.awaitTermination())
 
     // consumer half: replicas per model, one query per topic
-    val replicas = consumedModels(registry).map { m =>
-      m.name -> new ParquetReplica(spark,
-        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL)
-    }.toMap
+    val replicas = makeReplicas(spark, registry, workDir)
     val consumers = registry.topics.map { t =>
-      consumeTopic(spark, registry, t, topics, replicas, workDir, options)
+      consumeTopic(spark, registry, t, topics, replicas, workDir, options,
+        Trigger.AvailableNow())
     }
     consumers.foreach(_.awaitTermination())
 
     EngineResult(registry.topics.map(registry.topicName), replicas)
   }
+
+  /** Live deployment form: start every producer and consumer query
+    * concurrently under a continuous trigger and return them RUNNING —
+    * the reference's long-lived runner processes (I5). The caller owns
+    * the lifecycle (`awaitTermination` / `stop`); replicas fill as
+    * micro-batches drain. Defaults to the reference's 0.2 s poll cadence
+    * (config.rb outbox loop). */
+  def start(
+      spark: SparkSession,
+      registry: Registry,
+      bindings: ModelBindings,
+      workDir: String,
+      transport: Option[TopicSink with TopicSource] = None,
+      options: EngineOptions = EngineOptions(),
+      trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): (Seq[StreamingQuery], EngineResult) = {
+    registry.validate()
+    val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
+    val replicas = makeReplicas(spark, registry, workDir)
+    val producers = registry.topics.map { t =>
+      produceTopic(spark, registry, t, bindings, topics,
+        s"$workDir/cp/produce/${registry.topicName(t)}", trigger)
+    }
+    val consumers = registry.topics.map { t =>
+      consumeTopic(spark, registry, t, topics, replicas, workDir, options,
+        trigger)
+    }
+    (producers ++ consumers,
+      EngineResult(registry.topics.map(registry.topicName), replicas))
+  }
+
+  private def makeReplicas(spark: SparkSession, registry: Registry,
+      workDir: String): Map[String, ParquetReplica] =
+    consumedModels(registry).map { m =>
+      m.name -> new ParquetReplica(spark,
+        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL)
+    }.toMap
 
   /** P16–P18 through the registry-derived serializer: stream the model's
     * current snapshot as `<model>_updated` / `<model>_destroyed` (already-
@@ -176,7 +211,8 @@ object Engine {
       t: TopicDef,
       bindings: ModelBindings,
       sink: TopicSink,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      trigger: Trigger): StreamingQuery = {
     val primary = t.models.map(m =>
       modelWire(spark, registry, t, m, bindings.changes(spark, m), bindings))
     // P14/P15: models observing another model's attributes republish their
@@ -188,7 +224,7 @@ object Engine {
       .select("kafka_key", "partition_key", "value", "ts")
     sink(enveloped.writeStream, registry.topicName(t))
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 
@@ -321,7 +357,8 @@ object Engine {
       source: TopicSource,
       replicas: Map[String, ParquetReplica],
       workDir: String,
-      options: EngineOptions): StreamingQuery = {
+      options: EngineOptions,
+      trigger: Trigger): StreamingQuery = {
     val topicName = registry.topicName(t)
     val wire = source.open(spark, topicName)
     val deduped =
@@ -355,7 +392,7 @@ object Engine {
         else persist(kept)
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

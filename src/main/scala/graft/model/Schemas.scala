@@ -55,6 +55,15 @@ object Schemas {
     StructField("updated_at", TimestampType, nullable = false),
     StructField("changeset", StringType)))
 
+  /** Topic-boundary wire frame (SURVEY §1.1): message key, partitioner
+    * input, envelope JSON (null = tombstone), event time. Fixed schema so
+    * a consumer can open a topic before its first message exists. */
+  val wire: StructType = StructType(Seq(
+    StructField("kafka_key", StringType),
+    StructField("partition_key", StringType),
+    StructField("value", StringType),
+    StructField("ts", TimestampType)))
+
   /** Reserved payload attributes (reference: deserializer.rb:149). */
   val reservedAttrs: Seq[String] =
     Seq("links", "id", "created_at", "updated_at", "canceled_at")

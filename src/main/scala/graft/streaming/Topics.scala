@@ -40,7 +40,11 @@ final class FileTopics(root: String) extends TopicSink with TopicSource {
 
   def open(spark: SparkSession, topic: String): DataFrame = {
     val path = s"$root/$topic"
-    spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+    // fixed wire schema (not inferred): a live consumer may open the
+    // topic before the producer has written its first file; older topics
+    // missing `partition_key` read it as null (parquet schema evolution)
+    new java.io.File(path).mkdirs()
+    spark.readStream.schema(graft.model.Schemas.wire).parquet(path)
   }
 }
 

@@ -289,6 +289,52 @@ class StreamingPipelineSpec extends SparkSpec {
       Engine.genesis(spark, depReg, gBindings, "line", s"$tmp/work"))
   }
 
+  test("Engine: live trigger keeps queries running and picks up new changes") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-live").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    // seed a first change file so bindings can infer the source schema
+    Seq((1L, 1.0)).toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts")) // ns, as the events table
+      .write.parquet(s"$src/f1")
+    val reg = Registry("v6", Seq(TopicDef("events", models = Seq(
+      ModelDef("click", attributes = Seq(Attribute("value", DoubleType)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val (queries, res) = Engine.start(spark, reg, bindings, s"$tmp/work",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def await(pred: () => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!pred() && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(pred(), s"timed out waiting for $what")
+      }
+      await(() => res.replicas("click").read().count() == 1, "first row")
+      // a NEW change file arrives while everything is running
+      Seq((2L, 5.0)).toDF("user_id", "value")
+        .select($"user_id", $"value", lit("click").as("event_type"),
+          (lit(1735689700000000L) * 1000).as("ts"))
+        .write.parquet(s"$src/f2")
+      await(() => res.replicas("click").read().count() == 2, "live pickup")
+      assert(queries.forall(_.isActive), "queries must stay running")
+    } finally queries.foreach(_.stop())
+  }
+
   test("Engine: import-mode topics bulk-upsert and HARD-destroy") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
