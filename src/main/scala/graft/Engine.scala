@@ -222,7 +222,7 @@ object Engine {
     val wire = (primary ++ observer).reduce(_.unionByName(_))
     val enveloped = EnvelopeCodec.encode(wire)
       .select("kafka_key", "partition_key", "value", "ts")
-    sink(enveloped.writeStream, registry.topicName(t))
+    sink(sink.prepare(enveloped).writeStream, registry.topicName(t))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()

@@ -12,6 +12,11 @@ import org.apache.spark.sql.Row
   * optionally `partition_key`/`ts`.
   */
 trait TopicSink {
+  /** Project the engine's wire frame (kafka_key, partition_key, value,
+    * ts) onto the sink's column contract — Kafka requires `key`/`value`
+    * names; files keep the full frame. Called before `apply`. */
+  def prepare(df: DataFrame): DataFrame = df
+
   /** Attach the sink to a streaming writer for `topic`. */
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row]
 
@@ -55,13 +60,16 @@ final class FileTopics(root: String) extends TopicSink with TopicSource {
   * (per-partition ordering), `partition_key` to the partitioner input, and
   * null `value` publishes a tombstone for log compaction. */
 final class KafkaTopics(bootstrapServers: String) extends TopicSink with TopicSource {
+  override def prepare(df: DataFrame): DataFrame =
+    df.selectExpr("kafka_key AS key", "value")
+
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
     w.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
 
   def appendBatch(df: DataFrame, topic: String): Unit =
-    df.selectExpr("kafka_key AS key", "value")
+    prepare(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

@@ -33,12 +33,16 @@ class TopicsSpec extends SparkSpec {
   }
 
   test("KafkaTopics sink wires format/broker/topic; key maps to kafka key") {
-    val w = new KafkaTopics("broker1:9092,broker2:9092")
-      .apply(writer, "v1_events")
+    val kt = new KafkaTopics("broker1:9092,broker2:9092")
+    val w = kt.apply(writer, "v1_events")
     assert(source(w) == "kafka")
     val opts = options(w)
     assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
     assert(opts("topic") == "v1_events")
+    // the wire frame projects onto Kafka's key/value column contract
+    val prepared = kt.prepare(
+      Seq(("Event:1", "p", "{}", "x")).toDF("kafka_key", "partition_key", "value", "ts"))
+    assert(prepared.columns.toSeq == Seq("key", "value"))
   }
 
   test("KafkaTopics source requests the kafka format by name") {
