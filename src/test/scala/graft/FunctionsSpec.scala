@@ -64,4 +64,23 @@ class FunctionsSpec extends SparkSpec {
       .filter($"native" =!= $"builtin").count()
     assert(mism == 0)
   }
+
+  test("GraftExtensions injects the native functions for cluster-wide use") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(ext)
+    // the same hook SparkSession applies at session build time
+    val reg = org.apache.spark.sql.GraftExtensionsProbe
+      .register(ext, FunctionRegistry.builtin.clone())
+    val args = Seq[org.apache.spark.sql.catalyst.expressions.Expression](
+      Literal(1), Literal(2))
+    assert(reg.lookupFunction(FunctionIdentifier("sorted_intersect_size"), args)
+      .isInstanceOf[graft.functions.SortedIntersectSize])
+    assert(reg.lookupFunction(FunctionIdentifier("vector_dot"), args)
+      .isInstanceOf[graft.functions.VectorDot])
+    assert(reg.lookupFunction(FunctionIdentifier("positional_eq_count"), args)
+      .isInstanceOf[graft.functions.PositionalEqCount])
+  }
 }
