@@ -316,24 +316,37 @@ object Engine {
     require(feed.columns.contains("__changeset"),
       s"observer on ${o.model} needs a __changeset column in its change feed")
     val matched = feed.filter(Observers.matches(col("__changeset"), o))
-    val assoc = (observed.hasMany ++ observed.hasOne)
-      .find(_.name == o.association).getOrElse(
+    // walk the association path (dotted chains supported,
+    // reference: producer.rb:110-115): each hop joins the next model's
+    // snapshot through the declared FK, carrying full rows so hasOne hops
+    // can read their FK column at any depth
+    var cur = observed
+    var level: DataFrame = matched
+    o.association.split('.').foreach { seg =>
+      val assoc = (cur.hasMany ++ cur.hasOne).find(_.name == seg).getOrElse(
         throw new IllegalArgumentException(
-          s"observer association ${o.association} is not declared on ${o.model}"))
-    val isMany = observed.hasMany.exists(_.name == o.association)
-    val snap = bindings.snapshot(spark, m)
-    val dependents =
-      if (isMany) {
-        // FK on the dependent: matched observed ids → dependents by FK
-        matched.select(col(observed.primaryKey).cast("long").as("__k"))
-          .join(snap, col(assoc.fk).cast("long") === col("__k"))
-          .drop("__k")
-      } else {
-        // FK on the observed row: its value IS the dependent key
-        matched.select(col(assoc.fk).cast("long").as("__k"))
-          .join(snap, col(m.primaryKey).cast("long") === col("__k"))
-          .drop("__k")
-      }
+          s"observer association segment $seg is not declared on ${cur.name}"))
+      val isMany = cur.hasMany.exists(_.name == seg)
+      val next = registry.modelDef(assoc.model).getOrElse(
+        throw new IllegalArgumentException(s"unknown model ${assoc.model}"))
+      val snap = bindings.snapshot(spark, next)
+      level =
+        if (isMany)
+          // FK on the child: current-level ids → children by FK
+          snap.join(
+            level.select(col(cur.primaryKey).cast("long").as("__k")),
+            col(assoc.fk).cast("long") === col("__k")).drop("__k")
+        else
+          // FK on the current row: its value IS the next-level key
+          snap.join(
+            level.select(col(assoc.fk).cast("long").as("__k")),
+            col(next.primaryKey).cast("long") === col("__k")).drop("__k")
+      cur = next
+    }
+    require(cur.name == m.name,
+      s"observer path ${o.association} on ${o.model} ends at ${cur.name}, " +
+        s"but ${m.name} declared it")
+    val dependents = level
     dependents.select(
       lit(s"${m.name}_${EventType.Updated}").as("event"),
       lit(m.name).as("model_name"),

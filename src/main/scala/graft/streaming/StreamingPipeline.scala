@@ -226,6 +226,30 @@ final class ParquetReplica(spark: SparkSession, root: String,
       publish(next, writeBuckets(f(read()), next))
     }
 
+  /** Drop version directories and manifests no longer reachable from the
+    * current manifest — the Delta `VACUUM` analogue. Readers of the
+    * current version are unaffected (its bucket dirs survive by
+    * definition); concurrent writers are excluded by the root lock. */
+  def vacuum(): Unit = ParquetReplica.lockFor(root).synchronized {
+    val current = currentVersion
+    if (current < 0) return
+    val live = manifest(current).values.map(_.split("/")(0)).toSet + s"v$current"
+    Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      val isOldVersionDir = f.isDirectory && name.matches("v\\d+") &&
+        !live.contains(name)
+      val isOldManifest = name.matches("v\\d+\\.manifest") &&
+        name != s"v$current.manifest"
+      if (isOldVersionDir || isOldManifest) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete()
+        }
+        rm(f)
+      }
+    }
+  }
+
   /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract) into
     * the replica, rewriting only the buckets that contain updated keys;
     * every other bucket is carried forward by reference. `prepare` may

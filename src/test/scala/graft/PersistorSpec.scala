@@ -329,5 +329,16 @@ class PersistorSpec extends SparkSpec {
       (7L, "2024-01-15 00:00:00", None, "updated", 1.0)))
     assert(replica.read().filter($"synced_id" === 7L)
       .select("value").as[Double].collect()(0) == 777.0)
+
+    // vacuum drops unreachable versions; current state is untouched
+    val preVacuum = replica.read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    replica.vacuum()
+    val postVacuum = replica.read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    assert(postVacuum == preVacuum)
+    val manifests = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest"))
+    assert(manifests.length == 1, manifests.mkString(","))
   }
 }

@@ -418,6 +418,62 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("price").as[Double].collect()(0) == 8.0)
   }
 
+  test("Engine: dotted observer chain republishes through intermediate models") {
+    import graft.registry._
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val tmp = Files.createTempDirectory("graft-engine-chain").toString
+
+    // fee observes rental.name through rental → bookings → fees
+    val feeDef = ModelDef("fee",
+      attributes = Seq(Attribute("amount", DoubleType),
+        Attribute("booking_id", LongType)),
+      observers = Seq(ObserverDef("rental", Seq("name"), "bookings.fees")))
+    val bookingDef = ModelDef("booking",
+      attributes = Seq(Attribute("rental_id", LongType)),
+      hasMany = Seq(Association("fees", "fee", fk = "booking_id")))
+    val rentalDef = ModelDef("rental",
+      attributes = Seq(Attribute("name", StringType)),
+      hasMany = Seq(Association("bookings", "booking", fk = "rental_id")))
+    val reg = Registry("v7", Seq(TopicDef("fees", Seq(feeDef))),
+      dependencyModels = Seq(rentalDef, bookingDef))
+
+    val meta = Seq(
+      lit("update").as("__op"),
+      lit(null).cast("timestamp").as("__old_canceled"),
+      lit(null).cast("timestamp").as("__new_canceled"),
+      lit("2026-02-01 00:00:00").cast("timestamp").as("__ts"))
+    val feeChangesDir = s"$tmp/chg_fee"
+    Seq((101L, 6.0, 11L)).toDF("id", "amount", "booking_id")
+      .select(col("*") +: meta: _*).write.parquet(feeChangesDir)
+    val rentalChangesDir = s"$tmp/chg_rental"
+    Seq((1L, "name"), (2L, "beds")).toDF("id", "attr")
+      .select(col("id"),
+        map(col("attr"), array(lit("a"), lit("b"))).as("__changeset"))
+      .select(col("*") +: meta: _*).write.parquet(rentalChangesDir)
+    val bookingsSnap = Seq((10L, 1L), (11L, 2L)).toDF("id", "rental_id")
+      .withColumn("__ts", lit("2026-02-02 00:00:00").cast("timestamp"))
+    val feesSnap = Seq((100L, 5.0, 10L), (101L, 6.0, 11L))
+      .toDF("id", "amount", "booking_id")
+      .withColumn("__ts", lit("2026-02-02 00:00:00").cast("timestamp"))
+
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val dir = if (m.name == "rental") rentalChangesDir else feeChangesDir
+        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        if (m.name == "booking") bookingsSnap else feesSnap
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val fees = res.replicas("fee").read()
+    // rental 1's name change reaches fee 100 through bookings; rental 2's
+    // unobserved change republishes nothing — 101 arrives only directly
+    val ids = fees.select("synced_id").as[Long].collect().toSet
+    assert(ids == Set(100L, 101L), s"got $ids")
+    assert(fees.filter($"synced_id" === 100L)
+      .select("amount").as[Double].collect()(0) == 5.0)
+  }
+
   test("registry validation: observer attrs + genesis dependency guard") {
     import graft.registry._
     val reg = Registry("v9", Seq(
