@@ -220,8 +220,24 @@ object Engine {
     val observer = t.models.flatMap(m =>
       m.observers.map(o => observerWire(spark, registry, t, m, o, bindings)))
     val wire = (primary ++ observer).reduce(_.unionByName(_))
-    val enveloped = EnvelopeCodec.encode(wire)
+    var enveloped = EnvelopeCodec.encode(wire)
       .select("kafka_key", "partition_key", "value", "ts")
+    // P20: on compacted topics, hard deletes also expunge via tombstone
+    if (t.tombstones) {
+      val tomb = t.models.map { m =>
+        bindings.changes(spark, m)
+          .filter(col("__op") === "delete")
+          .select(
+            EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey))
+              .as("kafka_key"),
+            Serializers.partitionKey(
+              t.partitionKeyAttr.orElse(Some(m.primaryKey)))
+              .as("partition_key"),
+            lit(null).cast("string").as("value"),
+            col("__ts").as("ts"))
+      }.reduce(_.unionByName(_))
+      enveloped = enveloped.unionByName(tomb)
+    }
     sink(sink.prepare(enveloped).writeStream, registry.topicName(t))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

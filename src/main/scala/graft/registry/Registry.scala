@@ -118,7 +118,11 @@ final case class TopicDef(
     partitionKeyAttr: Option[String] = None,
     genesisReplica: Boolean = false,
     importMode: Boolean = false,
-    dedupIncoming: Boolean = true)
+    dedupIncoming: Boolean = true,
+    /** Compacted-topic expunge (P20): hard deletes additionally publish a
+      * null-value tombstone under the resource key
+      * (reference: tombstone_publisher.rb:14-21). */
+    tombstones: Boolean = false)
 
 /** `dependencyModels` declares `with:`-only dependency models that are
   * never published directly but must be resolvable for sideload schemas —

@@ -36,7 +36,12 @@ trait TopicSource {
   * unnecessary because each topic has exactly one streaming query
   * (see [[graft.producer.OutboxOps.partitionByTopic]] for the
   * within-query equivalent). */
-final class FileTopics(root: String) extends TopicSink with TopicSource {
+/** `maxFilesPerTrigger` is the consumption pacing knob — the streaming
+  * analogue of the reference's batched backfill rate limit (P17): a
+  * drained genesis topic replays in bounded micro-batches instead of one
+  * giant batch. */
+final class FileTopics(root: String, maxFilesPerTrigger: Option[Int] = None)
+    extends TopicSink with TopicSource {
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
     w.format("parquet").option("path", s"$root/$topic")
 
@@ -49,7 +54,10 @@ final class FileTopics(root: String) extends TopicSink with TopicSource {
     // topic before the producer has written its first file; older topics
     // missing `partition_key` read it as null (parquet schema evolution)
     new java.io.File(path).mkdirs()
-    spark.readStream.schema(graft.model.Schemas.wire).parquet(path)
+    val reader = spark.readStream.schema(graft.model.Schemas.wire)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(path)
   }
 }
 

@@ -418,6 +418,42 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("price").as[Double].collect()(0) == 8.0)
   }
 
+  test("Engine: compacted topics tombstone hard deletes") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-tomb").toString
+    val chg = s"$tmp/chg"
+    Seq((1L, 1.0, "update"), (2L, 2.0, "delete"), (3L, 3.0, "delete"))
+      .toDF("id", "value", "__op")
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-03-01 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    val reg = Registry("v8", Seq(TopicDef("things",
+      models = Seq(ModelDef("thing",
+        attributes = Seq(Attribute("value", DoubleType)))),
+      tombstones = true)))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val topic = spark.read.schema(graft.model.Schemas.wire)
+      .parquet(s"$tmp/work/topics/v8_things")
+    // deletes publish BOTH a destroyed envelope and a null-value tombstone
+    val tombs = topic.filter($"value".isNull)
+      .select("kafka_key").as[String].collect().toSet
+    assert(tombs == Set("thing:2", "thing:3"), s"got $tombs")
+    assert(topic.filter($"value".isNotNull).count() == 3)
+    // consumer skips tombstones and soft-deletes via the destroyed events
+    val replica = res.replicas("thing").read()
+    assert(replica.count() == 3)
+    assert(replica.filter($"synced_canceled_at".isNotNull)
+      .select("synced_id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+
   test("Engine: dotted observer chain republishes through intermediate models") {
     import graft.registry._
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
