@@ -76,11 +76,16 @@ object Engine {
     *    instead of failing the query (C17's DLQ topic).
     *  - `publishConsumedEvents`: after each merge, append
     *    `{topic_name, event_name, model_name, synced_id, transformed_data}`
-    *    rows to `workDir/consumed/<topic>` — the C14 event bus. */
+    *    rows to `workDir/consumed/<topic>` — the C14 event bus.
+    *  - `trackLocalChanges`: consumed events additionally carry the C12
+    *    `attr → [old, new]` diff of what the merge actually changed
+    *    (reference: persistor.rb:76,119,144) — costs one extra read of the
+    *    touched keys per batch. */
   final case class EngineOptions(
       messageFilters: Map[String, Column] = Map.empty,
       deadLetter: Boolean = true,
-      publishConsumedEvents: Boolean = false)
+      publishConsumedEvents: Boolean = false,
+      trackLocalChanges: Boolean = false)
 
   /** Every model the consumer persists: published models plus sideloaded
     * dependency models (each gets its own replica table). */
@@ -414,7 +419,8 @@ object Engine {
             Some(s"$workDir/consumed/$topicName") else None
         def persist(b: DataFrame): Unit =
           t.models.foreach(
-            mergeModel(registry, t, _, b, replicas, topicName, consumedDir))
+            mergeModel(registry, t, _, b, replicas, topicName, consumedDir,
+              options))
         // C17: poison batches park in the DLQ instead of failing the query
         if (options.deadLetter)
           ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
@@ -442,7 +448,8 @@ object Engine {
       batch: DataFrame,
       replicas: Map[String, ParquetReplica],
       topicName: String,
-      consumedDir: Option[String]): Unit = {
+      consumedDir: Option[String],
+      options: EngineOptions): Unit = {
     val parsed = batch
       .filter(col("model_name") === m.name)
       .select(eventTypeCol.as("event_type"),
@@ -462,7 +469,7 @@ object Engine {
       return
     }
 
-    mergeRecords(m, parsed, replicas(m.name), topicName, consumedDir)
+    mergeRecords(m, parsed, replicas(m.name), topicName, consumedDir, options)
 
     // C4 recursion: embedded sideload payloads persist as their own models
     m.sideloads.foreach { dep =>
@@ -473,7 +480,8 @@ object Engine {
         .select(explode(col(s"rec.$dep")).as("rec"))
         .select(lit(EventType.Updated).as("event_type"), col("rec"),
           to_json(col("rec")).as("payload_json"))
-      mergeRecords(child, childParsed, replicas(dep), topicName, consumedDir)
+      mergeRecords(child, childParsed, replicas(dep), topicName, consumedDir,
+        options)
 
       // C11: children of touched parents absent from the incoming id list
       // disassociate — needs the child replica to carry the FK attribute
@@ -520,7 +528,8 @@ object Engine {
       parsed: DataFrame,
       replica: ParquetReplica,
       topicName: String,
-      consumedDir: Option[String]): Unit = {
+      consumedDir: Option[String],
+      options: EngineOptions): Unit = {
     val linkCols = m.linkKinds.map { case (rel, kind) =>
       LinksFlattener.colName(rel, kind)
     }
@@ -528,9 +537,22 @@ object Engine {
     val latest = ConsumerOps.keepLatest(shaped,
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
 
+    // C12: capture the touched keys' pre-merge state for change tracking
+    val touched = latest.select(col("synced_id"))
+    val before =
+      if (options.trackLocalChanges && consumedDir.isDefined)
+        Some(replica.read().join(touched, Seq("synced_id"), "left_semi")
+          .localCheckpoint(true))
+      else None
+
     // C14: publish consumed events next to the merge (batch_events_publisher)
-    consumedDir.foreach { dir =>
-      ConsumerOps.consumedEvents(latest, topicName, m.name)
+    def publishConsumed(): Unit = consumedDir.foreach { dir =>
+      val localChanges = before.map { b =>
+        val after = replica.read()
+          .join(touched, Seq("synced_id"), "left_semi")
+        Persistor.localChanges(b, after, m.attributes.map(_.name))
+      }
+      ConsumerOps.consumedEvents(latest, topicName, m.name, localChanges)
         .write.mode("append").parquet(dir)
     }
 
@@ -549,5 +571,6 @@ object Engine {
                 coalesce(col(s"__cur_$c"), col(c)))
                 .otherwise(col(c)).as(c)): _*)
     })
+    publishConsumed()
   }
 }

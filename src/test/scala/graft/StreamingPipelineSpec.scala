@@ -249,7 +249,8 @@ class StreamingPipelineSpec extends SparkSpec {
     val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
       options = Engine.EngineOptions(
         messageFilters = Map("v2_events" -> ($"model_name" === "view")),
-        publishConsumedEvents = true))
+        publishConsumedEvents = true,
+        trackLocalChanges = true))
     assert(res.replicas("click").read().count() > 0)
     assert(res.replicas("view").read().count() == 0,
       "filtered model must never reach its replica")
@@ -262,6 +263,11 @@ class StreamingPipelineSpec extends SparkSpec {
       res.replicas("click").read().count())
     assert(consumed.select("event_name").distinct()
       .as[String].collect().forall(_.startsWith("click_")))
+    // C12: every insert-into-empty-replica records a value change diff
+    val withChanges = consumed.filter($"local_changes".isNotNull)
+    assert(withChanges.count() == consumed.count())
+    assert(withChanges.filter($"local_changes".contains("\"value\""))
+      .count() == consumed.count())
 
     // P16: genesis streams the click snapshot into the primary topic
     val clickSnap = graft.queries.Q.tbl(spark, sf(), "events")
