@@ -80,12 +80,19 @@ object Engine {
     *  - `trackLocalChanges`: consumed events additionally carry the C12
     *    `attr → [old, new]` diff of what the merge actually changed
     *    (reference: persistor.rb:76,119,144) — costs one extra read of the
-    *    touched keys per batch. */
+    *    touched keys per batch.
+    *  - `dedupDelay`: watermark for the exact-resend dedup state (C2
+    *    streaming form). Events arriving later than this behind the
+    *    stream's max event time are DROPPED by the operator, not just
+    *    dedup'd — so topics that replay old event times (genesis
+    *    backfills) should set `dedupIncoming = false` on the TopicDef or
+    *    widen this delay. */
   final case class EngineOptions(
       messageFilters: Map[String, Column] = Map.empty,
       deadLetter: Boolean = true,
       publishConsumedEvents: Boolean = false,
-      trackLocalChanges: Boolean = false)
+      trackLocalChanges: Boolean = false,
+      dedupDelay: String = "1 hour")
 
   /** Every model the consumer persists: published models plus sideloaded
     * dependency models (each gets its own replica table). */
@@ -126,6 +133,8 @@ object Engine {
         Trigger.AvailableNow())
     }
     consumers.foreach(_.awaitTermination())
+    // drained: no concurrent writers, so reclaim unreachable versions
+    replicas.values.foreach(_.vacuum())
 
     EngineResult(registry.topics.map(registry.topicName), replicas)
   }
@@ -289,9 +298,14 @@ object Engine {
         .drop("__pk")
     }
 
+    // empty array, not null, when a parent has no children: a declared but
+    // empty to-many list means "disassociate everything" on the consumer
+    // (C11); a NULL list means "this payload makes no claim" (observer
+    // republishes, destroys) and must not trigger disassociation
     val manyIds = m.sideloads
       .flatMap(dep => m.hasMany.find(_.model == dep))
-      .map(a => a.name -> col(s"__ids_${a.name}"))
+      .map(a => a.name ->
+        coalesce(col(s"__ids_${a.name}"), array().cast("array<bigint>")))
     val embedded = m.sideloads.map(dep => dep -> col(s"__emb_$dep"))
 
     val destroyed = col("__et") === EventType.Destroyed
@@ -397,14 +411,17 @@ object Engine {
     val wire = source.open(spark, topicName)
     val deduped =
       if (t.dedupIncoming)
-        wire.withWatermark("ts", "1 hour")
+        wire.withWatermark("ts", options.dedupDelay)
           .dropDuplicatesWithinWatermark("kafka_key", "value")
       else wire
     val events = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/cp/consume/$topicName")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // one micro-batch feeds many actions (per model, per sideload,
+        // quarantine, consumed events) — materialize it once
+        val batch = batch0.persist()
         // C6: quarantine side output before anything persists
         val kept = options.messageFilters.get(topicName) match {
           case Some(drop) =>
@@ -422,9 +439,11 @@ object Engine {
             mergeModel(registry, t, _, b, replicas, topicName, consumedDir,
               options))
         // C17: poison batches park in the DLQ instead of failing the query
-        if (options.deadLetter)
-          ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
-        else persist(kept)
+        try {
+          if (options.deadLetter)
+            ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
+          else persist(kept)
+        } finally batch.unpersist()
         ()
       }
       .trigger(trigger)
@@ -464,8 +483,7 @@ object Engine {
         .filter(col("event_type") === EventType.Destroyed)
         .select(col("synced_id"))
       if (!destroyedIds.isEmpty)
-        replicas(m.name).transform(
-          Persistor.bulkDestroy(_, destroyedIds, hard = true))
+        replicas(m.name).destroy(destroyedIds)
       return
     }
 
@@ -486,9 +504,14 @@ object Engine {
       // C11: children of touched parents absent from the incoming id list
       // disassociate — needs the child replica to carry the FK attribute
       if (child.attributes.exists(_.name == assoc.fk)) {
-        val incoming = live.select(
-          col("rec.id").as(assoc.fk),
-          explode_outer(col(s"rec.links.${assoc.name}")).as("synced_id"))
+        // only payloads that DECLARE a to-many list (non-null, possibly
+        // empty) participate — observer republishes and destroys carry no
+        // list and must not disassociate anything
+        val incoming = live
+          .filter(col(s"rec.links.${assoc.name}").isNotNull)
+          .select(
+            col("rec.id").as(assoc.fk),
+            explode_outer(col(s"rec.links.${assoc.name}")).as("synced_id"))
         if (!incoming.isEmpty)
           replicas(dep).transform(Persistor.disassociateMissingChildren(
             _, incoming, parentKey = assoc.fk, childKey = "synced_id"))
@@ -534,8 +557,12 @@ object Engine {
       LinksFlattener.colName(rel, kind)
     }
     val shaped = shapeRecords(m, parsed)
+    // deterministic tiebreak: equal-timestamp events (second-precision CDC
+    // writing update+destroy in one tick) must pick the SAME winner on
+    // at-least-once replay, or replicas diverge
     val latest = ConsumerOps.keepLatest(shaped,
-      keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
+      keyCols = Seq("synced_id"), orderCol = "synced_updated_at",
+      tiebreak = Seq("event_type", "synced_data"))
 
     // C12: capture the touched keys' pre-merge state for change tracking
     val touched = latest.select(col("synced_id"))

@@ -201,19 +201,20 @@ object TextDedup {
     // right-size the loop's shuffles to the dup graph, not the session
     // default: the label/edge frames are bounded by the pair count (tiny
     // vs the corpus), and AQE cannot coalesce inside a checkpointed loop.
-    // ~500k edges per partition keeps tasks meaningful at any scale.
-    val sess = pairs.sparkSession
-    val defaultParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    // Explicit per-frame repartitioning — NOT a session-conf change, which
+    // would corrupt concurrent queries' plans. ~500k edges per partition
+    // keeps tasks meaningful at any scale.
+    val defaultParts =
+      pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L,
       math.min(edges.count() / 500000L, defaultParts.toLong)).toInt
-    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      connectedComponentsLoop(edges, maxIterations)
-    } finally sess.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+    connectedComponentsLoop(
+      edges.repartition(parts, col("dst")).localCheckpoint(eager = true),
+      parts, maxIterations)
   }
 
   private def connectedComponentsLoop(
-      edges: DataFrame, maxIterations: Int): DataFrame = {
+      edges: DataFrame, parts: Int, maxIterations: Int): DataFrame = {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
@@ -226,6 +227,7 @@ object TextDedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
+        .repartition(parts, col("src"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nb_component"))
       val hop = labels.join(viaNeighbors, Seq("id"), "left")
@@ -239,6 +241,7 @@ object TextDedup {
         .select(col("id"),
           coalesce(col("jc"), col("c1")).as("component"),
           (coalesce(col("jc"), col("c1")) =!= col("old")).as("__changed"))
+        .repartition(parts, col("id"))
         .localCheckpoint(eager = true)
       // probe the checkpointed frame directly: no join, no shuffle
       converged = next.filter(col("__changed")).limit(1).count() == 0

@@ -226,6 +226,23 @@ final class ParquetReplica(spark: SparkSession, root: String,
       publish(next, writeBuckets(f(read()), next))
     }
 
+  /** Bucket-pruned hard delete: remove every key in `ids`, rewriting only
+    * the buckets those keys hash into (import-mode destroy, C10). */
+  def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit =
+    ParquetReplica.lockFor(root).synchronized {
+      val v = currentVersion
+      val next = v + 1
+      val man = manifest(v)
+      val keyed = ids.select(col(idCol).as("synced_id"))
+      val touched = keyed
+        .select(bucketOf(col("synced_id")).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
+      val written = writeBuckets(
+        target.join(keyed, Seq("synced_id"), "left_anti"), next)
+      publish(next, (man -- touched) ++ written)
+    }
+
   /** Drop version directories and manifests no longer reachable from the
     * current manifest — the Delta `VACUUM` analogue. Readers of the
     * current version are unaffected (its bucket dirs survive by

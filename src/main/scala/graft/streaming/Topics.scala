@@ -42,8 +42,17 @@ trait TopicSource {
   * giant batch. */
 final class FileTopics(root: String, maxFilesPerTrigger: Option[Int] = None)
     extends TopicSink with TopicSource {
+  /** Streaming writes go through foreachBatch plain appends, NOT the
+    * FileStreamSink: the sink's `_spark_metadata` log is authoritative for
+    * readers and would make batch appends (Genesis backfill, P16)
+    * invisible, and a second writer lineage could never join the log. The
+    * cost is at-least-once files on crash-replay — exactly the engine's
+    * contract (at-least-once producer + idempotent LWW consumer,
+    * SURVEY §7.4.7), so duplicates converge downstream. */
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
-    w.format("parquet").option("path", s"$root/$topic")
+    w.foreachBatch { (b: DataFrame, _: Long) =>
+      appendBatch(b, topic)
+    }
 
   def appendBatch(df: DataFrame, topic: String): Unit =
     df.write.mode("append").parquet(s"$root/$topic")
@@ -67,9 +76,19 @@ final class FileTopics(root: String, maxFilesPerTrigger: Option[Int] = None)
   * through the shared interface contract). Keys map to Kafka message keys
   * (per-partition ordering), `partition_key` to the partitioner input, and
   * null `value` publishes a tombstone for log compaction. */
-final class KafkaTopics(bootstrapServers: String) extends TopicSink with TopicSource {
-  override def prepare(df: DataFrame): DataFrame =
-    df.selectExpr("kafka_key AS key", "value")
+/** `numPartitions`, when the deployment knows the topic's partition
+  * count, routes `partition_key` to an explicit `partition` column
+  * (`pmod(hash(partition_key), n)`) — Spark's Kafka sink has no
+  * partitioner-input concept, so without it messages partition by message
+  * key and the reference's per-entity partition affinity (P10) is lost. */
+final class KafkaTopics(bootstrapServers: String,
+    numPartitions: Option[Int] = None) extends TopicSink with TopicSource {
+  override def prepare(df: DataFrame): DataFrame = numPartitions match {
+    case Some(n) =>
+      df.select(col("kafka_key").as("key"), col("value"),
+        pmod(hash(col("partition_key")), lit(n)).cast("int").as("partition"))
+    case None => df.selectExpr("kafka_key AS key", "value")
+  }
 
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
     w.format("kafka")

@@ -279,14 +279,19 @@ class StreamingPipelineSpec extends SparkSpec {
         bindings.changes(s, m)
       def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = clickSnap
     }
-    val targets = Engine.genesis(spark, reg, gBindings, "click", s"$tmp/gen")
+    // genesis appends into the SAME topic directory the streaming producer
+    // wrote — a FileStreamSink output whose _spark_metadata log is
+    // authoritative, so the append must go through the sink to be visible
+    def clickUpdates(): Long = graft.codec.EnvelopeCodec.explodeRecords(
+      graft.codec.EnvelopeCodec.decode(
+        spark.read.parquet(s"$tmp/work/topics/v2_events")))
+      .filter($"event" === "click_updated").count()
+    val beforeGenesis = clickUpdates()
+    val targets = Engine.genesis(spark, reg, gBindings, "click", s"$tmp/work")
     assert(targets == Seq("v2_events"))
-    val wire = spark.read.parquet(s"$tmp/gen/topics/v2_events")
-    val genesisRows = graft.codec.EnvelopeCodec.explodeRecords(
-      graft.codec.EnvelopeCodec.decode(wire))
-    // exactly one <model>_updated genesis event per snapshot row
-    assert(genesisRows.filter($"event" === "click_updated").count() ==
-      clickSnap.count())
+    // exactly one additional <model>_updated event per snapshot row,
+    // VISIBLE through the metadata-log-respecting reader
+    assert(clickUpdates() == beforeGenesis + clickSnap.count())
     // dependency-only models are refused (P19)
     val depReg = Registry("v3", Seq(
       TopicDef("orders", Seq(ModelDef("order", sideloads = Seq("line"))))),

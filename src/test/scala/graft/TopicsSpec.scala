@@ -43,6 +43,15 @@ class TopicsSpec extends SparkSpec {
     val prepared = kt.prepare(
       Seq(("Event:1", "p", "{}", "x")).toDF("kafka_key", "partition_key", "value", "ts"))
     assert(prepared.columns.toSeq == Seq("key", "value"))
+    // with a known partition count, partition_key drives an explicit
+    // partition column (P10 affinity); same key → same partition
+    val kt2 = new KafkaTopics("b:9092", numPartitions = Some(12))
+    val p2 = kt2.prepare(Seq(
+      ("Event:1", "acct-7", "{}", "x"), ("Event:2", "acct-7", "{}", "x"))
+      .toDF("kafka_key", "partition_key", "value", "ts"))
+    assert(p2.columns.toSeq == Seq("key", "value", "partition"))
+    val parts = p2.select("partition").as[Int].collect()
+    assert(parts.toSet.size == 1 && parts.forall(p => p >= 0 && p < 12))
   }
 
   test("KafkaTopics source requests the kafka format by name") {
@@ -56,8 +65,15 @@ class TopicsSpec extends SparkSpec {
   test("FileTopics sink/source round-trip shares the per-topic directory") {
     val root = java.nio.file.Files.createTempDirectory("graft-ft").toString
     val topics = new FileTopics(root)
+    // streaming writes route through foreachBatch appends (no
+    // _spark_metadata ownership — batch and streaming writers can mix)
     val w = topics.apply(writer, "v1_events")
-    assert(source(w) == "parquet")
-    assert(options(w)("path") == s"$root/v1_events")
+    assert(field[AnyRef](w, "foreachBatchWriter") != null)
+    // batch append lands in the same per-topic directory the source reads
+    topics.appendBatch(
+      Seq(("k1", "p", "{}", new java.sql.Timestamp(0)))
+        .toDF("kafka_key", "partition_key", "value", "ts"), "v1_events")
+    assert(new java.io.File(s"$root/v1_events").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
   }
 }
