@@ -45,6 +45,20 @@ object TextDedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup for continuous ingest: keep the first document
+    * per content hash across micro-batches, with watermark-bounded state —
+    * the state store holds one 32-byte hash per distinct document inside
+    * the event-time window, never the documents, so state is bounded at
+    * any corpus rate. Duplicates arriving later than `delay` behind the
+    * stream may pass through; a periodic batch [[exact]] pass sweeps the
+    * tail (the standard lambda cleanup). */
+  def exactStreaming(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Exact Jaccard similarity of two token arrays (|∩| / |∪|), computed
     * from intersection size only — no union materialization. */
   def jaccard(a: Column, b: Column): Column = {

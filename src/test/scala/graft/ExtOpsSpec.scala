@@ -32,6 +32,33 @@ class ExtOpsSpec extends SparkSpec {
       && got(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("streaming exact dedup drops cross-batch duplicates with bounded state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    // two files = two micro-batches (maxFilesPerTrigger=1); the duplicate
+    // content arrives in the SECOND batch and must be dropped by state
+    Seq((1L, "alpha beta gamma", "2026-01-01 10:00:00"),
+        (2L, "unrelated text here", "2026-01-01 10:00:01"))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts", $"ts".cast("timestamp")).write.parquet(s"$tmp/in/f1")
+    Seq((3L, "alpha beta gamma", "2026-01-01 10:00:02"),
+        (4L, "fresh content", "2026-01-01 10:00:03"))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts", $"ts".cast("timestamp")).write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = TextDedup.exactStreaming(in, "doc_id", "text", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("sdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) != kept.contains(3L),
+      s"exactly one copy of the duplicate content must survive: $kept")
+    assert(kept.contains(2L) && kept.contains(4L))
+  }
+
   test("minhash LSH finds the planted near-dup and the exact dup") {
     val pairs = TextDedup.minhashLshPairs(docs, "doc_id", "text",
         k = 16, bands = 8, shingleN = 2, threshold = 0.5)
