@@ -151,6 +151,29 @@ object StandardQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin),
 
+    // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
+    // independent aggregation grains in one shuffle with a grouping-id —
+    // not one pass per set.
+    "q18_grouping_sets" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q18_orders")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS priority,
+                 count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM q18_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          ORDER BY status, priority""")
+      },
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin),
+
     // Set operations (INTERSECT / EXCEPT) — hash-based distinct set ops at
     // user-day granularity.
     "q07_setops" -> entry(

@@ -167,9 +167,10 @@ final class ParquetReplica(spark: SparkSession, root: String,
       new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
     else -1
 
-  /** bucket → directory (relative to root) of the given version. */
+  /** bucket → directory (relative to root) of the given version; empty
+    * for versions whose manifest was vacuumed. */
   def manifest(v: Int): Map[Int, String] =
-    if (v < 0) Map.empty
+    if (v < 0 || !new java.io.File(fs, s"v$v.manifest").exists) Map.empty
     else {
       val f = new java.io.File(fs, s"v$v.manifest")
       new String(java.nio.file.Files.readAllBytes(f.toPath)).linesIterator
@@ -212,6 +213,10 @@ final class ParquetReplica(spark: SparkSession, root: String,
     java.nio.file.Files.write(
       new java.io.File(fs, s"v$next.manifest").toPath, body.getBytes)
     java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
+    // long-running consumers (Engine.start) never reach an explicit
+    // vacuum point — reclaim on a fixed cadence, retaining a window for
+    // in-flight readers (synchronized is reentrant; the lock is held here)
+    if (next > 0 && next % 64 == 0) vacuum(retainVersions = 16)
   }
 
   /** Apply an arbitrary state transition over the FULL table and publish
@@ -244,28 +249,34 @@ final class ParquetReplica(spark: SparkSession, root: String,
     }
 
   /** Drop version directories and manifests no longer reachable from the
-    * current manifest — the Delta `VACUUM` analogue. Readers of the
-    * current version are unaffected (its bucket dirs survive by
-    * definition); concurrent writers are excluded by the root lock. */
-  def vacuum(): Unit = ParquetReplica.lockFor(root).synchronized {
-    val current = currentVersion
-    if (current < 0) return
-    val live = manifest(current).values.map(_.split("/")(0)).toSet + s"v$current"
-    Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val name = f.getName
-      val isOldVersionDir = f.isDirectory && name.matches("v\\d+") &&
-        !live.contains(name)
-      val isOldManifest = name.matches("v\\d+\\.manifest") &&
-        name != s"v$current.manifest"
-      if (isOldVersionDir || isOldManifest) {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete()
+    * newest `retainVersions + 1` manifests — the Delta `VACUUM` analogue.
+    * `retainVersions = 0` reclaims everything but the current version
+    * (safe once writers/readers are drained); a positive retention keeps a
+    * window for in-flight readers whose lazy plans still reference recent
+    * versions. Concurrent writers are excluded by the root lock. */
+  def vacuum(retainVersions: Int = 0): Unit =
+    ParquetReplica.lockFor(root).synchronized {
+      val current = currentVersion
+      if (current < 0) return
+      val floor = math.max(0, current - retainVersions)
+      val live = (floor to current).flatMap { v =>
+        manifest(v).values.map(_.split("/")(0)).toSeq :+ s"v$v"
+      }.toSet
+      Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val name = f.getName
+        val isOldVersionDir = f.isDirectory && name.matches("v\\d+") &&
+          !live.contains(name)
+        val isOldManifest = name.matches("v\\d+\\.manifest") &&
+          name.stripPrefix("v").stripSuffix(".manifest").toInt < floor
+        if (isOldVersionDir || isOldManifest) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete()
+          }
+          rm(f)
         }
-        rm(f)
       }
     }
-  }
 
   /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract) into
     * the replica, rewriting only the buckets that contain updated keys;
