@@ -24,6 +24,41 @@ object ExtQueries {
       """SELECT min(doc_id) AS rep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin),
 
+    // Vocabulary-coverage scoring (curation QA): fraction of each doc's
+    // tokens outside the corpus top-1000 vocabulary. The vocab is a
+    // deterministic top-k (count desc, token tiebreak) that broadcasts to
+    // the token join; the per-doc aggregation partial-aggregates before
+    // its single shuffle — the 100 TB shape for any "score docs against a
+    // corpus-level dictionary" operator.
+    "x20_oov_ratio" -> entry(
+      (s, dir) => {
+        val toks = tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(1000)
+          .select(col("tok"), lit(1).as("__in"))
+        toks.join(vocab, Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tok")).as("oov_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 1000))
+        |SELECT doc_id, count(*) AS n_tok,
+        | CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_ratio
+        |FROM toks LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Corpus length-distribution quantiles per source (curation QA):
     // exact interpolated percentiles — one partial-aggregated shuffle;
     // at 100 TB swap `percentile` for `percentile_approx` (fixed-memory
