@@ -159,7 +159,10 @@ object Similarity {
     val features = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("arr"))
       .withColumn("features", array_to_vector(col("arr")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L)
+    // a coarse quantizer needs usable cells, not converged ones: cap the
+    // iterations (default 20) — recall is governed by nProbe, not by the
+    // last few centroid refinements
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(features)
 
     val assigned = model.transform(features)

@@ -207,10 +207,6 @@ object TextDedup {
     // plan once per branch.
     val p0 = pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = true)
-    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = true)
 
     // right-size the loop's shuffles to the dup graph, not the session
     // default: the label/edge frames are bounded by the pair count (tiny
@@ -221,10 +217,13 @@ object TextDedup {
     val defaultParts =
       pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L,
-      math.min(edges.count() / 500000L, defaultParts.toLong)).toInt
-    connectedComponentsLoop(
-      edges.repartition(parts, col("dst")).localCheckpoint(eager = true),
-      parts, maxIterations)
+      math.min(p0.count() * 2 / 500000L, defaultParts.toLong)).toInt
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .repartition(parts, col("dst"))
+      .localCheckpoint(eager = true)
+    connectedComponentsLoop(edges, parts, maxIterations)
   }
 
   private def connectedComponentsLoop(
