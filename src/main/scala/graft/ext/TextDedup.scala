@@ -155,11 +155,14 @@ object TextDedup {
       array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
       explode(array(bandKeys: _*)).as("bk"))
     val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
+    // NO distinct here: multi-band duplicate candidates (a few percent)
+    // ride through verification and dedup AFTER the threshold filter,
+    // where the row count is orders of magnitude smaller — one large
+    // shuffle traded for a tiny one, identical results
     val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (eqCount.cast("double") / k).as("est_jac"))
-      .distinct()
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
     // move and ~2× faster to merge-walk than the raw strings; 64-bit
     // collisions are negligible for near-dup verification
@@ -180,6 +183,7 @@ object TextDedup {
         inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
+      .distinct()
   }
 
   /** Near-dup cluster resolution: connected components over a pair list by
