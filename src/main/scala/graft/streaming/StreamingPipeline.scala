@@ -197,9 +197,13 @@ final class ParquetReplica(spark: SparkSession, root: String,
     pmod(hash(c), lit(buckets))
 
   /** Write `df` bucket-partitioned under `v{next}` and return the bucket →
-    * directory entries actually written (empty buckets leave no dir). */
+    * directory entries actually written (empty buckets leave no dir).
+    * Repartitioned BY bucket first so each bucket directory holds one
+    * file per version — without it every shuffle partition spills a
+    * fragment into every bucket (a small-file explosion at any scale). */
   private def writeBuckets(df: DataFrame, next: Int): Map[Int, String] = {
     df.withColumn("__b", bucketOf(col("synced_id")))
+      .repartition(buckets, col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
     val dirs = Option(new java.io.File(fs, s"v$next")
         .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
