@@ -94,6 +94,16 @@ object Engine {
       trackLocalChanges: Boolean = false,
       dedupDelay: String = "1 hour")
 
+  /** Soft-delete image of a snapshot frame: the optional `__canceled`
+    * column when the binding provides it, else null (all rows live).
+    * Snapshot-derived serializations (sideload embed, observer republish,
+    * genesis) must carry it — serializing canceled_at as null would
+    * RESTORE soft-deleted records on the consumer (C9 restore semantics:
+    * a live payload lacking canceled_at clears it). */
+  private def snapshotCanceled(snap: DataFrame): Column =
+    if (snap.columns.contains("__canceled")) col("__canceled")
+    else lit(null).cast("timestamp")
+
   /** Every model the consumer persists: published models plus sideloaded
     * dependency models (each gets its own replica table). */
   def consumedModels(registry: Registry): Seq[ModelDef] =
@@ -126,11 +136,13 @@ object Engine {
     }
     producers.foreach(_.awaitTermination())
 
-    // consumer half: replicas per model, one query per topic
+    // consumer half: replicas per model, one query per consumed topic
+    // (genesis replica topics are consumed alongside their primaries,
+    // as the reference's consumer subscribes both)
     val replicas = makeReplicas(spark, registry, workDir)
-    val consumers = registry.topics.map { t =>
-      consumeTopic(spark, registry, t, topics, replicas, workDir, options,
-        Trigger.AvailableNow())
+    val consumers = consumedTopicNames(registry).map { case (t, name) =>
+      consumeTopic(spark, registry, t, name, topics, replicas, workDir,
+        options, Trigger.AvailableNow())
     }
     consumers.foreach(_.awaitTermination())
     // drained: no concurrent writers, so reclaim unreachable versions
@@ -160,13 +172,21 @@ object Engine {
       produceTopic(spark, registry, t, bindings, topics,
         s"$workDir/cp/produce/${registry.topicName(t)}", trigger)
     }
-    val consumers = registry.topics.map { t =>
-      consumeTopic(spark, registry, t, topics, replicas, workDir, options,
-        trigger)
+    val consumers = consumedTopicNames(registry).map { case (t, name) =>
+      consumeTopic(spark, registry, t, name, topics, replicas, workDir,
+        options, trigger)
     }
     (producers ++ consumers,
       EngineResult(registry.topics.map(registry.topicName), replicas))
   }
+
+  /** Every (topic, physical name) the consumer subscribes: the primary
+    * topic plus, where declared, its `_genesis` replica twin. */
+  private def consumedTopicNames(registry: Registry): Seq[(TopicDef, String)] =
+    registry.topics.flatMap { t =>
+      Seq(t -> registry.topicName(t)) ++
+        (if (t.genesisReplica) Seq(t -> registry.genesisTopicName(t)) else Nil)
+    }
 
   private def makeReplicas(spark: SparkSession, registry: Registry,
       workDir: String): Map[String, ParquetReplica] =
@@ -196,13 +216,10 @@ object Engine {
       throw new IllegalArgumentException(s"unknown model $modelName"))
     val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
     val snap = bindings.snapshot(spark, m)
-    val canceled =
-      if (snap.columns.contains("__canceled")) col("__canceled")
-      else lit(null).cast("timestamp")
     val changes = snap
       .withColumn("__op", lit("update"))
       .withColumn("__old_canceled", lit(null).cast("timestamp"))
-      .withColumn("__new_canceled", canceled)
+      .withColumn("__new_canceled", snapshotCanceled(snap))
     registry.topics.filter(_.models.exists(_.name == modelName)).map { t =>
       val target =
         if (t.genesisReplica) registry.genesisTopicName(t)
@@ -282,9 +299,10 @@ object Engine {
           s"sideload $dep on ${m.name} needs a matching hasMany association"))
       val child = registry.modelDef(dep).getOrElse(
         throw new IllegalArgumentException(s"unknown sideload model $dep"))
+      val snap = bindings.snapshot(spark, child)
       val childPayload = Serializers.wirePayload(child,
-        col("__ts"), col("__ts"), lit(null).cast("timestamp"))
-      val nested = bindings.snapshot(spark, child)
+        col("__ts"), col("__ts"), snapshotCanceled(snap))
+      val nested = snap
         .select(col(assoc.fk).cast("long").as("__pk"),
           struct(col(child.primaryKey).cast("long").as("k"),
             childPayload.as("p")).as("__kp"))
@@ -386,7 +404,7 @@ object Engine {
       lit(s"${m.name}_${EventType.Updated}").as("event"),
       lit(m.name).as("model_name"),
       array(to_json(Serializers.wirePayload(m,
-        col("__ts"), col("__ts"), lit(null).cast("timestamp")))).as("data"),
+        col("__ts"), col("__ts"), snapshotCanceled(dependents)))).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
       Serializers.partitionKey(
         t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
@@ -402,12 +420,12 @@ object Engine {
       spark: SparkSession,
       registry: Registry,
       t: TopicDef,
+      topicName: String,
       source: TopicSource,
       replicas: Map[String, ParquetReplica],
       workDir: String,
       options: EngineOptions,
       trigger: Trigger): StreamingQuery = {
-    val topicName = registry.topicName(t)
     val wire = source.open(spark, topicName)
     val deduped =
       if (t.dedupIncoming)
@@ -491,8 +509,12 @@ object Engine {
 
     // C4 recursion: embedded sideload payloads persist as their own models
     m.sideloads.foreach { dep =>
-      val child = registry.modelDef(dep).get
-      val assoc = m.hasMany.find(_.model == dep).get
+      val child = registry.modelDef(dep).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown sideload model $dep on ${m.name}"))
+      val assoc = m.hasMany.find(_.model == dep).getOrElse(
+        throw new IllegalArgumentException(
+          s"sideload $dep on ${m.name} needs a matching hasMany association"))
       val live = parsed.filter(col("event_type") =!= EventType.Destroyed)
       val childParsed = live
         .select(explode(col(s"rec.$dep")).as("rec"))
@@ -519,11 +541,6 @@ object Engine {
     }
   }
 
-  /** Shape parsed records onto the model's replica schema (C5 renames,
-    * links flattening) and LWW-merge. Destroyed events carry only the key
-    * and timestamps on the wire (P9), so their merge preserves the current
-    * row's attributes — the reference's `record.cancel` touches only
-    * `canceled_at` (synchronizable_model.rb:40-50). */
   /** Project parsed records onto the model's replica update shape: C5
     * renames, link flattening, timestamp casts, raw payload carry. */
   private def shapeRecords(m: ModelDef, parsed: DataFrame): DataFrame = {
@@ -546,6 +563,11 @@ object Engine {
         Seq(col("payload_json").as("synced_data")): _*)
   }
 
+  /** LWW-merge one model's shaped records into its replica. Destroyed
+    * events carry only the key and timestamps on the wire (P9), so their
+    * merge preserves the current row's attributes — the reference's
+    * `record.cancel` touches only `canceled_at`
+    * (synchronizable_model.rb:40-50). */
   private def mergeRecords(
       m: ModelDef,
       parsed: DataFrame,
@@ -564,40 +586,43 @@ object Engine {
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at",
       tiebreak = Seq("event_type", "synced_data"))
 
-    // C12: capture the touched keys' pre-merge state for change tracking
     val touched = latest.select(col("synced_id"))
-    val before =
-      if (options.trackLocalChanges && consumedDir.isDefined)
-        Some(replica.read().join(touched, Seq("synced_id"), "left_semi")
-          .localCheckpoint(true))
-      else None
-
-    // C14: publish consumed events next to the merge (batch_events_publisher)
-    def publishConsumed(): Unit = consumedDir.foreach { dir =>
-      val localChanges = before.map { b =>
-        val after = replica.read()
-          .join(touched, Seq("synced_id"), "left_semi")
-        Persistor.localChanges(b, after, m.attributes.map(_.name))
-      }
-      ConsumerOps.consumedEvents(latest, topicName, m.name, localChanges)
-        .write.mode("append").parquet(dir)
-    }
-
     // preserve current attributes under destroy (key-only payload); the
     // join is key-local, so the incremental merge stays touched-bucket-only
     val preserve = m.attributes.map(_.name) ++ linkCols :+ "synced_created_at"
-    replica.merge(latest, (current, upd) => {
-      val cur = current.select(
-        col("synced_id") +:
-          preserve.map(c => col(c).as(s"__cur_$c")): _*)
-      upd.join(cur, Seq("synced_id"), "left")
-        .select(
-          upd.columns.filterNot(preserve.contains).map(col) ++
-            preserve.map(c =>
-              when(col("event_type") === EventType.Destroyed,
-                coalesce(col(s"__cur_$c"), col(c)))
-                .otherwise(col(c)).as(c)): _*)
-    })
-    publishConsumed()
+    // the whole capture → merge → diff sequence holds the replica lock:
+    // a model reachable through several topics is merged by several
+    // concurrent queries, and a C12 diff against a snapshot another
+    // query advanced would attribute foreign changes to this batch
+    replica.withLock {
+      // C12: touched keys' pre-merge state (no-op unless tracking)
+      val before =
+        if (options.trackLocalChanges && consumedDir.isDefined)
+          Some(replica.read().join(touched, Seq("synced_id"), "left_semi")
+            .localCheckpoint(true))
+        else None
+      replica.merge(latest, (current, upd) => {
+        val cur = current.select(
+          col("synced_id") +:
+            preserve.map(c => col(c).as(s"__cur_$c")): _*)
+        upd.join(cur, Seq("synced_id"), "left")
+          .select(
+            upd.columns.filterNot(preserve.contains).map(col) ++
+              preserve.map(c =>
+                when(col("event_type") === EventType.Destroyed,
+                  coalesce(col(s"__cur_$c"), col(c)))
+                  .otherwise(col(c)).as(c)): _*)
+      })
+      // C14: publish consumed events next to the merge
+      consumedDir.foreach { dir =>
+        val localChanges = before.map { b =>
+          val after = replica.read()
+            .join(touched, Seq("synced_id"), "left_semi")
+          Persistor.localChanges(b, after, m.attributes.map(_.name))
+        }
+        ConsumerOps.consumedEvents(latest, topicName, m.name, localChanges)
+          .write.mode("append").parquet(dir)
+      }
+    }
   }
 }

@@ -116,8 +116,11 @@ object Similarity {
     * For exact semantics at loose thresholds use [[cosineNearDupPairs]]. */
   def cosineNearDupPairsLsh(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 32, bands: Int = 8, dim: Int = 64,
+      threshold: Double, nBits: Int = 64, bands: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // default 8 bits/band: a RANDOM pair collides in some band with
+    // probability ≈ bands/2^bitsPerBand ≈ 3% — the quadratic term actually
+    // shrinks. 4-bit bands would admit ~40% of all pairs as candidates.
     graft.functions.Functions.register(df.sparkSession)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1

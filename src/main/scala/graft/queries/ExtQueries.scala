@@ -155,11 +155,23 @@ object ExtQueries {
     // candidates from hyperplane-signature bands, exact cosine within
     // buckets only — rows-only (seeded hyperplanes).
     "x18_embedding_neardup_lsh" -> rowsOnly(
-      (s, dir) =>
-        Similarity.cosineNearDupPairsLsh(tbl(s, dir, "embeddings"),
-            "vec_id", "embedding", threshold = 0.5, nBits = 32, bands = 8)
+      (s, dir) => {
+        // high-threshold operating point — the regime banding is FOR:
+        // 8-bit bands admit ~3% of random pairs while duplicates collide
+        // surely (identical vectors share every band). The synthetic
+        // corpus is random (no true near-dups), so plant one duplicate
+        // per vector — the canonical repeated-asset dedup shape — and
+        // LSH must recover exactly those pairs; loose thresholds belong
+        // to the exact blocked path (x17).
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val corpus = e.unionByName(
+          e.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        Similarity.cosineNearDupPairsLsh(corpus,
+            "vec_id", "embedding", threshold = 0.99)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
-          .orderBy(col("id_a"), col("id_b"))),
+          .orderBy(col("id_a"), col("id_b"))
+      }),
 
     // LSH-bucketed ANN (scale path) — rows-only (seeded hyperplanes).
     "x06_ann_lsh" -> rowsOnly(

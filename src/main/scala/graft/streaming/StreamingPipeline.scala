@@ -217,11 +217,13 @@ final class ParquetReplica(spark: SparkSession, root: String,
     java.nio.file.Files.write(
       new java.io.File(fs, s"v$next.manifest").toPath, body.getBytes)
     java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
-    // long-running consumers (Engine.start) never reach an explicit
-    // vacuum point — reclaim on a fixed cadence, retaining a window for
-    // in-flight readers (synchronized is reentrant; the lock is held here)
-    if (next > 0 && next % 64 == 0) vacuum(retainVersions = 16)
   }
+
+  /** Run `f` under this replica's writer lock — for callers that must
+    * compose a read-and-merge atomically (e.g. C12 change capture).
+    * Reentrant with [[merge]]/[[transform]]/[[vacuum]]. */
+  def withLock[A](f: => A): A =
+    ParquetReplica.lockFor(root).synchronized(f)
 
   /** Apply an arbitrary state transition over the FULL table and publish
     * the next version (used for whole-table operations like C11
