@@ -429,6 +429,49 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("price").as[Double].collect()(0) == 8.0)
   }
 
+  test("Engine: genesis replica topics are consumed; soft deletes propagate") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-genrep").toString
+    val chg = s"$tmp/chg"
+    // the live change stream only ever sees order 1
+    Seq((1L, 10.0)).toDF("id", "total")
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-04-02 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    // the snapshot has 10 orders, one of them soft-deleted at the source
+    val snap = spark.range(1, 11)
+      .select($"id", ($"id" * 10.0).as("total"))
+      .withColumn("__ts", lit("2026-04-01 00:00:00").cast("timestamp"))
+      .withColumn("__canceled",
+        when($"id" === 7L, lit("2026-03-01 00:00:00").cast("timestamp")))
+    val reg = Registry("v10", Seq(TopicDef("orders",
+      models = Seq(ModelDef("order",
+        attributes = Seq(Attribute("total", DoubleType)))),
+      genesisReplica = true)))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = snap
+    }
+    // backfill into the genesis replica topic, then run the registry
+    val targets = Engine.genesis(spark, reg, bindings, "order", s"$tmp/work")
+    assert(targets == Seq("v10_orders_genesis"))
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val replica = res.replicas("order").read()
+    // every snapshot row arrived through the genesis topic, not just the
+    // one the change stream carried
+    assert(replica.count() == 10, s"got ${replica.count()}")
+    assert(replica.filter($"synced_id" === 1L)
+      .select("total").as[Double].collect()(0) == 10.0)
+    // the source-side soft delete survives the backfill (no restore)
+    val canceled = replica.filter($"synced_canceled_at".isNotNull)
+      .select("synced_id").as[Long].collect().toSet
+    assert(canceled == Set(7L), s"got $canceled")
+  }
+
   test("Engine: compacted topics tombstone hard deletes") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
