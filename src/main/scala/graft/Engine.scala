@@ -8,7 +8,7 @@ import graft.consumer.{ConsumerOps, Persistor}
 import graft.model.Schemas.EventType
 import graft.producer.{EventClassifier, Observers, Serializers}
 import graft.registry.{ModelDef, Registry, TopicDef}
-import graft.streaming.{FileTopics, ParquetReplica, TopicSink, TopicSource}
+import graft.streaming.{FileTopics, ParquetReplica, Replica, TopicSink, TopicSource}
 
 /** The registry-driven engine — the Spark analogue of
   * `Dionysus.initialize_application!` (reference: lib/dionysus.rb:23-41):
@@ -65,7 +65,7 @@ object Engine {
 
   final case class EngineResult(
       topics: Seq[String],
-      replicas: Map[String, ParquetReplica])
+      replicas: Map[String, Replica])
 
   /** Consumer-side behavior knobs, all registry-adjacent (the reference
     * configures these per consumer app):
@@ -189,10 +189,11 @@ object Engine {
     }
 
   private def makeReplicas(spark: SparkSession, registry: Registry,
-      workDir: String): Map[String, ParquetReplica] =
+      workDir: String): Map[String, Replica] =
     consumedModels(registry).map { m =>
-      m.name -> new ParquetReplica(spark,
-        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL)
+      m.name -> (new ParquetReplica(spark,
+        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL,
+        buckets = m.buckets): Replica)
     }.toMap
 
   /** P16–P18 through the registry-derived serializer: stream the model's
@@ -289,6 +290,26 @@ object Engine {
       .withColumn("__et", EventClassifier.eventType(
         col("__op"), col("__old_canceled"), col("__new_canceled")))
       .filter(col("__et").isNotNull)
+
+    // `serialize: false` DTO bypass (reference:
+    // karafka_responder_generator.rb:72-75, README.md:180-213): the model
+    // ships an IDs-only payload on EVERY event type — no attributes, no
+    // sideload joins. Column pruning then reaches the source scan: the
+    // whole wire frame reads just the primary key and the meta columns.
+    if (!m.serialize) {
+      val destroyed = col("__et") === EventType.Destroyed
+      val canceledAt = coalesce(col("__new_canceled"),
+        when(destroyed, col("__ts")))
+      return classified.select(
+        EventClassifier.eventName(lit(m.name), col("__et")).as("event"),
+        lit(m.name).as("model_name"),
+        array(to_json(Serializers.destroyedPayload(m,
+          col("__ts"), col("__ts"), canceledAt))).as("data"),
+        EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
+        Serializers.partitionKey(
+          t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+        col("__ts").as("ts"))
+    }
 
     // P8: left-join each sideloaded child's snapshot, pre-aggregated by FK
     // into (embedded payload array, id array) — one shuffle per child model,
@@ -422,15 +443,21 @@ object Engine {
       t: TopicDef,
       topicName: String,
       source: TopicSource,
-      replicas: Map[String, ParquetReplica],
+      replicas: Map[String, Replica],
       workDir: String,
       options: EngineOptions,
       trigger: Trigger): StreamingQuery = {
     val wire = source.open(spark, topicName)
     val deduped =
       if (t.dedupIncoming)
+        // fixed-width dedup state: key on (kafka_key, 64-bit payload hash),
+        // never the raw envelope — a megabyte-class sideloaded aggregate
+        // would otherwise sit in the state store for the whole watermark.
+        // Same exact-resend semantics (64-bit collision odds negligible).
         wire.withWatermark("ts", options.dedupDelay)
-          .dropDuplicatesWithinWatermark("kafka_key", "value")
+          .withColumn("__vh", xxhash64(col("kafka_key"), col("value")))
+          .dropDuplicatesWithinWatermark("kafka_key", "__vh")
+          .drop("__vh")
       else wire
     val events = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
     events.writeStream
@@ -483,7 +510,7 @@ object Engine {
       t: TopicDef,
       m: ModelDef,
       batch: DataFrame,
-      replicas: Map[String, ParquetReplica],
+      replicas: Map[String, Replica],
       topicName: String,
       consumedDir: Option[String],
       options: EngineOptions): Unit = {
@@ -534,9 +561,20 @@ object Engine {
           .select(
             col("rec.id").as(assoc.fk),
             explode_outer(col(s"rec.links.${assoc.name}")).as("synced_id"))
-        if (!incoming.isEmpty)
-          replicas(dep).transform(Persistor.disassociateMissingChildren(
-            _, incoming, parentKey = assoc.fk, childKey = "synced_id"))
+        if (!incoming.isEmpty) {
+          // bucket-pruned C11: resolve the doomed child KEYS first (one
+          // key-column semi+anti join against the current replica, with
+          // the micro-batch parent set broadcast), then rewrite only the
+          // buckets those keys hash into — O(batch ∩ buckets) like the
+          // merge itself, never an O(child table) rewrite per batch
+          val rep = replicas(dep)
+          rep.withLock {
+            val doomed = Persistor.disassociatedChildKeys(
+              rep.read(), incoming, parentKey = assoc.fk,
+              childKey = "synced_id").localCheckpoint(true)
+            if (!doomed.isEmpty) rep.destroy(doomed)
+          }
+        }
       }
     }
   }
@@ -571,7 +609,7 @@ object Engine {
   private def mergeRecords(
       m: ModelDef,
       parsed: DataFrame,
-      replica: ParquetReplica,
+      replica: Replica,
       topicName: String,
       consumedDir: Option[String],
       options: EngineOptions): Unit = {
@@ -582,9 +620,12 @@ object Engine {
     // deterministic tiebreak: equal-timestamp events (second-precision CDC
     // writing update+destroy in one tick) must pick the SAME winner on
     // at-least-once replay, or replicas diverge
+    // payload tiebreak by 64-bit hash, not the raw JSON string: the window
+    // sort compares fixed-width longs instead of whole payloads (same
+    // determinism — any total order on equal-timestamp events works)
     val latest = ConsumerOps.keepLatest(shaped,
       keyCols = Seq("synced_id"), orderCol = "synced_updated_at",
-      tiebreak = Seq("event_type", "synced_data"))
+      tiebreak = Seq(col("event_type"), xxhash64(col("synced_data"))))
 
     val touched = latest.select(col("synced_id"))
     // preserve current attributes under destroy (key-only payload); the

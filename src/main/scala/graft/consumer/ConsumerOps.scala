@@ -26,9 +26,9 @@ object ConsumerOps {
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String,
-      tiebreak: Seq[String] = Nil): DataFrame = {
+      tiebreak: Seq[Column] = Nil): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col(orderCol).desc +: tiebreak.map(col(_).desc)): _*)
+      .orderBy((col(orderCol).desc +: tiebreak.map(_.desc)): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -129,6 +129,27 @@ object Persistor {
     keep.unionByName(kept)
   }
 
+  /** C11, incremental form — the child KEYS to disassociate: children of
+    * touched parents absent from the incoming `(parentKey, childKey)`
+    * list. The parent set is the micro-batch (bounded → broadcast); the
+    * child table streams through one semi + one anti join reading only
+    * the two key columns, and the storage layer then rewrites only the
+    * buckets the RESULT keys hash into
+    * ([[graft.streaming.ParquetReplica.destroy]]) — never the whole child
+    * table (reference semantics: persistor.rb:102-152, README.md:869-874). */
+  def disassociatedChildKeys(
+      children: DataFrame,
+      incoming: DataFrame,
+      parentKey: String,
+      childKey: String): DataFrame = {
+    val touchedParents = incoming.select(col(parentKey)).distinct()
+    children.select(col(parentKey), col(childKey))
+      .join(broadcast(touchedParents), Seq(parentKey), "left_semi")
+      .join(incoming.select(col(parentKey), col(childKey)),
+        Seq(parentKey, childKey), "left_anti")
+      .select(col(childKey))
+  }
+
   /** One child model's slice of an aggregate persist (C11). `updates`
     * carry the parent FK so disassociation knows the incoming id list. */
   final case class ChildBatch(

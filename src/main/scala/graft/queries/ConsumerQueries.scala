@@ -42,7 +42,7 @@ object ConsumerQueries {
       (s, dir) => {
         ConsumerOps.keepLatest(ev(s, dir),
             keyCols = Seq("user_id", "event_type"),
-            orderCol = "us", tiebreak = Seq("event_id"))
+            orderCol = "us", tiebreak = Seq(col("event_id")))
           .select(col("user_id"), col("event_type"), col("event_id"),
             col("value"), col("us"))
           .orderBy(col("user_id"), col("event_type"))
@@ -116,12 +116,12 @@ object ConsumerQueries {
     "c07_merge_lww" -> entry(
       (s, dir) => {
         val (before, after) = splitAtMidpoint(s, dir)
-        val target = ConsumerOps.keepLatest(before, Seq("user_id"), "us", Seq("event_id"))
+        val target = ConsumerOps.keepLatest(before, Seq("user_id"), "us", Seq(col("event_id")))
           .select(col("user_id").as("synced_id"),
             col("ts").as("synced_updated_at"), col("ts").as("synced_created_at"),
             lit(null).cast("timestamp").as("synced_canceled_at"),
             col("value"))
-        val updates = ConsumerOps.keepLatest(after, Seq("user_id"), "us", Seq("event_id"))
+        val updates = ConsumerOps.keepLatest(after, Seq("user_id"), "us", Seq(col("event_id")))
           .select(col("user_id").as("synced_id"),
             col("ts").as("synced_updated_at"), col("ts").as("synced_created_at"),
             lit(null).cast("timestamp").as("canceled_at"),
@@ -148,7 +148,7 @@ object ConsumerQueries {
     // restores (clears) it.
     "c09_soft_delete" -> entry(
       (s, dir) => {
-        ConsumerOps.keepLatest(ev(s, dir), Seq("user_id"), "us", Seq("event_id"))
+        ConsumerOps.keepLatest(ev(s, dir), Seq("user_id"), "us", Seq(col("event_id")))
           .select(col("user_id"),
             when(col("event_type") === "error", col("us")).as("canceled_us"),
             col("event_type").as("last_event"))
@@ -194,10 +194,10 @@ object ConsumerQueries {
     "c12_local_changes" -> entry(
       (s, dir) => {
         val (before, after) = splitAtMidpoint(s, dir)
-        val pre = ConsumerOps.keepLatest(before, Seq("user_id"), "us", Seq("event_id"))
+        val pre = ConsumerOps.keepLatest(before, Seq("user_id"), "us", Seq(col("event_id")))
           .select(col("user_id").as("synced_id"), col("value"))
         val post = ConsumerOps.keepLatest(
-            before.unionByName(after), Seq("user_id"), "us", Seq("event_id"))
+            before.unionByName(after), Seq("user_id"), "us", Seq(col("event_id")))
           .select(col("user_id").as("synced_id"), col("value"))
         Persistor.localChanges(pre, post, Seq("value"))
           .select(col("synced_id"), explode(col("local_changes")).as(Seq("attr", "change")))

@@ -40,7 +40,13 @@ final case class ModelDef(
     sideloads: Seq[String] = Nil,
     observers: Seq[ObserverDef] = Nil,
     softDeleteColumn: String = "canceled_at",
-    serialize: Boolean = true) {
+    serialize: Boolean = true,
+    /** Replica hash-bucket count — the per-model storage layout knob
+      * ([[graft.streaming.ParquetReplica]]); size it so one bucket's rows
+      * fit an executor's memory (the 100 TB guidance is thousands of
+      * buckets for the biggest models; re-bucket online via
+      * `ParquetReplica.compact`). */
+    buckets: Int = 16) {
 
   /** Registry-derived AGGREGATE StructType: the payload schema with
     * sideloaded dependency payloads embedded (to-one as struct, to-many as
@@ -162,7 +168,12 @@ final case class Registry(namespace: String, topics: Seq[TopicDef],
       s"Genesis cannot be executed for dependency-only model $model — stream its parent instead")
 
   /** Plan-time validation (reference: validator.rb:82-102): every observed
-    * attribute must be a declared column of the observed model. */
+    * attribute must be a declared column of the observed model, and every
+    * observer association path — including dotted chains
+    * (producer.rb:110-115) — must walk declared associations and end at
+    * the model that declared the observer. Rejects a bad registry without
+    * starting Spark: the failure surfaces at registration, not when the
+    * first matching changeset arrives mid-stream. */
   def validate(): Unit = {
     for {
       m <- allModels
@@ -172,5 +183,23 @@ final case class Registry(namespace: String, topics: Seq[TopicDef],
     } require(
       target.attributes.exists(_.name == attr) || graft.model.Schemas.reservedAttrs.contains(attr),
       s"observer on ${o.model} references unknown attribute $attr")
+    for (m <- allModels; o <- m.observers) {
+      val observed = modelDef(o.model).getOrElse(
+        throw new IllegalArgumentException(
+          s"observer on ${m.name} references unknown model ${o.model}"))
+      val end = o.association.split('.').foldLeft(observed) { (cur, seg) =>
+        val assoc = (cur.hasMany ++ cur.hasOne).find(_.name == seg).getOrElse(
+          throw new IllegalArgumentException(
+            s"observer path ${o.association} on ${o.model}: segment $seg " +
+              s"is not a declared association of ${cur.name}"))
+        modelDef(assoc.model).getOrElse(
+          throw new IllegalArgumentException(
+            s"observer path ${o.association} on ${o.model}: unknown model " +
+              assoc.model))
+      }
+      require(end.name == m.name,
+        s"observer path ${o.association} on ${o.model} ends at ${end.name}, " +
+          s"but ${m.name} declared it")
+    }
   }
 }

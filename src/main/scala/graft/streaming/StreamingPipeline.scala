@@ -69,14 +69,20 @@ object StreamingPipeline {
 
   /** Consumer half: file topic → decode → watermarked exact-resend dedup →
     * per-batch keep-latest → idempotent merge into the replica store. */
-  def consume(spark: SparkSession, topicDir: String, replica: ParquetReplica,
+  def consume(spark: SparkSession, topicDir: String, replica: Replica,
       checkpointDir: String): Unit = {
     val schema = spark.read.parquet(topicDir).schema
     val wire = spark.readStream.schema(schema).parquet(topicDir)
 
     val decoded = ConsumerOps.decodeRecords(
         wire.withWatermark("ts", "1 hour")
-          .dropDuplicatesWithinWatermark("kafka_key", "value"),
+          // fixed-width dedup state: key on a 64-bit payload hash, not the
+          // raw envelope — megabyte-class payloads must never sit in the
+          // state store for the whole watermark (same exact-resend
+          // semantics; 64-bit collision odds are negligible for dedup)
+          .withColumn("__vh", xxhash64(col("kafka_key"), col("value")))
+          .dropDuplicatesWithinWatermark("kafka_key", "__vh")
+          .drop("__vh"),
         org.apache.spark.sql.types.StructType.fromDDL(
           "id LONG, event_type STRING, value DOUBLE, updated_us LONG"))
       .select(
@@ -137,6 +143,46 @@ object StatefulLww {
   }
 }
 
+/** The consumer's storage surface — what `Persistor` needs from a replica
+  * table. Two implementations here (the bucketed merge-on-read
+  * [[ParquetReplica]] and the thin copy-on-write [[CowReplica]]); the
+  * production swap-in is a transactional table format (Delta/Iceberg
+  * `MERGE INTO` / copy-on-write commit) behind the same five operations.
+  * Everything above this trait ([[graft.Engine]], [[Persistor]]) is
+  * storage-agnostic. */
+trait Replica {
+  /** Current table state. */
+  def read(): DataFrame
+
+  /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract).
+    * `prepare` may reshape the updates against the current rows first
+    * (key-local by construction). */
+  def merge(updates: DataFrame,
+      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit
+
+  /** Hard-delete every key in `ids`. */
+  def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit
+
+  /** Apply an arbitrary state transition over the FULL table — the
+    * whole-table escape hatch; incremental callers should resolve keys and
+    * use [[destroy]]/[[merge]] instead. */
+  def transform(f: DataFrame => DataFrame): Unit
+
+  /** Reclaim versions no longer reachable (the `VACUUM` analogue). */
+  def vacuum(retainVersions: Int = 0): Unit
+
+  /** Run `f` under this replica's writer lock — for callers composing a
+    * read-and-write atomically (C11 disassociation, C12 change capture).
+    * Reentrant with every other operation. */
+  def withLock[A](f: => A): A
+}
+
+private[streaming] object ReplicaLocks {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def lockFor(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
+}
+
 /** Hash-bucketed, manifest-versioned parquet replica store — the
   * pure-Parquet stand-in for a transactional table (Delta `MERGE INTO` in
   * production; SURVEY §7.3).
@@ -152,10 +198,13 @@ object StatefulLww {
   *
   * At 100 TB this layer is a transactional table format with thousands of
   * buckets/partitions; the operator on top ([[Persistor.merge]]) and the
-  * touched-bucket pruning are unchanged.
+  * touched-bucket pruning are unchanged. The bucket count is a per-model
+  * knob ([[graft.registry.ModelDef.buckets]]) recorded in each manifest
+  * (so readers always hash with the count the layout was written with) and
+  * changeable online via [[compact]].
   */
 final class ParquetReplica(spark: SparkSession, root: String,
-    schemaDDL: String, buckets: Int = 16) {
+    schemaDDL: String, buckets: Int = 16) extends Replica {
   require(buckets > 0)
   private val fs = new java.io.File(root)
   fs.mkdirs()
@@ -170,16 +219,33 @@ final class ParquetReplica(spark: SparkSession, root: String,
   /** bucket → directory (relative to root) of the given version; empty
     * for versions whose manifest was vacuumed. */
   def manifest(v: Int): Map[Int, String] =
-    if (v < 0 || !new java.io.File(fs, s"v$v.manifest").exists) Map.empty
-    else {
-      val f = new java.io.File(fs, s"v$v.manifest")
-      new String(java.nio.file.Files.readAllBytes(f.toPath)).linesIterator
-        .filter(_.nonEmpty)
-        .map { line =>
-          val Array(b, path) = line.split("\t", 2)
-          b.toInt -> path
-        }.toMap
-    }
+    manifestLines(v).filterNot(_.startsWith("B\t"))
+      .map { line =>
+        val Array(b, path) = line.split("\t", 2)
+        b.toInt -> path
+      }.toMap
+
+  /** Bucket count the given version was written with (manifest `B` header;
+    * constructor default for pre-header manifests). */
+  def bucketCount(v: Int): Int =
+    manifestLines(v).collectFirst {
+      case l if l.startsWith("B\t") => l.stripPrefix("B\t").trim.toInt
+    }.getOrElse(buckets)
+
+  private def manifestLines(v: Int): Seq[String] =
+    if (v < 0 || !new java.io.File(fs, s"v$v.manifest").exists) Nil
+    else new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(fs, s"v$v.manifest").toPath))
+      .linesIterator.filter(_.nonEmpty).toSeq
+
+  /** The current version's manifest, REQUIRED to exist: a pointer whose
+    * manifest is missing is storage corruption, and treating it as an
+    * empty table would silently drop every row on the next merge. */
+  private def currentManifest(v: Int): Map[Int, String] = {
+    if (v >= 0) require(new java.io.File(fs, s"v$v.manifest").exists,
+      s"replica $root: LATEST points at v$v but v$v.manifest is missing")
+    manifest(v)
+  }
 
   private def schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
 
@@ -191,19 +257,19 @@ final class ParquetReplica(spark: SparkSession, root: String,
     if (dirs.isEmpty) empty
     else spark.read.schema(schema).parquet(dirs.map(d => s"$root/$d"): _*)
 
-  def read(): DataFrame = readDirs(manifest(currentVersion).values.toSeq)
+  def read(): DataFrame = readDirs(currentManifest(currentVersion).values.toSeq)
 
-  private def bucketOf(c: org.apache.spark.sql.Column) =
-    pmod(hash(c), lit(buckets))
+  private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
+    pmod(hash(c), lit(nb))
 
   /** Write `df` bucket-partitioned under `v{next}` and return the bucket →
     * directory entries actually written (empty buckets leave no dir).
     * Repartitioned BY bucket first so each bucket directory holds one
     * file per version — without it every shuffle partition spills a
     * fragment into every bucket (a small-file explosion at any scale). */
-  private def writeBuckets(df: DataFrame, next: Int): Map[Int, String] = {
-    df.withColumn("__b", bucketOf(col("synced_id")))
-      .repartition(buckets, col("__b"))
+  private def writeBuckets(df: DataFrame, next: Int, nb: Int): Map[Int, String] = {
+    df.withColumn("__b", bucketOf(col("synced_id"), nb))
+      .repartition(nb, col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
     val dirs = Option(new java.io.File(fs, s"v$next")
         .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
@@ -212,46 +278,76 @@ final class ParquetReplica(spark: SparkSession, root: String,
       .toMap
   }
 
-  private def publish(next: Int, man: Map[Int, String]): Unit = {
-    val body = man.toSeq.sorted.map { case (b, p) => s"$b\t$p" }.mkString("\n")
-    java.nio.file.Files.write(
-      new java.io.File(fs, s"v$next.manifest").toPath, body.getBytes)
-    java.nio.file.Files.write(pointer.toPath, next.toString.getBytes)
+  /** Manifest + pointer publish, both via temp-file + ATOMIC_MOVE: a
+    * reader can never observe a truncated manifest or an empty pointer
+    * mid-write (the transaction-log commit rule; a crashed writer leaves
+    * only a stray temp file and the previous version stays current). */
+  private def publish(next: Int, man: Map[Int, String], nb: Int): Unit = {
+    val body = (s"B\t$nb" +: man.toSeq.sorted.map { case (b, p) => s"$b\t$p" })
+      .mkString("\n")
+    writeAtomic(new java.io.File(fs, s"v$next.manifest"), body.getBytes)
+    writeAtomic(pointer, next.toString.getBytes)
+  }
+
+  private def writeAtomic(target: java.io.File, bytes: Array[Byte]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(
+      fs.toPath, s".${target.getName}", ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run `f` under this replica's writer lock — for callers that must
     * compose a read-and-merge atomically (e.g. C12 change capture).
     * Reentrant with [[merge]]/[[transform]]/[[vacuum]]. */
   def withLock[A](f: => A): A =
-    ParquetReplica.lockFor(root).synchronized(f)
+    ReplicaLocks.lockFor(root).synchronized(f)
 
   /** Apply an arbitrary state transition over the FULL table and publish
-    * the next version (used for whole-table operations like C11
-    * disassociation). Serialized per replica root (JVM-wide lock): a model
-    * reachable through several topics is merged by several concurrent
-    * streaming queries ([[graft.Engine]]); a transactional table format
-    * serializes concurrent MERGEs the same way at the storage layer. */
+    * the next version (whole-table operations only — compaction-style
+    * maintenance; the consumer hot path is [[merge]]/[[destroy]], both
+    * touched-bucket-incremental). Serialized per replica root (JVM-wide
+    * lock): a model reachable through several topics is merged by several
+    * concurrent streaming queries ([[graft.Engine]]); a transactional
+    * table format serializes concurrent MERGEs the same way at the
+    * storage layer. */
   def transform(f: DataFrame => DataFrame): Unit =
-    ParquetReplica.lockFor(root).synchronized {
-      val next = currentVersion + 1
-      publish(next, writeBuckets(f(read()), next))
+    ReplicaLocks.lockFor(root).synchronized {
+      val v = currentVersion
+      val next = v + 1
+      val nb = bucketCount(v)
+      publish(next, writeBuckets(f(read()), next, nb), nb)
     }
+
+  /** Re-bucket the table to `newBuckets` buckets in one full rewrite —
+    * the small-file / skew maintenance operation (Delta `OPTIMIZE`
+    * analogue). Readers hash with the manifest's recorded count, so the
+    * switch is atomic with the version publish. */
+  def compact(newBuckets: Int): Unit = {
+    require(newBuckets > 0)
+    ReplicaLocks.lockFor(root).synchronized {
+      val next = currentVersion + 1
+      publish(next, writeBuckets(read(), next, newBuckets), newBuckets)
+    }
+  }
 
   /** Bucket-pruned hard delete: remove every key in `ids`, rewriting only
     * the buckets those keys hash into (import-mode destroy, C10). */
   def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit =
-    ParquetReplica.lockFor(root).synchronized {
+    ReplicaLocks.lockFor(root).synchronized {
       val v = currentVersion
       val next = v + 1
-      val man = manifest(v)
+      val nb = bucketCount(v)
+      val man = currentManifest(v)
       val keyed = ids.select(col(idCol).as("synced_id"))
       val touched = keyed
-        .select(bucketOf(col("synced_id")).as("__b")).distinct()
+        .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
       val written = writeBuckets(
-        target.join(keyed, Seq("synced_id"), "left_anti"), next)
-      publish(next, (man -- touched) ++ written)
+        target.join(keyed, Seq("synced_id"), "left_anti"), next, nb)
+      publish(next, (man -- touched) ++ written, nb)
     }
 
   /** Drop version directories and manifests no longer reachable from the
@@ -261,7 +357,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * window for in-flight readers whose lazy plans still reference recent
     * versions. Concurrent writers are excluded by the root lock. */
   def vacuum(retainVersions: Int = 0): Unit =
-    ParquetReplica.lockFor(root).synchronized {
+    ReplicaLocks.lockFor(root).synchronized {
       val current = currentVersion
       if (current < 0) return
       val floor = math.max(0, current - retainVersions)
@@ -292,23 +388,82 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * current attributes). */
   def merge(updates: DataFrame,
       prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
-    ParquetReplica.lockFor(root).synchronized {
+    ReplicaLocks.lockFor(root).synchronized {
       val v = currentVersion
       val next = v + 1
-      val man = manifest(v)
+      val nb = bucketCount(v)
+      val man = currentManifest(v)
       // bounded driver-side collect: at most `buckets` distinct values
       val touched = updates
-        .select(bucketOf(col("synced_id")).as("__b")).distinct()
+        .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
       val written =
-        writeBuckets(Persistor.merge(target, prepare(target, updates)), next)
-      publish(next, (man -- touched) ++ written)
+        writeBuckets(Persistor.merge(target, prepare(target, updates)), next, nb)
+      publish(next, (man -- touched) ++ written, nb)
     }
 }
 
-object ParquetReplica {
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(root: String): Object =
-    locks.computeIfAbsent(root, _ => new Object)
+/** Thin copy-on-write replica: every commit writes a complete new table
+  * directory and atomically repoints `LATEST` — the copy-on-write commit
+  * mode of a transactional table format, with no bucket pruning. Exists to
+  * prove the [[Replica]] surface is storage-agnostic (the contract suite
+  * runs against both implementations); [[ParquetReplica]] remains the
+  * scale path — this one pays O(table) per commit by design. */
+final class CowReplica(spark: SparkSession, root: String,
+    schemaDDL: String) extends Replica {
+  private val fs = new java.io.File(root)
+  fs.mkdirs()
+  private def pointer = new java.io.File(fs, "LATEST")
+
+  def currentVersion: Int =
+    if (pointer.exists)
+      new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
+    else -1
+
+  private def schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+
+  def read(): DataFrame = {
+    val v = currentVersion
+    if (v < 0) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(s"$root/v$v")
+  }
+
+  def withLock[A](f: => A): A = ReplicaLocks.lockFor(root).synchronized(f)
+
+  def transform(f: DataFrame => DataFrame): Unit = withLock {
+    val next = currentVersion + 1
+    f(read()).write.mode("overwrite").parquet(s"$root/v$next")
+    val tmp = java.nio.file.Files.createTempFile(fs.toPath, ".LATEST", ".tmp")
+    java.nio.file.Files.write(tmp, next.toString.getBytes)
+    java.nio.file.Files.move(tmp, pointer.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def merge(updates: DataFrame,
+      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+    transform(current => Persistor.merge(current, prepare(current, updates)))
+
+  def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit =
+    transform(_.join(ids.select(col(idCol).as("synced_id")),
+      Seq("synced_id"), "left_anti"))
+
+  def vacuum(retainVersions: Int = 0): Unit = withLock {
+    val current = currentVersion
+    if (current < 0) return
+    val floor = math.max(0, current - retainVersions)
+    Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val name = f.getName
+      if (f.isDirectory && name.matches("v\\d+") &&
+          name.stripPrefix("v").toInt < floor) {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete()
+        }
+        rm(f)
+      }
+    }
+  }
 }

@@ -286,6 +286,168 @@ class PersistorSpec extends SparkSpec {
     assert(kept == Set((10L, 1L), (10L, 2L), (20L, 1L)))
   }
 
+  test("disassociatedChildKeys: only vanished children of touched parents") {
+    val children = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L))
+      .toDF("parent_id", "child_id")
+    val incoming = Seq((10L, 1L), (10L, 2L)).toDF("parent_id", "child_id")
+    val doomed = Persistor.disassociatedChildKeys(
+        children, incoming, "parent_id", "child_id")
+      .as[Long].collect().toSet
+    // child 3 of touched parent 10 vanishes; parent 20's children untouched
+    assert(doomed == Set(3L))
+  }
+
+  test("streaming C11 disassociation rewrites only the doomed keys' buckets") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-c11-buckets").toString
+    val replica = new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE, parent_id BIGINT", buckets = 8)
+    // 64 children across all buckets; parent p owns children (p-1)*8+1..p*8
+    val seed = (1L to 64L).map(i =>
+        (i, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"),
+          null.asInstanceOf[Timestamp], "created", i.toDouble, (i - 1) / 8 + 1))
+      .toDF("synced_id", "synced_updated_at", "synced_created_at",
+        "canceled_at", "event_type", "value", "parent_id")
+    replica.merge(seed)
+    val manBefore = replica.manifest(replica.currentVersion)
+
+    // parent 1's incoming aggregate keeps children 1..7 → only child 8
+    // disassociates; every other parent is untouched
+    val incoming = (1L to 7L).map(c => (1L, c)).toDF("parent_id", "synced_id")
+    replica.withLock {
+      val doomed = Persistor.disassociatedChildKeys(
+        replica.read(), incoming, "parent_id", "synced_id")
+        .localCheckpoint(true)
+      assert(doomed.as[Long].collect().toSet == Set(8L))
+      replica.destroy(doomed)
+    }
+    // exactly the doomed key's bucket was rewritten; every other bucket's
+    // manifest entry still points at the ORIGINAL directory (files never
+    // touched — carried forward by reference)
+    val manAfter = replica.manifest(replica.currentVersion)
+    val touched = manAfter.keySet.filter(b => manBefore.get(b) != manAfter.get(b))
+    assert(touched.size == 1, s"touched $touched")
+    (manAfter -- touched).foreach { case (b, dir) =>
+      assert(dir == manBefore(b), s"bucket $b must be carried by reference")
+    }
+    val left = replica.read().select("synced_id").as[Long].collect().toSet
+    assert(left == (1L to 64L).toSet - 8L)
+  }
+
+  test("manifest publish is atomic: interrupted writer leaves old version readable") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-atomic").toString
+    val replica = new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE", buckets = 4)
+    replica.merge(updates(
+      (1L, "2024-01-01 00:00:00", None, "created", 1.0),
+      (2L, "2024-01-01 00:00:00", None, "created", 2.0)))
+    val v = replica.currentVersion
+
+    // simulate a writer that died mid-commit: data for the next version is
+    // on disk, temp manifest/pointer files linger, but neither ATOMIC_MOVE
+    // happened — the reader must still serve the old version untouched
+    new java.io.File(s"$root/v${v + 1}/__b=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/.v${v + 1}.manifest12345.tmp"),
+      "0\tv1/__b=0".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/.LATEST67890.tmp"), "1".getBytes)
+    assert(replica.currentVersion == v)
+    assert(replica.read().select("synced_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    // and the next real commit proceeds normally over the debris
+    replica.merge(updates((3L, "2024-01-02 00:00:00", None, "created", 3.0)))
+    assert(replica.read().count() == 3)
+
+    // true corruption — pointer present, manifest missing — fails loudly
+    // instead of serving an empty table (which the next merge would then
+    // silently persist)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-corrupt").toString
+    val broken = new graft.streaming.ParquetReplica(spark, root2,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE")
+    broken.merge(updates((1L, "2024-01-01 00:00:00", None, "created", 1.0)))
+    new java.io.File(s"$root2/v${broken.currentVersion}.manifest").delete()
+    intercept[IllegalArgumentException](broken.read())
+  }
+
+  test("compact re-buckets online; merges continue with the recorded count") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val replica = new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE", buckets = 4)
+    replica.merge(updates(
+      (1L to 32L).map(i =>
+        (i, "2024-01-01 00:00:00", None: Option[String], "created",
+          i.toDouble)): _*))
+    assert(replica.bucketCount(replica.currentVersion) == 4)
+    replica.compact(8)
+    // the new layout is recorded in the manifest, spans the new bucket
+    // range, and preserves every row
+    assert(replica.bucketCount(replica.currentVersion) == 8)
+    assert(replica.manifest(replica.currentVersion).keySet == (0 until 8).toSet)
+    assert(replica.read().count() == 32)
+    // subsequent incremental merges hash with the NEW count
+    val manBefore = replica.manifest(replica.currentVersion)
+    replica.merge(updates((5L, "2024-02-01 00:00:00", None, "updated", 555.0)))
+    val manAfter = replica.manifest(replica.currentVersion)
+    assert(manAfter.keySet.count(b => manBefore(b) != manAfter(b)) == 1)
+    val got = replica.read()
+      .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+    assert(got.size == 32 && got(5L) == 555.0 && got(6L) == 6.0)
+  }
+
+  for ((label, mk) <- Seq[(String, String => graft.streaming.Replica)](
+      "ParquetReplica" -> (root => new graft.streaming.ParquetReplica(spark, root,
+        "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+          "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+          "value DOUBLE", buckets = 4)),
+      "CowReplica" -> (root => new graft.streaming.CowReplica(spark, root,
+        "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+          "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+          "value DOUBLE"))))
+    test(s"replica contract ($label): LWW merge, replay, destroy, vacuum") {
+      // the same storage contract both implementations must satisfy — the
+      // drop-in bar for a transactional-format replica (Delta/Iceberg)
+      val r = mk(java.nio.file.Files
+        .createTempDirectory(s"graft-contract-$label").toString)
+      r.merge(updates(
+        (1L, "2024-01-01 00:00:00", None, "created", 1.0),
+        (2L, "2024-01-01 00:00:00", None, "created", 2.0),
+        (3L, "2024-01-01 00:00:00", None, "created", 3.0)))
+      val batch = updates(
+        (2L, "2024-01-02 00:00:00", None, "updated", 22.0), // fresh → wins
+        (3L, "2023-12-01 00:00:00", None, "updated", 99.0)) // stale → loses
+      r.merge(batch)
+      r.merge(batch) // at-least-once replay converges
+      val got = r.read()
+        .select($"synced_id", $"value").as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
+      // destroyed event soft-deletes through merge
+      r.merge(updates((1L, "2024-01-03 00:00:00", None, "destroyed", 1.0)))
+      assert(r.read().filter($"synced_canceled_at".isNotNull)
+        .select("synced_id").as[Long].collect().toSet == Set(1L))
+      // hard destroy removes
+      r.destroy(Seq(Tuple1(2L)).toDF("synced_id"))
+      assert(r.read().select("synced_id").as[Long].collect().toSet ==
+        Set(1L, 3L))
+      // transform applies a whole-table transition
+      r.transform(_.filter($"synced_id" =!= 3L))
+      assert(r.read().select("synced_id").as[Long].collect().toSet == Set(1L))
+      // vacuum reclaims old versions without changing current state
+      r.vacuum()
+      assert(r.read().select("synced_id").as[Long].collect().toSet == Set(1L))
+    }
+
   test("ParquetReplica merge rewrites only touched buckets") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-bucketed").toString

@@ -232,6 +232,117 @@ class StreamingPipelineSpec extends SparkSpec {
     wantQty.foreach { case (k, v) => assert(qty(k) == v, s"line $k") }
   }
 
+  test("Engine: streaming disassociation is bucket-pruned end to end") {
+    import graft.registry._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tmp = Files.createTempDirectory("graft-engine-c11").toString
+    val src = s"$tmp/src"
+
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", DoubleType)),
+      hasMany = Seq(Association("order_lines", "order_line", fk = "order_id")),
+      sideloads = Seq("order_line"))
+    val lineDef = ModelDef("order_line",
+      attributes = Seq(Attribute("order_id", LongType),
+        Attribute("qty", DoubleType)))
+    val reg = Registry("c11", Seq(TopicDef("orders", Seq(orderDef))),
+      dependencyModels = Seq(lineDef))
+
+    def orderChange(ids: Seq[Long], file: String): Unit =
+      ids.toDF("id").select($"id", ($"id" * 100.0).as("total"),
+          lit("update").as("__op"),
+          lit(null).cast("timestamp").as("__old_canceled"),
+          lit(null).cast("timestamp").as("__new_canceled"),
+          lit("2026-05-01 00:00:00").cast("timestamp").as("__ts"))
+        .write.parquet(s"$src/$file")
+    // 8 parents, 4 lines each: line ids 1..32, parent = (id-1)/4 + 1
+    def linesSnap(drop: Set[Long]) =
+      (1L to 32L).filterNot(drop).toDF("id")
+        .select($"id", (($"id" - 1) / lit(4) + 1).cast("long").as("order_id"),
+          ($"id" * 1.0).as("qty"),
+          lit("2026-05-02 00:00:00").cast("timestamp").as("__ts"))
+    @volatile var snap = linesSnap(Set.empty)
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema).parquet(s"$src/*")
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = snap
+    }
+
+    orderChange(1L to 8L, "f1")
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val lineRoot = s"$tmp/work/replicas/order_line"
+    val probe = new graft.streaming.ParquetReplica(spark, lineRoot,
+      lineDef.replicaSchema.toDDL)
+    assert(probe.read().count() == 32)
+    val manBefore = probe.manifest(probe.currentVersion)
+
+    // parent 1 republishes with line 4 gone from its aggregate
+    snap = linesSnap(Set(4L))
+    orderChange(Seq(1L), "f2")
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+
+    // the vanished child disassociated…
+    val left = probe.read().select("synced_id").as[Long].collect().toSet
+    assert(left == (1L to 32L).toSet - 4L, s"got $left")
+    // …and ONLY the buckets of parent 1's children (merged: 1,2,3;
+    // destroyed: 4) were rewritten — every other bucket's manifest entry
+    // still points at the previous version's files (byte-identical by
+    // construction: carried by reference, never rewritten)
+    val manAfter = probe.manifest(probe.currentVersion)
+    val expectTouched = (1L to 4L).toDF("id")
+      .select(pmod(hash($"id"), lit(16)).as("b"))
+      .as[Int].collect().toSet
+    val touched = manAfter.keySet.filter(b => manBefore.get(b) != manAfter.get(b))
+    assert(touched.subsetOf(expectTouched), s"touched $touched vs $expectTouched")
+    (manAfter.keySet -- touched).foreach { b =>
+      assert(manAfter(b) == manBefore(b), s"bucket $b must be untouched")
+    }
+    assert((manBefore.keySet -- touched).nonEmpty,
+      "test must actually exercise untouched buckets")
+  }
+
+  test("Engine: serialize:false models publish IDs-only payloads") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-ser").toString
+    val chg = s"$tmp/chg"
+    Seq((1L, 10.0, "update"), (2L, 20.0, "delete")).toDF("id", "value", "__op")
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-06-01 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    // the DTO-bypass model declares an attribute but must never ship it
+    val reg = Registry("v11", Seq(TopicDef("things",
+      models = Seq(ModelDef("thing",
+        attributes = Seq(Attribute("value", DoubleType)),
+        serialize = false)))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    // wire payloads carry key + timestamps ONLY, on every event type
+    val payloads = graft.codec.EnvelopeCodec.explodeRecords(
+      graft.codec.EnvelopeCodec.decode(spark.read
+        .schema(graft.model.Schemas.wire)
+        .parquet(s"$tmp/work/topics/v11_things")))
+    assert(payloads.count() == 2)
+    payloads.select("payload_json").as[String].collect().foreach { p =>
+      assert(!p.contains("\"value\""), s"attribute leaked into payload: $p")
+      assert(p.contains("\"id\"") && p.contains("\"updated_at\""), p)
+    }
+    // replica rows land with key + timestamps; the declared attribute is
+    // null because the wire never carried it
+    val replica = res.replicas("thing").read()
+    assert(replica.count() == 2)
+    assert(replica.filter($"value".isNotNull).count() == 0)
+    assert(replica.filter($"synced_updated_at".isNull).count() == 0)
+    assert(replica.filter($"synced_id" === 2L)
+      .select($"synced_canceled_at".isNotNull).as[Boolean].collect()(0))
+  }
+
   test("Engine: message filter quarantines, consumed events publish, genesis backfills") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
@@ -564,21 +675,32 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("amount").as[Double].collect()(0) == 5.0)
   }
 
-  test("registry validation: observer attrs + genesis dependency guard") {
+  test("registry validation: observer attrs, observer paths, genesis dependency guard") {
     import graft.registry._
-    val reg = Registry("v9", Seq(
-      TopicDef("orders", models = Seq(
-        ModelDef("order", attributes = Seq(Attribute("total")),
-          sideloads = Seq("order_line"),
-          observers = Seq(ObserverDef("order", Seq("total"), "customer")))))))
-    reg.validate() // fine
-    assert(reg.topicsFor("order") == Seq("v9_orders"))
-    assert(reg.dependencyOnlyModels == Set("order_line"))
-    intercept[IllegalArgumentException](reg.requireGenesisAllowed("order_line"))
-    val bad = Registry("v9", Seq(
-      TopicDef("orders", models = Seq(
-        ModelDef("order", attributes = Seq(Attribute("total")),
-          observers = Seq(ObserverDef("order", Seq("nope"), "customer")))))))
-    intercept[IllegalArgumentException](bad.validate())
+    // order observes customer.name through customer's `orders` association
+    def reg(attr: String = "name", path: String = "orders") =
+      Registry("v9", Seq(
+        TopicDef("orders", models = Seq(
+          ModelDef("order", attributes = Seq(Attribute("total")),
+            sideloads = Seq("order_line"),
+            observers = Seq(ObserverDef("customer", Seq(attr), path)))))),
+        dependencyModels = Seq(
+          ModelDef("customer", attributes = Seq(Attribute("name")),
+            hasMany = Seq(
+              Association("orders", "order", fk = "customer_id"),
+              Association("lines", "order_line", fk = "customer_id")))))
+    val ok = reg()
+    ok.validate() // fine
+    assert(ok.topicsFor("order") == Seq("v9_orders"))
+    assert(ok.dependencyOnlyModels == Set("order_line"))
+    intercept[IllegalArgumentException](ok.requireGenesisAllowed("order_line"))
+    // unknown observed attribute rejected
+    intercept[IllegalArgumentException](reg(attr = "nope").validate())
+    // association path with an undeclared segment rejected at registration
+    // time — no Spark session involved
+    intercept[IllegalArgumentException](reg(path = "bookings").validate())
+    intercept[IllegalArgumentException](reg(path = "orders.nope").validate())
+    // path that resolves but ends at the WRONG model rejected
+    intercept[IllegalArgumentException](reg(path = "lines").validate())
   }
 }
