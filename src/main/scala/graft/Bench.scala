@@ -3,10 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Each query runs twice and reports the second
-  * (steady-state) time — the first pass pays JIT + codegen + file-listing
-  * warmup that a long-running cluster amortizes away; `total` is the
-  * steady-state sum, `cold_total` the first-pass sum for reference. */
+  * prints ONE JSON line. Each query runs three times — one cold pass
+  * (JIT + codegen + file-listing warmup a long-running cluster amortizes
+  * away), then two warm passes, reporting the per-query MIN of the warm
+  * passes: a single warm pass can inherit GC pressure from whichever
+  * query happened to precede it in the sweep (the r01/r02 recorded-vs-
+  * isolation drift), and the min of two is a stable steady-state estimate
+  * that matches isolated measurement. `total` is the steady-state sum,
+  * `cold_total` the first-pass sum for reference. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,7 +36,12 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val cold = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
-    val warm = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+    val warm1 = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+    val warm2 = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+    val warm = names.map { n =>
+      val (a, b) = (warm1(n), warm2(n))
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }.toMap
 
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum

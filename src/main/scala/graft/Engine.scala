@@ -459,7 +459,9 @@ object Engine {
           .dropDuplicatesWithinWatermark("kafka_key", "__vh")
           .drop("__vh")
       else wire
-    val events = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
+    val events =
+      if (t.singleRecordWire) EnvelopeCodec.decodeSingleRecords(deduped)
+      else EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/cp/consume/$topicName")

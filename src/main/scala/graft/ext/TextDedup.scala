@@ -99,34 +99,29 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  private val mixConsts: Array[Long] = {
-    val r = new scala.util.Random(20240812L)
-    Array.fill(64)(r.nextLong())
-  }
-
-  /** xor-rotate remix: derives hash-family member i from one base hash with
-    * bit ops only — ANSI-safe (no wraparound add/multiply, which Spark 4
-    * ANSI mode rejects) and far cheaper than k full hashes per shingle. */
-  private def mix(h: Column, i: Int): Column =
-    if (i == 0) h
-    else {
-      val r = (i * 7) % 61 + 1
-      h.bitwiseXOR(shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)))
-        .bitwiseXOR(lit(mixConsts(i)))
-    }
+  /** Hashed shingles of `text`: one xxhash64 per distinct shingle — the
+    * shared input of the MinHash signature ([[minhashSignatures]]) and the
+    * exact-Jaccard verification merge-walk, so each shingle is hashed
+    * exactly once per query. */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), (t: Column) => xxhash64(t))
 
   /** MinHash signature columns: k permutations approximated by xor-rotate
     * remixes of one xxhash64 per shingle; signature_i = min over shingles
-    * of hash_i(shingle). One explode + one groupBy; the k mins partial-
-    * aggregate map-side, so the shuffle carries k longs per doc. */
+    * of hash_i(shingle). Computed scan-local by the native
+    * [[graft.functions.MinhashSigs]] expression — one pass over the
+    * hashed-shingle array, no explode, no shuffle (the former
+    * explode + k-way-min groupBy moved every (doc, shingle) pair through
+    * an exchange). */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, shingleN: Int = 2): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val mins = (0 until k).map(i => min(mix(col("h"), i)).as(s"mh_$i"))
-    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    graft.functions.Functions.register(df.sparkSession)
+    val sig = call_function("minhash_sigs",
+      hashedShingles(col(textCol), shingleN), lit(k))
+    df.select(col(idCol).as("id"), sig.as("__sig"))
+      .select(col("id") +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** MinHash+LSH candidate pairs: split the k-wide signature into `bands`
@@ -138,38 +133,51 @@ object TextDedup {
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = k / bands
-    // the signature frame feeds three branches (bucketing + both sides of
-    // the estimate join) — materialize it once
-    val sig = minhashSignatures(df, idCol, textCol, k, shingleN)
+    graft.functions.Functions.register(df.sparkSession)
+    // ONE base frame carries both the sorted hashed shingles (verification
+    // input) and the signature derived from them scan-local (native
+    // minhash_sigs — min is order-invariant, so the sorted array feeds it
+    // too): each shingle is hashed once, and the frame feeds every branch
+    // (banding, estimate, both verification sides) — materialize it once
+    val base = df.select(col(idCol).as("id"),
+        sort_array(hashedShingles(col(textCol), shingleN)).as("toks"))
+      .withColumn("sig", call_function("minhash_sigs", col("toks"), lit(k)))
       .localCheckpoint(eager = false)
     val bandKeys = (0 until bands).map { bd =>
-      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    graft.functions.Functions.register(df.sparkSession)
     // carry the whole signature on the banded rows: the estimate then
     // computes inside the candidate join — no signature-lookup joins
     // later. Signature agreement runs once per candidate pair (the
     // quadratic hot path), so it uses the native codegen expression.
-    val bucketed = sig.select(col("id"),
-      array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"),
+    val bucketed = base.select(col("id"), col("sig"),
       explode(array(bandKeys: _*)).as("bk"))
     val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
     // NO distinct here: multi-band duplicate candidates (a few percent)
     // ride through verification and dedup AFTER the threshold filter,
     // where the row count is orders of magnitude smaller — one large
     // shuffle traded for a tiny one, identical results
+    // conservative estimate floor ahead of the (expensive) verification
+    // join: a true pair at the threshold has est ≈ Binomial(k, θ)/k, so
+    // θ − 2σ with σ = sqrt(θ(1−θ)/k) keeps ≳98% of borderline true pairs
+    // while cutting the candidate fan-out severalfold on self-similar
+    // corpora — pairs below the floor would fail exact verification with
+    // high probability anyway, and banding is already probabilistic.
+    // The filter runs INSIDE the candidate join stage, before any shuffle.
+    val estFloor = math.max(0.0,
+      threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
     val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (eqCount.cast("double") / k).as("est_jac"))
+      .filter(col("est_jac") >= estFloor)
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
     // move and ~2× faster to merge-walk than the raw strings; 64-bit
-    // collisions are negligible for near-dup verification
-    val toks = df.select(col(idCol).as("id"),
-        sort_array(transform(shingles(col(textCol), shingleN),
-          (t: Column) => xxhash64(t))).as("toks"))
-      .localCheckpoint(eager = false) // shingle+hash+sort once, reused by both sides
+    // collisions are negligible for near-dup verification. Reuses the
+    // checkpointed base frame — shingles were hashed and sorted once.
+    val toks = base.select(col("id"), col("toks"))
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     // verification is a shuffle equi-join on id: the hashed-shingle table
     // streams through one exchange per side — each doc's shingles move
@@ -203,14 +211,54 @@ object TextDedup {
     * *node that appears in a near-dup pair* — orders of magnitude smaller
     * than the corpus — and lineage is cut every round via eager
     * localCheckpoint. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 10,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     // eager: the loop reuses edges and labels every round — lazy
     // checkpoints would re-derive the full upstream lineage per iteration.
     // Checkpoint the pair list BEFORE symmetrizing: a union of two selects
     // over the raw `pairs` would evaluate the (expensive) pair-generation
     // plan once per branch.
-    val p0 = pairs.select(col("id_a"), col("id_b"))
+    val p0 = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
       .localCheckpoint(eager = true)
+    val edgeCount = p0.count()
+
+    // size-bounded local solve: the dup graph is one edge per NEAR-DUP
+    // PAIR — orders of magnitude smaller than the corpus. Below the bound
+    // (a few tens of MB on the driver) a union-find beats O(log diameter)
+    // rounds of distributed shuffles by ~10×: each round pays 3 shuffles
+    // + a checkpoint of scheduling floor even when the labels fit in one
+    // task. The distributed loop below remains the path for dup graphs
+    // that genuinely don't fit one machine (threshold is a knob).
+    if (edgeCount <= localEdgeThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+        }
+        r
+      }
+      val it = p0.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the fixpoint (component = min id of the
+        // cluster) matches the distributed min-propagation exactly
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val spark = pairs.sparkSession
+      import scala.jdk.CollectionConverters._
+      val labels = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+      import spark.implicits._
+      return labels.toDF("id", "component")
+    }
 
     // right-size the loop's shuffles to the dup graph, not the session
     // default: the label/edge frames are bounded by the pair count (tiny
@@ -221,7 +269,7 @@ object TextDedup {
     val defaultParts =
       pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L,
-      math.min(p0.count() * 2 / 500000L, defaultParts.toLong)).toInt
+      math.min(edgeCount * 2 / 500000L, defaultParts.toLong)).toInt
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()

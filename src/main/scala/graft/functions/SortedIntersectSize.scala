@@ -90,5 +90,9 @@ object Functions {
       "positional_eq_count",
       exprs => PositionalEqCount(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinhashSigs(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -65,8 +65,10 @@ object ConsumerQueries {
           array(to_json(struct(
             col("event_id"), col("event_type"), col("value"),
             get_json_object(col("props"), "$.k").cast("long").as("k")))).as("data"))
-        val decoded = EnvelopeCodec.explodeRecords(
-          EnvelopeCodec.decode(EnvelopeCodec.encode(payload).select("value")))
+        // the engine's consume path for its own wire: single-record
+        // envelopes decode via the fused no-generator fast path
+        val decoded = EnvelopeCodec.decodeSingleRecords(
+          EnvelopeCodec.encode(payload).select("value"))
         decoded
           .withColumn("rec", from_json(col("payload_json"),
             org.apache.spark.sql.types.StructType.fromDDL(

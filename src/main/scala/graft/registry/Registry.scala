@@ -128,7 +128,14 @@ final case class TopicDef(
     /** Compacted-topic expunge (P20): hard deletes additionally publish a
       * null-value tombstone under the resource key
       * (reference: tombstone_publisher.rb:14-21). */
-    tombstones: Boolean = false)
+    tombstones: Boolean = false,
+    /** Wire shape contract: one event with one record per envelope — what
+      * this engine's producer (and the reference's per-record publish)
+      * always writes. Enables the no-generator fast-path decode
+      * ([[graft.codec.EnvelopeCodec.decodeSingleRecords]]); violations
+      * fail loudly. Set false for foreign topics whose producers batch
+      * several events/records per message. */
+    singleRecordWire: Boolean = true)
 
 /** `dependencyModels` declares `with:`-only dependency models that are
   * never published directly but must be resolvable for sideload schemas —

@@ -161,6 +161,12 @@ class ExtOpsSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L, 4L).map(comp) == Seq(1L, 1L, 1L, 1L))
     assert(Seq(5L, 6L).map(comp) == Seq(5L, 5L))
     assert(Seq(8L, 9L, 10L).map(comp) == Seq(8L, 8L, 8L))
+    // the local union-find and the distributed loop are the same operator
+    // at two scales — force the distributed path and require an identical
+    // fixpoint (threshold 0 disables the local solve)
+    val dist = TextDedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == comp, s"local $comp vs distributed $dist")
   }
 
   test("text cleaning: lowercase, redact, strip, collapse") {
