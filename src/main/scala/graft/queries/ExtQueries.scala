@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
   * similarity search, text analysis, multimodal columns — over the
@@ -80,6 +80,64 @@ object ExtQueries {
         | quantile_cont(n, 0.75) AS q75
         |FROM (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Benchmark decontamination: corpus docs sharing any word 5-gram with
+    // the benchmark set (doc_id % 19 == 0 plays the benchmark here), with
+    // contaminated-gram counts. Exact string-gram join, oracle-checked.
+    "x21_decontamination" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.contamination(
+            docs.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 19 === 0), "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+        |     THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |     ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+        | bench AS (SELECT DISTINCT unnest(g) AS ng FROM grams WHERE doc_id % 19 = 0),
+        | corpus AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS ng
+        |            FROM grams WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, count(*) AS n_contaminated, n_grams,
+        | CAST(count(*) AS DOUBLE) / n_grams AS contamination
+        |FROM corpus WHERE ng IN (SELECT ng FROM bench)
+        |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin),
+
+    // Intra-document repetition quality signals (Gopher-style duplicate
+    // n-gram fractions) — scan-local array expressions, oracle-checked.
+    "x22_repetition" -> entry(
+      (s, dir) =>
+        Curation.repetitionScores(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      """SELECT doc_id, len(t) AS n_tokens,
+        | CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_ratio,
+        | 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_ratio,
+        | 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_ratio
+        |FROM (SELECT doc_id, t,
+        |   CASE WHEN len(t) >= 2
+        |     THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |     ELSE [array_to_string(t, ' ')] END AS g2,
+        |   CASE WHEN len(t) >= 3
+        |     THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+        |     ELSE [array_to_string(t, ' ')] END AS g3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |ORDER BY doc_id""".stripMargin),
+
+    // Deterministic domain-mix sampling: per-source keep rates decided by
+    // an id residue — stable across replays, no global pass.
+    "x23_domain_mix" -> entry(
+      (s, dir) =>
+        Curation.stratifiedSample(tbl(s, dir, "documents"), "doc_id", "source",
+            pct = Map("src0" -> 80, "src1" -> 80, "src2" -> 50),
+            defaultPct = 10)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id % 100 < CASE
+        |  WHEN source IN ('src0', 'src1') THEN 80
+        |  WHEN source = 'src2' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin),
 
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.

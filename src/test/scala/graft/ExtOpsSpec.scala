@@ -169,6 +169,53 @@ class ExtOpsSpec extends SparkSpec {
     assert(dist == comp, s"local $comp vs distributed $dist")
   }
 
+  test("contamination: benchmark n-gram overlap flags only overlapping docs") {
+    import graft.ext.Curation
+    val bench = Seq((100L, "a b c d e x y z")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "q q a b c d e q q"), // shares the 5-gram "a b c d e"
+      (2L, "p p p p p p p p p"), // clean
+      (3L, "a b c x d e f g h")) // shares tokens but no 5-gram
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(corpus, "doc_id", "text", bench, "text", n = 5)
+      .select($"doc_id", $"n_contaminated", $"n_grams")
+      .as[(Long, Long, Int)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(got.keySet == Set(1L), s"got $got")
+    assert(got(1L) == (1L, 5)) // 1 of its 5 distinct 5-grams contaminated
+  }
+
+  test("repetitionScores: repeated text scores high, distinct text zero") {
+    import graft.ext.Curation
+    val docs = Seq(
+      (1L, "x x x x x x"),   // one distinct token/2-gram
+      (2L, "a b c d e f"))   // fully distinct
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionScores(docs, "doc_id", "text")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, dtr1, d2_1, _) = got(1L)
+    assert(n1 == 6 && dtr1 == 1.0 / 6 && d2_1 == 1.0 - 1.0 / 5)
+    val (_, n2, dtr2, d2_2, d3_2) = got(2L)
+    assert(n2 == 6 && dtr2 == 1.0 && d2_2 == 0.0 && d3_2 == 0.0)
+  }
+
+  test("stratifiedSample: residue rule keeps exact per-stratum rates") {
+    import graft.ext.Curation
+    val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val got = Curation.stratifiedSample(rows, "doc_id", "source",
+      pct = Map("a" -> 50), defaultPct = 0)
+    // stratum a: ids 0..98 even; residue < 50 keeps 0,2,..,48 → 25 rows
+    assert(got.filter($"source" === "a").count() == 2 * 25)
+    assert(got.filter($"source" === "b").count() == 0)
+    // deterministic: same rows on replay
+    val twice = Curation.stratifiedSample(rows, "doc_id", "source",
+      pct = Map("a" -> 50), defaultPct = 0)
+    assert(got.select("doc_id").as[Long].collect().sorted.sameElements(
+      twice.select("doc_id").as[Long].collect().sorted))
+  }
+
   test("text cleaning: lowercase, redact, strip, collapse") {
     val got = Seq("Contact Bob@Example.COM or call 12345678!!  Now.")
       .toDF("t").select(TextAnalysis.cleaned($"t")).as[String].collect()(0)
