@@ -86,13 +86,19 @@ object Engine {
     *    stream's max event time are DROPPED by the operator, not just
     *    dedup'd — so topics that replay old event times (genesis
     *    backfills) should set `dedupIncoming = false` on the TopicDef or
-    *    widen this delay. */
+    *    widen this delay.
+    *  - `replicaFactory`: swap the replica storage implementation
+    *    engine-wide — `(spark, model, root) => Replica`. Default is the
+    *    bucketed [[ParquetReplica]]; a transactional table format
+    *    (Delta/Iceberg) or the thin [[graft.streaming.CowReplica]] plug
+    *    in here without touching any operator. */
   final case class EngineOptions(
       messageFilters: Map[String, Column] = Map.empty,
       deadLetter: Boolean = true,
       publishConsumedEvents: Boolean = false,
       trackLocalChanges: Boolean = false,
-      dedupDelay: String = "1 hour")
+      dedupDelay: String = "1 hour",
+      replicaFactory: Option[(SparkSession, ModelDef, String) => Replica] = None)
 
   /** Soft-delete image of a snapshot frame: the optional `__canceled`
     * column when the binding provides it, else null (all rows live).
@@ -139,7 +145,7 @@ object Engine {
     // consumer half: replicas per model, one query per consumed topic
     // (genesis replica topics are consumed alongside their primaries,
     // as the reference's consumer subscribes both)
-    val replicas = makeReplicas(spark, registry, workDir)
+    val replicas = makeReplicas(spark, registry, workDir, options)
     val consumers = consumedTopicNames(registry).map { case (t, name) =>
       consumeTopic(spark, registry, t, name, topics, replicas, workDir,
         options, Trigger.AvailableNow())
@@ -167,7 +173,7 @@ object Engine {
       trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): (Seq[StreamingQuery], EngineResult) = {
     registry.validate()
     val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
-    val replicas = makeReplicas(spark, registry, workDir)
+    val replicas = makeReplicas(spark, registry, workDir, options)
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
         s"$workDir/cp/produce/${registry.topicName(t)}", trigger)
@@ -189,11 +195,12 @@ object Engine {
     }
 
   private def makeReplicas(spark: SparkSession, registry: Registry,
-      workDir: String): Map[String, Replica] =
+      workDir: String, options: EngineOptions): Map[String, Replica] =
     consumedModels(registry).map { m =>
-      m.name -> (new ParquetReplica(spark,
-        s"$workDir/replicas/${m.name}", m.replicaSchema.toDDL,
-        buckets = m.buckets): Replica)
+      val root = s"$workDir/replicas/${m.name}"
+      m.name -> options.replicaFactory.map(f => f(spark, m, root)).getOrElse(
+        new ParquetReplica(spark, root, m.replicaSchema.toDDL,
+          buckets = m.buckets))
     }.toMap
 
   /** P16–P18 through the registry-derived serializer: stream the model's

@@ -301,6 +301,40 @@ class StreamingPipelineSpec extends SparkSpec {
       "test must actually exercise untouched buckets")
   }
 
+  test("Engine: replica storage is pluggable — CowReplica run matches ParquetReplica") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-engine-cow").toString
+    val chg = s"$tmp/chg"
+    Seq((1L, 1.0, "update"), (2L, 2.0, "update"), (3L, 3.0, "delete"))
+      .toDF("id", "value", "__op")
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-07-01 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    val reg = Registry("v12", Seq(TopicDef("things",
+      models = Seq(ModelDef("thing",
+        attributes = Seq(Attribute("value", DoubleType)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    def state(res: Engine.EngineResult) = res.replicas("thing").read()
+      .select($"synced_id", $"value", $"synced_canceled_at".isNotNull)
+      .as[(Long, Option[Double], Boolean)].collect().toSet
+    val parquetRun = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/w1")
+    // the SAME registry and feed through the thin copy-on-write store —
+    // the drop-in bar for a transactional-format replica
+    val cowRun = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/w2",
+      options = Engine.EngineOptions(replicaFactory = Some((s, m, root) =>
+        new graft.streaming.CowReplica(s, root, m.replicaSchema.toDDL))))
+    assert(cowRun.replicas("thing").isInstanceOf[graft.streaming.CowReplica])
+    assert(state(parquetRun) == state(cowRun), s"${state(parquetRun)} vs ${state(cowRun)}")
+    assert(state(cowRun).size == 3)
+  }
+
   test("Engine: serialize:false models publish IDs-only payloads") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType

@@ -54,6 +54,43 @@ class TopicsSpec extends SparkSpec {
     assert(parts.toSet.size == 1 && parts.forall(p => p >= 0 && p < 12))
   }
 
+  test("KafkaTopics prepare preserves tombstones and partition affinity") {
+    // a null value row (P20 tombstone) must survive the projection onto
+    // Kafka's key/value contract — log compaction deletes by key
+    val frame = Seq(
+      ("thing:1", "acct-1", Some("{}"), "x"),
+      ("thing:2", "acct-2", None: Option[String], "x"))
+      .toDF("kafka_key", "partition_key", "value", "ts")
+    val kt = new KafkaTopics("b:9092")
+    val prepared = kt.prepare(frame)
+    assert(prepared.filter($"value".isNull).select("key").as[String]
+      .collect().toSeq == Seq("thing:2"))
+    // with explicit partitioning the tombstone still routes by its
+    // partition_key — the delete lands in the same partition as the
+    // record it expunges
+    val kt2 = new KafkaTopics("b:9092", numPartitions = Some(8))
+    val p = kt2.prepare(frame).select($"key", $"partition").as[(String, Int)]
+      .collect().toMap
+    assert(p.keySet == Set("thing:1", "thing:2"))
+    assert(p.values.forall(x => x >= 0 && x < 8))
+    // distinct partition keys spread (not all collapsed to one partition)
+    val many = kt2.prepare((1 to 64).map(i =>
+        (s"thing:$i", s"acct-$i", Some("{}"), "x"))
+        .toDF("kafka_key", "partition_key", "value", "ts"))
+      .select("partition").as[Int].collect().toSet
+    assert(many.size > 1, s"all rows collapsed to $many")
+  }
+
+  test("KafkaTopics batch append targets the kafka sink") {
+    // no connector in this container: the failure must come from the
+    // 'kafka' source lookup, proving appendBatch wires the right format
+    val err = intercept[Exception](
+      new KafkaTopics("b:9092").appendBatch(
+        Seq(("k", "p", "{}", "x"))
+          .toDF("kafka_key", "partition_key", "value", "ts"), "v1_events"))
+    assert(err.getMessage.toLowerCase.contains("kafka"), err.getMessage)
+  }
+
   test("KafkaTopics source requests the kafka format by name") {
     // without the connector on the classpath the lookup itself must be for
     // 'kafka' — the failure message proves the source wiring
