@@ -70,15 +70,18 @@ object TextDedup {
     * the scale lever: candidates are generated per block, so the quadratic
     * term is bounded by block size, not corpus size. The per-pair
     * intersection uses the native codegen'd merge-walk
-    * ([[graft.functions.SortedIntersectSize]]) over once-sorted token
-    * arrays — this is the engine's hottest inner loop. Returns
-    * (id_a, id_b, jac) with id_a < id_b and jac >= threshold. */
+    * ([[graft.functions.SortedIntersectSize]]) over once-sorted HASHED
+    * shingle arrays (distinct-then-hash, so set sizes — and therefore the
+    * Jaccard value — are preserved; fixed-width longs halve both the join
+    * payload and the per-pair compare cost vs raw strings) — this is the
+    * engine's hottest inner loop. Returns (id_a, id_b, jac) with
+    * id_a < id_b and jac >= threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
     graft.functions.Functions.register(df.sparkSession)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      sort_array(shingles(col(textCol), n)).as("toks"))
+      sort_array(hashedShingles(col(textCol), n)).as("toks"))
       .withColumn("sz", size(col("toks")))
       .localCheckpoint(eager = false) // tokenize+sort once, not per join side
     val a = t.select(col("id").as("id_a"), col("block"),

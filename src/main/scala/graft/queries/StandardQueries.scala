@@ -154,6 +154,54 @@ object StandardQueries {
     // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
     // independent aggregation grains in one shuffle with a grouping-id —
     // not one pass per set.
+    // Correlated scalar subqueries: orders strictly above their
+    // customer's average order value. Division-free form (price·n > sum)
+    // keeps the comparison in exact decimal arithmetic on both engines.
+    // Catalyst decorrelates both subqueries into aggregates + joins — no
+    // per-row re-execution survives in the physical plan.
+    "q19_correlated_sub" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q19_orders")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+          FROM q19_orders o
+          WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                (SELECT count(*) FROM q19_orders i
+                 WHERE i.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM q19_orders i WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Lateral join: per-customer top order (ORDER BY + LIMIT inside the
+    // correlated subquery) — the row-generator join form the reference
+    // has no analogue for; Catalyst rewrites it to a ranked window.
+    "q20_lateral_topk" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q20_orders")
+        tbl(s, dir, "customer").createOrReplaceTempView("q20_customer")
+        s.sql("""
+          SELECT c.c_custkey, l.o_orderkey, l.total
+          FROM q20_customer c, LATERAL (
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+            FROM q20_orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+          ORDER BY c_custkey""")
+      },
+      """SELECT c.c_custkey, l.o_orderkey, l.total
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
+        |ORDER BY c_custkey""".stripMargin),
+
     "q18_grouping_sets" -> entry(
       (s, dir) => {
         tbl(s, dir, "orders").createOrReplaceTempView("q18_orders")
