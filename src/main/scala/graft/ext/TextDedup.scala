@@ -320,23 +320,17 @@ object TextDedup {
     labels
   }
 
-  /** 64-bit SimHash over tokens, computed with higher-order functions only
-    * (no shuffle, no UDF): each token votes ±1 per bit via its xxhash64;
-    * the sign of the per-bit sum is the fingerprint bit. */
-  def simhash(text: Column): Column = {
-    val bitVotes = aggregate(
-      // hash each token ONCE, then fold the 64 bit-votes per hash
-      transform(tokens(text), (t: Column) => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc: Column, h: Column) =>
-        zip_with(acc, transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", h, j).bitwiseAND(1L) * 2 - 1),
-          (a: Column, v: Column) => a + v))
-    aggregate(
-      zip_with(bitVotes, sequence(lit(0), lit(63)),
-        (v: Column, j: Column) => when(v > 0, call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
-      lit(0L), (acc: Column, x: Column) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash over tokens (no shuffle, no UDF): each token votes ±1
+    * per bit via its xxhash64; the sign of the per-bit sum is the
+    * fingerprint bit. One xxhash per token, then the native scan-local
+    * [[graft.functions.SimhashBits]] expression folds all 64 bit-votes in
+    * a tight loop (the former higher-order-function fold evaluated ~64
+    * interpreted lambdas per token — the dominant cost of the whole
+    * simhash pipeline). Callers must register
+    * [[graft.functions.Functions]] on the session. */
+  def simhash(text: Column): Column =
+    call_function("simhash_bits",
+      transform(tokens(text), (t: Column) => xxhash64(t)))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, candidates
     * via 4×16-bit band join (pigeonhole over 4 bands covers hamming <= 3).
@@ -347,8 +341,9 @@ object TextDedup {
     * first means only true near-dups reach the dedup shuffle. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
     // materialize signatures once: both sides of the self-join would
-    // otherwise re-evaluate the (interpreted) HOF fingerprint per row
+    // otherwise re-evaluate the fingerprint per row
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
       .localCheckpoint(eager = false)
     val banded = sh.select(col("id"), col("sh"),

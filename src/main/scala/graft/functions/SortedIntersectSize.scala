@@ -94,5 +94,9 @@ object Functions {
       "minhash_sigs",
       exprs => MinhashSigs(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits",
+      exprs => SimhashBits(exprs(0)),
+      "built-in")
   }
 }
