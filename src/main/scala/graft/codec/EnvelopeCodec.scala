@@ -58,7 +58,9 @@ object EnvelopeCodec {
     * and the Generate operator each cost more than the whole path-extract
     * projection). Tombstones skip; an envelope carrying a second event or
     * record FAILS LOUDLY (no silent truncation) — consume such topics with
-    * the general [[decode]] (`TopicDef(singleRecordWire = false)`). */
+    * the general [[decode]] (`TopicDef(singleRecordWire = false)`); an
+    * envelope carrying NO record (empty `data`, missing `message`) yields
+    * no row, exactly as the general path's explode of an empty array. */
   def decodeSingleRecords(topicFrame: DataFrame): DataFrame = {
     val multi =
       get_json_object(col("value"), "$.message[1]").isNotNull ||
@@ -74,6 +76,10 @@ object EnvelopeCodec {
             col("value"))))
           .otherwise(get_json_object(col("value"), "$.message[0].data[0]"))
           .as("payload_json"))
+      // zero-record / malformed envelopes produce no record row — the
+      // general path drops them via the explode of an empty array, and a
+      // null payload must never reach the merge as a null-key upsert
+      .filter(col("payload_json").isNotNull)
   }
 
   /** Explode the per-event `data` array into one row per record payload,

@@ -23,7 +23,9 @@ object Curation {
 
   /** Raw (non-deduplicated) word n-grams of `text`; a document shorter
     * than n tokens contributes its whole token sequence as one gram
-    * (`sequence(a, b)` DESCENDS when a > b — guard, don't clamp). */
+    * (`sequence(a, b)` DESCENDS when a > b — guard, don't clamp). The
+    * single n-gram builder for the whole engine: the dedup family's
+    * [[TextDedup.shingles]] is `array_distinct` over this. */
   def ngrams(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     if (n == 1) toks

@@ -24,20 +24,12 @@ object TextDedup {
   /** Tokenize on single spaces (kept dialect-portable for the oracle). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of `text`. n=1 → distinct tokens; a
-    * document shorter than n tokens contributes its whole token sequence
-    * as one shingle (beware: `sequence(a, b)` DESCENDS when a > b, so the
-    * short-doc case must be guarded, not clamped). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    if (n == 1) array_distinct(toks)
-    else {
-      val idx = sequence(lit(0), size(toks) - n)
-      when(size(toks) >= n,
-        array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-        .otherwise(array(concat_ws(" ", toks)))
-    }
-  }
+  /** Distinct word n-gram shingles of `text` — [[Curation.ngrams]] (the
+    * single home of the raw builder and its short-doc guard) deduplicated,
+    * so the dedup family and the curation family can never diverge on
+    * what an n-gram is. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(Curation.ngrams(text, n))
 
   /** Exact dedup: group by content hash, keep the smallest id as the
     * representative. Returns (rep_id, n_copies) per distinct content. */
@@ -221,10 +213,11 @@ object TextDedup {
     // Checkpoint the pair list BEFORE symmetrizing: a union of two selects
     // over the raw `pairs` would evaluate the (expensive) pair-generation
     // plan once per branch.
-    val p0 = pairs.select(col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"))
+    val p0 = pairs.select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = true)
     val edgeCount = p0.count()
+    val longIds = p0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
 
     // size-bounded local solve: the dup graph is one edge per NEAR-DUP
     // PAIR — orders of magnitude smaller than the corpus. Below the bound
@@ -232,8 +225,10 @@ object TextDedup {
     // rounds of distributed shuffles by ~10×: each round pays 3 shuffles
     // + a checkpoint of scheduling floor even when the labels fit in one
     // task. The distributed loop below remains the path for dup graphs
-    // that genuinely don't fit one machine (threshold is a knob).
-    if (edgeCount <= localEdgeThreshold) {
+    // that genuinely don't fit one machine (threshold is a knob) — and
+    // for non-long ids (string/UUID keys), which it handles generically
+    // via orderable min-labels.
+    if (longIds && edgeCount <= localEdgeThreshold) {
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x

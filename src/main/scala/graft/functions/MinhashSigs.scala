@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** `minhash_sigs(hashedShingles, k)` — the k-wide MinHash signature of a
   * document in ONE pass over its hashed-shingle array: signature_i =
@@ -27,6 +28,21 @@ case class MinhashSigs(left: Expression, right: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal k")
+      case (ArrayType(LongType, _), IntegerType) =>
+        val k = right.eval().asInstanceOf[Int]
+        if (k >= 1 && k <= MinhashSigs.mixConsts.length)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName k must be in 1..${MinhashSigs.mixConsts.length}, got $k")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint> hashed shingles, int k), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     MinhashSigs.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])

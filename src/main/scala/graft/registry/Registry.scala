@@ -132,9 +132,12 @@ final case class TopicDef(
     /** Wire shape contract: one event with one record per envelope — what
       * this engine's producer (and the reference's per-record publish)
       * always writes. Enables the no-generator fast-path decode
-      * ([[graft.codec.EnvelopeCodec.decodeSingleRecords]]); violations
-      * fail loudly. Set false for foreign topics whose producers batch
-      * several events/records per message. */
+      * ([[graft.codec.EnvelopeCodec.decodeSingleRecords]]). MUST be set
+      * false for foreign topics whose producers batch several
+      * events/records per message: on the fast path a multi-record
+      * envelope raises (no silent truncation), and with the default
+      * dead-letter option that parks the whole micro-batch in the DLQ
+      * until the flag is corrected. */
     singleRecordWire: Boolean = true)
 
 /** `dependencyModels` declares `with:`-only dependency models that are

@@ -167,6 +167,14 @@ class ExtOpsSpec extends SparkSpec {
     val dist = TextDedup.connectedComponents(pairs, localEdgeThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == comp, s"local $comp vs distributed $dist")
+    // non-long ids stay on the generic distributed path (min is
+    // lexicographic) — the local solve must not narrow the contract
+    val strPairs = Seq(("d1", "d2"), ("d2", "d3"), ("x8", "x9"))
+      .toDF("id_a", "id_b")
+    val strComp = TextDedup.connectedComponents(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(strComp == Map("d1" -> "d1", "d2" -> "d1", "d3" -> "d1",
+      "x8" -> "x8", "x9" -> "x8"), s"got $strComp")
   }
 
   test("contamination: benchmark n-gram overlap flags only overlapping docs") {

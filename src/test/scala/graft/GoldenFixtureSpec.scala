@@ -154,6 +154,31 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(mRow.getAs[String]("message") == "inbox message")
   }
 
+  test("single-record fast decode: parity with general path, tombstone skip, guard rails") {
+    import graft.codec.EnvelopeCodec
+    def envelope(payloads: String*): String =
+      s"""{"message":[{"event":"thing_updated","model_name":"thing","data":[${payloads.mkString(",")}]}]}"""
+    val single = envelope("\"{\\\"id\\\":1,\\\"v\\\":2}\"")
+    val zeroRecord = envelope() // empty data array
+    val frame = Seq(Some(single), Some(zeroRecord), None) // None = tombstone
+      .toDF("value")
+    val fast = EnvelopeCodec.decodeSingleRecords(frame)
+      .select("event", "model_name", "payload_json").as[(String, String, String)]
+      .collect()
+    val general = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(frame))
+      .select("event", "model_name", "payload_json").as[(String, String, String)]
+      .collect()
+    // tombstone and the zero-record envelope yield NO row on either path;
+    // the real record decodes identically
+    assert(fast.toSeq == general.toSeq, s"${fast.toSeq} vs ${general.toSeq}")
+    assert(fast.length == 1 && fast(0)._3 == """{"id":1,"v":2}""")
+    // a multi-record envelope fails loudly instead of truncating
+    val multi = Seq(envelope("\"{\\\"id\\\":1}\"", "\"{\\\"id\\\":2}\"")).toDF("value")
+    val err = intercept[Exception](
+      EnvelopeCodec.decodeSingleRecords(multi).collect())
+    assert(err.getMessage.contains("singleRecordWire"), err.getMessage)
+  }
+
   test("unknown attributes survive in the raw payload (synced_data)") {
     // the raw JSON string rides alongside the parsed struct — a consumer
     // stores it as synced_data even when no local column exists
