@@ -66,7 +66,18 @@ object EnvelopeCodec {
       get_json_object(col("value"), "$.message[1]").isNotNull ||
         get_json_object(col("value"), "$.message[0].data[1]").isNotNull
     topicFrame
-      .filter(col("value").isNotNull)
+      // zero-record / malformed envelopes produce no record row — the
+      // general path drops them via the explode of an empty array, and a
+      // null payload must never reach the merge as a null-key upsert.
+      // Filtered on the RAW value before the projection: filtering the
+      // projected column would push the raise_error branch into the
+      // predicate, which falls out of codegen (interpreted JSON parsing
+      // per row — measured 4× slower end to end).
+      // (a second message element still passes the filter so the
+      // multi-record guard below can raise rather than silently drop)
+      .filter(col("value").isNotNull &&
+        (get_json_object(col("value"), "$.message[0].data[0]").isNotNull ||
+          get_json_object(col("value"), "$.message[1]").isNotNull))
       .select(
         get_json_object(col("value"), "$.message[0].event").as("event"),
         get_json_object(col("value"), "$.message[0].model_name").as("model_name"),
@@ -76,10 +87,6 @@ object EnvelopeCodec {
             col("value"))))
           .otherwise(get_json_object(col("value"), "$.message[0].data[0]"))
           .as("payload_json"))
-      // zero-record / malformed envelopes produce no record row — the
-      // general path drops them via the explode of an empty array, and a
-      // null payload must never reach the merge as a null-key upsert
-      .filter(col("payload_json").isNotNull)
   }
 
   /** Explode the per-event `data` array into one row per record payload,

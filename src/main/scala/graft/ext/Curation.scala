@@ -42,21 +42,30 @@ object Curation {
     * distinct n-grams are contaminated and the contaminated fraction.
     * Docs with no overlap are absent (the result is the quarantine list).
     *
-    * The join key is the raw n-gram string, exact by construction; at
-    * extreme scale swap the key for `xxhash64(ng)` to move fixed-width
-    * longs through the shuffle instead of strings (64-bit collisions are
-    * negligible but not zero — the string form is the oracle-exact
-    * default). */
+    * Grams are DISTINCT-then-HASHED per document before they explode, so
+    * the generator emits and the join moves fixed-width longs, never the
+    * gram strings — per-doc distinct counts (and so the contamination
+    * ratio) are preserved modulo 64-bit collisions, which are negligible
+    * at any realistic gram cardinality. */
   def contamination(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 8): DataFrame = {
+    // materialize the hashed-gram arrays BEFORE the explodes: a Generate
+    // whose input is the n-gram builder expression re-evaluates the
+    // (higher-order-function) builder inside the generator, outside
+    // whole-stage codegen — exploding a checkpointed attribute keeps the
+    // builder in the scan-side projection and runs it once per document
+    def hashedGrams(text: Column): Column =
+      transform(array_distinct(ngrams(text, n)), g => xxhash64(g))
     val bench = benchmark
-      .select(explode(array_distinct(ngrams(col(benchTextCol), n))).as("ng"))
+      .select(hashedGrams(col(benchTextCol)).as("g"))
+      .localCheckpoint(eager = false)
+      .select(explode(col("g")).as("ng"))
       .distinct()
     val grams = corpus
-      .select(col(idCol).as("doc_id"),
-        array_distinct(ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol).as("doc_id"), hashedGrams(col(textCol)).as("g"))
+      .localCheckpoint(eager = false)
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         explode(col("g")).as("ng"))
     grams.join(bench, Seq("ng"))

@@ -66,9 +66,14 @@ object ConsumerQueries {
             col("event_id"), col("event_type"), col("value"),
             get_json_object(col("props"), "$.k").cast("long").as("k")))).as("data"))
         // the engine's consume path for its own wire: single-record
-        // envelopes decode via the fused no-generator fast path
-        val decoded = EnvelopeCodec.decodeSingleRecords(
-          EnvelopeCodec.encode(payload).select("value"))
+        // envelopes decode via the fused no-generator fast path. The wire
+        // is materialized between the halves — producer and consumer are
+        // separate queries over a real topic, never one fused expression
+        // tree (fused, Catalyst would inline the encode into every
+        // decode-side JSON path reference and re-encode per reference)
+        val wire = EnvelopeCodec.encode(payload).select("value")
+          .localCheckpoint(eager = false)
+        val decoded = EnvelopeCodec.decodeSingleRecords(wire)
         decoded
           .withColumn("rec", from_json(col("payload_json"),
             org.apache.spark.sql.types.StructType.fromDDL(

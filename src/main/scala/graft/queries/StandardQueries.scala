@@ -154,6 +154,58 @@ object StandardQueries {
     // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
     // independent aggregation grains in one shuffle with a grouping-id —
     // not one pass per set.
+    // Ranking window family: ntile / percent_rank / cume_dist over a
+    // deterministic total order (unique tiebreak). One window, one sort.
+    "q21_ranking_windows" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q21_orders")
+        s.sql("""
+          SELECT o_custkey, n,
+                 ntile(4)       OVER w AS quartile,
+                 percent_rank() OVER w AS pr,
+                 cume_dist()    OVER w AS cd
+          FROM (SELECT o_custkey, count(*) AS n
+                FROM q21_orders GROUP BY o_custkey)
+          WINDOW w AS (ORDER BY n, o_custkey)
+          ORDER BY o_custkey""")
+      },
+      """SELECT o_custkey, n,
+        | ntile(4)       OVER w AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist()    OVER w AS cd
+        |FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+        |WINDOW w AS (ORDER BY n, o_custkey)
+        |ORDER BY o_custkey""".stripMargin),
+
+    // Unpivot (wide → long) via the stack generator — the UNION-ALL-free
+    // form: one scan emits all measure rows.
+    "q22_unpivot" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("q22_lineitem")
+        s.sql("""
+          SELECT l_orderkey, l_linenumber, metric, val
+          FROM (
+            SELECT l_orderkey, l_linenumber,
+                   stack(3,
+                     'quantity', CAST(l_quantity AS DOUBLE),
+                     'extendedprice', CAST(l_extendedprice AS DOUBLE),
+                     'discount', CAST(l_discount AS DOUBLE)) AS (metric, val)
+            FROM q22_lineitem)
+          WHERE l_orderkey % 50 = 0
+          ORDER BY l_orderkey, l_linenumber, metric, val""")
+      },
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |         CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |         CAST(l_discount AS DOUBLE) FROM lineitem)
+        |WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin),
+
     // Correlated scalar subqueries: orders strictly above their
     // customer's average order value. Division-free form (price·n > sum)
     // keeps the comparison in exact decimal arithmetic on both engines.
