@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for large-scale training-data pipelines:
@@ -106,5 +107,84 @@ object Curation {
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     df.filter(pmod(col(idCol), lit(100)) < rate)
+  }
+
+  /** Sequence packing (concatenate-and-chunk, the LLM-pretraining form):
+    * deterministically order each shard's documents, concatenate their
+    * token streams, and cut the stream at every `budget` tokens. Each
+    * document reports the training sequence its first token lands in,
+    * the offset there, and whether it spans a chunk boundary.
+    *
+    * The running total is windowed PER SHARD, so packing parallelizes
+    * with the shard count instead of serializing on one global ordered
+    * window — the only cross-shard coordination is the hash that
+    * assigns shards. The id-residue shard here is the oracle-portable
+    * form; at 100 TB shard by `pmod(xxhash64(id), shards)` with
+    * thousands of shards so one shard's rows fit an executor. */
+  def sequencePacking(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .withColumn("__prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        floor(col("__prev") / budget).as("seq_id"),
+        pmod(col("__prev"), lit(budget)).as("off"),
+        when(pmod(col("__prev"), lit(budget)) + col("n_tok") > budget, 1)
+          .otherwise(0).as("spans"))
+  }
+
+  /** Per-stratum cap sampling: keep at most `cap` rows per stratum,
+    * chosen by a deterministic multiplicative hash of the id (stable
+    * across runs and replays — no RNG state). Complements
+    * [[stratifiedSample]]'s rate-based form when the mix is specified
+    * as absolute per-domain document budgets.
+    *
+    * The rank is one window per stratum; a pathologically hot stratum
+    * concentrates its rows on one task, so at extreme scale pre-filter
+    * with an approximate per-stratum hash threshold (sampled quantile
+    * of the hash) and rank only the surviving sliver — same result,
+    * bounded task size. The Knuth multiplicative residue is the
+    * oracle-portable stand-in for `xxhash64(id)`. */
+  def domainCap(df: DataFrame, idCol: String, strataCol: String,
+      cap: Int): DataFrame = {
+    val h = pmod(col(idCol) * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
+  /** Cross-document repeated n-grams (the C4-style boilerplate signal):
+    * flag word n-grams appearing in at least `minDocs` distinct
+    * documents, and report per affected document how much of it is
+    * boilerplate. Navigation chrome, license headers and templated
+    * spam all surface here before they survive into training data.
+    *
+    * Same distinct-then-hash shape as [[contamination]]: grams explode
+    * as fixed-width longs; the gram→doc-count aggregation
+    * partial-aggregates before its single exchange; and the boilerplate
+    * gram set joins back by SHUFFLE (never broadcast — real boilerplate
+    * sets scale with the corpus). */
+  def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"),
+        transform(array_distinct(ngrams(col(textCol), n)),
+          g => xxhash64(g)).as("g"))
+      .localCheckpoint(eager = false)
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        explode(col("g")).as("ng"))
+    // grams are distinct per doc, so count(*) == count(DISTINCT doc)
+    val boiler = grams.groupBy(col("ng"))
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("ng"))
+    grams.join(boiler, Seq("ng"))
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_boiler"))
+      .select(col("doc_id"), col("n_boiler"), col("n_grams"),
+        (col("n_boiler").cast("double") / col("n_grams"))
+          .as("boiler_ratio"))
   }
 }

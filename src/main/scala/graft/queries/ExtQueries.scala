@@ -139,6 +139,57 @@ object ExtQueries {
         |  WHEN source = 'src2' THEN 50 ELSE 10 END
         |ORDER BY doc_id""".stripMargin),
 
+    // Sequence packing (concat-and-chunk): which training sequence does
+    // each doc land in, at what offset, and does it span a boundary.
+    // Per-shard windows — parallel in the shard count, no global sort.
+    "x24_sequence_packing" -> entry(
+      (s, dir) =>
+        Curation.sequencePacking(tbl(s, dir, "documents"), "doc_id", "text",
+            budget = 512, shards = 8)
+          .orderBy(col("doc_id")),
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |      FROM t)
+        |SELECT doc_id, shard, n_tok, prev // 512 AS seq_id, prev % 512 AS off,
+        |       CASE WHEN prev % 512 + n_tok > 512 THEN 1 ELSE 0 END AS spans
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Per-domain document-count caps (absolute-budget domain mix):
+    // deterministic hash-ranked top-`cap` per source.
+    "x25_domain_cap" -> entry(
+      (s, dir) =>
+        Curation.domainCap(tbl(s, dir, "documents"), "doc_id", "source",
+            cap = 15)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin),
+
+    // Cross-document repeated 5-grams (C4-style boilerplate detection):
+    // per affected doc, how many of its distinct grams appear in >= 2
+    // documents corpus-wide.
+    "x26_boilerplate" -> entry(
+      (s, dir) =>
+        Curation.crossDocRepeats(tbl(s, dir, "documents"), "doc_id", "text",
+            n = 5, minDocs = 2)
+          .orderBy(col("doc_id")),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | grams AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 5
+        |     THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |     ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+        | ex AS (SELECT doc_id, len(g) AS n_grams, unnest(g) AS ng FROM grams),
+        | boiler AS (SELECT ng FROM ex GROUP BY ng HAVING count(*) >= 2)
+        |SELECT doc_id, count(*) AS n_boiler, n_grams,
+        | CAST(count(*) AS DOUBLE) / n_grams AS boiler_ratio
+        |FROM ex WHERE ng IN (SELECT ng FROM boiler)
+        |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin),
+
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.
     "x02_dedup_minhash_lsh" -> rowsOnly(

@@ -254,6 +254,62 @@ object StandardQueries {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l
         |ORDER BY c_custkey""".stripMargin),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): calendar fill — every 1995
+    // month with its order count/revenue, zero-order months included.
+    // The recursion bounds are literals on purpose: each recursion level
+    // is a Spark job, so a data-dependent bound belongs in one cheap
+    // pre-computed aggregate, never inside the iterated plan.
+    "q23_recursive_calendar" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q23_orders")
+        s.sql("""
+          WITH RECURSIVE m(mon) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT CAST(mon + INTERVAL '1' MONTH AS DATE) FROM m
+            WHERE mon < DATE '1995-12-01')
+          SELECT date_format(mon, 'yyyy-MM') AS month,
+                 count(o_orderkey) AS n_orders,
+                 CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                   AS DOUBLE) AS revenue
+          FROM m LEFT JOIN q23_orders
+            ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+          GROUP BY mon ORDER BY month""")
+      },
+      """WITH RECURSIVE m(mon) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM m
+        |  WHERE mon < DATE '1995-12-01')
+        |SELECT strftime(mon, '%Y-%m') AS month,
+        |       count(o_orderkey) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+        |         AS DOUBLE) AS revenue
+        |FROM m LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = mon
+        |GROUP BY mon ORDER BY month""".stripMargin),
+
+    // Time-interval RANGE window: 7-day trailing revenue per customer.
+    // Value-based frames need no tiebreak for determinism (peers share
+    // the frame); the sum stays in exact decimal until the final cast.
+    "q24_trailing_window" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("q24_orders")
+        s.sql("""
+          SELECT o_orderkey,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS trailing7
+          FROM q24_orders ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |   AS DOUBLE) AS trailing7
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
     "q18_grouping_sets" -> entry(
       (s, dir) => {
         tbl(s, dir, "orders").createOrReplaceTempView("q18_orders")

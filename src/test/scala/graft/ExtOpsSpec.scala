@@ -224,6 +224,55 @@ class ExtOpsSpec extends SparkSpec {
       twice.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("sequencePacking: chunk assignment follows the per-shard running sum") {
+    import graft.ext.Curation
+    // one shard (ids all ≡ 0 mod 1): tokens 4,3,5 against budget 8 →
+    // doc 0 at (seq 0, off 0), doc 1 at (seq 0, off 4),
+    // doc 2 starts at off 7 and SPANS into seq 1
+    val rows = Seq((0L, "a b c d"), (1L, "e f g"), (2L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val got = Curation.sequencePacking(rows, "doc_id", "text",
+        budget = 8, shards = 1)
+      .select($"doc_id", $"seq_id", $"off", $"spans")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.toList == List((0L, 0L, 0L, 0), (1L, 0L, 4L, 0),
+      (2L, 0L, 7L, 1)), s"got ${got.toList}")
+    // sharding: same docs across 3 shards each start their own stream
+    val sharded = Curation.sequencePacking(rows, "doc_id", "text",
+        budget = 8, shards = 3)
+      .select($"off").as[Long].collect()
+    assert(sharded.forall(_ == 0L))
+  }
+
+  test("domainCap: caps per stratum, deterministic across replays") {
+    import graft.ext.Curation
+    val rows = (0L until 100L).map(i => (i, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    val got = Curation.domainCap(rows, "doc_id", "source", cap = 5)
+    val bySrc = got.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.values.forall(_ == 5L) && bySrc.size == 4, s"got $bySrc")
+    val twice = Curation.domainCap(rows, "doc_id", "source", cap = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.select("doc_id").as[Long].collect().sorted
+      .sameElements(twice))
+  }
+
+  test("crossDocRepeats: only corpus-repeated n-grams count as boilerplate") {
+    import graft.ext.Curation
+    val rows = Seq(
+      (1L, "nav home about contact footer plus unique words one"),
+      (2L, "nav home about contact footer and other unique words"),
+      (3L, "entirely fresh content with no shared gram sequences here"))
+      .toDF("doc_id", "text")
+    val got = Curation.crossDocRepeats(rows, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .select($"doc_id", $"n_boiler").as[(Long, Long)].collect().toMap
+    // docs 1/2 share exactly the 5-gram "nav home about contact footer";
+    // doc 3 shares nothing and is absent
+    assert(got == Map(1L -> 1L, 2L -> 1L), s"got $got")
+  }
+
   test("text cleaning: lowercase, redact, strip, collapse") {
     val got = Seq("Contact Bob@Example.COM or call 12345678!!  Now.")
       .toDF("t").select(TextAnalysis.cleaned($"t")).as[String].collect()(0)
