@@ -91,14 +91,20 @@ object Engine {
     *    engine-wide — `(spark, model, root) => Replica`. Default is the
     *    bucketed [[ParquetReplica]]; a transactional table format
     *    (Delta/Iceberg) or the thin [[graft.streaming.CowReplica]] plug
-    *    in here without touching any operator. */
+    *    in here without touching any operator.
+    *  - `changesetKey`: P24 — when set, change feeds may carry their
+    *    `__changeset` sealed at rest ([[graft.producer.ChangesetCrypto]],
+    *    an opaque string column); observer resolution opens it
+    *    transparently before matching. A sealed feed with no key fails
+    *    at wiring time. */
   final case class EngineOptions(
       messageFilters: Map[String, Column] = Map.empty,
       deadLetter: Boolean = true,
       publishConsumedEvents: Boolean = false,
       trackLocalChanges: Boolean = false,
       dedupDelay: String = "1 hour",
-      replicaFactory: Option[(SparkSession, ModelDef, String) => Replica] = None)
+      replicaFactory: Option[(SparkSession, ModelDef, String) => Replica] = None,
+      changesetKey: Option[String] = None)
 
   /** Soft-delete image of a snapshot frame: the optional `__canceled`
     * column when the binding provides it, else null (all rows live).
@@ -138,7 +144,7 @@ object Engine {
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
         s"$workDir/cp/produce/${registry.topicName(t)}",
-        Trigger.AvailableNow())
+        Trigger.AvailableNow(), options)
     }
     producers.foreach(_.awaitTermination())
 
@@ -176,7 +182,7 @@ object Engine {
     val replicas = makeReplicas(spark, registry, workDir, options)
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
-        s"$workDir/cp/produce/${registry.topicName(t)}", trigger)
+        s"$workDir/cp/produce/${registry.topicName(t)}", trigger, options)
     }
     val consumers = consumedTopicNames(registry).map { case (t, name) =>
       consumeTopic(spark, registry, t, name, topics, replicas, workDir,
@@ -251,13 +257,15 @@ object Engine {
       bindings: ModelBindings,
       sink: TopicSink,
       checkpointDir: String,
-      trigger: Trigger): StreamingQuery = {
+      trigger: Trigger,
+      options: EngineOptions = EngineOptions()): StreamingQuery = {
     val primary = t.models.map(m =>
       modelWire(spark, registry, t, m, bindings.changes(spark, m), bindings))
     // P14/P15: models observing another model's attributes republish their
     // dependent records when a matching changeset arrives
     val observer = t.models.flatMap(m =>
-      m.observers.map(o => observerWire(spark, registry, t, m, o, bindings)))
+      m.observers.map(o =>
+        observerWire(spark, registry, t, m, o, bindings, options)))
     val wire = (primary ++ observer).reduce(_.unionByName(_))
     var enveloped = EnvelopeCodec.encode(wire)
       .select("kafka_key", "partition_key", "value", "ts")
@@ -390,12 +398,25 @@ object Engine {
       t: TopicDef,
       m: ModelDef,
       o: graft.registry.ObserverDef,
-      bindings: ModelBindings): DataFrame = {
+      bindings: ModelBindings,
+      options: EngineOptions = EngineOptions()): DataFrame = {
     val observed = registry.modelDef(o.model).getOrElse(
       throw new IllegalArgumentException(s"unknown observed model ${o.model}"))
-    val feed = bindings.changes(spark, observed)
-    require(feed.columns.contains("__changeset"),
+    val rawFeed = bindings.changes(spark, observed)
+    require(rawFeed.columns.contains("__changeset"),
       s"observer on ${o.model} needs a __changeset column in its change feed")
+    // P24: a feed whose changeset arrives sealed (opaque string at rest)
+    // is opened transparently before the attribute match
+    val feed = rawFeed.schema("__changeset").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val key = options.changesetKey.getOrElse(throw new
+            IllegalArgumentException(
+          s"feed for ${o.model} carries a sealed __changeset but no " +
+            "changesetKey is configured (EngineOptions.changesetKey)"))
+        rawFeed.withColumn("__changeset",
+          graft.producer.ChangesetCrypto.open(col("__changeset"), key))
+      case _ => rawFeed
+    }
     val matched = feed.filter(Observers.matches(col("__changeset"), o))
     // walk the association path (dotted chains supported,
     // reference: producer.rb:110-115): each hop joins the next model's

@@ -1,0 +1,52 @@
+package graft.producer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P24 — changeset encryption at rest.
+  *
+  * The reference stores the outbox `changeset` column encrypted when it
+  * holds GDPR-scoped attribute values: `encrypts_changeset!` serializes
+  * the payload to JSON before the column encryptor persists it, and
+  * `transformed_changeset` parses it back on read (reference:
+  * lib/dionysus/producer/outbox/model.rb:40-45, README.md:636-647).
+  *
+  * The Spark form seals the `__changeset` map (attr → [old, new]) into
+  * one opaque string column — JSON → AES-GCM → base64 — with Spark's
+  * native `aes_encrypt`/`aes_decrypt` expressions, so sealing and
+  * opening stay inside codegen'd projections (no UDF, no driver round
+  * trip) and the sealed feed shuffles/stores like any string column.
+  * GCM draws a random IV per row, so ciphertexts are non-deterministic
+  * (as with the reference's pgp encryptor) while `open(seal(x)) == x`
+  * always holds; nothing downstream may compare sealed bytes.
+  */
+object ChangesetCrypto {
+
+  /** Schema of the plaintext changeset column (built by
+    * [[EventClassifier.changeset]]). */
+  val ChangesetDDL = "map<string,array<string>>"
+
+  /** AES accepts 128/192/256-bit keys only; fail at registration time,
+    * not in a running stream. */
+  def requireValidKey(key: String): Unit = {
+    val n = key.getBytes("UTF-8").length
+    require(n == 16 || n == 24 || n == 32,
+      s"changeset key must be 16, 24 or 32 bytes (got $n)")
+  }
+
+  /** Storage form of a changeset map: `base64(aes_gcm(json))`. */
+  def seal(changeset: Column, key: String): Column = {
+    requireValidKey(key)
+    base64(aes_encrypt(to_json(changeset), lit(key)))
+  }
+
+  /** Inverse of [[seal]]: back to the `map<string,array<string>>`
+    * the observer match ([[Observers.matches]]) reads. A wrong key
+    * fails the query loudly (AES-GCM authenticates) rather than
+    * matching observers against garbage. */
+  def open(stored: Column, key: String): Column = {
+    requireValidKey(key)
+    from_json(aes_decrypt(unbase64(stored), lit(key)).cast("string"),
+      ChangesetDDL, Map.empty[String, String])
+  }
+}

@@ -574,6 +574,91 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("price").as[Double].collect()(0) == 8.0)
   }
 
+  test("P24: changeset seal/open roundtrip; wrong key fails loudly") {
+    import graft.producer.ChangesetCrypto
+    val key = "0123456789abcdef" // 16 bytes
+    val cs = Seq(1).toDF("i").select(
+      map(lit("name"), array(lit("a"), lit("b")),
+        lit("beds"), array(lit("1"), lit("2"))).as("cs"))
+    val round = cs
+      .select(ChangesetCrypto.open(
+        ChangesetCrypto.seal(col("cs"), key), key).as("cs"))
+      .select(map_keys(col("cs")).as("ks"), col("cs")("name").as("name"))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(round._1.toSet == Set("name", "beds"))
+    assert(round._2 == Seq("a", "b"))
+    // AES-GCM authenticates: a wrong key must error, not return garbage
+    intercept[Exception] {
+      cs.select(ChangesetCrypto.open(
+        ChangesetCrypto.seal(col("cs"), key), "fedcba9876543210"))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      ChangesetCrypto.seal(col("cs"), "short")
+    }
+  }
+
+  test("P24: observer matches against a sealed changeset feed") {
+    import graft.registry._
+    import graft.producer.ChangesetCrypto
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val tmp = Files.createTempDirectory("graft-engine-enc").toString
+    val key = "0123456789abcdef"
+
+    val bookingDef = ModelDef("booking",
+      attributes = Seq(Attribute("price", DoubleType),
+        Attribute("rental_id", LongType)),
+      observers = Seq(ObserverDef("rental", Seq("name"), "bookings")))
+    val rentalDef = ModelDef("rental",
+      attributes = Seq(Attribute("name", StringType)),
+      hasMany = Seq(Association("bookings", "booking", fk = "rental_id")))
+    val reg = Registry("v6", Seq(TopicDef("bookings", Seq(bookingDef))),
+      dependencyModels = Seq(rentalDef))
+
+    val meta = Seq(
+      lit("update").as("__op"),
+      lit(null).cast("timestamp").as("__old_canceled"),
+      lit(null).cast("timestamp").as("__new_canceled"))
+    val bookingChangesDir = s"$tmp/chg_booking"
+    Seq((100L, 9.5, 1L)).toDF("id", "price", "rental_id")
+      .select(col("*") +: (meta :+
+        lit("2026-01-01 00:00:00").cast("timestamp").as("__ts")): _*)
+      .write.parquet(bookingChangesDir)
+    // the rental feed stores its changeset SEALED (string at rest):
+    // rental 1 changes the observed attr, rental 2 an unobserved one
+    val rentalChangesDir = s"$tmp/chg_rental"
+    Seq((1L, "x"), (2L, "x")).toDF("id", "x")
+      .select(col("id"),
+        when(col("id") === 1L, map(lit("name"), array(lit("a"), lit("b"))))
+          .otherwise(map(lit("beds"), array(lit("1"), lit("2"))))
+          .as("__cs"))
+      .select(col("id") +: (meta ++ Seq(
+        lit("2026-01-02 00:00:00").cast("timestamp").as("__ts"),
+        ChangesetCrypto.seal(col("__cs"), key).as("__changeset"))): _*)
+      .write.parquet(rentalChangesDir)
+    val bookingsSnap = Seq(
+      (100L, 9.5, 1L), (101L, 8.0, 1L), (200L, 7.0, 2L), (201L, 6.0, 2L))
+      .toDF("id", "price", "rental_id")
+      .withColumn("__ts", lit("2026-01-03 00:00:00").cast("timestamp"))
+
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val dir = if (m.name == "rental") rentalChangesDir else bookingChangesDir
+        s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = bookingsSnap
+    }
+    // sealed feed + no key must fail at wiring time, not match garbage
+    intercept[Exception] {
+      Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work_nokey")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(changesetKey = Some(key)))
+    val ids = res.replicas("booking").read()
+      .select("synced_id").as[Long].collect().toSet
+    assert(ids == Set(100L, 101L), s"got $ids")
+  }
+
   test("Engine: genesis replica topics are consumed; soft deletes propagate") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
