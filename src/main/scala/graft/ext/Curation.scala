@@ -162,10 +162,13 @@ object Curation {
     * spam all surface here before they survive into training data.
     *
     * Same distinct-then-hash shape as [[contamination]]: grams explode
-    * as fixed-width longs; the gram→doc-count aggregation
-    * partial-aggregates before its single exchange; and the boilerplate
-    * gram set joins back by SHUFFLE (never broadcast — real boilerplate
-    * sets scale with the corpus). */
+    * as fixed-width longs and the gram→doc-count aggregation
+    * partial-aggregates before its single exchange. The boilerplate
+    * gram set joins back without an explicit `broadcast()` hint: real
+    * boilerplate sets scale with the corpus, so the plan must default
+    * to a shuffle join — AQE upgrading it to broadcast at runtime when
+    * the set actually fits is the desired adaptive behavior, a hint
+    * pinning it would not survive 100 TB. */
   def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val grams = df
