@@ -65,28 +65,30 @@ object EnvelopeCodec {
     val multi =
       get_json_object(col("value"), "$.message[1]").isNotNull ||
         get_json_object(col("value"), "$.message[0].data[1]").isNotNull
+    // `when(multi, raise_error).isNull` is a pure predicate: it raises on
+    // ANY multi envelope (even one whose first record slot is JSON null,
+    // which the row-drop term alone would silently discard) and, living
+    // in the filter, it cannot be column-pruned away by a downstream
+    // projection that never reads payload_json. Short-circuit order
+    // matters: the guard runs before the tombstone drop.
+    val multiGuard = when(multi, raise_error(concat(
+        lit("multi-record envelope on the single-record decode path " +
+          "(declare TopicDef(singleRecordWire = false)): "),
+        col("value"))))
+      .isNull
     topicFrame
       // zero-record / malformed envelopes produce no record row — the
       // general path drops them via the explode of an empty array, and a
       // null payload must never reach the merge as a null-key upsert.
-      // Filtered on the RAW value before the projection: filtering the
-      // projected column would push the raise_error branch into the
-      // predicate, which falls out of codegen (interpreted JSON parsing
-      // per row — measured 4× slower end to end).
-      // (a second message element still passes the filter so the
-      // multi-record guard below can raise rather than silently drop)
-      .filter(col("value").isNotNull &&
-        (get_json_object(col("value"), "$.message[0].data[0]").isNotNull ||
-          get_json_object(col("value"), "$.message[1]").isNotNull))
+      // All terms are raw-value JSON probes: extracting through the
+      // projected column instead would fall out of codegen (interpreted
+      // JSON parsing per row — measured 4× slower end to end).
+      .filter(col("value").isNotNull && multiGuard &&
+        get_json_object(col("value"), "$.message[0].data[0]").isNotNull)
       .select(
         get_json_object(col("value"), "$.message[0].event").as("event"),
         get_json_object(col("value"), "$.message[0].model_name").as("model_name"),
-        when(multi, raise_error(concat(
-            lit("multi-record envelope on the single-record decode path " +
-              "(declare TopicDef(singleRecordWire = false)): "),
-            col("value"))))
-          .otherwise(get_json_object(col("value"), "$.message[0].data[0]"))
-          .as("payload_json"))
+        get_json_object(col("value"), "$.message[0].data[0]").as("payload_json"))
   }
 
   /** Explode the per-event `data` array into one row per record payload,

@@ -48,24 +48,28 @@ object Curation {
     * gram strings — per-doc distinct counts (and so the contamination
     * ratio) are preserved modulo 64-bit collisions, which are negligible
     * at any realistic gram cardinality. */
+  /** Distinct word n-grams of `text`, each reduced to its `xxhash64` —
+    * the shared shuffle currency of [[contamination]] and
+    * [[crossDocRepeats]]. IMPORTANT: materialize (`localCheckpoint`)
+    * the arrays BEFORE any explode — a Generate whose input is the
+    * n-gram builder expression re-evaluates the (higher-order-function)
+    * builder inside the generator, outside whole-stage codegen;
+    * exploding a checkpointed attribute keeps the builder in the
+    * scan-side projection and runs it once per document. */
+  private def hashedGrams(text: Column, n: Int): Column =
+    transform(array_distinct(ngrams(text, n)), g => xxhash64(g))
+
   def contamination(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 8): DataFrame = {
-    // materialize the hashed-gram arrays BEFORE the explodes: a Generate
-    // whose input is the n-gram builder expression re-evaluates the
-    // (higher-order-function) builder inside the generator, outside
-    // whole-stage codegen — exploding a checkpointed attribute keeps the
-    // builder in the scan-side projection and runs it once per document
-    def hashedGrams(text: Column): Column =
-      transform(array_distinct(ngrams(text, n)), g => xxhash64(g))
     val bench = benchmark
-      .select(hashedGrams(col(benchTextCol)).as("g"))
+      .select(hashedGrams(col(benchTextCol), n).as("g"))
       .localCheckpoint(eager = false)
       .select(explode(col("g")).as("ng"))
       .distinct()
     val grams = corpus
-      .select(col(idCol).as("doc_id"), hashedGrams(col(textCol)).as("g"))
+      .select(col(idCol).as("doc_id"), hashedGrams(col(textCol), n).as("g"))
       .localCheckpoint(eager = false)
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         explode(col("g")).as("ng"))
@@ -147,10 +151,14 @@ object Curation {
     * with an approximate per-stratum hash threshold (sampled quantile
     * of the hash) and rank only the surviving sliver — same result,
     * bounded task size. The Knuth multiplicative residue is the
-    * oracle-portable stand-in for `xxhash64(id)`. */
+    * oracle-portable stand-in for `xxhash64(id)`; the id reduces mod
+    * p BEFORE the multiply so the product stays under 2^63 for any
+    * long id — ANSI mode turns silent wraparound into a query-killing
+    * overflow error, so the bound must hold by construction. */
   def domainCap(df: DataFrame, idCol: String, strataCol: String,
       cap: Int): DataFrame = {
-    val h = pmod(col(idCol) * lit(2654435761L), lit(1000000007L))
+    val p = 1000000007L // (p-1) * 2654435761 < 2^63
+    val h = pmod(pmod(col(idCol), lit(p)) * lit(2654435761L), lit(p))
     val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
   }
@@ -173,8 +181,7 @@ object Curation {
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"),
-        transform(array_distinct(ngrams(col(textCol), n)),
-          g => xxhash64(g)).as("g"))
+        hashedGrams(col(textCol), n).as("g"))
       .localCheckpoint(eager = false)
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         explode(col("g")).as("ng"))

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   * GCM draws a random IV per row, so ciphertexts are non-deterministic
   * (as with the reference's pgp encryptor) while `open(seal(x)) == x`
   * always holds; nothing downstream may compare sealed bytes.
+  *
+  * OPERATIONAL NOTE — the key is a plan literal: it appears in
+  * `explain` output, the Spark UI SQL tab, and event logs unless
+  * redacted. Deployments MUST set `spark.redaction.string.regex` to
+  * match the key (Spark redacts matching fragments from plan strings
+  * and event logs); treat history-server storage as key-visible
+  * otherwise. The reference has the same property — its key rides in
+  * an ENV var into SQL issued by crypt_keeper (README.md:644).
   */
 object ChangesetCrypto {
 

@@ -83,7 +83,9 @@ object ExtQueries {
 
     // Benchmark decontamination: corpus docs sharing any word 5-gram with
     // the benchmark set (doc_id % 19 == 0 plays the benchmark here), with
-    // contaminated-gram counts. Exact string-gram join, oracle-checked.
+    // contaminated-gram counts. Grams join as xxhash64 longs (counts are
+    // collision-exact for all practical gram cardinalities); the oracle
+    // joins the raw strings and must agree.
     "x21_decontamination" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
@@ -167,7 +169,8 @@ object ExtQueries {
           .orderBy(col("doc_id")),
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
-        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+        |    ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+        |             doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 15 ORDER BY doc_id""".stripMargin),
 

@@ -151,9 +151,6 @@ object StandardQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin),
 
-    // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
-    // independent aggregation grains in one shuffle with a grouping-id —
-    // not one pass per set.
     // Ranking window family: ntile / percent_rank / cume_dist over a
     // deterministic total order (unique tiebreak). One window, one sort.
     "q21_ranking_windows" -> entry(
@@ -310,6 +307,9 @@ object StandardQueries {
         |   AS DOUBLE) AS trailing7
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
+    // independent aggregation grains in one shuffle with a grouping-id —
+    // not one pass per set.
     "q18_grouping_sets" -> entry(
       (s, dir) => {
         tbl(s, dir, "orders").createOrReplaceTempView("q18_orders")

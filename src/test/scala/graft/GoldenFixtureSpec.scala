@@ -177,6 +177,18 @@ class GoldenFixtureSpec extends SparkSpec {
     val err = intercept[Exception](
       EnvelopeCodec.decodeSingleRecords(multi).collect())
     assert(err.getMessage.contains("singleRecordWire"), err.getMessage)
+    // ... even when the FIRST record slot is a JSON null (the tombstone
+    // drop must not swallow the second record silently)
+    val nullFirst = Seq(envelope("null", "\"{\\\"id\\\":2}\"")).toDF("value")
+    val err2 = intercept[Exception](
+      EnvelopeCodec.decodeSingleRecords(nullFirst).collect())
+    assert(err2.getMessage.contains("singleRecordWire"), err2.getMessage)
+    // ... and even when downstream prunes payload_json entirely — the
+    // guard lives in the filter, not in a prunable projection
+    val err3 = intercept[Exception](
+      EnvelopeCodec.decodeSingleRecords(multi)
+        .groupBy("model_name").count().collect())
+    assert(err3.getMessage.contains("singleRecordWire"), err3.getMessage)
   }
 
   test("unknown attributes survive in the raw payload (synced_data)") {
