@@ -146,11 +146,13 @@ object Curation {
     * [[stratifiedSample]]'s rate-based form when the mix is specified
     * as absolute per-domain document budgets.
     *
-    * The rank is one window per stratum; a pathologically hot stratum
-    * concentrates its rows on one task, so at extreme scale pre-filter
-    * with an approximate per-stratum hash threshold (sampled quantile
-    * of the hash) and rank only the surviving sliver — same result,
-    * bounded task size. The Knuth multiplicative residue is the
+    * The rank is one window per stratum, and because the predicate is
+    * `row_number() <= cap` Spark plans a `WindowGroupLimit` BEFORE the
+    * exchange: each map task forwards at most `cap` rows per stratum,
+    * so the shuffle moves O(tasks · cap) rows per stratum, not the
+    * stratum — a pathologically hot domain is bounded at the map side
+    * (verified in the executed plan: Partial/Final WindowGroupLimit
+    * around the exchange). The Knuth multiplicative residue is the
     * oracle-portable stand-in for `xxhash64(id)`; the id reduces mod
     * p BEFORE the multiply so the product stays under 2^63 for any
     * long id — ANSI mode turns silent wraparound into a query-killing
@@ -196,5 +198,29 @@ object Curation {
       .select(col("doc_id"), col("n_boiler"), col("n_grams"),
         (col("n_boiler").cast("double") / col("n_grams"))
           .as("boiler_ratio"))
+  }
+
+  /** Filter-funnel accounting: assign every document its FIRST failing
+    * rule — `rules` is ordered `(stage name, fails predicate)` — and
+    * report per-stage drop counts plus the `kept` survivors and each
+    * stage's share of the corpus. The assignment is one scan-local CASE
+    * cascade (a doc failing several rules counts exactly once, under
+    * the earliest), so the whole funnel is one pass over the corpus
+    * and one partial-aggregated count shuffle onto a stage-cardinality
+    * frame — the survival report every curation pipeline publishes,
+    * at any corpus size. */
+  def funnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty)
+    val stage = rules.foldRight(lit("kept")) { case ((name, fails), acc) =>
+      when(fails, lit(name)).otherwise(acc)
+    }
+    val counts = df.select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+    // the share window runs over the stage-cardinality aggregate (a
+    // handful of rows), not the corpus — a single-partition window
+    // there is free
+    counts.select(col("stage"), col("n"),
+      (col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy())).as("share"))
   }
 }

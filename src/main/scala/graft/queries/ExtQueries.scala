@@ -193,6 +193,30 @@ object ExtQueries {
         |FROM ex WHERE ng IN (SELECT ng FROM boiler)
         |GROUP BY doc_id, n_grams ORDER BY doc_id""".stripMargin),
 
+    // Curation filter funnel: every doc assigned its first failing rule
+    // (language → length → repetition), one scan + one count shuffle.
+    "x27_curation_funnel" -> entry(
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Curation.funnel(tbl(s, dir, "documents"), Seq(
+            "lang" -> (col("lang") =!= "en"),
+            "too_short" -> (size(toks) < 30),
+            "repetition" -> (lit(1.0) -
+              size(array_distinct(toks)).cast("double") / size(toks) > 0.6)))
+          .orderBy(col("stage"))
+      },
+      """WITH staged AS (
+        |  SELECT CASE
+        |    WHEN lang <> 'en' THEN 'lang'
+        |    WHEN len(string_split(text, ' ')) < 30 THEN 'too_short'
+        |    WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) > 0.6 THEN 'repetition'
+        |    ELSE 'kept' END AS stage
+        |  FROM documents)
+        |SELECT stage, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin),
+
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.
     "x02_dedup_minhash_lsh" -> rowsOnly(

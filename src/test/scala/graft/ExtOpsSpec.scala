@@ -273,6 +273,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L), s"got $got")
   }
 
+  test("funnel: first failing rule wins; shares sum to one") {
+    import graft.ext.Curation
+    val rows = Seq(
+      (1L, "xx", "fr"),      // fails lang AND length — counts under lang
+      (2L, "a b c", "en"),   // fails length only
+      (3L, "a b c d e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.funnel(rows, Seq(
+        "lang" -> ($"lang" =!= "en"),
+        "too_short" -> (size(split($"text", " ")) < 4)))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "lang" -> (1L, 1.0 / 3),
+      "too_short" -> (1L, 1.0 / 3),
+      "kept" -> (1L, 1.0 / 3)), s"got $got")
+  }
+
   test("text cleaning: lowercase, redact, strip, collapse") {
     val got = Seq("Contact Bob@Example.COM or call 12345678!!  Now.")
       .toDF("t").select(TextAnalysis.cleaned($"t")).as[String].collect()(0)
