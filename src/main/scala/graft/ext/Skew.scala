@@ -37,4 +37,27 @@ object Skew {
     phase1.groupBy(col(keyCol))
       .agg(recombined.head, recombined.tail: _*)
   }
+
+  /** Salted equi-join for a skewed fact side against a bounded build
+    * side: each fact row draws a deterministic salt from its own
+    * identity (`saltSource`, e.g. the fact primary key — NOT the join
+    * key, which is exactly what's skewed), the build side replicates
+    * `salt` times, and the join runs on `(key, salt)` — a hot key's
+    * rows spread over `salt` reducers instead of one. Inner-join
+    * result is identical to the unsalted join.
+    *
+    * Cost model: the build side grows ×`salt` through its shuffle, so
+    * this fits dims too big to broadcast but small enough to
+    * replicate; AQE's runtime skew splitting is the zero-config
+    * alternative when the skew isn't known up front. The salt is
+    * derived, never random — replays and retries salt identically. */
+  def saltedJoin(
+      fact: DataFrame, build: DataFrame, key: String, salt: Int,
+      saltSource: Column): DataFrame = {
+    require(salt > 0)
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(salt)))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    f.join(b, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -307,6 +307,97 @@ object StandardQueries {
         |   AS DOUBLE) AS trailing7
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
+    // TPC-H Q3 (shipping priority): selective dim filter broadcast into
+    // the fact join, partial-agg before the group shuffle, top-10 via
+    // TakeOrderedAndProject (no global sort materialization).
+    "q25_tpch_q3" -> entry(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = tbl(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"))
+          .select(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+        | o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // TPC-H Q5 (local supplier volume): a star of four broadcast dims
+    // around the lineitem fact, with the customer-nation = supplier-
+    // nation constraint closing the snowflake. One fact shuffle total.
+    "q26_tpch_q5" -> entry(
+      (s, dir) => {
+        val r = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+        val n = tbl(s, dir, "nation")
+        val sup = tbl(s, dir, "supplier")
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val l = tbl(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(c),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // Salted join (ext.Skew.saltedJoin): the q03 fact⋈dim aggregate
+    // computed through an explicitly salted shuffle join — identical
+    // result to the unsalted plan, hot customer keys spread over 8
+    // reducers. The oracle is the plain join: salting must be invisible.
+    "q27_salted_join" -> entry(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey")
+        graft.ext.Skew.saltedJoin(o, c, key = "o_custkey", salt = 8,
+            saltSource = col("o_orderkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
+          .orderBy(col("c_mktsegment"))
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
     // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
     // independent aggregation grains in one shuffle with a grouping-id —
     // not one pass per set.

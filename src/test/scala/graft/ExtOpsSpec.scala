@@ -291,6 +291,24 @@ class ExtOpsSpec extends SparkSpec {
       "kept" -> (1L, 1.0 / 3)), s"got $got")
   }
 
+  test("saltedJoin: identical to the plain join; hot key spreads salts") {
+    import graft.ext.Skew
+    // hot key: 90 of 100 fact rows share key 1
+    val fact = (0L until 100L).map(i => (i, if (i < 90) 1L else i))
+      .toDF("row_id", "k")
+    val build = Seq((1L, "hot"), (95L, "cold")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(fact, build, key = "k", salt = 4,
+      saltSource = $"row_id")
+    val plain = fact.join(build, Seq("k"))
+    assert(salted.select("row_id", "k", "tag").collect().toSet ==
+      plain.select("row_id", "k", "tag").collect().toSet)
+    // the hot key's rows actually use more than one salt bucket
+    val salts = fact.filter($"k" === 1L)
+      .select(pmod(xxhash64($"row_id"), lit(4)).as("s"))
+      .distinct().count()
+    assert(salts > 1, s"hot key stayed on $salts salt(s)")
+  }
+
   test("text cleaning: lowercase, redact, strip, collapse") {
     val got = Seq("Contact Bob@Example.COM or call 12345678!!  Now.")
       .toDF("t").select(TextAnalysis.cleaned($"t")).as[String].collect()(0)
