@@ -70,4 +70,58 @@ object Multimodal {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col(idCol) % 3 + 1).cast("int")).as("format"),
       col(payloadCol).cast("binary").as("media"))
+
+  final case class ResizedMedia(
+      id: Long, width: Int, height: Int, media: Array[Byte])
+
+  /** STUB resize: a real implementation re-encodes `bytes` at the target
+    * dimensions behind this exact signature. The fake truncates/pads to a
+    * size-proportional byte budget so output size actually tracks the
+    * target dims and the batch shape (bytes in → bytes out, one codec
+    * context per partition) is exercised. */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
+    require(width > 0 && height > 0)
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions { rows =>
+      // real impl: initialize the image codec once per partition here
+      val budget = math.max(1, (width * height) / 64)
+      rows.map { r =>
+        val b = if (r.media == null) Array.empty[Byte] else r.media
+        ResizedMedia(r.id, width, height,
+          if (b.length >= budget) b.take(budget)
+          else b ++ Array.fill(budget - b.length)(0.toByte))
+      }
+    }
+  }
+
+  /** STUB feature extraction: bytes → dense `Array[Float]` embedding (a
+    * real implementation runs a vision/audio encoder behind this
+    * signature; batching per partition is where the model session
+    * amortizes). The deterministic fake rolls a hash through the byte
+    * stream so near-identical payloads get near-identical vectors —
+    * enough for the downstream contract: the output column is exactly
+    * the `Array[Float]` embedding shape the [[Similarity]] ANN
+    * operators consume, so media → features → ANN composes end to end
+    * (proven in ExtOpsSpec). */
+  final case class MediaFeatures(id: Long, embedding: Array[Float])
+
+  def features(media: Dataset[MediaRecord], dim: Int = 16): DataFrame = {
+    require(dim > 0)
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      // real impl: load the encoder weights once per partition here
+      rows.map { r =>
+        val b = if (r.media == null) Array.empty[Byte] else r.media
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < b.length) {
+          h = h * 31 + (b(i) & 0xff)
+          v(i % dim) += ((h >>> 32).toInt % 1000) / 1000.0f
+          i += 1
+        }
+        MediaFeatures(r.id, v)
+      }
+    }.toDF()
+  }
 }

@@ -352,4 +352,23 @@ class ExtOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(meta, every = 10)
     assert(frames.count() >= rows.count(_.nFrames > 0))
   }
+
+  test("multimodal resize + feature extraction feed ANN end to end") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+      .as[Multimodal.MediaRecord]
+    // resize: output bytes track the target dims; determinism across dups
+    val resized = Multimodal.resize(media, 128, 128).collect()
+    assert(resized.forall(r =>
+      r.width == 128 && r.height == 128 && r.media.length == 128 * 128 / 64))
+    val rById = resized.map(r => r.id -> r.media.toSeq).toMap
+    assert(rById(1L) == rById(4L)) // docs 1 and 4 are byte-identical
+    // features: the Array[Float] column composes straight into the ANN
+    // operator — docs 1 and 4 (exact dups) are each other's nearest
+    val feats = Multimodal.features(media, dim = 8)
+    val top = graft.ext.Similarity.bruteForceTopK(
+        feats, feats.filter($"id" === 1L), "id", "embedding", k = 2)
+      .select("nid").as[Long].collect().toSet
+    assert(top == Set(1L, 4L), s"got $top")
+  }
 }
