@@ -110,6 +110,39 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.size >= want.size - 5, s"${got.size} vs ${want.size}")
   }
 
+  test("streaming sessionization via session_window matches batch") {
+    // q10's streaming twin: Spark-native session windows (merge-on-gap
+    // state under a watermark) — the streaming form of lag-based
+    // sessionization; append mode emits a session once its gap closes
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val batchEvents = graft.queries.Q.tbl(spark, sf(), "events")
+      .select($"ts", $"user_id")
+    batchEvents.write.parquet(s"$tmp/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"session_window.start".as("s"),
+          $"session_window.end".as("e"), $"user_id", $"n_events")
+    val q = sessions(in.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sess_out")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long)].collect()
+      .map { case (s, e, u, n) => (s.getTime, e.getTime, u) -> n }.toMap
+    val want = sessions(batchEvents)
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long)].collect()
+      .map { case (s, e, u, n) => (s.getTime, e.getTime, u) -> n }.toMap
+    assert(got.nonEmpty, "watermark must close and emit sessions")
+    got.foreach { case (k, n) => assert(want(k) == n, s"session $k") }
+    // only sessions still open at the watermark may be withheld
+    assert(got.size >= want.size - 50, s"${got.size} vs ${want.size}")
+  }
+
   /** Adapter binding the demo registry's "models" (event types) to the
     * synthetic events table: each event row is an upsert of the user
     * aggregate, 'error' rows soft-delete it. */
