@@ -211,6 +211,9 @@ object Curation {
     * at any corpus size. */
   def funnel(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty)
+    val names = rules.map(_._1)
+    require(names.distinct.size == names.size && !names.contains("kept"),
+      "funnel stage names must be unique and must not shadow 'kept'")
     val stage = rules.foldRight(lit("kept")) { case ((name, fails), acc) =>
       when(fails, lit(name)).otherwise(acc)
     }

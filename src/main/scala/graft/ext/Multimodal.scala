@@ -83,8 +83,11 @@ object Multimodal {
     require(width > 0 && height > 0)
     implicit val enc = Encoders.product[ResizedMedia]
     media.mapPartitions { rows =>
-      // real impl: initialize the image codec once per partition here
-      val budget = math.max(1, (width * height) / 64)
+      // real impl: initialize the image codec once per partition here.
+      // Long arithmetic: 65536×65536 overflows Int silently and would
+      // clamp every payload to one byte
+      val budget = math.min(Int.MaxValue.toLong,
+        math.max(1L, width.toLong * height.toLong / 64)).toInt
       rows.map { r =>
         val b = if (r.media == null) Array.empty[Byte] else r.media
         ResizedMedia(r.id, width, height,

@@ -43,8 +43,13 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
+    // zero-norm vectors (empty docs, all-zero embeddings) must rank
+    // LAST, not first: 0/0 is NaN and Spark's descending sort places
+    // NaN above every real double — a single empty row would become
+    // rank-1 for every query. Null sim sorts NULLS LAST under desc.
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -190,7 +195,8 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"), col("c.cell").as("cell"))
 
     val scored = assigned.join(broadcast(probes), "cell")
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -213,7 +219,8 @@ object Similarity {
       .withColumn("bucket", lshSignature(col("qv"), planes))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -55,6 +55,9 @@ object Skew {
       fact: DataFrame, build: DataFrame, key: String, salt: Int,
       saltSource: Column): DataFrame = {
     require(salt > 0)
+    require(!fact.columns.contains("__salt") &&
+        !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the inputs")
     val f = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(salt)))
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))

@@ -15,7 +15,7 @@ object NewOpsPlan {
       val p = df.queryExecution.executedPlan.toString
       val ex = p.linesIterator.count(_.contains("Exchange"))
       val bc = p.linesIterator.count(_.contains("BroadcastExchange"))
-      val wsc = p.linesIterator.count(_.trim.startsWith("*"))
+      val wsc = p.linesIterator.count(_.contains("*(")) // "+- *(n) Op" lines
       println(s"== $label: exchanges=$ex (broadcast=$bc) codegenOps=$wsc")
       p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Window") ||
         l.contains("Join") || l.contains("HashAggregate"))

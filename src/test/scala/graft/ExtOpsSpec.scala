@@ -353,6 +353,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(frames.count() >= rows.count(_.nFrames > 0))
   }
 
+  test("bruteForceTopK: zero-norm corpus rows rank last, never poison top-k") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))) // empty doc → zero vector
+      .toDF("id", "embedding")
+    val q = corpus.filter($"id" === 1L)
+    val top = graft.ext.Similarity.bruteForceTopK(
+        corpus, q, "id", "embedding", k = 2)
+      .select($"nid").as[Long].collect().toList
+    // without the zero-norm guard, 0/0 = NaN sorts ABOVE 1.0 in desc
+    // order and id 3 would be rank 1
+    assert(top == List(1L, 2L), s"got $top")
+  }
+
   test("multimodal resize + feature extraction feed ANN end to end") {
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
