@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Executed-plan shape assertions for the scale claims the docs make:
+  * these turn PERF.md's plan-audit notes into enforced invariants, so a
+  * regression that silently changes a join strategy or drops a map-side
+  * limit fails CI instead of surfacing at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan only after execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf())
+
+  test("x25 domain-cap plans a map-side WindowGroupLimit before its exchange") {
+    val p = executedPlan(query("x25_domain_cap"))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // partial (pre-shuffle) AND final forms must both be present
+    assert(p.contains("Partial") && p.contains("Final"), p.take(2000))
+  }
+
+  test("q25 TPC-H Q3 takes its top-10 via TakeOrderedAndProject, dims broadcast") {
+    val p = executedPlan(query("q25_tpch_q3"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q26 TPC-H Q5 broadcasts every dimension — the fact never re-shuffles for a dim") {
+    val p = executedPlan(query("q26_tpch_q5"))
+    // four dims (supplier, customer, nation, region) all broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4,
+      p.take(3000))
+    // the only sort-merge-grade exchange is the fact-fact l⋈o join and
+    // the final aggregation — no dim is ever shuffle-joined
+    assert(!p.contains("SortMergeJoin") ||
+      p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p.take(3000))
+  }
+
+  test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
+    val p = executedPlan(query("q02_filter_pushdown"))
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), p.take(2000))
+    // projection pruned to the three referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+}
