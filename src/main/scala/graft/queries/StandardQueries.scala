@@ -398,6 +398,47 @@ object StandardQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // NOT EXISTS anti-join: customers with no big order. Catalyst plans a
+    // (broadcast) anti hash join — the complement plan shape to q14's
+    // semi-join; never a per-row subquery.
+    "q28_not_exists_antijoin" -> entry(
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // LOCF gap fill (last observation carried forward): every event row
+    // carries the user's most recent purchase value — last_value with
+    // IGNORE NULLS over an unbounded-preceding frame, the standard
+    // sparse-to-dense fill. One window per user, no self-join.
+    "q29_locf_fill" -> entry(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "events")
+          .withColumn("purchase_val",
+            when(col("event_type") === "purchase", col("value")))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            last(col("purchase_val"), ignoreNulls = true).over(w)
+              .as("last_purchase_val"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, user_id, event_type,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_val
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Explicit GROUPING SETS (beyond rollup's prefix hierarchy): two
     // independent aggregation grains in one shuffle with a grouping-id —
     // not one pass per set.
