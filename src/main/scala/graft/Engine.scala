@@ -65,7 +65,19 @@ object Engine {
 
   final case class EngineResult(
       topics: Seq[String],
-      replicas: Map[String, Replica])
+      replicas: Map[String, Replica],
+      /** Secondary `(fk, synced_id)` key indexes, one per sideloaded child
+        * model whose parent association FK is a declared child attribute —
+        * the structure C11 disassociation resolves doomed keys from
+        * (two longs + timestamps per row) instead of scanning the child
+        * table. Maintained inside every merge/destroy of the child, under
+        * the child replica's lock. */
+      keyIndexes: Map[String, Replica] = Map.empty)
+
+  /** A child model's key index: the `(synced_id, fk…)` projection of its
+    * replica, kept in lockstep with it (same LWW decisions — it merges the
+    * same winner rows under the same lock). */
+  private final case class KeyIndex(replica: Replica, fks: Seq[String])
 
   /** Consumer-side behavior knobs, all registry-adjacent (the reference
     * configures these per consumer app):
@@ -96,7 +108,20 @@ object Engine {
     *    `__changeset` sealed at rest ([[graft.producer.ChangesetCrypto]],
     *    an opaque string column); observer resolution opens it
     *    transparently before matching. A sealed feed with no key fails
-    *    at wiring time. */
+    *    at wiring time.
+    *  - `maintainEvery` / `retainVersions`: live-mode storage maintenance.
+    *    Every `maintainEvery` micro-batches, each of the topic's replicas
+    *    (and key indexes) runs `vacuum(retainVersions)` — without it a
+    *    long-running `Engine.start` deployment accumulates one version per
+    *    micro-batch per replica, unboundedly. `retainVersions` keeps a
+    *    window for concurrent readers whose lazy plans still reference
+    *    recent versions (the Delta retention analogue); 0 disables
+    *    maintenance (`runAvailableNow` vacuums after the drain instead).
+    *  - `sourceMaxFilesPerTrigger`: consumption pacing for the default
+    *    file transport — bounds each micro-batch so a drained genesis
+    *    backfill replays in rate-limited batches instead of one giant one
+    *    (P17; the reference's rate-limited distributor, base_job.rb:11-28)
+    *    and cannot starve live topics, which drain in parallel queries. */
   final case class EngineOptions(
       messageFilters: Map[String, Column] = Map.empty,
       deadLetter: Boolean = true,
@@ -104,7 +129,10 @@ object Engine {
       trackLocalChanges: Boolean = false,
       dedupDelay: String = "1 hour",
       replicaFactory: Option[(SparkSession, ModelDef, String) => Replica] = None,
-      changesetKey: Option[String] = None)
+      changesetKey: Option[String] = None,
+      maintainEvery: Int = 0,
+      retainVersions: Int = 8,
+      sourceMaxFilesPerTrigger: Option[Int] = None)
 
   /** Soft-delete image of a snapshot frame: the optional `__canceled`
     * column when the binding provides it, else null (all rows live).
@@ -138,7 +166,8 @@ object Engine {
       transport: Option[TopicSink with TopicSource] = None,
       options: EngineOptions = EngineOptions()): EngineResult = {
     registry.validate()
-    val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
+    val topics = transport.getOrElse(
+      new FileTopics(s"$workDir/topics", options.sourceMaxFilesPerTrigger))
 
     // producer half: one query per topic, started together, then drained
     val producers = registry.topics.map { t =>
@@ -152,15 +181,17 @@ object Engine {
     // (genesis replica topics are consumed alongside their primaries,
     // as the reference's consumer subscribes both)
     val replicas = makeReplicas(spark, registry, workDir, options)
+    val indexes = makeKeyIndexes(spark, registry, workDir)
     val consumers = consumedTopicNames(registry).map { case (t, name) =>
-      consumeTopic(spark, registry, t, name, topics, replicas, workDir,
-        options, Trigger.AvailableNow())
+      consumeTopic(spark, registry, t, name, topics, replicas, indexes,
+        workDir, options, Trigger.AvailableNow())
     }
     consumers.foreach(_.awaitTermination())
     // drained: no concurrent writers, so reclaim unreachable versions
-    replicas.values.foreach(_.vacuum())
+    (replicas.values ++ indexes.values.map(_.replica)).foreach(_.vacuum())
 
-    EngineResult(registry.topics.map(registry.topicName), replicas)
+    EngineResult(registry.topics.map(registry.topicName), replicas,
+      indexes.map { case (k, v) => k -> v.replica })
   }
 
   /** Live deployment form: start every producer and consumer query
@@ -178,18 +209,21 @@ object Engine {
       options: EngineOptions = EngineOptions(),
       trigger: Trigger = Trigger.ProcessingTime("200 milliseconds")): (Seq[StreamingQuery], EngineResult) = {
     registry.validate()
-    val topics = transport.getOrElse(new FileTopics(s"$workDir/topics"))
+    val topics = transport.getOrElse(
+      new FileTopics(s"$workDir/topics", options.sourceMaxFilesPerTrigger))
     val replicas = makeReplicas(spark, registry, workDir, options)
+    val indexes = makeKeyIndexes(spark, registry, workDir)
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
         s"$workDir/cp/produce/${registry.topicName(t)}", trigger, options)
     }
     val consumers = consumedTopicNames(registry).map { case (t, name) =>
-      consumeTopic(spark, registry, t, name, topics, replicas, workDir,
-        options, trigger)
+      consumeTopic(spark, registry, t, name, topics, replicas, indexes,
+        workDir, options, trigger)
     }
     (producers ++ consumers,
-      EngineResult(registry.topics.map(registry.topicName), replicas))
+      EngineResult(registry.topics.map(registry.topicName), replicas,
+        indexes.map { case (k, v) => k -> v.replica }))
   }
 
   /** Every (topic, physical name) the consumer subscribes: the primary
@@ -209,6 +243,45 @@ object Engine {
           buckets = m.buckets))
     }.toMap
 
+  /** FK columns to index per sideloaded child model: every parent hasMany
+    * association whose FK is a declared child attribute (the precondition
+    * for C11 disassociation). A child reachable from several parents
+    * carries every parent FK in one index. */
+  private def fkIndexAttrs(registry: Registry): Map[String, Seq[graft.registry.Attribute]] = {
+    val pairs = for {
+      m <- registry.allModels
+      dep <- m.sideloads
+      assoc <- m.hasMany.find(_.model == dep).toSeq
+      child <- registry.modelDef(dep).toSeq
+      attr <- child.attributes.find(_.name == assoc.fk).toSeq
+    } yield dep -> attr
+    pairs.groupBy(_._1).map { case (dep, as) =>
+      dep -> as.map(_._2).distinctBy(_.name)
+    }
+  }
+
+  /** One tiny bucketed replica per FK-indexed child model, holding only
+    * `(synced_id, fk…, timestamps)` — O(rows × two longs), so even a
+    * full-index scan is cheap where a child-table scan is not. Always a
+    * [[ParquetReplica]] (an engine-internal acceleration structure, not
+    * user storage — a custom `replicaFactory` does not change it). */
+  private def makeKeyIndexes(spark: SparkSession, registry: Registry,
+      workDir: String): Map[String, KeyIndex] =
+    fkIndexAttrs(registry).map { case (dep, attrs) =>
+      val child = registry.modelDef(dep).get
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("synced_id",
+          org.apache.spark.sql.types.LongType, nullable = false)) ++
+          attrs.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType)) ++
+          Seq("synced_created_at", "synced_updated_at", "synced_canceled_at")
+            .map(org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.TimestampType)))
+      dep -> KeyIndex(
+        new ParquetReplica(spark, s"$workDir/replicas/${dep}__keyidx",
+          schema.toDDL, buckets = child.buckets),
+        attrs.map(_.name))
+    }
+
   /** P16–P18 through the registry-derived serializer: stream the model's
     * current snapshot as `<model>_updated` / `<model>_destroyed` (already-
     * soft-deleted rows, standard_job.rb:34-38) wire rows into each topic
@@ -224,7 +297,12 @@ object Engine {
       bindings: ModelBindings,
       modelName: String,
       workDir: String,
-      transport: Option[TopicSink with TopicSource] = None): Seq[String] = {
+      transport: Option[TopicSink with TopicSource] = None,
+      /** When > 0, the backfill lands as this many files per topic, so a
+        * consumer with `sourceMaxFilesPerTrigger` drains it in bounded
+        * micro-batches alongside live topics (P17 pacing) instead of one
+        * giant batch. 0 keeps the snapshot's natural partitioning. */
+      paceFiles: Int = 0): Seq[String] = {
     registry.requireGenesisAllowed(modelName)
     val m = registry.modelDef(modelName).getOrElse(
       throw new IllegalArgumentException(s"unknown model $modelName"))
@@ -241,7 +319,8 @@ object Engine {
       val wire = EnvelopeCodec.encode(
         modelWire(spark, registry, t, m, changes, bindings))
         .select("kafka_key", "partition_key", "value", "ts")
-      topics.appendBatch(wire, target)
+      topics.appendBatch(
+        if (paceFiles > 0) wire.repartition(paceFiles) else wire, target)
       target
     }
   }
@@ -472,6 +551,7 @@ object Engine {
       topicName: String,
       source: TopicSource,
       replicas: Map[String, Replica],
+      indexes: Map[String, KeyIndex],
       workDir: String,
       options: EngineOptions,
       trigger: Trigger): StreamingQuery = {
@@ -490,6 +570,13 @@ object Engine {
     val events =
       if (t.singleRecordWire) EnvelopeCodec.decodeSingleRecords(deduped)
       else EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(deduped))
+    // live-mode maintenance cadence (one counter per topic query)
+    val batchCounter = new java.util.concurrent.atomic.AtomicLong()
+    val maintained: Seq[Replica] = {
+      val models = t.models.flatMap(m => m.name +: m.sideloads).distinct
+      models.flatMap(replicas.get) ++
+        models.flatMap(indexes.get).map(_.replica)
+    }
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/cp/consume/$topicName")
@@ -497,11 +584,14 @@ object Engine {
         // one micro-batch feeds many actions (per model, per sideload,
         // quarantine, consumed events) — materialize it once
         val batch = batch0.persist()
-        // C6: quarantine side output before anything persists
+        // C6: quarantine side output before anything persists.
+        // Side outputs coalesce to one file per batch: un-coalesced, every
+        // shuffle partition spills a fragment per micro-batch — a
+        // small-files generator on any long-lived stream.
         val kept = options.messageFilters.get(topicName) match {
           case Some(drop) =>
             val (ok, dropped) = ConsumerOps.messageFilter(batch, drop)
-            dropped.write.mode("append")
+            dropped.coalesce(1).write.mode("append")
               .parquet(s"$workDir/quarantine/$topicName")
             ok
           case None => batch
@@ -509,20 +599,60 @@ object Engine {
         val consumedDir =
           if (options.publishConsumedEvents)
             Some(s"$workDir/consumed/$topicName") else None
-        def persist(b: DataFrame): Unit =
+        def persist(b: DataFrame): Unit = {
+          // ONE aggregation job replaces every per-model / per-path
+          // emptiness probe below: models (and sideload paths) absent from
+          // this micro-batch skip their merge entirely, driver-side
+          val stats = collectStats(b, t)
           t.models.foreach(
-            mergeModel(registry, t, _, b, replicas, topicName, consumedDir,
-              options))
+            mergeModel(registry, t, _, b, replicas, indexes, topicName,
+              consumedDir, options, stats))
+        }
         // C17: poison batches park in the DLQ instead of failing the query
         try {
           if (options.deadLetter)
             ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
           else persist(kept)
         } finally batch.unpersist()
+        // storage maintenance on a batch cadence: a live deployment must
+        // not accumulate one version per micro-batch per replica forever
+        if (options.maintainEvery > 0 &&
+            batchCounter.incrementAndGet() % options.maintainEvery == 0)
+          maintained.foreach(_.vacuum(options.retainVersions))
         ()
       }
       .trigger(trigger)
       .start()
+  }
+
+  /** Per-model facts of one micro-batch, collected in a single Spark job
+    * over the cached batch: row count, destroy count, and — for every
+    * declared to-many association — how many live payloads carry a
+    * non-null incoming id list (the C11 participation test). */
+  private final case class SliceStats(
+      n: Long, nDestroyed: Long, links: Map[String, Long]) {
+    def nLive: Long = n - nDestroyed
+  }
+
+  private def collectStats(batch: DataFrame, t: TopicDef): Map[String, SliceStats] = {
+    val assocNames = t.models.flatMap(m =>
+      m.sideloads.flatMap(dep => m.hasMany.find(_.model == dep)).map(_.name))
+      .distinct
+    val destroyed = eventTypeCol === EventType.Destroyed
+    val aggs =
+      count(lit(1)).as("__n") +:
+        sum(when(destroyed, 1L).otherwise(0L)).as("__nd") +:
+        assocNames.map(a =>
+          sum(when(!destroyed &&
+              get_json_object(col("payload_json"), s"$$.links.$a").isNotNull,
+            1L).otherwise(0L)).as(s"__lnk_$a"))
+    batch.groupBy(col("model_name")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getString(0) -> SliceStats(r.getLong(1), r.getLong(2),
+          assocNames.zipWithIndex.map { case (a, i) =>
+            a -> r.getLong(3 + i)
+          }.toMap)
+      }.toMap
   }
 
   /** Event-type suffix of a wire event name (`order_line_created` →
@@ -541,9 +671,15 @@ object Engine {
       m: ModelDef,
       batch: DataFrame,
       replicas: Map[String, Replica],
+      indexes: Map[String, KeyIndex],
       topicName: String,
       consumedDir: Option[String],
-      options: EngineOptions): Unit = {
+      options: EngineOptions,
+      stats: Map[String, SliceStats]): Unit = {
+    // a model with no rows in this micro-batch skips its whole merge path
+    // (the common case on multi-model topics) — no empty-frame Spark jobs
+    val slice = stats.getOrElse(m.name, SliceStats(0, 0, Map.empty))
+    if (slice.n == 0) return
     val parsed = batch
       .filter(col("model_name") === m.name)
       .select(eventTypeCol.as("event_type"),
@@ -552,20 +688,28 @@ object Engine {
 
     if (t.importMode) {
       val shaped = shapeRecords(m, parsed)
-      replicas(m.name).merge(
-        shaped.filter(col("event_type") =!= EventType.Destroyed))
-      val destroyedIds = shaped
-        .filter(col("event_type") === EventType.Destroyed)
-        .select(col("synced_id"))
-      if (!destroyedIds.isEmpty)
+      val idx = indexes.get(m.name)
+      if (slice.nLive > 0) {
+        val live = shaped.filter(col("event_type") =!= EventType.Destroyed)
+        replicas(m.name).merge(live)
+        idx.foreach(ki => ki.replica.merge(indexSlice(live, ki)))
+      }
+      if (slice.nDestroyed > 0) {
+        val destroyedIds = shaped
+          .filter(col("event_type") === EventType.Destroyed)
+          .select(col("synced_id")).localCheckpoint(true)
         replicas(m.name).destroy(destroyedIds)
+        idx.foreach(_.replica.destroy(destroyedIds))
+      }
       return
     }
 
-    mergeRecords(m, parsed, replicas(m.name), topicName, consumedDir, options)
+    mergeRecords(m, parsed, replicas(m.name), indexes.get(m.name), topicName,
+      consumedDir, options)
 
     // C4 recursion: embedded sideload payloads persist as their own models
-    m.sideloads.foreach { dep =>
+    // (only live parent payloads embed children — skip when none)
+    if (slice.nLive > 0) m.sideloads.foreach { dep =>
       val child = registry.modelDef(dep).getOrElse(
         throw new IllegalArgumentException(
           s"unknown sideload model $dep on ${m.name}"))
@@ -577,37 +721,52 @@ object Engine {
         .select(explode(col(s"rec.$dep")).as("rec"))
         .select(lit(EventType.Updated).as("event_type"), col("rec"),
           to_json(col("rec")).as("payload_json"))
-      mergeRecords(child, childParsed, replicas(dep), topicName, consumedDir,
-        options)
+      mergeRecords(child, childParsed, replicas(dep), indexes.get(dep),
+        topicName, consumedDir, options)
 
       // C11: children of touched parents absent from the incoming id list
-      // disassociate — needs the child replica to carry the FK attribute
-      if (child.attributes.exists(_.name == assoc.fk)) {
-        // only payloads that DECLARE a to-many list (non-null, possibly
-        // empty) participate — observer republishes and destroys carry no
-        // list and must not disassociate anything
+      // disassociate — needs the child replica to carry the FK attribute.
+      // Only payloads that DECLARE a to-many list (non-null, possibly
+      // empty) participate — observer republishes and destroys carry no
+      // list and must not disassociate anything; the stats row already
+      // counted them, so batches without lists skip driver-side.
+      if (child.attributes.exists(_.name == assoc.fk) &&
+          slice.links.getOrElse(assoc.name, 0L) > 0) {
         val incoming = live
           .filter(col(s"rec.links.${assoc.name}").isNotNull)
           .select(
             col("rec.id").as(assoc.fk),
             explode_outer(col(s"rec.links.${assoc.name}")).as("synced_id"))
-        if (!incoming.isEmpty) {
-          // bucket-pruned C11: resolve the doomed child KEYS first (one
-          // key-column semi+anti join against the current replica, with
-          // the micro-batch parent set broadcast), then rewrite only the
-          // buckets those keys hash into — O(batch ∩ buckets) like the
-          // merge itself, never an O(child table) rewrite per batch
-          val rep = replicas(dep)
-          rep.withLock {
-            val doomed = Persistor.disassociatedChildKeys(
-              rep.read(), incoming, parentKey = assoc.fk,
-              childKey = "synced_id").localCheckpoint(true)
-            if (!doomed.isEmpty) rep.destroy(doomed)
-          }
+        // bucket-pruned C11: resolve the doomed child KEYS first (one
+        // semi+anti join with the micro-batch parent set broadcast), then
+        // rewrite only the buckets those keys hash into — O(batch ∩
+        // buckets) like the merge itself, never an O(child table) rewrite.
+        // The keys resolve from the secondary (fk, synced_id) index when
+        // the child has one (two longs per row — the reference's
+        // `WHERE parent_id = ?` index lookup, persistor.rb:102-152);
+        // a child-table key scan remains only as the indexless fallback.
+        val rep = replicas(dep)
+        rep.withLock {
+          val childKeys = indexes.get(dep).map(_.replica.read())
+            .getOrElse(rep.read())
+          val doomed = Persistor.disassociatedChildKeys(
+            childKeys, incoming, parentKey = assoc.fk,
+            childKey = "synced_id").localCheckpoint(true)
+          // empty doomed sets no-op inside destroy (no version bump)
+          rep.destroy(doomed)
+          indexes.get(dep).foreach(_.replica.destroy(doomed))
         }
       }
     }
   }
+
+  /** Project merge-shaped rows onto a child's key-index schema
+    * (`event_type` and `canceled_at` ride along for the LWW merge). */
+  private def indexSlice(shaped: DataFrame, ki: KeyIndex): DataFrame =
+    shaped.select(
+      (Seq("event_type", "synced_id") ++ ki.fks ++
+        Seq("synced_created_at", "synced_updated_at", "canceled_at"))
+        .map(col): _*)
 
   /** Project parsed records onto the model's replica update shape: C5
     * renames, link flattening, timestamp casts, raw payload carry. */
@@ -640,6 +799,7 @@ object Engine {
       m: ModelDef,
       parsed: DataFrame,
       replica: Replica,
+      index: Option[KeyIndex],
       topicName: String,
       consumedDir: Option[String],
       options: EngineOptions): Unit = {
@@ -661,38 +821,49 @@ object Engine {
     // preserve current attributes under destroy (key-only payload); the
     // join is key-local, so the incremental merge stays touched-bucket-only
     val preserve = m.attributes.map(_.name) ++ linkCols :+ "synced_created_at"
+    def preserving(keep: Seq[String]): (DataFrame, DataFrame) => DataFrame =
+      (current, upd) => {
+        val cur = current.select(
+          col("synced_id") +:
+            keep.map(c => col(c).as(s"__cur_$c")): _*)
+        upd.join(cur, Seq("synced_id"), "left")
+          .select(
+            upd.columns.filterNot(keep.contains).map(col) ++
+              keep.map(c =>
+                when(col("event_type") === EventType.Destroyed,
+                  coalesce(col(s"__cur_$c"), col(c)))
+                  .otherwise(col(c)).as(c)): _*)
+      }
     // the whole capture → merge → diff sequence holds the replica lock:
     // a model reachable through several topics is merged by several
     // concurrent queries, and a C12 diff against a snapshot another
     // query advanced would attribute foreign changes to this batch
     replica.withLock {
-      // C12: touched keys' pre-merge state (no-op unless tracking)
+      // C12: touched keys' pre-merge state (no-op unless tracking) — read
+      // only the buckets the touched keys hash into, never the full table
       val before =
         if (options.trackLocalChanges && consumedDir.isDefined)
-          Some(replica.read().join(touched, Seq("synced_id"), "left_semi")
+          Some(replica.readBuckets(touched)
+            .join(touched, Seq("synced_id"), "left_semi")
             .localCheckpoint(true))
         else None
-      replica.merge(latest, (current, upd) => {
-        val cur = current.select(
-          col("synced_id") +:
-            preserve.map(c => col(c).as(s"__cur_$c")): _*)
-        upd.join(cur, Seq("synced_id"), "left")
-          .select(
-            upd.columns.filterNot(preserve.contains).map(col) ++
-              preserve.map(c =>
-                when(col("event_type") === EventType.Destroyed,
-                  coalesce(col(s"__cur_$c"), col(c)))
-                  .otherwise(col(c)).as(c)): _*)
-      })
+      replica.merge(latest, preserving(preserve))
+      // the key index merges the SAME winner rows under the SAME lock, so
+      // it can never diverge from the replica (FKs preserved under destroy
+      // exactly as the replica preserves attributes)
+      index.foreach(ki => ki.replica.merge(indexSlice(latest, ki),
+        preserving(ki.fks :+ "synced_created_at")))
       // C14: publish consumed events next to the merge
       consumedDir.foreach { dir =>
         val localChanges = before.map { b =>
-          val after = replica.read()
+          val after = replica.readBuckets(touched)
             .join(touched, Seq("synced_id"), "left_semi")
           Persistor.localChanges(b, after, m.attributes.map(_.name))
         }
+        // one file per micro-batch: repartition(1) keeps the upstream
+        // join parallel and funnels only the (small) output rows
         ConsumerOps.consumedEvents(latest, topicName, m.name, localChanges)
-          .write.mode("append").parquet(dir)
+          .repartition(1).write.mode("append").parquet(dir)
       }
     }
   }

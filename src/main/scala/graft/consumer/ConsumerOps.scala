@@ -80,7 +80,9 @@ object ConsumerOps {
     try { persist(batch); true }
     catch {
       case scala.util.control.NonFatal(_) =>
-        batch.write.mode("append").parquet(deadLetterDir)
+        // one parquet file per parked batch (micro-batches are bounded;
+        // un-coalesced this is a small-files generator on a flaky topic)
+        batch.coalesce(1).write.mode("append").parquet(deadLetterDir)
         false
     }
 

@@ -154,6 +154,16 @@ trait Replica {
   /** Current table state. */
   def read(): DataFrame
 
+  /** Current rows, restricted to the storage units that can contain the
+    * given keys (`keys` must carry a `synced_id` column). The default is
+    * the full table — storage layouts that can prune (hash buckets,
+    * partitions, a transactional format's file-level stats) override this
+    * so key-local reads (C12 change capture, C11 key resolution) cost
+    * O(batch ∩ buckets) I/O instead of O(table). Callers must still
+    * filter/join: the result may contain rows for OTHER keys that share a
+    * storage unit. */
+  def readBuckets(keys: DataFrame): DataFrame = read()
+
   /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract).
     * `prepare` may reshape the updates against the current rows first
     * (key-local by construction). */
@@ -259,6 +269,20 @@ final class ParquetReplica(spark: SparkSession, root: String,
 
   def read(): DataFrame = readDirs(currentManifest(currentVersion).values.toSeq)
 
+  /** Bucket-pruned read: only the bucket directories the given keys hash
+    * into are opened (one bounded collect for the bucket set, exactly as
+    * [[merge]]/[[destroy]] compute theirs). The rows of those buckets are
+    * returned unfiltered — callers join/filter down to their keys. */
+  override def readBuckets(keys: DataFrame): DataFrame = {
+    val v = currentVersion
+    val nb = bucketCount(v)
+    val man = currentManifest(v)
+    val touched = keys
+      .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    readDirs(man.filter(t => touched(t._1)).values.toSeq)
+  }
+
   private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
     pmod(hash(c), lit(nb))
 
@@ -344,6 +368,10 @@ final class ParquetReplica(spark: SparkSession, root: String,
       val touched = keyed
         .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // an empty id set touches nothing: no version bump, no extra Spark
+      // job — callers may destroy unconditionally (the emptiness probe is
+      // the bucket collect this method needs anyway)
+      if (touched.isEmpty) return
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
       val written = writeBuckets(
         target.join(keyed, Seq("synced_id"), "left_anti"), next, nb)
@@ -397,6 +425,8 @@ final class ParquetReplica(spark: SparkSession, root: String,
       val touched = updates
         .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // empty micro-batch slice: nothing to merge, keep the version stable
+      if (touched.isEmpty) return
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
       val written =
         writeBuckets(Persistor.merge(target, prepare(target, updates)), next, nb)

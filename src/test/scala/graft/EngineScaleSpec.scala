@@ -1,0 +1,313 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.registry._
+import graft.streaming.{ParquetReplica, Replica}
+
+/** Scale-path guarantees of the engine's consumer half: bucket-pruned
+  * reads (C12 capture), index-resolved disassociation (C11), empty-slice
+  * skipping, live-mode storage maintenance, genesis pacing, and the
+  * multi-record wire path — the behaviors that decide whether a
+  * micro-batch costs O(batch) or O(table) at 100 TB. */
+class EngineScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Replica proxy counting FULL-table reads issued by the engine — the
+    * anti-pattern these tests exist to keep out of the merge hot path.
+    * Bucket-pruned reads delegate without counting. */
+  private final class CountingReplica(underlying: Replica) extends Replica {
+    val fullReads = new java.util.concurrent.atomic.AtomicInteger()
+    def read(): DataFrame = { fullReads.incrementAndGet(); underlying.read() }
+    override def readBuckets(keys: DataFrame): DataFrame =
+      underlying.readBuckets(keys)
+    def merge(updates: DataFrame,
+        prepare: (DataFrame, DataFrame) => DataFrame): Unit =
+      underlying.merge(updates, prepare)
+    def destroy(ids: DataFrame, idCol: String): Unit =
+      underlying.destroy(ids, idCol)
+    def transform(f: DataFrame => DataFrame): Unit = underlying.transform(f)
+    def vacuum(retainVersions: Int): Unit = underlying.vacuum(retainVersions)
+    def withLock[A](f: => A): A = underlying.withLock(f)
+  }
+
+  test("ParquetReplica.readBuckets opens only the touched bucket files") {
+    val tmp = Files.createTempDirectory("graft-readbuckets").toString
+    val rep = new ParquetReplica(spark, tmp,
+      "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
+        "synced_canceled_at TIMESTAMP, v DOUBLE", buckets = 16)
+    rep.merge((1L to 200L).toDF("synced_id")
+      .withColumn("event_type", lit("updated"))
+      .withColumn("synced_updated_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .withColumn("synced_created_at", col("synced_updated_at"))
+      .withColumn("canceled_at", lit(null).cast("timestamp"))
+      .withColumn("v", col("synced_id") * 1.0))
+    val keys = Seq(3L, 17L).toDF("synced_id")
+    val pruned = rep.readBuckets(keys)
+    val expectBuckets = Seq(3L, 17L).toDF("id")
+      .select(pmod(hash($"id"), lit(16))).as[Int].collect().toSet
+    // file-level: only the touched buckets' directories are in the plan
+    val openedBuckets = pruned.inputFiles
+      .map(f => "__b=(\\d+)".r.findFirstMatchIn(f).get.group(1).toInt).toSet
+    assert(openedBuckets == expectBuckets, s"opened $openedBuckets")
+    assert(pruned.inputFiles.length < rep.read().inputFiles.length)
+    // row-level: pruned ⊇ the requested keys, ⊆ the full table
+    val ids = pruned.select("synced_id").as[Long].collect().toSet
+    assert(Set(3L, 17L).subsetOf(ids) && ids.subsetOf((1L to 200L).toSet))
+  }
+
+  test("C11/C12: merge, capture and disassociation never read a full table") {
+    val tmp = Files.createTempDirectory("graft-noscan").toString
+    val src = s"$tmp/src"
+
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("order_lines", "order_line", fk = "order_id")),
+      sideloads = Seq("order_line"))
+    val lineDef = ModelDef("order_line",
+      attributes = Seq(Attribute("order_id", org.apache.spark.sql.types.LongType),
+        Attribute("qty", org.apache.spark.sql.types.DoubleType)))
+    val reg = Registry("nsc", Seq(TopicDef("orders", Seq(orderDef))),
+      dependencyModels = Seq(lineDef))
+
+    def orderChange(ids: Seq[Long], file: String, ts: String): Unit =
+      ids.toDF("id").select($"id", ($"id" * 100.0).as("total"),
+          lit("update").as("__op"),
+          lit(null).cast("timestamp").as("__old_canceled"),
+          lit(null).cast("timestamp").as("__new_canceled"),
+          lit(ts).cast("timestamp").as("__ts"))
+        .write.parquet(s"$src/$file")
+    def linesSnap(drop: Set[Long]) =
+      (1L to 32L).filterNot(drop).toDF("id")
+        .select($"id", (($"id" - 1) / lit(4) + 1).cast("long").as("order_id"),
+          ($"id" * 1.0).as("qty"),
+          lit("2026-05-02 00:00:00").cast("timestamp").as("__ts"))
+    @volatile var snap = linesSnap(Set.empty)
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema).parquet(s"$src/*")
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = snap
+    }
+
+    // every replica the engine touches goes through the counting proxy;
+    // C12 tracking is ON, so the capture path runs too
+    val proxies = scala.collection.concurrent.TrieMap.empty[String, CountingReplica]
+    val opts = Engine.EngineOptions(
+      publishConsumedEvents = true, trackLocalChanges = true,
+      replicaFactory = Some((s, m, root) => proxies.getOrElseUpdate(m.name,
+        new CountingReplica(new ParquetReplica(s, root, m.replicaSchema.toDDL,
+          buckets = m.buckets)))))
+
+    orderChange(1L to 8L, "f1", "2026-05-01 00:00:00")
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work", options = opts)
+    // parent 1 republishes with line 4 gone — the disassociating merge
+    snap = linesSnap(Set(4L))
+    orderChange(Seq(1L), "f2", "2026-05-03 00:00:00")
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = opts)
+    val scans = proxies.map { case (n, p) => n -> p.fullReads.get() }.toMap
+
+    // correctness: the vanished child disassociated, everything else kept
+    val left = res.replicas("order_line").read()
+      .select("synced_id").as[Long].collect().toSet
+    assert(left == (1L to 32L).toSet - 4L, s"got $left")
+    // the key index tracked every merge and destroy in lockstep
+    val idx = res.keyIndexes("order_line")
+    val idxPairs = idx.read().select("order_id", "synced_id")
+      .as[(Long, Long)].collect().toSet
+    val repPairs = res.replicas("order_line").read()
+      .select("order_id", "synced_id").as[(Long, Long)].collect().toSet
+    assert(idxPairs == repPairs, s"index diverged: ${idxPairs.diff(repPairs)}")
+    // THE point: no engine path issued a full-table read — C12 captures
+    // went through readBuckets, C11 key resolution through the index
+    assert(scans.values.sum == 0, s"full-table reads during merges: $scans")
+  }
+
+  test("models absent from a micro-batch skip their merge path entirely") {
+    val tmp = Files.createTempDirectory("graft-skip").toString
+    val chg = s"$tmp/chg"
+    // the change feed carries ONLY click rows; view exists in the registry
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-07-01 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    val click = ModelDef("click",
+      attributes = Seq(Attribute("value", org.apache.spark.sql.types.DoubleType)))
+    val view = ModelDef("view",
+      attributes = Seq(Attribute("value", org.apache.spark.sql.types.DoubleType)))
+    val reg = Registry("skp", Seq(TopicDef("events", Seq(click, view))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val base = s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+        if (m.name == "click") base else base.filter(lit(false))
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    assert(res.replicas("click").read().count() == 2)
+    assert(res.replicas("view").read().count() == 0)
+    // the skip is structural, not just empty output: the view replica was
+    // never merged, so it has no committed version at all — previously
+    // every model paid keep-latest + merge jobs per batch, rows or not
+    assert(!new java.io.File(s"$tmp/work/replicas/view/LATEST").exists(),
+      "empty model slice must not publish a replica version")
+    assert(new java.io.File(s"$tmp/work/replicas/click/LATEST").exists())
+  }
+
+  test("live mode: maintenance cadence bounds replica version count") {
+    val tmp = Files.createTempDirectory("graft-maint").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    // every batch updates the SAME key: each merge supersedes the previous
+    // version's bucket file, so version dirs become unreachable as they age
+    // out of retention — the accumulation the maintenance loop must bound
+    // (batches touching disjoint buckets stay reachable by reference and
+    // are correctly NOT reclaimed)
+    def emit(i: Int): Unit =
+      Seq((1L, i * 1.0)).toDF("user_id", "value")
+        .select($"user_id", $"value", lit("click").as("event_type"),
+          (lit(1735689600000000L + i * 1000000L) * 1000).as("ts"))
+        .write.parquet(s"$src/f$i")
+    emit(1)
+    val reg = Registry("mnt", Seq(TopicDef("events", models = Seq(
+      ModelDef("click",
+        attributes = Seq(Attribute("value", org.apache.spark.sql.types.DoubleType)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val (queries, res) = Engine.start(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(maintainEvery = 2, retainVersions = 1),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def await(pred: () => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000000000L
+        while (!pred() && System.nanoTime() < deadline) Thread.sleep(150)
+        assert(pred(), s"timed out waiting for $what")
+      }
+      // 6 separate merge batches — 3× the retention window
+      (1 to 6).foreach { i =>
+        if (i > 1) emit(i)
+        await(() => res.replicas("click").read()
+          .filter($"value" === i * 1.0).count() == 1, s"update $i")
+      }
+      val probe = new ParquetReplica(spark, s"$tmp/work/replicas/click",
+        reg.allModels.head.replicaSchema.toDDL)
+      assert(probe.currentVersion >= 5, s"v=${probe.currentVersion}")
+      // wait for the next maintenance tick to land, then check the bound
+      await(() => versionDirs(s"$tmp/work/replicas/click") <= 4, "vacuum")
+      val dirs = versionDirs(s"$tmp/work/replicas/click")
+      // retainVersions=1 keeps ≤2 reachable versions; ≤2 more may appear
+      // between maintenance ticks (maintainEvery=2) — bounded, not ∝ batches
+      assert(dirs <= 4, s"$dirs version dirs survived maintenance")
+      assert(res.replicas("click").read().count() == 1)
+    } finally queries.foreach(_.stop())
+  }
+
+  private def versionDirs(root: String): Int =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.matches("v\\d+"))
+
+  test("genesis pacing: paced backfill drains in bounded micro-batches") {
+    val tmp = Files.createTempDirectory("graft-pace").toString
+    val chg = s"$tmp/chg"
+    Seq((1L, 10.0)).toDF("id", "total")
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit("2026-04-02 00:00:00").cast("timestamp"))
+      .write.parquet(chg)
+    val snap = spark.range(1, 13)
+      .select($"id", ($"id" * 10.0).as("total"))
+      .withColumn("__ts", lit("2026-04-01 00:00:00").cast("timestamp"))
+    val reg = Registry("pac", Seq(TopicDef("orders",
+      models = Seq(ModelDef("order",
+        attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)))),
+      genesisReplica = true)))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(chg).schema).parquet(chg)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = snap
+    }
+    // the backfill lands as 4 files; consumers pull at most 1 per trigger
+    Engine.genesis(spark, reg, bindings, "order", s"$tmp/work", paceFiles = 4)
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(sourceMaxFilesPerTrigger = Some(1)))
+    // everything arrived — backfill AND the live change
+    assert(res.replicas("order").read().count() == 12)
+    // …and the genesis topic drained over ≥4 rate-limited micro-batches
+    // (one committed offset per batch), while the primary topic ran as its
+    // own parallel query — a backfill cannot monopolize a trigger
+    val offsets = Option(new java.io.File(
+        s"$tmp/work/cp/consume/pac_orders_genesis/offsets").listFiles())
+      .getOrElse(Array.empty).count(_.getName.matches("\\d+"))
+    assert(offsets >= 4, s"genesis drained in only $offsets batches")
+  }
+
+  test("multi-record wire: foreign envelopes decode through the general path") {
+    val tmp = Files.createTempDirectory("graft-multirec").toString
+    val work = s"$tmp/work"
+    // a FOREIGN producer batches several events/records per envelope —
+    // the engine's own producer never writes this shape
+    def payload(id: Long, v: Double) =
+      s"""{"id":$id,"value":$v,"created_at":"2026-01-01 00:00:00",""" +
+        s""""updated_at":"2026-01-01 00:00:00","canceled_at":null}"""
+    def env(events: Seq[(String, Seq[String])]) = {
+      val msgs = events.map { case (ev, data) =>
+        s"""{"event":"$ev","model_name":"thing","data":[${data.mkString(",")}]}"""
+      }
+      s"""{"message":[${msgs.mkString(",")}]}"""
+    }
+    val wire = Seq(
+      // one event carrying TWO records
+      ("thing:1", env(Seq("thing_updated" -> Seq(payload(1, 1.5), payload(2, 2.5))))),
+      // TWO events in one envelope
+      ("thing:3", env(Seq(
+        "thing_updated" -> Seq(payload(3, 3.5)),
+        "thing_updated" -> Seq(payload(4, 4.5))))))
+      .toDF("kafka_key", "value")
+      .withColumn("partition_key", lit(null).cast("string"))
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .select("kafka_key", "partition_key", "value", "ts")
+    new java.io.File(s"$work/topics").mkdirs()
+    wire.write.mode("append").parquet(s"$work/topics/frn_things")
+
+    // the local producer contributes nothing; the topic declares the
+    // multi-record contract so consumption takes the general decode
+    val reg = Registry("frn", Seq(TopicDef("things",
+      models = Seq(ModelDef("thing",
+        attributes = Seq(Attribute("value", org.apache.spark.sql.types.DoubleType)))),
+      singleRecordWire = false)))
+    val empty = s"$tmp/empty"
+    Seq.empty[(Long, Double)].toDF("id", "value")
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit(null).cast("timestamp"))
+      .write.parquet(empty)
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(empty).schema).parquet(empty)
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, work)
+    val got = res.replicas("thing").read()
+      .select("synced_id", "value").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.5, 2L -> 2.5, 3L -> 3.5, 4L -> 4.5), s"got $got")
+  }
+}
