@@ -98,5 +98,9 @@ object Functions {
       "simhash_bits",
       exprs => SimhashBits(exprs(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig",
+      exprs => HyperplaneSig(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
   }
 }
