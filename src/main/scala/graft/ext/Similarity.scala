@@ -56,21 +56,14 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: `nBits` planes of dimension
-    * `dim`, components from a seeded generator (plan-time constants). */
-  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nBits, dim)(rnd.nextGaussian())
-  }
-
-  /** Random-hyperplane LSH signature: bit_p = sign(v · plane_p). */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** Random-hyperplane LSH signature: bit_p = sign(v · plane_p), planes
+    * drawn from a seeded Gaussian. Delegates to the native
+    * [[graft.functions.HyperplaneSig]] expression: the plan carries three
+    * scalars instead of `nBits × dim` literal nodes (~100k at production
+    * embedding dims), and the plane matrix materializes once per executor
+    * as a codegen reference object. */
+  def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    call_function("hyperplane_sig", vec, lit(nBits), lit(dim), lit(seed))
 
   /** Embedding-cosine near-duplicate pairs, exact, via a blocked
     * (chunk-pair) self-join — the distributed form of the all-pairs
@@ -129,10 +122,9 @@ object Similarity {
     graft.functions.Functions.register(df.sparkSession)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
-    val planes = hyperplanes(nBits, dim, seed)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-      .withColumn("sig", lshSignature(col("v"), planes))
+      .withColumn("sig", lshSignature(col("v"), nBits, dim, seed))
       .localCheckpoint(eager = false) // signature once, not per join side
     val banded = base.select(col("id"), col("v"), col("n"),
       explode(array((0 until bands).map(b =>
@@ -211,12 +203,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, dim: Int = 64): DataFrame = {
     graft.functions.Functions.register(corpus.sparkSession)
-    val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshSignature(col("cv"), planes))
+      .withColumn("bucket", lshSignature(col("cv"), nBits, dim))
       .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshSignature(col("qv"), planes))
+      .withColumn("bucket", lshSignature(col("qv"), nBits, dim))
       .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), "bucket")
       .withColumn("sim", when(col("cn") * col("qn") > 0,

@@ -97,9 +97,9 @@ case class HyperplaneSig(vec: Expression, nBitsE: Expression,
 
 object HyperplaneSig {
 
-  /** Same generator and fill order as the literal-tree builder
-    * ([[graft.ext.Similarity.hyperplanes]]): nBits rows of dim Gaussians,
-    * row-major — signatures stay bit-identical across the two forms. */
+  /** nBits rows of dim Gaussians from `scala.util.Random(seed)`, row-major
+    * — the same generator and fill order the original literal-tree builder
+    * used, so signatures stay bit-identical across engine versions. */
   def planesFor(nBits: Int, dim: Int, seed: Long): Array[Double] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits * dim)(rnd.nextGaussian())

@@ -75,32 +75,41 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Session registration for the engine's native functions; idempotent. */
+/** Session registration for the engine's native functions; idempotent.
+  * One builder table serves both the in-process `register(spark)` form and
+  * the cluster-wide [[graft.GraftExtensions]] hook, each builder guarded
+  * by an arity check so a wrong-arity SQL call reports a usable error
+  * instead of an `IndexOutOfBoundsException` from the lambda. */
 object Functions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot",
-      exprs => VectorDot(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "positional_eq_count",
-      exprs => PositionalEqCount(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sigs",
-      exprs => MinhashSigs(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_bits",
-      exprs => SimhashBits(exprs(0)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig",
-      exprs => HyperplaneSig(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "built-in")
-  }
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** (name, expression class, arity-checked builder) for every native
+    * function the engine ships. */
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("sorted_intersect_size", classOf[SortedIntersectSize],
+      arity("sorted_intersect_size", 2)(e => SortedIntersectSize(e(0), e(1)))),
+    ("vector_dot", classOf[VectorDot],
+      arity("vector_dot", 2)(e => VectorDot(e(0), e(1)))),
+    ("positional_eq_count", classOf[PositionalEqCount],
+      arity("positional_eq_count", 2)(e => PositionalEqCount(e(0), e(1)))),
+    ("minhash_sigs", classOf[MinhashSigs],
+      arity("minhash_sigs", 2)(e => MinhashSigs(e(0), e(1)))),
+    ("simhash_bits", classOf[SimhashBits],
+      arity("simhash_bits", 1)(e => SimhashBits(e(0)))),
+    ("hyperplane_sig", classOf[HyperplaneSig],
+      arity("hyperplane_sig", 4)(e => HyperplaneSig(e(0), e(1), e(2), e(3)))))
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name requires $n argument(s), got ${exprs.length}")
+      f(exprs)
+    }
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -65,6 +65,59 @@ class FunctionsSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("hyperplane_sig: bit-identical to the literal-tree form") {
+    Functions.register(spark)
+    val nBits = 16; val dim = 8; val seed = 42L
+    // the pre-round-5 literal-tree builder, reconstructed as the reference:
+    // same Random(seed) row-major Gaussian planes, same vector_dot
+    // arithmetic, same strict-positive sign rule
+    def literalSig(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val rnd = new scala.util.Random(seed)
+      val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+      planes.zipWithIndex.map { case (p, i) =>
+        when(call_function("vector_dot", vec, array(p.map(lit): _*)) > 0,
+          shiftleft(lit(1L), i)).otherwise(0L)
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    // double vectors at varied lengths (shorter and longer than dim)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12) + 1)(rnd.nextDouble() * 2 - 1)))
+    val mism = rows.toDF("id", "v").select(
+        call_function("hyperplane_sig", $"v", lit(nBits), lit(dim), lit(seed))
+          .as("native"),
+        literalSig($"v").as("reference"))
+      .filter($"native" =!= $"reference").count()
+    assert(mism == 0)
+    // float vectors straight off the embeddings table
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val mismF = emb.select(
+        call_function("hyperplane_sig", $"embedding", lit(nBits), lit(dim), lit(seed))
+          .as("native"),
+        literalSig($"embedding").as("reference"))
+      .filter($"native" =!= $"reference").count()
+    assert(mismF == 0)
+    // null vector yields a null signature
+    val n = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("id", "v")
+      .select(call_function("hyperplane_sig", $"v", lit(nBits), lit(dim), lit(seed)))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("hyperplane_sig: production-dim (1536) plan stays scalar-sized") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    Functions.register(spark)
+    val df = Seq((1L, Seq.fill(1536)(0.25))).toDF("id", "v")
+      .select(call_function("hyperplane_sig", $"v", lit(64), lit(1536), lit(42L))
+        .as("sig"))
+    // the literal-tree form carried nBits*dim ≈ 100k Literal nodes here;
+    // the native expression carries three scalars
+    val lits = df.queryExecution.analyzed.expressions
+      .map(_.collect { case l: Literal => l }.size).sum
+    assert(lits < 10, s"expected a scalar-sized plan, got $lits literals")
+    assert(df.collect().length == 1)
+  }
+
   test("GraftExtensions injects the native functions for cluster-wide use") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -82,5 +135,17 @@ class FunctionsSpec extends SparkSpec {
       .isInstanceOf[graft.functions.VectorDot])
     assert(reg.lookupFunction(FunctionIdentifier("positional_eq_count"), args)
       .isInstanceOf[graft.functions.PositionalEqCount])
+    val args4 = Seq[org.apache.spark.sql.catalyst.expressions.Expression](
+      Literal(1), Literal(2), Literal(3), Literal(4L))
+    assert(reg.lookupFunction(FunctionIdentifier("hyperplane_sig"), args4)
+      .isInstanceOf[graft.functions.HyperplaneSig])
+    // wrong arity reports a usable error, not IndexOutOfBoundsException
+    val err = intercept[Exception] {
+      reg.lookupFunction(FunctionIdentifier("hyperplane_sig"), args)
+    }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).map(rootChain).getOrElse(Nil)
+    assert(rootChain(err).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("hyperplane_sig requires 4 argument(s)")), err.toString)
   }
 }
