@@ -10,7 +10,12 @@ import org.apache.spark.sql.SparkSession
   * query happened to precede it in the sweep (the r01/r02 recorded-vs-
   * isolation drift), and the min of two is a stable steady-state estimate
   * that matches isolated measurement. `total` is the steady-state sum,
-  * `cold_total` the first-pass sum for reference. */
+  * `cold_total` the first-pass sum for reference.
+  *
+  * A failing query is NEVER silent: its name lands in the `errors` array
+  * (empty on a clean sweep) and it is excluded from `total`/`cold_total`
+  * — so a sweep whose denominator shrank is visibly flagged rather than
+  * quietly reading as "faster". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,9 +29,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed.getOrElseUpdate(name, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          return -1.0
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // drop checkpointed intermediates so they can't accumulate across
       // the query sweep and skew later timings via GC pressure
@@ -35,9 +46,9 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val cold = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
-    val warm1 = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
-    val warm2 = names.map(n => n -> timeOnce(SparkEntry.queries(n))).toMap
+    val cold = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
+    val warm1 = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
+    val warm2 = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
     val warm = names.map { n =>
       val (a, b) = (warm1(n), warm2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
@@ -46,7 +57,9 @@ object Bench {
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val errs = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    failed.foreach { case (n, msg) => System.err.println(s"BENCH ERROR $n: $msg") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,12 +103,20 @@ object Engine {
     *    engine-wide — `(spark, model, root) => Replica`. Default is the
     *    bucketed [[ParquetReplica]]; a transactional table format
     *    (Delta/Iceberg) or the thin [[graft.streaming.CowReplica]] plug
-    *    in here without touching any operator.
+    *    in here without touching any operator. A custom replica that
+    *    does not override `Replica.readBuckets` silently degrades the
+    *    C12 capture path to an O(table) read per micro-batch (the
+    *    trait's documented fallback) — implement pruning for any
+    *    at-scale backend; the contract suite pins it for the shipped
+    *    ones.
     *  - `changesetKey`: P24 — when set, change feeds may carry their
     *    `__changeset` sealed at rest ([[graft.producer.ChangesetCrypto]],
     *    an opaque string column); observer resolution opens it
     *    transparently before matching. A sealed feed with no key fails
-    *    at wiring time.
+    *    at wiring time. The key is checked against
+    *    `spark.redaction.string.regex` at wiring time — uncovered keys
+    *    warn (or fail, with `strictKeyRedaction = true`) because plan
+    *    strings and event logs would carry them verbatim.
     *  - `maintainEvery` / `retainVersions`: live-mode storage maintenance.
     *    Every `maintainEvery` micro-batches, each of the topic's replicas
     *    (and key indexes) runs `vacuum(retainVersions)` — without it a
@@ -130,6 +138,7 @@ object Engine {
       dedupDelay: String = "1 hour",
       replicaFactory: Option[(SparkSession, ModelDef, String) => Replica] = None,
       changesetKey: Option[String] = None,
+      strictKeyRedaction: Boolean = false,
       maintainEvery: Int = 0,
       retainVersions: Int = 8,
       sourceMaxFilesPerTrigger: Option[Int] = None)
@@ -181,7 +190,7 @@ object Engine {
     // (genesis replica topics are consumed alongside their primaries,
     // as the reference's consumer subscribes both)
     val replicas = makeReplicas(spark, registry, workDir, options)
-    val indexes = makeKeyIndexes(spark, registry, workDir)
+    val indexes = makeKeyIndexes(spark, registry, workDir, replicas)
     val consumers = consumedTopicNames(registry).map { case (t, name) =>
       consumeTopic(spark, registry, t, name, topics, replicas, indexes,
         workDir, options, Trigger.AvailableNow())
@@ -212,7 +221,7 @@ object Engine {
     val topics = transport.getOrElse(
       new FileTopics(s"$workDir/topics", options.sourceMaxFilesPerTrigger))
     val replicas = makeReplicas(spark, registry, workDir, options)
-    val indexes = makeKeyIndexes(spark, registry, workDir)
+    val indexes = makeKeyIndexes(spark, registry, workDir, replicas)
     val producers = registry.topics.map { t =>
       produceTopic(spark, registry, t, bindings, topics,
         s"$workDir/cp/produce/${registry.topicName(t)}", trigger, options)
@@ -264,9 +273,18 @@ object Engine {
     * `(synced_id, fk…, timestamps)` — O(rows × two longs), so even a
     * full-index scan is cheap where a child-table scan is not. Always a
     * [[ParquetReplica]] (an engine-internal acceleration structure, not
-    * user storage — a custom `replicaFactory` does not change it). */
+    * user storage — a custom `replicaFactory` does not change it).
+    *
+    * An index that does not exist yet while its child replica already has
+    * rows (a workDir created before key indexes existed, or a custom
+    * `replicaFactory` pointing at pre-existing data) is bootstrapped from
+    * the replica's key projection before any query starts — C11 resolving
+    * doomed keys from an incomplete index would let children that should
+    * disassociate silently survive. An empty replica no-ops inside the
+    * bootstrap merge (no version bump), so the probe costs one bounded
+    * bucket collect. */
   private def makeKeyIndexes(spark: SparkSession, registry: Registry,
-      workDir: String): Map[String, KeyIndex] =
+      workDir: String, replicas: Map[String, Replica]): Map[String, KeyIndex] =
     fkIndexAttrs(registry).map { case (dep, attrs) =>
       val child = registry.modelDef(dep).get
       val schema = org.apache.spark.sql.types.StructType(
@@ -276,10 +294,19 @@ object Engine {
           Seq("synced_created_at", "synced_updated_at", "synced_canceled_at")
             .map(org.apache.spark.sql.types.StructField(_,
               org.apache.spark.sql.types.TimestampType)))
-      dep -> KeyIndex(
-        new ParquetReplica(spark, s"$workDir/replicas/${dep}__keyidx",
-          schema.toDDL, buckets = child.buckets),
-        attrs.map(_.name))
+      val idx = new ParquetReplica(spark, s"$workDir/replicas/${dep}__keyidx",
+        schema.toDDL, buckets = child.buckets)
+      val rep = replicas(dep)
+      if (idx.currentVersion < 0 && !rep.neverCommitted) rep.withLock {
+        if (idx.currentVersion < 0)
+          idx.merge(rep.read().select(
+            lit(EventType.Updated).as("event_type") +:
+              col("synced_id") +:
+              attrs.map(a => col(a.name)) ++:
+              Seq(col("synced_created_at"), col("synced_updated_at"),
+                col("synced_canceled_at").as("canceled_at")): _*))
+      }
+      dep -> KeyIndex(idx, attrs.map(_.name))
     }
 
   /** P16–P18 through the registry-derived serializer: stream the model's
@@ -492,6 +519,8 @@ object Engine {
             IllegalArgumentException(
           s"feed for ${o.model} carries a sealed __changeset but no " +
             "changesetKey is configured (EngineOptions.changesetKey)"))
+        graft.producer.ChangesetCrypto.checkRedaction(spark, key,
+          strict = options.strictKeyRedaction)
         rawFeed.withColumn("__changeset",
           graft.producer.ChangesetCrypto.open(col("__changeset"), key))
       case _ => rawFeed
@@ -635,21 +664,33 @@ object Engine {
   }
 
   private def collectStats(batch: DataFrame, t: TopicDef): Map[String, SliceStats] = {
-    val assocNames = t.models.flatMap(m =>
-      m.sideloads.flatMap(dep => m.hasMany.find(_.model == dep)).map(_.name))
-      .distinct
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    // link probes keyed by (model, association): two models declaring
+    // same-named to-many associations on one topic never share a count
+    val pairs: Seq[(String, String)] = t.models.flatMap(m =>
+      m.sideloads.flatMap(dep => m.hasMany.find(_.model == dep))
+        .map(a => m.name -> a.name)).distinct
     val destroyed = eventTypeCol === EventType.Destroyed
+    // the probe parses with from_json exactly like the merge path's
+    // incoming set (rec.links.<name>) — a JSONPath probe diverges on case
+    // handling and on association names carrying JSONPath-special chars
+    def linkProbe(model: String, a: String): Column = {
+      val linksOnly = StructType(Seq(StructField("links",
+        StructType(Seq(StructField(a, ArrayType(LongType)))))))
+      sum(when(col("model_name") === model && !destroyed &&
+          from_json(col("payload_json"), linksOnly)
+            .getField("links").getField(a).isNotNull,
+        1L).otherwise(0L)).as(s"__lnk_${model}__$a")
+    }
     val aggs =
       count(lit(1)).as("__n") +:
         sum(when(destroyed, 1L).otherwise(0L)).as("__nd") +:
-        assocNames.map(a =>
-          sum(when(!destroyed &&
-              get_json_object(col("payload_json"), s"$$.links.$a").isNotNull,
-            1L).otherwise(0L)).as(s"__lnk_$a"))
+        pairs.map { case (mn, a) => linkProbe(mn, a) }
     batch.groupBy(col("model_name")).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
-        r.getString(0) -> SliceStats(r.getLong(1), r.getLong(2),
-          assocNames.zipWithIndex.map { case (a, i) =>
+        val model = r.getString(0)
+        model -> SliceStats(r.getLong(1), r.getLong(2),
+          pairs.zipWithIndex.collect { case ((mn, a), i) if mn == model =>
             a -> r.getLong(3 + i)
           }.toMap)
       }.toMap
@@ -689,17 +730,23 @@ object Engine {
     if (t.importMode) {
       val shaped = shapeRecords(m, parsed)
       val idx = indexes.get(m.name)
-      if (slice.nLive > 0) {
-        val live = shaped.filter(col("event_type") =!= EventType.Destroyed)
-        replicas(m.name).merge(live)
-        idx.foreach(ki => ki.replica.merge(indexSlice(live, ki)))
-      }
-      if (slice.nDestroyed > 0) {
-        val destroyedIds = shaped
-          .filter(col("event_type") === EventType.Destroyed)
-          .select(col("synced_id")).localCheckpoint(true)
-        replicas(m.name).destroy(destroyedIds)
-        idx.foreach(_.replica.destroy(destroyedIds))
+      // replica + index mutate under ONE shared replica lock (as
+      // mergeRecords and the C11 block do): a concurrent C11 key
+      // resolution on another topic must never observe an index missing
+      // just-merged rows between the two writes
+      replicas(m.name).withLock {
+        if (slice.nLive > 0) {
+          val live = shaped.filter(col("event_type") =!= EventType.Destroyed)
+          replicas(m.name).merge(live)
+          idx.foreach(ki => ki.replica.merge(indexSlice(live, ki)))
+        }
+        if (slice.nDestroyed > 0) {
+          val destroyedIds = shaped
+            .filter(col("event_type") === EventType.Destroyed)
+            .select(col("synced_id")).localCheckpoint(true)
+          replicas(m.name).destroy(destroyedIds)
+          idx.foreach(_.replica.destroy(destroyedIds))
+        }
       }
       return
     }

@@ -62,9 +62,15 @@ object EnvelopeCodec {
     * envelope carrying NO record (empty `data`, missing `message`) yields
     * no row, exactly as the general path's explode of an empty array. */
   def decodeSingleRecords(topicFrame: DataFrame): DataFrame = {
+    // cardinality probes, not element-presence probes: a trailing JSON
+    // null slot (`data:["x",null]`, `message:[{…},null]`) makes
+    // `$.…[1]` extract null exactly like a missing slot would, so only
+    // the array LENGTH can tell one record from two
     val multi =
-      get_json_object(col("value"), "$.message[1]").isNotNull ||
-        get_json_object(col("value"), "$.message[0].data[1]").isNotNull
+      coalesce(json_array_length(
+        get_json_object(col("value"), "$.message")), lit(0)) > 1 ||
+        coalesce(json_array_length(
+          get_json_object(col("value"), "$.message[0].data")), lit(0)) > 1
     // `when(multi, raise_error).isNull` is a pure predicate: it raises on
     // ANY multi envelope (even one whose first record slot is JSON null,
     // which the row-drop term alone would silently discard) and, living

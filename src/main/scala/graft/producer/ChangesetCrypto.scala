@@ -42,6 +42,38 @@ object ChangesetCrypto {
       s"changeset key must be 16, 24 or 32 bytes (got $n)")
   }
 
+  /** The key rides into the plan as a literal (see OPERATIONAL NOTE):
+    * verify the session's plan-string redaction actually covers it —
+    * at wiring time, not after the key has leaked into event logs. With
+    * `strict` the check throws; otherwise it logs one warning per JVM
+    * per key. A deployment that accepts plan-visible keys (dev) passes
+    * `strict = false` and keeps the warning. */
+  def checkRedaction(spark: org.apache.spark.sql.SparkSession, key: String,
+      strict: Boolean = false): Unit =
+    // a static core conf, fixed at submit time — read it from the
+    // SparkContext conf, not the runtime SQL conf
+    checkRedaction(
+      spark.sparkContext.getConf.getOption("spark.redaction.string.regex"),
+      key, strict)
+
+  def checkRedaction(redactionRegex: Option[String], key: String,
+      strict: Boolean): Unit = {
+    val covered = redactionRegex
+      .exists(r => try r.r.findFirstIn(key).isDefined catch {
+        case _: Exception => false
+      })
+    if (!covered) {
+      val msg = "changeset key is NOT matched by spark.redaction.string.regex: " +
+        "it will appear verbatim in explain output, the Spark UI SQL tab " +
+        "and event logs. Set the regex to cover the key."
+      if (strict) throw new IllegalStateException(msg)
+      if (warned.add(key))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+  }
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Storage form of a changeset map: `base64(aes_gcm(json))`. */
   def seal(changeset: Column, key: String): Column = {
     requireValidKey(key)

@@ -164,6 +164,13 @@ trait Replica {
     * storage unit. */
   def readBuckets(keys: DataFrame): DataFrame = read()
 
+  /** True when no commit has ever been published — a brand-new table.
+    * Lets startup-time work (key-index bootstrap) skip a table read it
+    * knows must be empty. The conservative default (`false`) makes
+    * unknown storage pay the read instead of risking a skipped
+    * bootstrap. */
+  def neverCommitted: Boolean = false
+
   /** LWW-merge `updates` (shaped per [[Persistor.merge]] contract).
     * `prepare` may reshape the updates against the current rows first
     * (key-local by construction). */
@@ -225,6 +232,8 @@ final class ParquetReplica(spark: SparkSession, root: String,
     if (pointer.exists)
       new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
     else -1
+
+  override def neverCommitted: Boolean = currentVersion < 0
 
   /** bucket → directory (relative to root) of the given version; empty
     * for versions whose manifest was vacuumed. */
@@ -436,12 +445,18 @@ final class ParquetReplica(spark: SparkSession, root: String,
 
 /** Thin copy-on-write replica: every commit writes a complete new table
   * directory and atomically repoints `LATEST` — the copy-on-write commit
-  * mode of a transactional table format, with no bucket pruning. Exists to
-  * prove the [[Replica]] surface is storage-agnostic (the contract suite
-  * runs against both implementations); [[ParquetReplica]] remains the
-  * scale path — this one pays O(table) per commit by design. */
+  * mode of a transactional table format. Exists to prove the [[Replica]]
+  * surface is storage-agnostic (the contract suite runs against both
+  * implementations); [[ParquetReplica]] remains the scale path — this one
+  * pays O(table) per COMMIT by design. Reads still prune: each version is
+  * laid out in `__b=` bucket directories (hashed on `synced_id`), so
+  * [[readBuckets]] opens only the touched buckets and the engine's
+  * zero-full-read guarantee (C11/C12) holds on this backend too. The
+  * bucket count is a constructor constant, safe here because every commit
+  * rewrites the whole layout with it. */
 final class CowReplica(spark: SparkSession, root: String,
-    schemaDDL: String) extends Replica {
+    schemaDDL: String, buckets: Int = 16) extends Replica {
+  require(buckets > 0)
   private val fs = new java.io.File(root)
   fs.mkdirs()
   private def pointer = new java.io.File(fs, "LATEST")
@@ -451,20 +466,44 @@ final class CowReplica(spark: SparkSession, root: String,
       new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
     else -1
 
+  override def neverCommitted: Boolean = currentVersion < 0
+
   private def schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+
+  private def empty: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def bucketDirs(v: Int): Seq[java.io.File] =
+    Option(new java.io.File(fs, s"v$v")
+        .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
+      .getOrElse(Array.empty).toSeq
+
+  private def readDirs(dirs: Seq[java.io.File]): DataFrame =
+    if (dirs.isEmpty) empty
+    else spark.read.schema(schema).parquet(dirs.map(_.getPath): _*)
 
   def read(): DataFrame = {
     val v = currentVersion
-    if (v < 0) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(s"$root/v$v")
+    if (v < 0) empty else readDirs(bucketDirs(v))
+  }
+
+  override def readBuckets(keys: DataFrame): DataFrame = {
+    val v = currentVersion
+    if (v < 0) return empty
+    val touched = keys
+      .select(pmod(hash(col("synced_id")), lit(buckets)).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    readDirs(bucketDirs(v)
+      .filter(d => touched(d.getName.stripPrefix("__b=").toInt)))
   }
 
   def withLock[A](f: => A): A = ReplicaLocks.lockFor(root).synchronized(f)
 
   def transform(f: DataFrame => DataFrame): Unit = withLock {
     val next = currentVersion + 1
-    f(read()).write.mode("overwrite").parquet(s"$root/v$next")
+    f(read()).withColumn("__b", pmod(hash(col("synced_id")), lit(buckets)))
+      .repartition(buckets, col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
     val tmp = java.nio.file.Files.createTempFile(fs.toPath, ".LATEST", ".tmp")
     java.nio.file.Files.write(tmp, next.toString.getBytes)
     java.nio.file.Files.move(tmp, pointer.toPath,

@@ -22,6 +22,7 @@ class EngineScaleSpec extends SparkSpec {
     def read(): DataFrame = { fullReads.incrementAndGet(); underlying.read() }
     override def readBuckets(keys: DataFrame): DataFrame =
       underlying.readBuckets(keys)
+    override def neverCommitted: Boolean = underlying.neverCommitted
     def merge(updates: DataFrame,
         prepare: (DataFrame, DataFrame) => DataFrame): Unit =
       underlying.merge(updates, prepare)
@@ -122,6 +123,66 @@ class EngineScaleSpec extends SparkSpec {
     // THE point: no engine path issued a full-table read — C12 captures
     // went through readBuckets, C11 key resolution through the index
     assert(scans.values.sum == 0, s"full-table reads during merges: $scans")
+  }
+
+  test("key index bootstraps from a pre-existing child replica") {
+    val tmp = Files.createTempDirectory("graft-idxboot").toString
+    val src = s"$tmp/src"
+
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("order_lines", "order_line", fk = "order_id")),
+      sideloads = Seq("order_line"))
+    val lineDef = ModelDef("order_line",
+      attributes = Seq(Attribute("order_id", org.apache.spark.sql.types.LongType),
+        Attribute("qty", org.apache.spark.sql.types.DoubleType)))
+    val reg = Registry("nsb", Seq(TopicDef("orders", Seq(orderDef))),
+      dependencyModels = Seq(lineDef))
+
+    def orderChange(ids: Seq[Long], file: String, ts: String): Unit =
+      ids.toDF("id").select($"id", ($"id" * 100.0).as("total"),
+          lit("update").as("__op"),
+          lit(null).cast("timestamp").as("__old_canceled"),
+          lit(null).cast("timestamp").as("__new_canceled"),
+          lit(ts).cast("timestamp").as("__ts"))
+        .write.parquet(s"$src/$file")
+    def linesSnap(drop: Set[Long]) =
+      (1L to 32L).filterNot(drop).toDF("id")
+        .select($"id", (($"id" - 1) / lit(4) + 1).cast("long").as("order_id"),
+          ($"id" * 1.0).as("qty"),
+          lit("2026-05-02 00:00:00").cast("timestamp").as("__ts"))
+    @volatile var snap = linesSnap(Set.empty)
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema).parquet(s"$src/*")
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = snap
+    }
+
+    orderChange(1L to 8L, "f1", "2026-05-01 00:00:00")
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    // a workDir from before key indexes existed: the child replica has 32
+    // rows but the index is gone entirely
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete()
+    }
+    rm(new java.io.File(s"$tmp/work/replicas/order_line__keyidx"))
+
+    // parent 1 republishes with line 4 gone; an UNbootstrapped index knows
+    // only the just-merged children {1,2,3}, so doomed = ∅ and line 4
+    // silently survives — the divergence this test pins out
+    snap = linesSnap(Set(4L))
+    orderChange(Seq(1L), "f2", "2026-05-03 00:00:00")
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+
+    val left = res.replicas("order_line").read()
+      .select("synced_id").as[Long].collect().toSet
+    assert(left == (1L to 32L).toSet - 4L, s"got $left")
+    // and the rebuilt index is complete, in lockstep with the replica
+    val idxPairs = res.keyIndexes("order_line").read()
+      .select("order_id", "synced_id").as[(Long, Long)].collect().toSet
+    val repPairs = res.replicas("order_line").read()
+      .select("order_id", "synced_id").as[(Long, Long)].collect().toSet
+    assert(idxPairs == repPairs, s"index diverged: ${idxPairs.diff(repPairs)}")
   }
 
   test("models absent from a micro-batch skip their merge path entirely") {
@@ -256,6 +317,94 @@ class EngineScaleSpec extends SparkSpec {
         s"$tmp/work/cp/consume/pac_orders_genesis/offsets").listFiles())
       .getOrElse(Array.empty).count(_.getName.matches("\\d+"))
     assert(offsets >= 4, s"genesis drained in only $offsets batches")
+  }
+
+  test("two models sharing an association name keep per-model link gates") {
+    val tmp = Files.createTempDirectory("graft-assocname").toString
+    val work = s"$tmp/work"
+    // order.hasMany("items" -> a_item) and invoice.hasMany("items" ->
+    // b_item) on ONE topic: the C11 participation gate must attribute
+    // links.items counts per (model, association), never share them
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("items", "a_item", fk = "order_id")),
+      sideloads = Seq("a_item"))
+    val invoiceDef = ModelDef("invoice",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("items", "b_item", fk = "invoice_id")),
+      sideloads = Seq("b_item"))
+    val aItem = ModelDef("a_item",
+      attributes = Seq(Attribute("order_id", org.apache.spark.sql.types.LongType)))
+    val bItem = ModelDef("b_item",
+      attributes = Seq(Attribute("invoice_id", org.apache.spark.sql.types.LongType)))
+    val reg = Registry("mx", Seq(TopicDef("mix", Seq(orderDef, invoiceDef))),
+      dependencyModels = Seq(aItem, bItem))
+
+    def ts(s: String) = s""""created_at":"$s","updated_at":"$s","canceled_at":null"""
+    def child(fk: String, pid: Long, id: Long, t: String) =
+      s"""{"id":$id,"$fk":$pid,${ts(t)}}"""
+    def parent(model: String, dep: String, fk: String, id: Long, t: String,
+        items: Option[Seq[Long]]) = {
+      val links = items.map(is =>
+        s""","links":{"items":[${is.mkString(",")}]},""" +
+          s""""$dep":[${is.map(child(fk, id, _, t)).mkString(",")}]""").getOrElse("")
+      s"""{"id":$id,"total":${id * 10.0},${ts(t)}$links}"""
+    }
+    def envelope(model: String, payload: String) =
+      s"""{"message":[{"event":"${model}_updated","model_name":"$model","data":[$payload]}]}"""
+    def write(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("kafka_key", "value")
+        .withColumn("partition_key", lit(null).cast("string"))
+        .withColumn("ts", lit("2026-06-01 00:00:00").cast("timestamp"))
+        .select("kafka_key", "partition_key", "value", "ts")
+        .write.mode("append").parquet(s"$work/topics/mx_mix")
+
+    val empty = s"$tmp/empty"
+    Seq.empty[(Long, Double)].toDF("id", "total")
+      .withColumn("__op", lit("update"))
+      .withColumn("__old_canceled", lit(null).cast("timestamp"))
+      .withColumn("__new_canceled", lit(null).cast("timestamp"))
+      .withColumn("__ts", lit(null).cast("timestamp"))
+      .write.parquet(empty)
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(empty).schema).parquet(empty)
+      // the producer contributes nothing; sideload embedding still asks
+      // for a snapshot frame per dependency model
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType) +:
+              m.attributes.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType)) :+
+              org.apache.spark.sql.types.StructField("__ts",
+                org.apache.spark.sql.types.TimestampType)))
+    }
+
+    // seed: order 1 owns a_items {1,2}; invoice 1 owns b_items {10,11}
+    write(
+      "order:1" -> envelope("order",
+        parent("order", "a_item", "order_id", 1, "2026-06-01 00:00:00", Some(Seq(1L, 2L)))),
+      "invoice:1" -> envelope("invoice",
+        parent("invoice", "b_item", "invoice_id", 1, "2026-06-01 00:00:00", Some(Seq(10L, 11L)))))
+    Engine.runAvailableNow(spark, reg, bindings, work)
+
+    // order 1 republishes with item 2 gone (participates in C11);
+    // invoice 1 republishes with NO links at all (observer shape — must
+    // NOT disassociate its items)
+    write(
+      "order:1" -> envelope("order",
+        parent("order", "a_item", "order_id", 1, "2026-06-02 00:00:00", Some(Seq(1L)))),
+      "invoice:1" -> envelope("invoice",
+        parent("invoice", "b_item", "invoice_id", 1, "2026-06-02 00:00:00", None)))
+    val res = Engine.runAvailableNow(spark, reg, bindings, work)
+
+    val aLeft = res.replicas("a_item").read()
+      .select("synced_id").as[Long].collect().toSet
+    val bLeft = res.replicas("b_item").read()
+      .select("synced_id").as[Long].collect().toSet
+    assert(aLeft == Set(1L), s"a_item: $aLeft")
+    assert(bLeft == Set(10L, 11L), s"b_item: $bLeft")
   }
 
   test("multi-record wire: foreign envelopes decode through the general path") {

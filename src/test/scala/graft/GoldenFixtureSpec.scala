@@ -183,6 +183,26 @@ class GoldenFixtureSpec extends SparkSpec {
     val err2 = intercept[Exception](
       EnvelopeCodec.decodeSingleRecords(nullFirst).collect())
     assert(err2.getMessage.contains("singleRecordWire"), err2.getMessage)
+    // ... even when the null slot TRAILS the record (`data:["x",null]`) —
+    // an element-presence probe reads a trailing null as "no second
+    // record" and silently drops it; the guard must count, not probe
+    val nullTrailing = Seq(envelope("\"{\\\"id\\\":1}\"", "null")).toDF("value")
+    val errT = intercept[Exception](
+      EnvelopeCodec.decodeSingleRecords(nullTrailing).collect())
+    assert(errT.getMessage.contains("singleRecordWire"), errT.getMessage)
+    // trailing-null envelope on the GENERAL path: the null slot explodes
+    // to a null-payload row alongside the real record — nothing is
+    // silently swallowed on either path
+    val generalT = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(nullTrailing))
+      .select("payload_json").collect()
+    assert(generalT.length == 2 && generalT.count(_.isNullAt(0)) == 1)
+    // a second-event slot that is a trailing JSON null is likewise multi
+    val nullSecondEvent = Seq(
+      s"""{"message":[{"event":"thing_updated","model_name":"thing","data":["{}"]},null]}""")
+      .toDF("value")
+    val errE = intercept[Exception](
+      EnvelopeCodec.decodeSingleRecords(nullSecondEvent).collect())
+    assert(errE.getMessage.contains("singleRecordWire"), errE.getMessage)
     // ... and even when downstream prunes payload_json entirely — the
     // guard lives in the filter, not in a prunable projection
     val err3 = intercept[Exception](

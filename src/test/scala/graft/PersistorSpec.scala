@@ -406,15 +406,17 @@ class PersistorSpec extends SparkSpec {
     assert(got.size == 32 && got(5L) == 555.0 && got(6L) == 6.0)
   }
 
-  for ((label, mk) <- Seq[(String, String => graft.streaming.Replica)](
-      "ParquetReplica" -> (root => new graft.streaming.ParquetReplica(spark, root,
-        "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
-          "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
-          "value DOUBLE", buckets = 4)),
-      "CowReplica" -> (root => new graft.streaming.CowReplica(spark, root,
-        "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
-          "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
-          "value DOUBLE"))))
+  private val contractReplicas = Seq[(String, String => graft.streaming.Replica)](
+    "ParquetReplica" -> (root => new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE", buckets = 4)),
+    "CowReplica" -> (root => new graft.streaming.CowReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE")))
+
+  for ((label, mk) <- contractReplicas)
     test(s"replica contract ($label): LWW merge, replay, destroy, vacuum") {
       // the same storage contract both implementations must satisfy — the
       // drop-in bar for a transactional-format replica (Delta/Iceberg)
@@ -446,6 +448,25 @@ class PersistorSpec extends SparkSpec {
       // vacuum reclaims old versions without changing current state
       r.vacuum()
       assert(r.read().select("synced_id").as[Long].collect().toSet == Set(1L))
+    }
+
+  for ((label, mk) <- contractReplicas)
+    test(s"replica contract ($label): readBuckets prunes to touched storage units") {
+      // every shipped implementation must keep the engine's zero-full-read
+      // guarantee (C11 key resolution, C12 capture) — a backend silently
+      // inheriting the full-table readBuckets default degrades to O(table)
+      // reads per micro-batch
+      val r = mk(java.nio.file.Files
+        .createTempDirectory(s"graft-prune-$label").toString)
+      r.merge(updates(
+        (1L to 64L).map(i =>
+          (i, "2024-01-01 00:00:00", None: Option[String], "created",
+            i.toDouble)): _*))
+      val pruned = r.readBuckets(Seq(3L, 17L).toDF("synced_id"))
+      val ids = pruned.select("synced_id").as[Long].collect().toSet
+      assert(Set(3L, 17L).subsetOf(ids) && ids.subsetOf((1L to 64L).toSet))
+      assert(pruned.inputFiles.length < r.read().inputFiles.length,
+        s"$label readBuckets opened the whole table")
     }
 
   test("ParquetReplica merge rewrites only touched buckets") {

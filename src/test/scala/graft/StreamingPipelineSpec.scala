@@ -631,6 +631,28 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("P24: redaction check flags plan-visible keys; strict mode throws") {
+    import graft.producer.ChangesetCrypto
+    val key = "0123456789abcdef"
+    // no redaction configured → uncovered: strict throws, lax only warns
+    intercept[IllegalStateException] {
+      ChangesetCrypto.checkRedaction(None, key, strict = true)
+    }
+    ChangesetCrypto.checkRedaction(None, key, strict = false) // must not throw
+    // a regex that misses the key is as bad as none; an invalid regex too
+    intercept[IllegalStateException] {
+      ChangesetCrypto.checkRedaction(Some("someOtherSecret.*"), key, strict = true)
+    }
+    intercept[IllegalStateException] {
+      ChangesetCrypto.checkRedaction(Some("[unclosed"), key, strict = true)
+    }
+    // a covering regex passes in both modes
+    ChangesetCrypto.checkRedaction(Some("0123.*cdef"), key, strict = true)
+    // the session form reads the static core conf (unset on the test
+    // session → warn, never throw in lax mode)
+    ChangesetCrypto.checkRedaction(spark, key)
+  }
+
   test("P24: observer matches against a sealed changeset feed") {
     import graft.registry._
     import graft.producer.ChangesetCrypto
