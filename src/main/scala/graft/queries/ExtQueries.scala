@@ -6,11 +6,32 @@ import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
   * similarity search, text analysis, multimodal columns — over the
-  * `documents` and `embeddings` tables. Hash-based operators (MinHash,
-  * SimHash, LSH buckets) are rows-only here (xxhash64 is not portable to
-  * the oracle) and get exact-semantics coverage in ScalaTest instead.
+  * `documents` and `embeddings` tables. Four queries remain rows-only —
+  * x02/x03 (MinHash/SimHash: xxhash64 is not portable to the oracle),
+  * x12 (HLL sketch: engine-specific) and x13 (KMeans: iterative ML) —
+  * each with exact-semantics coverage in ScalaTest instead. Everything
+  * else hash-matches DuckDB, including the hyperplane-LSH queries
+  * (x06/x18), whose seeded planes inline into the oracle SQL as literals.
   */
 object ExtQueries {
+
+  /** The LSH hyperplanes are deterministic doubles (seeded PRNG), so the
+    * oracle can carry them as SQL literals: one `[…]` DuckDB list per
+    * plane, `Double.toString` round-trip-exact. This is what promotes the
+    * hyperplane queries (x06/x18) from rows-only to full hash-checked. */
+  private def planeLits(nBits: Int, dim: Int, seed: Long = 42L): Seq[String] =
+    graft.functions.HyperplaneSig.planesFor(nBits, dim, seed)
+      .grouped(dim).toSeq
+      .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+
+  /** `sign(v · plane_p) → 2^p` signature terms over inlined plane
+    * literals — the SQL twin of [[graft.functions.HyperplaneSig]]
+    * (HUGEINT keeps bit 63 exact). */
+  private def sigSql(nBits: Int, dim: Int): String =
+    planeLits(nBits, dim).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, $p) > 0 " +
+        s"THEN ${java.math.BigInteger.ONE.shiftLeft(i)}::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString(" + ")
 
   val all: Map[String, Entry] = Map(
 
@@ -289,8 +310,9 @@ object ExtQueries {
 
     // LSH-banded near-dup (the 100 TB default for high thresholds):
     // candidates from hyperplane-signature bands, exact cosine within
-    // buckets only — rows-only (seeded hyperplanes).
-    "x18_embedding_neardup_lsh" -> rowsOnly(
+    // buckets only. Oracle: same 64-bit signature over inlined plane
+    // literals, HUGEINT floor-div/mod as the unsigned band extraction.
+    "x18_embedding_neardup_lsh" -> entry(
       (s, dir) => {
         // high-threshold operating point — the regime banding is FOR:
         // 8-bit bands admit ~3% of random pairs while duplicates collide
@@ -307,18 +329,55 @@ object ExtQueries {
             "vec_id", "embedding", threshold = 0.99)
           .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
           .orderBy(col("id_a"), col("id_b"))
-      }),
+      },
+      s"""WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+        |sig AS (
+        |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    ${sigSql(nBits = 64, dim = 64)} AS sg
+        |  FROM base),
+        |banded AS (
+        |  SELECT s.id, s.v, s.nrm, t.b,
+        |    CAST((s.sg // ((1::BIGINT << (8 * t.b))::HUGEINT)) % 256 AS INTEGER) AS bits
+        |  FROM sig s, range(8) t(b))
+        |SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+        |  round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS sim
+        |FROM banded x JOIN banded y
+        |  ON x.b = y.b AND x.bits = y.bits AND x.id < y.id
+        |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin),
 
-    // LSH-bucketed ANN (scale path) — rows-only (seeded hyperplanes).
-    "x06_ann_lsh" -> rowsOnly(
+    // LSH-bucketed ANN (scale path). Oracle: the 4-bit signature bucket
+    // over inlined plane literals, then x05's top-k window shape.
+    "x06_ann_lsh" -> entry(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
         Similarity.lshTopK(
             corpus = emb,
             queries = emb.filter(col("vec_id") % 100 === 0),
             idCol = "vec_id", vecCol = "embedding", k = 5, nBits = 4)
+          .select(col("qid"), col("rnk"), col("nid"),
+            round(col("sim"), 4).as("sim"))
           .orderBy(col("qid"), col("rnk"))
-      }),
+      },
+      s"""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(${sigSql(nBits = 4, dim = 64)} AS INTEGER) AS bucket
+        |  FROM base)
+        |SELECT qid, rnk, nid, round(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    CASE WHEN c.nrm * q.nrm > 0
+        |         THEN list_dot_product(c.v, q.v) / (c.nrm * q.nrm) END AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN c.nrm * q.nrm > 0
+        |            THEN list_dot_product(c.v, q.v) / (c.nrm * q.nrm) END)
+        |        DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM sig c JOIN sig q ON c.bucket = q.bucket AND q.vec_id % 100 = 0)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
 
     // IVF ANN (scale path): KMeans coarse quantizer + multi-probe
     // (rows-only: clustering is engine-specific).
@@ -355,13 +414,32 @@ object ExtQueries {
         |       / len(string_split(text, ' ')) >= 0.05 AS BIGINT) AS keep
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Language ID via marker-word profiles (rows-only heuristic).
-    "x08_langid" -> rowsOnly(
+    // Language ID via marker-word profiles. The argmax-with-desc-lang
+    // tiebreak is spelled out as CASE comparisons in the oracle (struct
+    // sort semantics don't port across engines; greatest+CASE does).
+    "x08_langid" -> entry(
       (s, dir) =>
         tbl(s, dir, "documents")
           .select(col("doc_id"), col("lang").as("labeled"),
             TextAnalysis.langId(col("text")).as("predicted"))
-          .orderBy(col("doc_id"))),
+          .orderBy(col("doc_id")),
+      """WITH t AS (SELECT doc_id, lang AS labeled, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id, labeled,
+        |  len(list_filter(tk, x -> x IN ('the','and','of','is','a'))) AS s_en,
+        |  len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS s_fr,
+        |  len(list_filter(tk, x -> x IN ('el','la','y','es','los'))) AS s_es,
+        |  len(list_filter(tk, x -> x IN ('de','shi','le','zai','he'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, labeled,
+        | CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+        |      WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+        |      WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+        |      WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+        |      WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+        |      ELSE 'de' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin),
 
     // Token counting: whitespace + BPE-ish pre-tokenizer regex.
     "x09_token_count" -> entry(
@@ -424,8 +502,10 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Near-dup cluster resolution: Jaccard pairs → connected components →
-    // one representative per cluster (rows-only: consumes LSH pairs).
-    "x16_dedup_clusters" -> rowsOnly(
+    // one representative per cluster. The oracle rebuilds the same pair
+    // list from raw token sets (x04's oracle shape) and resolves
+    // components as min-reachable-id via a recursive CTE.
+    "x16_dedup_clusters" -> entry(
       (s, dir) => {
         val pairs = TextDedup.ngramJaccardPairs(tbl(s, dir, "documents"),
           "doc_id", "text", blockCol = "source", n = 1, threshold = 0.9)
@@ -433,7 +513,24 @@ object ExtQueries {
           .groupBy(col("component"))
           .agg(count(lit(1)).as("cluster_size"))
           .orderBy(col("component"))
-      }),
+      },
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |      FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+        |labels AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
+        |SELECT component, count(*) AS cluster_size FROM labels
+        |GROUP BY component ORDER BY component""".stripMargin),
 
     // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
     // explode → partial-aggregated count → ordered limit. The sketch form
