@@ -849,6 +849,85 @@ class StreamingPipelineSpec extends SparkSpec {
       .select("amount").as[Double].collect()(0) == 5.0)
   }
 
+  test("live mode: sealed 2-hop observer chain resolves mid-stream") {
+    import graft.registry._
+    import graft.producer.ChangesetCrypto
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val tmp = Files.createTempDirectory("graft-engine-livechain").toString
+    val key = "0123456789abcdef"
+
+    // fee observes rental.name through rental → bookings → fees (two FK
+    // hops), with the rental feed's changeset SEALED at rest — the full
+    // production shape, under a live trigger instead of a drain
+    val feeDef = ModelDef("fee",
+      attributes = Seq(Attribute("amount", DoubleType),
+        Attribute("booking_id", LongType)),
+      observers = Seq(ObserverDef("rental", Seq("name"), "bookings.fees")))
+    val bookingDef = ModelDef("booking",
+      attributes = Seq(Attribute("rental_id", LongType)),
+      hasMany = Seq(Association("fees", "fee", fk = "booking_id")))
+    val rentalDef = ModelDef("rental",
+      attributes = Seq(Attribute("name", StringType)),
+      hasMany = Seq(Association("bookings", "booking", fk = "rental_id")))
+    val reg = Registry("vl", Seq(TopicDef("fees", Seq(feeDef))),
+      dependencyModels = Seq(rentalDef, bookingDef))
+
+    def meta(ts: String) = Seq(
+      lit("update").as("__op"),
+      lit(null).cast("timestamp").as("__old_canceled"),
+      lit(null).cast("timestamp").as("__new_canceled"),
+      lit(ts).cast("timestamp").as("__ts"))
+    val feeChangesDir = s"$tmp/chg_fee"
+    Seq((101L, 6.0, 11L)).toDF("id", "amount", "booking_id")
+      .select(col("*") +: meta("2026-02-01 00:00:00"): _*)
+      .write.parquet(s"$feeChangesDir/f1")
+    // seed the rental feed with an UNOBSERVED sealed change (schema + a
+    // negative case); the observed change arrives later, mid-stream
+    def rentalChange(id: Long, attr: String, ts: String, file: String): Unit =
+      Seq((id, attr)).toDF("id", "attr")
+        .select(col("id"),
+          ChangesetCrypto.seal(
+            map(col("attr"), array(lit("a"), lit("b"))), key).as("__changeset"))
+        .select(col("*") +: meta(ts): _*)
+        .write.parquet(s"$tmp/chg_rental/$file")
+    rentalChange(2L, "beds", "2026-02-01 00:00:01", "f1")
+    val bookingsSnap = Seq((10L, 1L), (11L, 2L)).toDF("id", "rental_id")
+      .withColumn("__ts", lit("2026-02-02 00:00:00").cast("timestamp"))
+    val feesSnap = Seq((100L, 5.0, 10L), (101L, 6.0, 11L))
+      .toDF("id", "amount", "booking_id")
+      .withColumn("__ts", lit("2026-02-02 00:00:00").cast("timestamp"))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val dir = if (m.name == "rental") s"$tmp/chg_rental" else feeChangesDir
+        s.readStream.schema(s.read.parquet(s"$dir/f1").schema).parquet(s"$dir/*")
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        if (m.name == "booking") bookingsSnap else feesSnap
+    }
+
+    val (queries, res) = Engine.start(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(changesetKey = Some(key)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      def await(pred: () => Boolean, what: String): Unit = {
+        val deadline = System.nanoTime() + 90L * 1000000000L
+        while (!pred() && System.nanoTime() < deadline) Thread.sleep(200)
+        assert(pred(), s"timed out waiting for $what")
+      }
+      def feeIds() = res.replicas("fee").read()
+        .select("synced_id").as[Long].collect().toSet
+      // direct fee event lands; the unobserved rental change moves nothing
+      await(() => feeIds() == Set(101L), "direct fee event")
+      // rental 1 renames MID-STREAM: the sealed changeset opens, matches
+      // the observed attr, walks bookings → fees, republishes fee 100
+      rentalChange(1L, "name", "2026-02-03 00:00:00", "f2")
+      await(() => feeIds() == Set(100L, 101L), "2-hop observer republish")
+      assert(res.replicas("fee").read().filter($"synced_id" === 100L)
+        .select("amount").as[Double].collect()(0) == 5.0)
+      assert(queries.forall(_.isActive), "queries must stay running")
+    } finally queries.foreach(_.stop())
+  }
+
   test("registry validation: observer attrs, observer paths, genesis dependency guard") {
     import graft.registry._
     // order observes customer.name through customer's `orders` association
