@@ -12,10 +12,12 @@ import org.apache.spark.sql.SparkSession
   * that matches isolated measurement. `total` is the steady-state sum,
   * `cold_total` the first-pass sum for reference.
   *
-  * A failing query is NEVER silent: its name lands in the `errors` array
-  * (empty on a clean sweep) and it is excluded from `total`/`cold_total`
-  * — so a sweep whose denominator shrank is visibly flagged rather than
-  * quietly reading as "faster". */
+  * A failing query is NEVER silent: a query with NO successful warm pass
+  * lands in the `errors` array (empty on a clean sweep) and is absent
+  * from `total` — so a sweep whose denominator shrank is visibly flagged
+  * rather than quietly reading as "faster". Transient failures (a cold
+  * or single warm pass) keep the query measured and are reported on
+  * stderr only. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,7 +59,10 @@ object Bench {
     val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
-    val errs = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // errors = queries missing from `total` (both warm passes failed);
+    // transient single-pass failures stay measured and go to stderr
+    val errs = names.filter(warm(_) < 0).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     failed.foreach { case (n, msg) => System.err.println(s"BENCH ERROR $n: $msg") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

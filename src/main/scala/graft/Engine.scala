@@ -667,26 +667,34 @@ object Engine {
     import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
     // link probes keyed by (model, association): two models declaring
     // same-named to-many associations on one topic never share a count
-    val pairs: Seq[(String, String)] = t.models.flatMap(m =>
-      m.sideloads.flatMap(dep => m.hasMany.find(_.model == dep))
-        .map(a => m.name -> a.name)).distinct
+    val byModel: Seq[(String, Seq[String])] = t.models.map(m =>
+      m.name -> m.sideloads
+        .flatMap(dep => m.hasMany.find(_.model == dep)).map(_.name).distinct)
+      .filter(_._2.nonEmpty)
     val destroyed = eventTypeCol === EventType.Destroyed
-    // the probe parses with from_json exactly like the merge path's
-    // incoming set (rec.links.<name>) — a JSONPath probe diverges on case
-    // handling and on association names carrying JSONPath-special chars
-    def linkProbe(model: String, a: String): Column = {
+    // ONE links-only from_json per model, carrying every probed
+    // association, materialized as a column all of that model's probes
+    // share (K associations cost one parse, not K). The probe parses with
+    // from_json exactly like the merge path's incoming set
+    // (rec.links.<name>) — a JSONPath probe diverges on case handling and
+    // on association names carrying JSONPath-special chars. The when()
+    // keeps rows of OTHER models from paying the parse at all.
+    val withLinks = byModel.foldLeft(batch) { case (df, (mn, assocs)) =>
       val linksOnly = StructType(Seq(StructField("links",
-        StructType(Seq(StructField(a, ArrayType(LongType)))))))
-      sum(when(col("model_name") === model && !destroyed &&
-          from_json(col("payload_json"), linksOnly)
-            .getField("links").getField(a).isNotNull,
-        1L).otherwise(0L)).as(s"__lnk_${model}__$a")
+        StructType(assocs.map(a => StructField(a, ArrayType(LongType)))))))
+      df.withColumn(s"__lk_$mn",
+        when(col("model_name") === mn && !destroyed,
+          from_json(col("payload_json"), linksOnly).getField("links")))
     }
+    val pairs = byModel.flatMap { case (mn, as) => as.map(mn -> _) }
     val aggs =
       count(lit(1)).as("__n") +:
         sum(when(destroyed, 1L).otherwise(0L)).as("__nd") +:
-        pairs.map { case (mn, a) => linkProbe(mn, a) }
-    batch.groupBy(col("model_name")).agg(aggs.head, aggs.tail: _*)
+        pairs.map { case (mn, a) =>
+          sum(when(col(s"__lk_$mn").getField(a).isNotNull, 1L).otherwise(0L))
+            .as(s"__lnk_${mn}__$a")
+        }
+    withLinks.groupBy(col("model_name")).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val model = r.getString(0)
         model -> SliceStats(r.getLong(1), r.getLong(2),

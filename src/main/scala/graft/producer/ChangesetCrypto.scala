@@ -50,10 +50,17 @@ object ChangesetCrypto {
     * `strict = false` and keeps the warning. */
   def checkRedaction(spark: org.apache.spark.sql.SparkSession, key: String,
       strict: Boolean = false): Unit =
-    // a static core conf, fixed at submit time — read it from the
-    // SparkContext conf, not the runtime SQL conf
+    // Spark consults the SQL conf spark.sql.redaction.string.regex for
+    // plan-string redaction, FALLING BACK to the core
+    // spark.redaction.string.regex (SQLConf.STRING_REDACTION_PATTERN has
+    // the core conf as its fallback) — check the same precedence, or a
+    // deployment redacting via the SQL conf would fail strict mode while
+    // one overriding the fallback with a non-covering SQL pattern would
+    // silently pass
     checkRedaction(
-      spark.sparkContext.getConf.getOption("spark.redaction.string.regex"),
+      spark.conf.getOption("spark.sql.redaction.string.regex")
+        .orElse(spark.sparkContext.getConf
+          .getOption("spark.redaction.string.regex")),
       key, strict)
 
   def checkRedaction(redactionRegex: Option[String], key: String,

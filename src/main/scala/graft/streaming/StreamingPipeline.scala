@@ -449,11 +449,12 @@ final class ParquetReplica(spark: SparkSession, root: String,
   * surface is storage-agnostic (the contract suite runs against both
   * implementations); [[ParquetReplica]] remains the scale path — this one
   * pays O(table) per COMMIT by design. Reads still prune: each version is
-  * laid out in `__b=` bucket directories (hashed on `synced_id`), so
-  * [[readBuckets]] opens only the touched buckets and the engine's
-  * zero-full-read guarantee (C11/C12) holds on this backend too. The
-  * bucket count is a constructor constant, safe here because every commit
-  * rewrites the whole layout with it. */
+  * laid out in `__b=` bucket directories (hashed on `synced_id`) with the
+  * count recorded in a per-version `_buckets` marker, so [[readBuckets]]
+  * opens only the touched buckets — always hashing with the count the
+  * layout was written with — and the engine's zero-full-read guarantee
+  * (C11/C12) holds on this backend too. Versions without the marker
+  * (legacy flat layouts, foreign writers) read correctly unpruned. */
 final class CowReplica(spark: SparkSession, root: String,
     schemaDDL: String, buckets: Int = 16) extends Replica {
   require(buckets > 0)
@@ -478,23 +479,46 @@ final class CowReplica(spark: SparkSession, root: String,
         .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
       .getOrElse(Array.empty).toSeq
 
+  /** Bucket count the given version was written with (`_buckets` marker;
+    * Spark's reader ignores underscore-prefixed files). None = a layout
+    * written before bucketing existed, or by a different tool — readers
+    * must not assume any hash layout for it. */
+  private def bucketCountOf(v: Int): Option[Int] = {
+    val f = new java.io.File(fs, s"v$v/_buckets")
+    if (f.exists)
+      Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt)
+    else None
+  }
+
   private def readDirs(dirs: Seq[java.io.File]): DataFrame =
     if (dirs.isEmpty) empty
     else spark.read.schema(schema).parquet(dirs.map(_.getPath): _*)
 
   def read(): DataFrame = {
     val v = currentVersion
-    if (v < 0) empty else readDirs(bucketDirs(v))
+    if (v < 0) empty
+    else {
+      val dirs = bucketDirs(v)
+      // no bucket dirs: an empty bucketed commit, or a legacy flat layout
+      // (rows directly under v{n}) — both read correctly as the plain dir
+      if (dirs.nonEmpty) readDirs(dirs)
+      else spark.read.schema(schema).parquet(s"$root/v$v")
+    }
   }
 
   override def readBuckets(keys: DataFrame): DataFrame = {
     val v = currentVersion
     if (v < 0) return empty
-    val touched = keys
-      .select(pmod(hash(col("synced_id")), lit(buckets)).as("__b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    readDirs(bucketDirs(v)
-      .filter(d => touched(d.getName.stripPrefix("__b=").toInt)))
+    bucketCountOf(v) match {
+      case Some(nb) =>
+        val touched = keys
+          .select(pmod(hash(col("synced_id")), lit(nb)).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        readDirs(bucketDirs(v)
+          .filter(d => touched(d.getName.stripPrefix("__b=").toInt)))
+      // unknown layout (legacy flat, foreign writer): correct, unpruned
+      case None => read()
+    }
   }
 
   def withLock[A](f: => A): A = ReplicaLocks.lockFor(root).synchronized(f)
@@ -504,6 +528,10 @@ final class CowReplica(spark: SparkSession, root: String,
     f(read()).withColumn("__b", pmod(hash(col("synced_id")), lit(buckets)))
       .repartition(buckets, col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
+    // record the hash layout BEFORE publishing the version: readBuckets
+    // only ever prunes with the count the layout was actually written with
+    java.nio.file.Files.write(
+      new java.io.File(fs, s"v$next/_buckets").toPath, buckets.toString.getBytes)
     val tmp = java.nio.file.Files.createTempFile(fs.toPath, ".LATEST", ".tmp")
     java.nio.file.Files.write(tmp, next.toString.getBytes)
     java.nio.file.Files.move(tmp, pointer.toPath,

@@ -469,6 +469,35 @@ class PersistorSpec extends SparkSpec {
         s"$label readBuckets opened the whole table")
     }
 
+  test("CowReplica: pre-bucketing flat layouts read correctly, upgrade on commit") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cow-legacy").toString
+    val ddl = "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+      "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, value DOUBLE"
+    // a table written BEFORE the bucketed layout: rows flat under v0,
+    // no _buckets marker — it must read as data, never as empty (a next
+    // commit rebuilding from empty would silently drop every row)
+    (1L to 32L).toDF("synced_id")
+      .withColumn("synced_updated_at", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("synced_created_at", col("synced_updated_at"))
+      .withColumn("synced_canceled_at", lit(null).cast("timestamp"))
+      .withColumn("value", col("synced_id") * 1.0)
+      .write.parquet(s"$root/v0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "LATEST"), "0".getBytes)
+    val r = new graft.streaming.CowReplica(spark, root, ddl)
+    assert(r.read().count() == 32)
+    // unknown layout: readBuckets degrades to a correct unpruned read
+    assert(r.readBuckets(Seq(3L).toDF("synced_id")).count() == 32)
+    // the next commit upgrades to the bucketed layout; nothing lost,
+    // and pruned reads kick in from then on
+    r.merge(updates((33L, "2024-01-02 00:00:00", None, "created", 33.0)))
+    assert(r.read().count() == 33)
+    val pruned = r.readBuckets(Seq(3L, 17L).toDF("synced_id"))
+    assert(pruned.select("synced_id").as[Long].collect().toSet.contains(3L))
+    assert(pruned.inputFiles.length < r.read().inputFiles.length)
+  }
+
   test("ParquetReplica merge rewrites only touched buckets") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-bucketed").toString

@@ -648,9 +648,21 @@ class StreamingPipelineSpec extends SparkSpec {
     }
     // a covering regex passes in both modes
     ChangesetCrypto.checkRedaction(Some("0123.*cdef"), key, strict = true)
-    // the session form reads the static core conf (unset on the test
-    // session → warn, never throw in lax mode)
-    ChangesetCrypto.checkRedaction(spark, key)
+    // the session form honors the SQL conf Spark actually consults for
+    // plan-string redaction (spark.sql.redaction.string.regex, runtime
+    // settable), not just the static core conf
+    val prior = spark.conf.getOption("spark.sql.redaction.string.regex")
+    try {
+      spark.conf.set("spark.sql.redaction.string.regex", "0123.*cdef")
+      ChangesetCrypto.checkRedaction(spark, key, strict = true)
+      spark.conf.set("spark.sql.redaction.string.regex", "somethingElse")
+      intercept[IllegalStateException] {
+        ChangesetCrypto.checkRedaction(spark, key, strict = true)
+      }
+    } finally prior match {
+      case Some(r) => spark.conf.set("spark.sql.redaction.string.regex", r)
+      case None => spark.conf.unset("spark.sql.redaction.string.regex")
+    }
   }
 
   test("P24: observer matches against a sealed changeset feed") {
