@@ -469,6 +469,34 @@ class PersistorSpec extends SparkSpec {
         s"$label readBuckets opened the whole table")
     }
 
+  test("ParquetReplica: a crashed writer's orphan version is invisible, then recovered") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-crash").toString
+    val r = new graft.streaming.ParquetReplica(spark, root,
+      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+        "value DOUBLE", buckets = 4)
+    r.merge(updates(
+      (1L, "2024-01-01 00:00:00", None, "created", 1.0),
+      (2L, "2024-01-01 00:00:00", None, "created", 2.0)))
+    val v = r.currentVersion
+    // a writer that died AFTER writing its version dir and manifest but
+    // BEFORE the atomic pointer move: readers must keep seeing v, and the
+    // orphan must not poison the next commit
+    val orphan = v + 1
+    new java.io.File(s"$root/v$orphan/__b=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, s"v$orphan.manifest"),
+      s"B\t4\n0\tv$orphan/__b=0".getBytes)
+    assert(r.currentVersion == v)
+    assert(r.read().count() == 2)
+    // the next merge reuses the orphan's version number cleanly
+    r.merge(updates((3L, "2024-01-02 00:00:00", None, "created", 3.0)))
+    assert(r.currentVersion == orphan)
+    assert(r.read().select("synced_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+  }
+
   test("CowReplica: pre-bucketing flat layouts read correctly, upgrade on commit") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-cow-legacy").toString
