@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
 import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
@@ -531,6 +532,88 @@ object ExtQueries {
         |labels AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node)
         |SELECT component, count(*) AS cluster_size FROM labels
         |GROUP BY component ORDER BY component""".stripMargin),
+
+    // Character-level Shannon entropy (compressibility proxy, a standard
+    // pre-training quality signal): pure column expressions, scan-speed.
+    // Float parity is ORDER-pinned: both engines fold p·log2(p) over the
+    // SORTED distinct characters, so the sum sequence is identical;
+    // round(6) adds cushion.
+    "x28_char_entropy" -> entry(
+      (s, dir) => {
+        val chars = split(col("text"), "")
+        val n = size(chars).cast("double")
+        def p(ch: Column) =
+          size(filter(chars, (x: Column) => x === ch)).cast("double") / n
+        val entropy = aggregate(
+          sort_array(array_distinct(chars)), lit(0.0),
+          (acc: Column, ch: Column) => acc + p(ch) * log2(p(ch)))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), round(-entropy, 6).as("char_entropy"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS chars FROM documents),
+        |u AS (SELECT doc_id, chars, len(chars)::DOUBLE AS n,
+        |             list_sort(list_distinct(chars)) AS uniq FROM c)
+        |SELECT doc_id,
+        | round(-list_reduce(list_transform(uniq, ch ->
+        |   (len(list_filter(chars, x -> x = ch)) / n)
+        |     * log2(len(list_filter(chars, x -> x = ch)) / n)),
+        |   (a, b) -> a + b), 6) AS char_entropy
+        |FROM u ORDER BY doc_id""".stripMargin),
+
+    // Cross-corpus dedup (decontaminate a training corpus against a held
+    // reference set): canonical bag-of-words fingerprint — sha256 of the
+    // sorted distinct token set — so permuted near-copies match; the join
+    // carries 32-byte hashes, never documents, and the distinct reference
+    // side broadcasts when small / shuffle-joins at scale.
+    "x29_crosscorpus_dedup" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val fp = sha2(
+          array_join(sort_array(array_distinct(split(col("text"), " "))), " "),
+          256)
+        val h = docs.select(col("doc_id"), col("source"), fp.as("ch"))
+        val ref = h.filter(col("doc_id") % 7 === 0)
+          .select(col("ch")).distinct().withColumn("__hit", lit(1))
+        h.filter(col("doc_id") % 7 =!= 0)
+          .join(ref, Seq("ch"), "left")
+          .select(col("doc_id"), col("source"),
+            coalesce(col("__hit"), lit(0)).cast("long").as("in_reference"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (SELECT doc_id, source,
+        |  sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS ch
+        |  FROM documents),
+        |ref AS (SELECT DISTINCT ch FROM h WHERE doc_id % 7 = 0)
+        |SELECT h.doc_id, h.source,
+        |  CAST(ref.ch IS NOT NULL AS BIGINT) AS in_reference
+        |FROM h LEFT JOIN ref ON h.ch = ref.ch
+        |WHERE h.doc_id % 7 <> 0 ORDER BY h.doc_id""".stripMargin),
+
+    // Per-source token-length outlier band (trim the pathological tails
+    // before training): exact percentile bounds per stratum (tiny frame,
+    // broadcast back), keep flag per doc. At 100 TB swap `percentile`
+    // for `percentile_approx` — same plan shape, fixed memory.
+    "x30_length_band" -> entry(
+      (s, dir) => {
+        val t = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("double").as("n"))
+        val b = t.groupBy(col("source")).agg(
+          percentile(col("n"), lit(0.05)).as("lo"),
+          percentile(col("n"), lit(0.95)).as("hi"))
+        t.join(b, Seq("source"))
+          .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+            col("lo"), col("hi"),
+            (col("n") >= col("lo") && col("n") <= col("hi")).cast("long").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, source,
+        |  len(string_split(text, ' '))::DOUBLE AS n FROM documents),
+        |b AS (SELECT source, quantile_cont(n, 0.05) AS lo,
+        |             quantile_cont(n, 0.95) AS hi FROM t GROUP BY source)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, b.lo, b.hi,
+        |  CAST(t.n >= b.lo AND t.n <= b.hi AS BIGINT) AS keep
+        |FROM t JOIN b USING (source) ORDER BY t.doc_id""".stripMargin),
 
     // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
     // explode → partial-aggregated count → ordered limit. The sketch form
