@@ -211,6 +211,46 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(err3.getMessage.contains("singleRecordWire"), err3.getMessage)
   }
 
+  test("codec fuzz: encode → fast decode round-trips arbitrary payload strings") {
+    import graft.codec.EnvelopeCodec
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // payloads with every string hazard the wire can carry: quotes,
+    // backslashes, unicode, control-ish chars, JSON-looking text — the
+    // raw-capture decode must return each payload VERBATIM, byte-equal
+    // to what encode was given, on both decode paths
+    val hazard = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.oneOf("\"", "\\", "{", "}", "[", "]", ",", ":", "null",
+        "é", "雪", "🙂", "\t", " a b ", "{\"k\":\"v\"}", "[1,null]"),
+      Gen.listOfN(5, Gen.asciiPrintableChar).map(_.mkString))
+    def jsonStr(s: String): String = {
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
+    val payloadGen = for {
+      parts <- Gen.listOfN(4, hazard)
+      id <- Gen.choose(1L, 999L)
+    } yield s"""{"id":$id,"blob":${jsonStr(parts.mkString)}}"""
+    val prop = Prop.forAll(Gen.listOfN(8, payloadGen)) { payloads =>
+      val in = payloads.map(p => ("thing_updated", "thing", Seq(p)))
+        .toDF("event", "model_name", "data")
+      val encoded = EnvelopeCodec.encode(in).select("value")
+      val fast = EnvelopeCodec.decodeSingleRecords(encoded)
+        .select("payload_json").as[String].collect().toList
+      val general = EnvelopeCodec.explodeRecords(EnvelopeCodec.decode(encoded))
+        .select("payload_json").as[String].collect().toList
+      fast.sorted == payloads.sorted && general.sorted == payloads.sorted
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("unknown attributes survive in the raw payload (synced_data)") {
     // the raw JSON string rides alongside the parsed struct — a consumer
     // stores it as synced_data even when no local column exists
