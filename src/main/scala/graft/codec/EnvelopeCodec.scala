@@ -48,15 +48,6 @@ object EnvelopeCodec {
       .select(explode(col("env.message")).as("m"))
       .select(col("m.event"), col("m.model_name"), col("m.data"))
 
-  /** Raw-capture envelope schema: the `data` elements are declared
-    * `string`, so Jackson captures each record payload's JSON text
-    * verbatim (subtree-to-text) instead of parsing into a nested struct —
-    * one flat parse yields the message count, the per-message fields AND
-    * the raw payload, with no payload-schema knowledge at this layer. */
-  private val rawMessages =
-    org.apache.spark.sql.types.StructType.fromDDL(
-      "message array<struct<event: string, model_name: string, data: array<string>>>")
-
   /** Fast-path decode for single-record envelopes, fused with the record
     * explode: one event with one record per message — the shape [[encode]]
     * writes and the reference's per-record publish produces
@@ -91,8 +82,13 @@ object EnvelopeCodec {
       .isNull
     topicFrame
       .filter(col("value").isNotNull)
+      // the SAME Schemas.envelope the general path parses with — its
+      // `data` elements are declared string, so Jackson captures each
+      // payload's JSON text verbatim (subtree-to-text): one flat parse
+      // yields the message count, the per-message fields AND the raw
+      // payload, with no payload-schema knowledge at this layer
       .select(col("value"),
-        from_json(col("value"), rawMessages).getField("message").as("__msgs"))
+        from_json(col("value"), Schemas.envelope).getField("message").as("__msgs"))
       // zero-record / malformed envelopes produce no record row — a null
       // payload must never reach the merge as a null-key upsert
       .filter(multiGuard && try_element_at(m0.getField("data"), lit(1)).isNotNull)

@@ -542,11 +542,13 @@ object ExtQueries {
       (s, dir) => {
         val chars = split(col("text"), "")
         val n = size(chars).cast("double")
-        def p(ch: Column) =
-          size(filter(chars, (x: Column) => x === ch)).cast("double") / n
-        val entropy = aggregate(
-          sort_array(array_distinct(chars)), lit(0.0),
-          (acc: Column, ch: Column) => acc + p(ch) * log2(p(ch)))
+        // probability bound ONCE per distinct char (the O(len) occurrence
+        // scan is the dominant cost), then folded — oracle mirrors the
+        // same two-step shape so the float op sequence stays identical
+        val probs = transform(sort_array(array_distinct(chars)),
+          ch => size(filter(chars, (x: Column) => x === ch)).cast("double") / n)
+        val entropy = aggregate(probs, lit(0.0),
+          (acc: Column, p: Column) => acc + p * log2(p))
         tbl(s, dir, "documents")
           .select(col("doc_id"), round(-entropy, 6).as("char_entropy"))
           .orderBy(col("doc_id"))
@@ -555,9 +557,9 @@ object ExtQueries {
         |u AS (SELECT doc_id, chars, len(chars)::DOUBLE AS n,
         |             list_sort(list_distinct(chars)) AS uniq FROM c)
         |SELECT doc_id,
-        | round(-list_reduce(list_transform(uniq, ch ->
-        |   (len(list_filter(chars, x -> x = ch)) / n)
-        |     * log2(len(list_filter(chars, x -> x = ch)) / n)),
+        | round(-list_reduce(list_transform(
+        |     list_transform(uniq, ch -> len(list_filter(chars, x -> x = ch)) / n),
+        |     p -> p * log2(p)),
         |   (a, b) -> a + b), 6) AS char_entropy
         |FROM u ORDER BY doc_id""".stripMargin),
 
