@@ -161,7 +161,8 @@ object Similarity {
       .withColumn("features", array_to_vector(col("arr")))
     // a coarse quantizer needs usable cells, not converged ones: cap the
     // iterations (default 20) — recall is governed by nProbe, not by the
-    // last few centroid refinements
+    // last few centroid refinements (random init was also measured: no
+    // wall-time gain, worse cells — the capped iterations dominate)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(features)
 

@@ -66,6 +66,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "fast path must not plan a Generate")
   }
 
+  test("x29/x30: the small side (reference hashes, percentile bounds) broadcasts") {
+    // x29's distinct reference-fingerprint set and x30's per-source bound
+    // frame are both corpus-independent-tiny; the big side must stream
+    // through a BroadcastHashJoin, never re-shuffle for them
+    val p29 = executedPlan(query("x29_crosscorpus_dedup"))
+    assert(p29.contains("BroadcastHashJoin"), p29.take(2000))
+    val p30 = executedPlan(query("x30_length_band"))
+    assert(p30.contains("BroadcastHashJoin"), p30.take(2000))
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
