@@ -617,6 +617,54 @@ object ExtQueries {
         |  CAST(t.n >= b.lo AND t.n <= b.hi AS BIGINT) AS keep
         |FROM t JOIN b USING (source) ORDER BY t.doc_id""".stripMargin),
 
+    // Corpus-LM document scoring (the CCNet/Gopher perplexity-bucket
+    // shape): a bigram model with add-k smoothing trained on the corpus
+    // itself, each doc scored by average cross-entropy. Count tables
+    // partial-aggregate into one shuffle each; doc bigrams reach them
+    // through shuffle equi-joins (the bigram table is corpus-vocabulary-
+    // sized — never broadcast); only the scalar vocab size broadcasts.
+    // avg(double) is order-cushioned by round(4).
+    "x31_lm_score" -> entry(
+      (s, dir) => {
+        val t = tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val bg = t.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            (x: Column, i: Column) => struct(x.as("w1"),
+              element_at(col("tk"), i + 2).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val toks = t.select(explode(col("tk")).as("w1"))
+        val ugc = toks.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val vs = toks.agg(countDistinct(col("w1")).cast("double").as("vs"))
+        bg.join(bgc, Seq("w1", "w2"), "left")
+          .join(ugc, Seq("w1"))
+          .crossJoin(broadcast(vs))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(log2((coalesce(col("cb"), lit(0L)) + lit(0.5)) /
+              (col("cu") + lit(0.5) * col("vs")))), 4).as("cross_entropy"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i ->
+        |               {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |             FROM t WHERE len(tk) >= 2)),
+        |bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |ugc AS (SELECT tok AS w1, count(*) AS cu
+        |        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::DOUBLE AS vs
+        |      FROM (SELECT unnest(tk) AS tok FROM t))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-avg(log2((coalesce(bgc.cb, 0) + 0.5)
+        |    / (ugc.cu + 0.5 * (SELECT vs FROM v)))), 4) AS cross_entropy
+        |FROM bg
+        |LEFT JOIN bgc USING (w1, w2)
+        |JOIN ugc USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
     // explode → partial-aggregated count → ordered limit. The sketch form
     // (FreqSketch SpaceSaving aggregate) covers the case where the
