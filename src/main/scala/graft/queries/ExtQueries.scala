@@ -618,12 +618,16 @@ object ExtQueries {
         |FROM t JOIN b USING (source) ORDER BY t.doc_id""".stripMargin),
 
     // Corpus-LM document scoring (the CCNet/Gopher perplexity-bucket
-    // shape): a bigram model with add-k smoothing trained on the corpus
-    // itself, each doc scored by average cross-entropy. Count tables
-    // partial-aggregate into one shuffle each; doc bigrams reach them
-    // through shuffle equi-joins (the bigram table is corpus-vocabulary-
-    // sized — never broadcast); only the scalar vocab size broadcasts.
-    // avg(double) is order-cushioned by round(4).
+    // shape): a bigram model with add-k smoothing trained on the TRAIN
+    // partition (doc_id % 5 != 0) scores the held-out docs by average
+    // cross-entropy — held-out so the unseen-bigram smoothing branch is
+    // actually live. Count tables partial-aggregate into one shuffle
+    // each; scored bigrams reach them through shuffle equi-joins (the
+    // bigram table is vocabulary-sized — never broadcast); only the
+    // scalar vocab size (= ugc row count, no second token scan)
+    // broadcasts. The per-doc fold runs over the (w1, w2)-SORTED log
+    // list in both engines, so the float sum order — and therefore the
+    // hash — is pinned, not merely round-cushioned.
     "x31_lm_score" -> entry(
       (s, dir) => {
         val t = tbl(s, dir, "documents")
@@ -634,17 +638,29 @@ object ExtQueries {
             (x: Column, i: Column) => struct(x.as("w1"),
               element_at(col("tk"), i + 2).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-        val toks = t.select(explode(col("tk")).as("w1"))
-        val ugc = toks.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-        val vs = toks.agg(countDistinct(col("w1")).cast("double").as("vs"))
-        bg.join(bgc, Seq("w1", "w2"), "left")
-          .join(ugc, Seq("w1"))
+        val bgc = bg.filter(col("doc_id") % 5 =!= 0)
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        val ugc = t.filter(col("doc_id") % 5 =!= 0)
+          .select(explode(col("tk")).as("w1"))
+          .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val vs = ugc.agg(count(lit(1)).cast("double").as("vs"))
+        val logp = log2(
+          (coalesce(col("cb"), lit(0L)) + lit(0.5)) /
+            (coalesce(col("cu"), lit(0L)) + lit(0.5) * col("vs")))
+        bg.filter(col("doc_id") % 5 === 0)
+          .join(bgc, Seq("w1", "w2"), "left")
+          .join(ugc, Seq("w1"), "left")
           .crossJoin(broadcast(vs))
+          .select(col("doc_id"), col("w1"), col("w2"), logp.as("logp"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            round(-avg(log2((coalesce(col("cb"), lit(0L)) + lit(0.5)) /
-              (col("cu") + lit(0.5) * col("vs")))), 4).as("cross_entropy"))
+            sort_array(collect_list(
+              struct(col("w1"), col("w2"), col("logp")))).as("lps"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-aggregate(
+                transform(col("lps"), s => s.getField("logp")),
+                lit(0.0), (a: Column, p: Column) => a + p) /
+              col("n_bigrams"), 4).as("cross_entropy"))
           .orderBy(col("doc_id"))
       },
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -652,18 +668,22 @@ object ExtQueries {
         |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i ->
         |               {'w1': tk[i], 'w2': tk[i+1]})) AS b
         |             FROM t WHERE len(tk) >= 2)),
-        |bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |bgc AS (SELECT w1, w2, count(*) AS cb FROM bg
+        |        WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
         |ugc AS (SELECT tok AS w1, count(*) AS cu
-        |        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok)::DOUBLE AS vs
-        |      FROM (SELECT unnest(tk) AS tok FROM t))
+        |        FROM (SELECT unnest(tk) AS tok FROM t WHERE doc_id % 5 <> 0)
+        |        GROUP BY 1),
+        |v AS (SELECT count(*)::DOUBLE AS vs FROM ugc),
+        |scored AS (
+        |  SELECT bg.doc_id, bg.w1, bg.w2,
+        |    log2((coalesce(bgc.cb, 0) + 0.5)
+        |      / (coalesce(ugc.cu, 0) + 0.5 * (SELECT vs FROM v))) AS logp
+        |  FROM bg LEFT JOIN bgc USING (w1, w2) LEFT JOIN ugc USING (w1)
+        |  WHERE bg.doc_id % 5 = 0)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(-avg(log2((coalesce(bgc.cb, 0) + 0.5)
-        |    / (ugc.cu + 0.5 * (SELECT vs FROM v)))), 4) AS cross_entropy
-        |FROM bg
-        |LEFT JOIN bgc USING (w1, w2)
-        |JOIN ugc USING (w1)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |  round(-list_reduce(list(logp ORDER BY w1, w2, logp), (a, b) -> a + b)
+        |    / count(*), 4) AS cross_entropy
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Exact corpus-wide top-K frequent tokens (vocabulary discovery):
     // explode → partial-aggregated count → ordered limit. The sketch form
