@@ -632,17 +632,22 @@ object ExtQueries {
       (s, dir) => {
         val t = tbl(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        // bg feeds both training counts and scoring, ugc feeds both the
+        // probability join and the vocab-size scalar — materialize each
+        // once so neither branch re-tokenizes the corpus
         val bg = t.filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(transform(
             slice(col("tk"), lit(1), size(col("tk")) - 1),
             (x: Column, i: Column) => struct(x.as("w1"),
               element_at(col("tk"), i + 2).as("w2")))).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .localCheckpoint(eager = false)
         val bgc = bg.filter(col("doc_id") % 5 =!= 0)
           .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
         val ugc = t.filter(col("doc_id") % 5 =!= 0)
           .select(explode(col("tk")).as("w1"))
           .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+          .localCheckpoint(eager = false)
         val vs = ugc.agg(count(lit(1)).cast("double").as("vs"))
         val logp = log2(
           (coalesce(col("cb"), lit(0L)) + lit(0.5)) /
