@@ -574,7 +574,11 @@ object ExtQueries {
         val fp = sha2(
           array_join(sort_array(array_distinct(split(col("text"), " "))), " "),
           256)
+        // both the reference set and the scored corpus derive from the
+        // fingerprint frame — materialize it once (tokenize+hash is the
+        // per-row cost here)
         val h = docs.select(col("doc_id"), col("source"), fp.as("ch"))
+          .localCheckpoint(eager = false)
         val ref = h.filter(col("doc_id") % 7 === 0)
           .select(col("ch")).distinct().withColumn("__hit", lit(1))
         h.filter(col("doc_id") % 7 =!= 0)
@@ -598,8 +602,11 @@ object ExtQueries {
     // for `percentile_approx` — same plan shape, fixed memory.
     "x30_length_band" -> entry(
       (s, dir) => {
+        // the length frame feeds the bounds aggregation AND the join
+        // back — materialize it once
         val t = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("double").as("n"))
+          .localCheckpoint(eager = false)
         val b = t.groupBy(col("source")).agg(
           percentile(col("n"), lit(0.05)).as("lo"),
           percentile(col("n"), lit(0.95)).as("hi"))
