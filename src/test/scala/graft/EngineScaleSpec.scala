@@ -319,6 +319,71 @@ class EngineScaleSpec extends SparkSpec {
     assert(offsets >= 4, s"genesis drained in only $offsets batches")
   }
 
+  test("a child shared by two topics merges concurrently without divergence") {
+    val tmp = Files.createTempDirectory("graft-sharedchild").toString
+    val src = s"$tmp/src"
+    // order (topic A) and invoice (topic B) both sideload `item`: their
+    // consumer queries run CONCURRENTLY and both merge the item replica
+    // and its key index — the per-root lock must keep them in lockstep
+    val orderDef = ModelDef("order",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("items", "item", fk = "order_id")),
+      sideloads = Seq("item"))
+    val invoiceDef = ModelDef("invoice",
+      attributes = Seq(Attribute("total", org.apache.spark.sql.types.DoubleType)),
+      hasMany = Seq(Association("items", "item", fk = "invoice_id")),
+      sideloads = Seq("item"))
+    val itemDef = ModelDef("item",
+      attributes = Seq(
+        Attribute("order_id", org.apache.spark.sql.types.LongType),
+        Attribute("invoice_id", org.apache.spark.sql.types.LongType)))
+    val reg = Registry("shc", Seq(
+      TopicDef("orders", Seq(orderDef)),
+      TopicDef("invoices", Seq(invoiceDef))),
+      dependencyModels = Seq(itemDef))
+
+    def change(ids: Seq[Long], dir: String, ts: String): Unit =
+      ids.toDF("id").select($"id", ($"id" * 10.0).as("total"),
+          lit("update").as("__op"),
+          lit(null).cast("timestamp").as("__old_canceled"),
+          lit(null).cast("timestamp").as("__new_canceled"),
+          lit(ts).cast("timestamp").as("__ts"))
+        .write.mode("append").parquet(dir)
+    change(1L to 8L, s"$src/order", "2026-07-01 00:00:00")
+    change(1L to 8L, s"$src/invoice", "2026-07-01 00:00:00")
+    // items 1-32 belong to orders, 101-132 to invoices: ONE union
+    // snapshot serves both parents — each embeds children through its
+    // own FK, disjoint id ranges flow through one shared replica
+    val base = (1L to 32L).toDF("n")
+    val itemsSnap =
+      base.select($"n".as("id"),
+          (($"n" - 1) / lit(4) + 1).cast("long").as("order_id"),
+          lit(null).cast("long").as("invoice_id"))
+        .unionByName(base.select(($"n" + 100).as("id"),
+          lit(null).cast("long").as("order_id"),
+          (($"n" - 1) / lit(4) + 1).cast("long").as("invoice_id")))
+        .withColumn("__ts", lit("2026-07-01 00:00:00").cast("timestamp"))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) = {
+        val dir = if (m.name == "order") s"$src/order" else s"$src/invoice"
+        s.readStream.schema(s.read.parquet(s"$src/order").schema).parquet(dir)
+      }
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) = itemsSnap
+    }
+    // both topics' consumer queries run CONCURRENTLY into `item`
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+
+    val items = res.replicas("item").read()
+    val ids = items.select("synced_id").as[Long].collect().toSet
+    // every order's items and every invoice's items arrived through the
+    // two concurrent writers; nothing lost to interleaved merges
+    assert(ids == ((1L to 32L) ++ (101L to 132L)).toSet, s"got $ids")
+    // index in lockstep with the replica across both concurrent writers
+    val idxPairs = res.keyIndexes("item").read()
+      .select("synced_id").as[Long].collect().toSet
+    assert(idxPairs == ids, s"index diverged: ${idxPairs.diff(ids)} ${ids.diff(idxPairs)}")
+  }
+
   test("two models sharing an association name keep per-model link gates") {
     val tmp = Files.createTempDirectory("graft-assocname").toString
     val work = s"$tmp/work"
