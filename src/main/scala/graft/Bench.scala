@@ -56,7 +56,11 @@ object Bench {
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }.toMap
 
-    val qs = names.map(n => "\"" + n + "\":" + warm(n)).mkString("{", ",", "}")
+    // failed queries serialize as null, never a -1.0 that tooling could
+    // rank as a (negative) timing
+    val qs = names.map(n =>
+        "\"" + n + "\":" + (if (warm(n) < 0) "null" else warm(n).toString))
+      .mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
     // errors = queries missing from `total` (both warm passes failed);

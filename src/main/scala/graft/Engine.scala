@@ -296,17 +296,21 @@ object Engine {
               org.apache.spark.sql.types.TimestampType)))
       val idx = new ParquetReplica(spark, s"$workDir/replicas/${dep}__keyidx",
         schema.toDDL, buckets = child.buckets)
+      val ki = KeyIndex(idx, attrs.map(_.name))
       val rep = replicas(dep)
       if (idx.currentVersion < 0 && !rep.neverCommitted) rep.withLock {
-        if (idx.currentVersion < 0)
-          idx.merge(rep.read().select(
-            lit(EventType.Updated).as("event_type") +:
-              col("synced_id") +:
-              attrs.map(a => col(a.name)) ++:
-              Seq(col("synced_created_at"), col("synced_updated_at"),
-                col("synced_canceled_at").as("canceled_at")): _*))
+        if (idx.currentVersion < 0) {
+          // replica rows → merge shape (the canceled_at alias is the
+          // replica-vs-update naming difference), then the SAME
+          // indexSlice projection every index merge goes through — one
+          // home for the index-row contract
+          val shaped = rep.read()
+            .withColumn("event_type", lit(EventType.Updated))
+            .withColumnRenamed("synced_canceled_at", "canceled_at")
+          idx.merge(indexSlice(shaped, ki))
+        }
       }
-      dep -> KeyIndex(idx, attrs.map(_.name))
+      dep -> ki
     }
 
   /** P16–P18 through the registry-derived serializer: stream the model's

@@ -61,9 +61,15 @@ object Similarity {
     * [[graft.functions.HyperplaneSig]] expression: the plan carries three
     * scalars instead of `nBits × dim` literal nodes (~100k at production
     * embedding dims), and the plane matrix materializes once per executor
-    * as a codegen reference object. */
-  def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column =
+    * as a codegen reference object. Registers the native functions on the
+    * active session first — a bare external call must not fail resolution
+    * where the old pure-Column form would have worked. */
+  def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.Functions.register)
     call_function("hyperplane_sig", vec, lit(nBits), lit(dim), lit(seed))
+  }
 
   /** Embedding-cosine near-duplicate pairs, exact, via a blocked
     * (chunk-pair) self-join — the distributed form of the all-pairs

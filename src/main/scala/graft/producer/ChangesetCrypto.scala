@@ -74,16 +74,28 @@ object ChangesetCrypto {
         "it will appear verbatim in explain output, the Spark UI SQL tab " +
         "and event logs. Set the regex to cover the key."
       if (strict) throw new IllegalStateException(msg)
-      if (warned.add(key))
+      // dedup on a digest — the static set must not pin the raw secret
+      // in driver memory for the JVM lifetime
+      if (warned.add(java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString))
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
   }
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Both directions embed the key as a plan literal — warn on sealing
+    * as well as opening (the strict/throwing form belongs to the engine
+    * wiring, which knows the deployment's intent). */
+  private def warnIfUnredacted(key: String): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(s => checkRedaction(s, key))
+
   /** Storage form of a changeset map: `base64(aes_gcm(json))`. */
   def seal(changeset: Column, key: String): Column = {
     requireValidKey(key)
+    warnIfUnredacted(key)
     base64(aes_encrypt(to_json(changeset), lit(key)))
   }
 
@@ -93,6 +105,7 @@ object ChangesetCrypto {
     * matching observers against garbage. */
   def open(stored: Column, key: String): Column = {
     requireValidKey(key)
+    warnIfUnredacted(key)
     from_json(aes_decrypt(unbase64(stored), lit(key)).cast("string"),
       ChangesetDDL, Map.empty[String, String])
   }
