@@ -116,7 +116,10 @@ object Engine {
     *    at wiring time. The key is checked against
     *    `spark.redaction.string.regex` at wiring time — uncovered keys
     *    warn (or fail, with `strictKeyRedaction = true`) because plan
-    *    strings and event logs would carry them verbatim.
+    *    strings and event logs would carry them verbatim. This
+    *    wiring-time check covers CONSUMING engines only: a produce-only
+    *    deployment sealing feeds itself passes the same intent directly
+    *    via `ChangesetCrypto.seal(col, key, strict = true)`.
     *  - `maintainEvery` / `retainVersions`: live-mode storage maintenance.
     *    Every `maintainEvery` micro-batches, each of the topic's replicas
     *    (and key indexes) runs `vacuum(retainVersions)` — without it a
@@ -691,12 +694,16 @@ object Engine {
           from_json(col("payload_json"), linksOnly).getField("links")))
     }
     val pairs = byModel.flatMap { case (mn, as) => as.map(mn -> _) }
+    // index-based aliases: a name-composed form (`__lnk_${mn}__$a`) can
+    // collide when names themselves contain `__` (model `a` + assoc
+    // `b__c` vs model `a__b` + assoc `c`); extraction below is positional
+    // either way, but the index makes uniqueness unconditional
     val aggs =
       count(lit(1)).as("__n") +:
         sum(when(destroyed, 1L).otherwise(0L)).as("__nd") +:
-        pairs.map { case (mn, a) =>
+        pairs.zipWithIndex.map { case ((mn, a), i) =>
           sum(when(col(s"__lk_$mn").getField(a).isNotNull, 1L).otherwise(0L))
-            .as(s"__lnk_${mn}__$a")
+            .as(s"__lnk_$i")
         }
     withLinks.groupBy(col("model_name")).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>

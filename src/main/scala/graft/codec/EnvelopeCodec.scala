@@ -70,16 +70,21 @@ object EnvelopeCodec {
   def decodeSingleRecords(topicFrame: DataFrame): DataFrame = {
     val m0 = try_element_at(col("__msgs"), lit(1))
     val multi = size(col("__msgs")) > 1 || size(m0.getField("data")) > 1
+    val err = concat(
+      lit("multi-record envelope on the single-record decode path " +
+        "(declare TopicDef(singleRecordWire = false)): "),
+      col("value"))
     // `when(multi, raise_error).isNull` is a pure predicate: it raises on
     // ANY multi envelope (even one whose extra slots are JSON null, which
-    // the row-drop term alone would silently discard) and, living in the
-    // filter, it cannot be column-pruned away by a downstream projection
-    // that never reads payload_json
-    val multiGuard = when(multi, raise_error(concat(
-        lit("multi-record envelope on the single-record decode path " +
-          "(declare TopicDef(singleRecordWire = false)): "),
-        col("value"))))
-      .isNull
+    // the row-drop term alone would silently discard)
+    val multiGuard = when(multi, raise_error(err)).isNull
+    // the guard must not depend on the optimizer keeping the filter's And
+    // conjuncts in written order: the row-keep term below never drops a
+    // multi row (`multi ||`), and every output column ALSO routes through
+    // the guard — so a split/reordered filter, or one elided entirely,
+    // still raises the moment any surviving column of a multi row is read
+    def guarded(c: Column): Column =
+      when(multi, raise_error(err)).otherwise(c)
     topicFrame
       .filter(col("value").isNotNull)
       // the SAME Schemas.envelope the general path parses with — its
@@ -90,12 +95,15 @@ object EnvelopeCodec {
       .select(col("value"),
         from_json(col("value"), Schemas.envelope).getField("message").as("__msgs"))
       // zero-record / malformed envelopes produce no record row — a null
-      // payload must never reach the merge as a null-key upsert
-      .filter(multiGuard && try_element_at(m0.getField("data"), lit(1)).isNotNull)
+      // payload must never reach the merge as a null-key upsert. Multi
+      // rows are KEPT by this predicate (left term) so the raise cannot
+      // be preempted by the presence term dropping the row first.
+      .filter(multiGuard && (multi ||
+        try_element_at(m0.getField("data"), lit(1)).isNotNull))
       .select(
-        m0.getField("event").as("event"),
-        m0.getField("model_name").as("model_name"),
-        try_element_at(m0.getField("data"), lit(1)).as("payload_json"))
+        guarded(m0.getField("event")).as("event"),
+        guarded(m0.getField("model_name")).as("model_name"),
+        guarded(try_element_at(m0.getField("data"), lit(1))).as("payload_json"))
   }
 
   /** Explode the per-event `data` array into one row per record payload,

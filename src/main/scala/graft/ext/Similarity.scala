@@ -63,7 +63,13 @@ object Similarity {
     * embedding dims), and the plane matrix materializes once per executor
     * as a codegen reference object. Registers the native functions on the
     * active session first — a bare external call must not fail resolution
-    * where the old pure-Column form would have worked. */
+    * where the old pure-Column form would have worked. CAVEAT: the
+    * unresolved `call_function` Column resolves against the owning
+    * DataFrame's OWN session at analysis time, which in a multi-session
+    * app may differ from the active/default session registered here —
+    * external callers in that setting must run
+    * `graft.functions.Functions.register(df.sparkSession)` first (the
+    * pattern every internal call site uses). */
   def lshSignature(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)

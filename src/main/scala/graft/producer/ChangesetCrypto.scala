@@ -84,28 +84,38 @@ object ChangesetCrypto {
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Both directions embed the key as a plan literal — warn on sealing
-    * as well as opening (the strict/throwing form belongs to the engine
-    * wiring, which knows the deployment's intent). */
-  private def warnIfUnredacted(key: String): Unit =
+  /** Both directions embed the key as a plan literal — check on sealing
+    * as well as opening. The consuming engine's wiring passes its
+    * deployment intent through [[graft.Engine.EngineOptions]]
+    * `strictKeyRedaction`; a produce-only deployment has no engine
+    * wiring, so [[seal]] takes `strict` directly — pass `strict = true`
+    * to fail the job instead of logging when the session's redaction
+    * regex does not cover the key. */
+  private def checkActiveSession(key: String, strict: Boolean): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach(s => checkRedaction(s, key))
+      .foreach(s => checkRedaction(s, key, strict))
 
-  /** Storage form of a changeset map: `base64(aes_gcm(json))`. */
-  def seal(changeset: Column, key: String): Column = {
+  /** Storage form of a changeset map: `base64(aes_gcm(json))`. With
+    * `strict = true` the call throws (rather than warns) when the
+    * active session's plan-string redaction does not cover the key —
+    * the produce-only analogue of `EngineOptions.strictKeyRedaction`,
+    * whose wiring-time check covers only consuming engines. */
+  def seal(changeset: Column, key: String, strict: Boolean = false): Column = {
     requireValidKey(key)
-    warnIfUnredacted(key)
+    checkActiveSession(key, strict)
     base64(aes_encrypt(to_json(changeset), lit(key)))
   }
 
   /** Inverse of [[seal]]: back to the `map<string,array<string>>`
     * the observer match ([[Observers.matches]]) reads. A wrong key
     * fails the query loudly (AES-GCM authenticates) rather than
-    * matching observers against garbage. */
-  def open(stored: Column, key: String): Column = {
+    * matching observers against garbage. `strict` as in [[seal]] —
+    * engine wiring passes `EngineOptions.strictKeyRedaction` through
+    * its own wiring-time check instead. */
+  def open(stored: Column, key: String, strict: Boolean = false): Column = {
     requireValidKey(key)
-    warnIfUnredacted(key)
+    checkActiveSession(key, strict)
     from_json(aes_decrypt(unbase64(stored), lit(key)).cast("string"),
       ChangesetDDL, Map.empty[String, String])
   }

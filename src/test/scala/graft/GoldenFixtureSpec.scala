@@ -209,6 +209,15 @@ class GoldenFixtureSpec extends SparkSpec {
       EnvelopeCodec.decodeSingleRecords(multi)
         .groupBy("model_name").count().collect())
     assert(err3.getMessage.contains("singleRecordWire"), err3.getMessage)
+    // the guard is STRUCTURAL, not positional: every output column routes
+    // through it, so a single-column projection of a multi envelope raises
+    // even if an optimizer were to split/reorder the filter's conjuncts
+    // (the row-keep term never drops a multi row)
+    for (c <- Seq("event", "model_name", "payload_json")) {
+      val errC = intercept[Exception](
+        EnvelopeCodec.decodeSingleRecords(multi).select(c).collect())
+      assert(errC.getMessage.contains("singleRecordWire"), s"$c: ${errC.getMessage}")
+    }
   }
 
   test("codec fuzz: encode → fast decode round-trips arbitrary payload strings") {

@@ -721,6 +721,35 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("P24: produce-only strict sealing — seal(strict = true) enforces redaction") {
+    import graft.producer.ChangesetCrypto
+    val key = "0123456789abcdef"
+    // seal/open take deployment intent directly (a produce-only job has
+    // no consuming-engine wiring to pass strictKeyRedaction through)
+    val prior = spark.conf.getOption("spark.sql.redaction.string.regex")
+    try {
+      spark.conf.set("spark.sql.redaction.string.regex", "somethingElse")
+      intercept[IllegalStateException] {
+        ChangesetCrypto.seal(map(lit("a"), array(lit("1"), lit("2"))),
+          key, strict = true)
+      }
+      intercept[IllegalStateException] {
+        ChangesetCrypto.open(lit("AAAA"), key, strict = true)
+      }
+      // covered key seals fine in strict mode, and round-trips
+      spark.conf.set("spark.sql.redaction.string.regex", "0123.*cdef")
+      val cs = map(lit("price"), array(lit("1.0"), lit("2.0")))
+      val back = Seq(1).toDF("i")
+        .select(ChangesetCrypto.open(
+          ChangesetCrypto.seal(cs, key, strict = true), key, strict = true).as("cs"))
+        .collect()(0).getMap[String, Seq[String]](0)
+      assert(back("price").toList == List("1.0", "2.0"))
+    } finally prior match {
+      case Some(r) => spark.conf.set("spark.sql.redaction.string.regex", r)
+      case None => spark.conf.unset("spark.sql.redaction.string.regex")
+    }
+  }
+
   test("P24: observer matches against a sealed changeset feed") {
     import graft.registry._
     import graft.producer.ChangesetCrypto
