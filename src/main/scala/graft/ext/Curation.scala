@@ -50,19 +50,22 @@ object Curation {
     * at any realistic gram cardinality. */
   /** Distinct word n-grams of `text`, each reduced to its `xxhash64` —
     * the shared shuffle currency of [[contamination]] and
-    * [[crossDocRepeats]]. IMPORTANT: materialize (`localCheckpoint`)
-    * the arrays BEFORE any explode — a Generate whose input is the
-    * n-gram builder expression re-evaluates the (higher-order-function)
-    * builder inside the generator, outside whole-stage codegen;
-    * exploding a checkpointed attribute keeps the builder in the
-    * scan-side projection and runs it once per document. */
+    * [[crossDocRepeats]]. The native [[graft.functions.HashedNgrams]]
+    * expression (one pass over the text bytes, no gram-string
+    * materialization; bit-identical to
+    * `transform(array_distinct(ngrams(text, n)), xxhash64)` — the
+    * FunctionsSpec parity pin). Callers register
+    * [[graft.functions.Functions]] on the session. The `localCheckpoint`
+    * at each use still matters: it materializes the arrays once for
+    * frames consumed by two plan branches. */
   private def hashedGrams(text: Column, n: Int): Column =
-    transform(array_distinct(ngrams(text, n)), g => xxhash64(g))
+    call_function("hashed_ngrams", text, lit(n))
 
   def contamination(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 8): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
     val bench = benchmark
       .select(hashedGrams(col(benchTextCol), n).as("g"))
       .localCheckpoint(eager = false)
@@ -181,6 +184,7 @@ object Curation {
     * pinning it would not survive 100 TB. */
   def crossDocRepeats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
     val grams = df
       .select(col(idCol).as("doc_id"),
         hashedGrams(col(textCol), n).as("g"))

@@ -97,9 +97,14 @@ object TextDedup {
   /** Hashed shingles of `text`: one xxhash64 per distinct shingle — the
     * shared input of the MinHash signature ([[minhashSignatures]]) and the
     * exact-Jaccard verification merge-walk, so each shingle is hashed
-    * exactly once per query. */
+    * exactly once per query. Computed by the native
+    * [[graft.functions.HashedNgrams]] expression (one pass over the text
+    * bytes, no gram-string materialization), bit-identical to
+    * `transform(shingles(text, n), xxhash64)` — FunctionsSpec pins the
+    * parity. Callers must register [[graft.functions.Functions]] on the
+    * session (every public entry point here does). */
   def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n), (t: Column) => xxhash64(t))
+    call_function("hashed_ngrams", text, lit(n))
 
   /** MinHash signature columns: k permutations approximated by xor-rotate
     * remixes of one xxhash64 per shingle; signature_i = min over shingles

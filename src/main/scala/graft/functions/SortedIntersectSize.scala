@@ -97,7 +97,9 @@ object Functions {
     ("simhash_bits", classOf[SimhashBits],
       arity("simhash_bits", 1)(e => SimhashBits(e(0)))),
     ("hyperplane_sig", classOf[HyperplaneSig],
-      arity("hyperplane_sig", 4)(e => HyperplaneSig(e(0), e(1), e(2), e(3)))))
+      arity("hyperplane_sig", 4)(e => HyperplaneSig(e(0), e(1), e(2), e(3)))),
+    ("hashed_ngrams", classOf[HashedNgrams],
+      arity("hashed_ngrams", 2)(e => HashedNgrams(e(0), e(1)))))
 
   private def arity(name: String, n: Int)(
       f: Seq[Expression] => Expression): Seq[Expression] => Expression =

@@ -118,6 +118,46 @@ class FunctionsSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("hashed_ngrams: bit-identical to the HOF distinct-then-hash form") {
+    Functions.register(spark)
+    // the column form this expression replaces — the parity reference
+    def hofForm(text: org.apache.spark.sql.Column, n: Int) =
+      transform(array_distinct(graft.ext.Curation.ngrams(text, n)),
+        (g: org.apache.spark.sql.Column) => xxhash64(g))
+    // string hazards: empty text, runs of spaces (empty tokens), leading/
+    // trailing spaces, unicode multi-byte, repeated grams, docs shorter
+    // than n, single token
+    val hazards = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a", "a ", "a b c",
+      "x y x y x y x y", "héllo wörld ünïcode tæxt",
+      "one two three four five six seven eight nine ten",
+      "tab\tand\nnewline stay intact", "samegram samegram samegram")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val rows = hazards.toDF("t").select(
+          call_function("hashed_ngrams", $"t", lit(n)).as("native"),
+          hofForm($"t", n).as("hof"), $"t")
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"n=$n text='${r.getString(2)}': ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+    }
+    // the real documents table, the n values the engine ships (x26=5, x21=8)
+    for (n <- Seq(1, 5, 8)) {
+      val mism = graft.queries.Q.tbl(spark, sf(), "documents")
+        .select(call_function("hashed_ngrams", $"text", lit(n)).as("native"),
+          hofForm($"text", n).as("hof"))
+        .filter(not($"native" <=> $"hof")).count()
+      assert(mism == 0, s"n=$n")
+    }
+    // null text → null; non-literal n is rejected at analysis
+    val nl = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(call_function("hashed_ngrams", $"t", lit(2))).collect()
+    assert(nl(0).isNullAt(0))
+    intercept[Exception] {
+      Seq(("a b", 2)).toDF("t", "n")
+        .select(call_function("hashed_ngrams", $"t", $"n")).collect()
+    }
+  }
+
   test("GraftExtensions injects the native functions for cluster-wide use") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
