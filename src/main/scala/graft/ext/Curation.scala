@@ -204,6 +204,77 @@ object Curation {
           .as("boiler_ratio"))
   }
 
+  /** Chunk-level exact substring dedup (the Lee et al. 2022 "deduplicating
+    * training data" shape at fixed-width granularity): cut each document's
+    * token stream into `chunk`-token pieces and keep only the FIRST
+    * occurrence of every distinct chunk across the corpus — first by
+    * (doc id, position), the deterministic keep rule. Per document:
+    * chunk counts, the duplicated fraction, and the text reassembled
+    * from its surviving chunks (in original order). Catches repeated
+    * paragraphs/boilerplate INSIDE otherwise-distinct documents, which
+    * whole-document dedup (x01) cannot.
+    *
+    * Scale shape: one shuffle keyed by chunk value to rank occurrences
+    * (chunk-cardinality partitioning — hot chunks are single keys, but
+    * a chunk is ≤ `chunk` tokens so the value payload is bounded), one
+    * partial-aggregated shuffle back onto doc ids for reassembly; the
+    * corpus moves through each exactly once. At 100 TB key the window by
+    * `xxhash64(chunk)` (fixed-width keys, chunk text rides as payload
+    * only into the reassembly) — the string key here is the
+    * oracle-portable form. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int): DataFrame = {
+    require(chunk >= 1)
+    val toks = split(col(textCol), " ")
+    // split() never yields an empty array, so nChunks >= 1 and the
+    // sequence() is always ascending (the a > b descending trap)
+    val nChunks = ceil(size(toks).cast("double") / chunk).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunk + 1, lit(chunk))))
+    val exploded = df.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .toDF("doc_id", "pos", "chunk")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("pos"))
+    exploded
+      .withColumn("dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dup")).as("n_dup_chunks"),
+        // collect_list skips the nulls when() leaves for dup chunks; the
+        // struct sorts by its leading pos field, restoring document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("dup") === 0, struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk"))).as("kept_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"),
+        col("kept_text"))
+  }
+
+  /** Quality-score ensemble → per-stratum deciles (the CCNet-style
+    * bucketing step: downstream pipelines keep/mix by bucket, not by raw
+    * score). The score folds three scan-local signals — distinct-token
+    * ratio, 1 − duplicate-2-gram ratio, and a capped length credit —
+    * with fixed weights; `ntile(buckets)` ranks within each stratum so
+    * every domain contributes its own best-to-worst spread (a global
+    * ranking would let one verbose domain crowd out the rest). Signals
+    * are one scan; the only shuffle is the per-stratum window, whose
+    * order is made total by the (score, id) tiebreak so replays and the
+    * oracle agree exactly. */
+  def qualityDeciles(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1)
+    val toks = split(col(textCol), " ")
+    val g2 = ngrams(col(textCol), 2)
+    val score =
+      lit(0.5) * (size(array_distinct(toks)).cast("double") / size(toks)) +
+        lit(0.3) * (size(array_distinct(g2)).cast("double") / size(g2)) +
+        lit(0.2) * least(size(toks).cast("double") / 500.0, lit(1.0))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("score"), col(idCol))
+    df.select(col(idCol), col(strataCol), score.as("score"))
+      .withColumn("decile", ntile(buckets).over(w))
+  }
+
   /** Filter-funnel accounting: assign every document its FIRST failing
     * rule — `rules` is ordered `(stage name, fails predicate)` — and
     * report per-stage drop counts plus the `kept` survivors and each

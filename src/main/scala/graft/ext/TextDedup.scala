@@ -94,6 +94,37 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Asymmetric containment near-dup pairs within a blocking key:
+    * containment = |∩| / min(|A|, |B|), the one-sided overlap that
+    * catches SUB-DOCUMENT copies — a short doc pasted into a long one
+    * scores ~1.0 here while its Jaccard (÷ union) stays low, so
+    * [[ngramJaccardPairs]] never surfaces it. Same scale machinery:
+    * distinct-then-hashed shingles, native merge-walk intersection,
+    * block-bounded candidates. No size-ratio prefilter exists for
+    * containment (that pruning is exactly what the ÷min denominator
+    * removes), so thresholds here cost more than Jaccard ones — use a
+    * higher n (default 3-grams) to keep gram sets document-specific.
+    * Returns (id_a, id_b, containment) with id_a < id_b. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      sort_array(hashedShingles(col(textCol), n)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .localCheckpoint(eager = false)
+    val a = t.select(col("id").as("id_a"), col("block"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val b = t.select(col("id").as("id_b"), col("block"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
+    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .withColumn("containment",
+        inter.cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Hashed shingles of `text`: one xxhash64 per distinct shingle — the
     * shared input of the MinHash signature ([[minhashSignatures]]) and the
     * exact-Jaccard verification merge-walk, so each shingle is hashed

@@ -271,6 +271,93 @@ object ExtQueries {
         |   / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin),
 
+    // Asymmetric containment near-dup (sub-document copies): a short doc
+    // pasted into a long one scores ~1.0 on |∩|/min while its Jaccard
+    // stays low. The synthetic corpus has no natural sub-document copies,
+    // so plant truncated halves of every 50th doc (id + 1e6) — the
+    // operator must recover exactly those (plus the corpus's one real
+    // containing pair), same planted-recall shape as x18.
+    "x34_dedup_containment" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        val toks = split(col("text"), " ")
+        val half = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, lit(1),
+              greatest(floor(size(toks) / 2), lit(3)).cast("int"))).as("text"),
+            col("source"))
+        TextDedup.containmentPairs(docs.unionByName(half),
+            "doc_id", "text", blockCol = "source", n = 3, threshold = 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH half AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(tk[1:greatest(len(tk)//2, 3)], ' ') AS text, source
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk, source FROM documents)
+        |  WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT doc_id, text, source FROM documents
+        |           UNION ALL SELECT * FROM half),
+        |t AS (SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(tk) >= 3
+        |      THEN list_transform(range(1, len(tk) - 1),
+        |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |      ELSE [array_to_string(tk, ' ')] END) AS g
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM corpus))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.g, b.g))::DOUBLE / least(len(a.g), len(b.g))
+        |    AS containment
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.g, b.g))::DOUBLE / least(len(a.g), len(b.g))
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Chunk-level exact substring dedup (Lee et al. 2022 at fixed-width
+    // granularity): keep-first over 10-token chunks, per-doc dup counts
+    // and the reassembled surviving text.
+    "x32_chunk_dedup" -> entry(
+      (s, dir) =>
+        Curation.chunkDedup(tbl(s, dir, "documents"), "doc_id", "text",
+            chunk = 10)
+          .orderBy(col("doc_id")),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, i AS pos,
+        |        array_to_string(tk[(i*10+1):((i+1)*10)], ' ') AS chunk
+        |      FROM t, unnest(range(0, CAST(ceil(len(tk)::DOUBLE / 10) AS BIGINT)))
+        |        AS u(i)),
+        |f AS (SELECT doc_id, pos, chunk,
+        |        CAST(row_number() OVER (PARTITION BY chunk
+        |          ORDER BY doc_id, pos) > 1 AS BIGINT) AS dup
+        |      FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+        |  sum(dup)::DOUBLE / count(*) AS dup_ratio,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE dup = 0),
+        |    '') AS kept_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Quality-score ensemble → per-source deciles (CCNet-style bucketing);
+    // the score is three scan-local signals under fixed weights, the only
+    // shuffle is the per-stratum ntile window with a total (score, id)
+    // order.
+    "x33_quality_deciles" -> entry(
+      (s, dir) =>
+        Curation.qualityDeciles(tbl(s, dir, "documents"), "doc_id", "text",
+            strataCol = "source", buckets = 10)
+          .orderBy(col("doc_id")),
+      """WITH g AS (SELECT doc_id, source, tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |        FROM documents)),
+        |s AS (SELECT doc_id, source,
+        |  0.5::DOUBLE * (len(list_distinct(tk))::DOUBLE / len(tk))
+        |  + 0.3::DOUBLE * (CASE WHEN len(tk) >= 2
+        |      THEN len(list_distinct(g2))::DOUBLE / len(g2) ELSE 1.0::DOUBLE END)
+        |  + 0.2::DOUBLE * least(len(tk)::DOUBLE / 500.0, 1.0::DOUBLE) AS score
+        |  FROM g)
+        |SELECT doc_id, source, score,
+        |  ntile(10) OVER (PARTITION BY source ORDER BY score, doc_id) AS decile
+        |FROM s ORDER BY doc_id""".stripMargin),
+
     // Brute-force cosine top-k ANN baseline: broadcast query set, HOF dot
     // products in double precision, bounded per-query window.
     "x05_ann_cosine_topk" -> entry(

@@ -78,6 +78,70 @@ class ExtOpsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("containmentPairs: sub-document copies score 1.0 where Jaccard stays low") {
+    import graft.ext.TextDedup
+    val long =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta eta theta" // a prefix
+    val d = Seq((1L, long, "a"), (2L, short, "a"),
+      (3L, "totally different words in this one entirely", "a"))
+      .toDF("doc_id", "text", "source")
+    val got = TextDedup.containmentPairs(d, "doc_id", "text", "source",
+      n = 3, threshold = 0.8).collect()
+    assert(got.length == 1 &&
+      got(0).getAs[Long]("id_a") == 1L && got(0).getAs[Long]("id_b") == 2L &&
+      got(0).getAs[Double]("containment") == 1.0, got.mkString(","))
+    // the same pair is invisible to the symmetric Jaccard at any
+    // comparable threshold — the union denominator dilutes it
+    val jac = TextDedup.ngramJaccardPairs(d, "doc_id", "text", "source",
+      n = 3, threshold = 0.8).collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
+  test("chunkDedup: keep-first across docs and within a doc; reassembly in order") {
+    import graft.ext.Curation
+    val d = Seq(
+      // doc 1: chunk "a b" repeats internally — the second occurrence dups
+      (1L, "a b a b c d"),
+      // doc 2 repeats doc 1's first chunk, then contributes its own
+      (2L, "a b x y"),
+      // doc 3 is entirely doc 1's chunks — fully dropped
+      (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDedup(d, "doc_id", "text", chunk = 2)
+      .orderBy($"doc_id").collect()
+    // doc 1: chunks [a b][a b][c d] -> second "a b" dups
+    assert(got(0).getAs[Long]("n_chunks") == 3 &&
+      got(0).getAs[Long]("n_dup_chunks") == 1 &&
+      got(0).getAs[String]("kept_text") == "a b c d", got(0).toString)
+    // doc 2: "a b" already seen in doc 1; "x y" fresh
+    assert(got(1).getAs[Long]("n_dup_chunks") == 1 &&
+      got(1).getAs[String]("kept_text") == "x y", got(1).toString)
+    // doc 3: everything seen -> empty reassembly, ratio 1.0
+    assert(got(2).getAs[Long]("n_dup_chunks") == 2 &&
+      got(2).getAs[Double]("dup_ratio") == 1.0 &&
+      got(2).getAs[String]("kept_text") == "", got(2).toString)
+  }
+
+  test("qualityDeciles: repetitive docs sink, buckets stay within range") {
+    import graft.ext.Curation
+    val rep = ("rep " * 60).trim                       // heavy repetition
+    val div = (1 to 60).map(i => s"w$i").mkString(" ") // fully distinct
+    val d = (Seq((1L, rep, "s"), (2L, div, "s")) ++
+      (3L to 12L).map(i => (i, s"doc $i has ${"very " * i.toInt}words", "s")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.qualityDeciles(d, "doc_id", "text", "source", buckets = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Int]("decile"))).toMap
+    assert(got.values.forall { case (_, dec) => dec >= 1 && dec <= 4 })
+    // the repetitive doc scores strictly below the fully-distinct doc
+    // and lands in a lower-or-equal bucket
+    assert(got(1L)._1 < got(2L)._1)
+    assert(got(1L)._2 <= got(2L)._2)
+    assert(got(2L)._2 == 4, got.toString) // highest scorer -> top bucket
+  }
+
   test("ngram jaccard pairs respect blocking") {
     val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
         blockCol = "source", n = 1, threshold = 0.5)
