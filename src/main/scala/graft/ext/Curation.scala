@@ -59,13 +59,16 @@ object Curation {
     * at each use still matters: it materializes the arrays once for
     * frames consumed by two plan branches. */
   private def hashedGrams(text: Column, n: Int): Column =
-    call_function("hashed_ngrams", text, lit(n))
+    TextDedup.hashedShingles(text, n)
 
   def contamination(
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String,
       n: Int = 8): DataFrame = {
+    // both frames run the native gram builder — in a multi-session app
+    // each resolves against its OWN session's registry
     graft.functions.Functions.register(corpus.sparkSession)
+    graft.functions.Functions.register(benchmark.sparkSession)
     val bench = benchmark
       .select(hashedGrams(col(benchTextCol), n).as("g"))
       .localCheckpoint(eager = false)

@@ -71,15 +71,7 @@ object TextDedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 1, threshold: Double = 0.9): DataFrame = {
-    graft.functions.Functions.register(df.sparkSession)
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      sort_array(hashedShingles(col(textCol), n)).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .localCheckpoint(eager = false) // tokenize+sort once, not per join side
-    val a = t.select(col("id").as("id_a"), col("block"),
-      col("toks").as("toks_a"), col("sz").as("sz_a"))
-    val b = t.select(col("id").as("id_b"), col("block"),
-      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n)
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       // length prefilter: |∩| ≤ min(|a|,|b|) and |∪| ≥ max(|a|,|b|), so
@@ -92,6 +84,24 @@ object TextDedup {
         inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** Shared scaffold of the pairwise shingle-overlap operators: both
+    * sides of the blocked self-join, each row carrying its SORTED hashed
+    * shingle array and its size, the base frame materialized once
+    * (tokenize+sort once, not per join side). */
+  private def blockedShinglePairSides(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int): (DataFrame, DataFrame) = {
+    graft.functions.Functions.register(df.sparkSession)
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      sort_array(hashedShingles(col(textCol), n)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .localCheckpoint(eager = false)
+    (t.select(col("id").as("id_a"), col("block"),
+      col("toks").as("toks_a"), col("sz").as("sz_a")),
+      t.select(col("id").as("id_b"), col("block"),
+        col("toks").as("toks_b"), col("sz").as("sz_b")))
   }
 
   /** Asymmetric containment near-dup pairs within a blocking key:
@@ -108,15 +118,7 @@ object TextDedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    graft.functions.Functions.register(df.sparkSession)
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
-      sort_array(hashedShingles(col(textCol), n)).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .localCheckpoint(eager = false)
-    val a = t.select(col("id").as("id_a"), col("block"),
-      col("toks").as("toks_a"), col("sz").as("sz_a"))
-    val b = t.select(col("id").as("id_b"), col("block"),
-      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n)
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       .withColumn("containment",
@@ -132,10 +134,20 @@ object TextDedup {
     * [[graft.functions.HashedNgrams]] expression (one pass over the text
     * bytes, no gram-string materialization), bit-identical to
     * `transform(shingles(text, n), xxhash64)` — FunctionsSpec pins the
-    * parity. Callers must register [[graft.functions.Functions]] on the
-    * session (every public entry point here does). */
-  def hashedShingles(text: Column, n: Int): Column =
+    * parity — with ONE deliberate divergence: NULL text yields NULL for
+    * every n (the HOF form inconsistently produced `[xxhash64("")]` for
+    * n ≥ 2 but null for n = 1, letting null-text docs pair at
+    * containment/Jaccard 1.0 with empty-string docs). Null docs now
+    * drop from every pair/contamination report uniformly; pre-filter
+    * `text IS NOT NULL` explicitly if they must count. Callers must
+    * register [[graft.functions.Functions]] on the session (every
+    * public entry point here does). */
+  def hashedShingles(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 64,
+      s"shingle n must be in 1..64 (word n-grams wider than 64 tokens " +
+        s"are not supported by the native gram hasher), got $n")
     call_function("hashed_ngrams", text, lit(n))
+  }
 
   /** MinHash signature columns: k permutations approximated by xor-rotate
     * remixes of one xxhash64 per shingle; signature_i = min over shingles

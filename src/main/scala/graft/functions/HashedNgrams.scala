@@ -29,7 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingles ([[graft.ext.TextDedup.hashedShingles]]) and the curation
   * family's gram builder, i.e. the scan stage of x02/x04/x16/x21/x26.
   *
-  * `n` must be a foldable literal in 1..64. Null text yields null.
+  * `n` must be a foldable literal in 1..64. Null text yields null for
+  * EVERY n — a deliberate divergence from the HOF form, which produced
+  * `[xxhash64("")]` for n ≥ 2 (concat_ws swallows the null token array)
+  * but null for n = 1; see [[graft.ext.TextDedup.hashedShingles]].
   */
 case class HashedNgrams(left: Expression, right: Expression)
     extends BinaryExpression {

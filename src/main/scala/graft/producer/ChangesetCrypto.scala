@@ -93,8 +93,17 @@ object ChangesetCrypto {
     * regex does not cover the key. */
   private def checkActiveSession(key: String, strict: Boolean): Unit =
     org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach(s => checkRedaction(s, key, strict))
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) => checkRedaction(s, key, strict)
+      // strict mode fails CLOSED: with no session there is no conf to
+      // verify against, and silently skipping would void exactly the
+      // guarantee the flag advertises (Column construction needs no
+      // session, so wiring code can run before SparkSession creation)
+      case None if strict => throw new IllegalStateException(
+        "strict key-redaction check requires an active or default " +
+          "SparkSession — build the session first, or pass strict = false")
+      case None => ()
+    }
 
   /** Storage form of a changeset map: `base64(aes_gcm(json))`. With
     * `strict = true` the call throws (rather than warns) when the

@@ -148,10 +148,19 @@ class FunctionsSpec extends SparkSpec {
         .filter(not($"native" <=> $"hof")).count()
       assert(mism == 0, s"n=$n")
     }
-    // null text → null; non-literal n is rejected at analysis
-    val nl = Seq(null.asInstanceOf[String]).toDF("t")
-      .select(call_function("hashed_ngrams", $"t", lit(2))).collect()
-    assert(nl(0).isNullAt(0))
+    // null text → null for EVERY n (deliberate divergence: the HOF form
+    // produced [xxhash64("")] for n >= 2 — concat_ws swallows the null
+    // token array — but null for n = 1; the native form is uniform, so
+    // null-text docs drop from every pair/contamination report instead
+    // of pairing with empty-string docs)
+    for (n <- Seq(1, 2, 8)) {
+      val nl = Seq(null.asInstanceOf[String]).toDF("t")
+        .select(call_function("hashed_ngrams", $"t", lit(n))).collect()
+      assert(nl(0).isNullAt(0), s"n=$n")
+    }
+    val hofNull = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(hofForm($"t", 2)).collect()
+    assert(!hofNull(0).isNullAt(0)) // the old inconsistency, not replicated
     intercept[Exception] {
       Seq(("a b", 2)).toDF("t", "n")
         .select(call_function("hashed_ngrams", $"t", $"n")).collect()

@@ -736,6 +736,24 @@ class StreamingPipelineSpec extends SparkSpec {
       intercept[IllegalStateException] {
         ChangesetCrypto.open(lit("AAAA"), key, strict = true)
       }
+      // strict with NO session fails closed — Column construction needs
+      // no session, so wiring code can run before the session exists,
+      // and silently skipping the check would void the guarantee
+      val act = org.apache.spark.sql.SparkSession.getActiveSession
+      val dft = org.apache.spark.sql.SparkSession.getDefaultSession
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val e = intercept[IllegalStateException] {
+          ChangesetCrypto.seal(map(lit("a"), array(lit("1"))), key, strict = true)
+        }
+        assert(e.getMessage.contains("active or default SparkSession"))
+        // lax mode stays usable sessionless (check simply skipped)
+        ChangesetCrypto.seal(map(lit("a"), array(lit("1"))), key)
+      } finally {
+        act.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+        dft.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      }
       // covered key seals fine in strict mode, and round-trips
       spark.conf.set("spark.sql.redaction.string.regex", "0123.*cdef")
       val cs = map(lit("price"), array(lit("1.0"), lit("2.0")))
