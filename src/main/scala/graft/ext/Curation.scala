@@ -304,4 +304,35 @@ object Curation {
       (col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy())).as("share"))
   }
+
+  /** Vocabulary-growth curve: bucket the corpus by id into `buckets`
+    * equal id-ranges and count the tokens whose FIRST occurrence falls in
+    * each bucket, plus the running vocabulary size — the Heaps'-law
+    * saturation diagnostic for "is more data still adding new language".
+    *
+    * One token explode feeds a partial-aggregated min-id shuffle (the only
+    * corpus-sized exchange); the max-id scalar broadcasts; bucketing is
+    * exact integer division so the oracle bit-matches. The cumulative
+    * window runs over `buckets` rows on one partition — free. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    val mx = df.agg(max(col(idCol)).as("mx"))
+    // one token explode feeds both the per-bucket totals and the
+    // first-seen mins — materialize it once
+    val toks = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"(id * $buckets) div (mx + 1)"))
+      .localCheckpoint(eager = false)
+    val totals = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    // bucket is monotone in id, so min(bucket) = bucket of first sighting
+    val firsts = toks.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_tokens"))
+    totals.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

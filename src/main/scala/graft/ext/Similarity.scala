@@ -208,6 +208,123 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication: within each semantic cluster,
+    * a vector is a duplicate when some LOWER-id vector in the same cluster
+    * sits above the cosine threshold; `dup_of` records the smallest such
+    * id. (The published SemDeDup greedy variant compares against the
+    * *kept* set only; this dominance form is order-independent — a pure
+    * join, no sequential pass — and identical whenever near-duplication is
+    * transitive within a cluster, which at the 0.95+ thresholds used in
+    * practice it is.)
+    *
+    * Scale shape: the quadratic term is confined to cluster-equi-join
+    * buckets — at 100 TB the cluster column comes from a coarse quantizer
+    * (the IVF KMeans cells of [[ivfTopK]] work as-is) sized so clusters
+    * fit a task, and each side of the self-join shuffles the vector table
+    * exactly once on the cluster key. Nothing is broadcast or collected.
+    * Reference capability: corpus near-dup curation (see SURVEY §2 ext). */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val base = df.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+        col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .localCheckpoint(eager = false) // feeds both join sides + the output
+    val dups = base.as("a").join(base.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") > col("b.id"))
+      // score inside the join stage: zero-norm rows yield null sim, which
+      // fails the >= filter (they can never be duplicates of anything)
+      .filter(when(col("a.n") * col("b.n") > 0,
+        dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+        >= threshold)
+      .groupBy(col("a.id").as("id"))
+      .agg(min(col("b.id")).as("dup_of"))
+    base.select(col("id"), col("cluster"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("kept", col("dup_of").isNull.cast("long"))
+  }
+
+  /** kNN label vote: predict each query's label by majority among its `k`
+    * nearest corpus neighbours (self excluded), ties broken toward the
+    * higher vote count then the smaller label — the weak-supervision /
+    * auto-labeling shape. Queries broadcast (a labeling batch is small
+    * next to the corpus); the corpus is scanned once; votes partial-
+    * aggregate before their single shuffle. At 100 TB swap the
+    * brute-force candidate stage for [[lshTopK]]/[[ivfTopK]] buckets —
+    * the vote pipeline after the rank is unchanged. */
+  def knnPredict(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"), col(labelCol).as("nlabel"),
+        col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+        col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid")) // leave-one-out
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
+    val nnW = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val votes = scored.withColumn("rnk", row_number().over(nnW))
+      .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("qlabel"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val voteW = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("pr", row_number().over(voteW))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("qlabel").as("true_label"),
+        col("nlabel").as("pred_label"), col("votes"),
+        (col("qlabel") === col("nlabel")).cast("long").as("correct"))
+  }
+
+  /** Embedding outlier detection: each vector's cosine to its label/cell
+    * centroid, bottom-`bottomK` per label reported (smallest similarity =
+    * farthest from the cluster mass — mislabeled or junk rows in a
+    * training corpus).
+    *
+    * The centroid mean folds each component list in id order (sorted
+    * collect per (label, position)), so the float sum — and therefore the
+    * oracle hash — is pinned, not merely round-cushioned (the x31
+    * pattern). That pinned fold holds cluster-sized lists per group; at
+    * 100 TB swap it for plain `avg(x)` — same plan shape, one partial-
+    * aggregated shuffle of label×dim groups, at the cost of bitwise
+    * reproducibility of the last ulp. Centroids (labels × dim doubles)
+    * broadcast to the scoring scan. Ranking runs on the ROUNDED
+    * similarity so rank ties are deterministic across engines. */
+  def centroidOutliers(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      bottomK: Int): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val base = df.select(col(labelCol).as("label"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = false) // feeds the centroid pass AND scoring
+    val parts = base.select(col("label"), col("id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = parts.groupBy(col("label"), col("pos"))
+      .agg((aggregate(
+          transform(sort_array(collect_list(struct(col("id"), col("x")))),
+            s => s.getField("x")),
+          lit(0.0), (a: Column, x: Column) => a + x)
+        / count(lit(1))).as("m"))
+    val cvecs = cent.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val scored = base.withColumn("n", norm(col("v")))
+      .join(broadcast(cvecs), Seq("label"))
+      .withColumn("sim_centroid",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 4))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim_centroid").asc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= bottomK)
+      .select(col("id"), col("label"), col("sim_centroid"), col("rk"))
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost. */

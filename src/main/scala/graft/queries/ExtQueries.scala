@@ -239,6 +239,26 @@ object ExtQueries {
         |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share
         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin),
 
+    // Vocabulary-growth curve (Heaps'-law saturation diagnostic): tokens
+    // first seen per id-decile of the corpus, with running vocab size.
+    // Bucketing is exact integer division; one corpus-sized shuffle.
+    "x37_vocab_growth" -> entry(
+      (s, dir) =>
+        Curation.vocabGrowth(tbl(s, dir, "documents"), "doc_id", "text",
+            buckets = 10)
+          .orderBy(col("bucket")),
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (SELECT (doc_id * 10) // (mx + 1) AS bucket,
+        |           unnest(string_split(text, ' ')) AS tok
+        |         FROM documents, mx),
+        |tot AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY 1),
+        |fst AS (SELECT min(bucket) AS bucket FROM toks GROUP BY tok),
+        |nw AS (SELECT bucket, count(*) AS new_tokens FROM fst GROUP BY 1)
+        |SELECT t.bucket, t.n_tokens, coalesce(n.new_tokens, 0) AS new_tokens,
+        |  CAST(sum(coalesce(n.new_tokens, 0)) OVER (ORDER BY t.bucket)
+        |    AS BIGINT) AS cum_vocab
+        |FROM tot t LEFT JOIN nw n USING (bucket) ORDER BY bucket""".stripMargin),
+
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.
     "x02_dedup_minhash_lsh" -> rowsOnly(
@@ -479,6 +499,79 @@ object ExtQueries {
             nCentroids = 16, nProbe = 4)
           .orderBy(col("qid"), col("rnk"))
       }),
+
+    // SemDeDup-style semantic dedup: within each semantic cluster (the
+    // planted `label` here; IVF cells at scale), drop vectors dominated
+    // by a lower-id neighbour above the cosine threshold. The quadratic
+    // term never leaves a cluster-equi-join bucket.
+    "x35_semantic_dedup" -> entry(
+      (s, dir) =>
+        Similarity.semanticDedup(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", threshold = 0.35)
+          .orderBy(col("id")),
+      """WITH b AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
+        |      FROM b a JOIN b b ON a.label = b.label AND a.vec_id > b.vec_id
+        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.35 GROUP BY 1)
+        |SELECT b.vec_id AS id, b.label AS cluster, d.dup_of,
+        |  CAST(d.dup_of IS NULL AS BIGINT) AS kept
+        |FROM b LEFT JOIN d ON b.vec_id = d.id ORDER BY id""".stripMargin),
+
+    // kNN label vote (auto-labeling / weak supervision): majority label
+    // among the 10 nearest neighbours, self excluded, ties to the higher
+    // count then the smaller label.
+    "x36_knn_label_vote" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.knnPredict(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 10 === 0),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 10)
+          .orderBy(col("qid"))
+      },
+      """WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |nn AS (SELECT q.vec_id AS qid, q.label AS tl, c.label AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(c.v, q.v) DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM b q JOIN b c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |votes AS (SELECT qid, tl, cl, count(*) AS n FROM nn
+        |          WHERE rnk <= 10 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, tl, cl, n, row_number() OVER (
+        |    PARTITION BY qid ORDER BY n DESC, cl) AS pr FROM votes)
+        |SELECT qid, tl AS true_label, cl AS pred_label, n AS votes,
+        |  CAST(tl = cl AS BIGINT) AS correct
+        |FROM pred WHERE pr = 1 ORDER BY qid""".stripMargin),
+
+    // Embedding outliers: bottom-10 cosine-to-label-centroid per label
+    // (mislabeled/junk row detection). The centroid mean folds in id
+    // order in both engines, so the hash is pinned (x31 pattern).
+    "x38_embedding_outliers" -> entry(
+      (s, dir) =>
+        Similarity.centroidOutliers(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", "label", bottomK = 10)
+          .orderBy(col("label"), col("rk")),
+      """WITH b AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |parts AS (SELECT label, vec_id, i, v[i] AS x
+        |          FROM b, range(1, 65) t(i)),
+        |cent AS (SELECT label, i,
+        |    list_reduce(list(x ORDER BY vec_id), (a, c) -> a + c)
+        |      / count(*) AS m
+        |  FROM parts GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+        |scored AS (SELECT b.vec_id AS id, b.label,
+        |    round(list_dot_product(b.v, cv.cv)
+        |      / (sqrt(list_dot_product(b.v, b.v))
+        |         * sqrt(list_dot_product(cv.cv, cv.cv))), 4) AS sim_centroid
+        |  FROM b JOIN cv USING (label)),
+        |ranked AS (SELECT id, label, sim_centroid, row_number() OVER (
+        |    PARTITION BY label ORDER BY sim_centroid, id) AS rk FROM scored)
+        |SELECT id, label, sim_centroid, rk FROM ranked
+        |WHERE rk <= 10 ORDER BY label, rk""".stripMargin),
 
     // Quality scoring: length/stopword heuristics as scan-speed columns.
     "x07_text_quality" -> entry(

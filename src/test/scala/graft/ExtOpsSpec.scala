@@ -217,6 +217,81 @@ class ExtOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 > 2L), "random vectors must not pair at 0.95")
   }
 
+  test("semanticDedup: cluster-scoped; lower id survives, dup_of is the min") {
+    val rnd = new scala.util.Random(11L)
+    def vec(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val a = vec(64)
+    // 1/3/5 identical in cluster 0 → 3 and 5 dup_of 1; the SAME vector in
+    // cluster 1 (id 2) is untouched — dedup never crosses a cluster
+    val rows = Seq((1L, 0, a), (3L, 0, a), (5L, 0, a), (2L, 1, a)) ++
+      (6L to 30L).map(i => (i, (i % 2).toInt, vec(64)))
+    val got = Similarity.semanticDedup(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", threshold = 0.95)
+      .select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, None, 1L), "lowest id must be kept")
+    assert(got(3L) == (3L, Some(1L), 0L))
+    assert(got(5L) == (5L, Some(1L), 0L), "dup_of is the MIN dominating id")
+    assert(got(2L) == (2L, None, 1L), "identical vector in another cluster stays")
+  }
+
+  test("knnPredict: planted tight clusters vote the right label, self excluded") {
+    val rnd = new scala.util.Random(13L)
+    def around(c: Array[Float]) = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val c0 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val c1 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val rows = (1L to 20L).map(i => (i, 0, around(c0))) ++
+      (21L to 40L).map(i => (i, 1, around(c1)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnPredict(df, df.filter($"vec_id".isin(1L, 21L)),
+        "vec_id", "embedding", "label", k = 5)
+      .select($"qid", $"pred_label", $"votes", $"correct")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 0, 5L, 1L), "all 5 neighbours share the cluster label")
+    assert(got(21L) == (21L, 1, 5L, 1L))
+    // leave-one-out: a lone-label query cannot vote for itself
+    val lone = rows :+ ((41L, 2, Array.fill(64)(9f)))
+    val pred = Similarity.knnPredict(lone.toDF("vec_id", "label", "embedding"),
+        lone.toDF("vec_id", "label", "embedding").filter($"vec_id" === 41L),
+        "vec_id", "embedding", "label", k = 5)
+      .select($"pred_label").as[Int].collect()
+    assert(pred.length == 1 && pred(0) != 2, "self must be excluded from the vote")
+  }
+
+  test("vocabGrowth: new tokens land in their first bucket; totals cover all") {
+    import graft.ext.Curation
+    // ids 0..9, buckets of one doc each: "a" new at 0, "b" new at 0,
+    // "c" new at 5; bucket 5 has tokens but nothing else new
+    val docs = (0L to 9L).map(i =>
+      (i, if (i == 5) "a c" else "a b")).toDF("doc_id", "text")
+    val got = Curation.vocabGrowth(docs, "doc_id", "text", buckets = 10)
+      .select($"bucket", $"n_tokens", $"new_tokens", $"cum_vocab")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 10, "every bucket with tokens appears")
+    assert(got(0) == (0L, 2L, 2L, 2L))
+    assert(got(5) == (5L, 2L, 1L, 3L), "'c' is first seen in bucket 5")
+    assert(got(9) == (9L, 2L, 0L, 3L), "saturated buckets report zero new")
+    assert(got.map(_._2).sum == 20L)
+  }
+
+  test("centroidOutliers: the planted far vector ranks as the top outlier") {
+    val rnd = new scala.util.Random(17L)
+    val c0 = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def around(c: Array[Float]) = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    // 19 vectors hug c0; id 99 points the other way entirely
+    val rows = (1L to 19L).map(i => (i, 0, around(c0))) :+
+      ((99L, 0, c0.map(-_)))
+    val got = Similarity.centroidOutliers(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", bottomK = 3)
+      .select($"id", $"rk", $"sim_centroid")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(got.head._1 == 99L, "the anti-centroid vector must rank rk=1")
+    assert(got.head._3 < 0, "pointing away from the centroid → negative cosine")
+    assert(got.length == 3)
+  }
+
   test("connected components: chains merge, islands stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
       .toDF("id_a", "id_b")
