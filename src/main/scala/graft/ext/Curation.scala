@@ -314,6 +314,33 @@ object Curation {
     * corpus-sized exchange); the max-id scalar broadcasts; bucketing is
     * exact integer division so the oracle bit-matches. The cumulative
     * window runs over `buckets` rows on one partition — free. */
+  /** Per-document TF-IDF keyword extraction: top-`k` tokens per doc by
+    * `tf × ln(N / df)`, ranked on the ROUNDED score (token tiebreak) so
+    * rank order is deterministic across engines.
+    *
+    * The term-frequency table is built once and feeds both the document-
+    * frequency aggregate and the scoring join — two partial-aggregated
+    * shuffles plus one token-keyed equi-join; only the scalar corpus
+    * count broadcasts. The per-doc window is the x25 map-side
+    * WindowGroupLimit shape. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds doc-frequency AND scoring
+    val docFreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(docFreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n") / col("df")), 4))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .select(col("id"), col("rk"), col("tok"), col("score"))
+  }
+
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
     val mx = df.agg(max(col(idCol)).as("mx"))

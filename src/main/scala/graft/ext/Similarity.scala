@@ -325,6 +325,28 @@ object Similarity {
       .select(col("id"), col("label"), col("sim_centroid"), col("rk"))
   }
 
+  /** Scalar int8 quantization audit: symmetric per-vector quantization
+    * (`q_i = round(127·x_i / max|x|)`, the faiss/SQ8 storage shape that
+    * cuts an embedding corpus 4× at 100 TB), scored by the cosine between
+    * each original vector and its quantized form — cosine is scale-
+    * invariant, so no dequantization pass is needed. Everything is
+    * element-wise scan-local arithmetic: zero shuffles, zero joins;
+    * the one aggregation is the caller's. Zero vectors quantize to zero
+    * and report null fidelity (no direction to preserve). */
+  def quantizationAudit(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val v = col("v")
+    val mx = array_max(transform(v, x => abs(x)))
+    val qv = transform(v, x => round(x * 127d / col("mx")).cast("double"))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("mx", mx)
+      .withColumn("qv", when(col("mx") > 0, qv))
+      .withColumn("fidelity", when(col("mx") > 0,
+        round(dot(v, col("qv")) / (norm(v) * norm(col("qv"))), 4)))
+      .select(col("id"), col("fidelity"))
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost. */

@@ -259,6 +259,49 @@ object ExtQueries {
         |    AS BIGINT) AS cum_vocab
         |FROM tot t LEFT JOIN nw n USING (bucket) ORDER BY bucket""".stripMargin),
 
+    // Per-doc TF-IDF keywords (corpus-level document indexing): top-3
+    // tokens by tf×ln(N/df); ranked on the rounded score so rank order
+    // is engine-independent.
+    "x39_tfidf_keywords" -> entry(
+      (s, dir) =>
+        Curation.tfidfKeywords(tbl(s, dir, "documents"), "doc_id", "text",
+            k = 3)
+          .orderBy(col("id"), col("rk")),
+      """WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT doc_id AS id, rk, tok, score FROM (
+        |  SELECT doc_id, tok, round(tf * ln(n.n / df), 4) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(n.n / df), 4) DESC, tok) AS rk
+        |  FROM tf JOIN dfq USING (tok), n)
+        |WHERE rk <= 3 ORDER BY id, rk""".stripMargin),
+
+    // Int8 quantization audit (4× embedding storage cut at 100 TB):
+    // per-vector symmetric scalar quantization, fidelity = cosine of the
+    // original against its quantized self — scan-local, no shuffle.
+    "x40_quantization_audit" -> entry(
+      (s, dir) =>
+        Similarity.quantizationAudit(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding")
+          .orderBy(col("id")),
+      """WITH b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM b),
+        |qq AS (SELECT id, v,
+        |    CASE WHEN mx > 0 THEN
+        |      list_transform(v, x -> CAST(round(x * 127 / mx) AS DOUBLE))
+        |    END AS qv FROM q)
+        |SELECT id, CASE WHEN qv IS NOT NULL THEN
+        |    round(list_dot_product(v, qv)
+        |      / (sqrt(list_dot_product(v, v))
+        |         * sqrt(list_dot_product(qv, qv))), 4)
+        |  END AS fidelity
+        |FROM qq ORDER BY id""".stripMargin),
+
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
     // Rows-only: xxhash64 signatures aren't oracle-portable.
     "x02_dedup_minhash_lsh" -> rowsOnly(

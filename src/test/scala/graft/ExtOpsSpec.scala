@@ -292,6 +292,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("tfidfKeywords: doc-specific terms outrank ubiquitous ones") {
+    import graft.ext.Curation
+    // "common" appears in every doc → ln(N/df)=0 → score 0; each doc's
+    // own marker token (tf=2) must rank first
+    val docs = Seq(
+      (1L, "common alpha alpha common"),
+      (2L, "common beta beta common"),
+      (3L, "common gamma gamma common")).toDF("doc_id", "text")
+    val got = Curation.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .select($"id", $"rk", $"tok", $"score")
+      .as[(Long, Int, String, Double)].collect()
+    val top = got.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val commonScores = got.filter(_._3 == "common").map(_._4)
+    assert(commonScores.forall(_ == 0.0), "df=N terms carry zero weight")
+    // score check: tf=2, N=3, df=1 → 2·ln(3) ≈ 2.1972
+    assert(got.filter(_._2 == 1).forall(_._4 == 2.1972))
+  }
+
+  test("quantizationAudit: fidelity near 1 for real vectors, null for zero") {
+    val rnd = new scala.util.Random(19L)
+    val rows = (1L to 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat))) :+
+      ((99L, Array.fill(64)(0f)))
+    val got = Similarity.quantizationAudit(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .select($"id", $"fidelity")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(99L).isEmpty, "the zero vector has no direction to preserve")
+    val fids = (1L to 20L).map(got(_).get)
+    assert(fids.forall(f => f > 0.995 && f <= 1.0),
+      s"int8 quantization must preserve direction: ${fids.min}")
+  }
+
   test("connected components: chains merge, islands stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 10L), (3L, 4L))
       .toDF("id_a", "id_b")

@@ -76,6 +76,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p30.contains("BroadcastHashJoin"), p30.take(2000))
   }
 
+  test("x35 semantic dedup: the quadratic term stays inside a cluster-equi join") {
+    // the self-join must be keyed on the cluster column — an equi join
+    // (either strategy), never a cartesian/nested-loop over the corpus;
+    // the threshold filter runs inside the join stage
+    val p = executedPlan(query("x35_semantic_dedup"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("x38 outliers: label×dim centroids broadcast to the scoring scan") {
+    // the centroid frame is labels×dim — corpus-independent-tiny, so the
+    // corpus scoring pass must stream through a BroadcastHashJoin
+    val p = executedPlan(query("x38_embedding_outliers"))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
