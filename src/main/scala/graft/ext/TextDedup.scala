@@ -51,6 +51,75 @@ object TextDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-duplicate suppression: a document is flagged when a
+    * PRIOR document sits within `maxHamming` bits of its 64-bit simhash.
+    * "Prior" is arrival order across micro-batches (the `dropDuplicates`
+    * streaming semantic — a late-arriving original cannot retroactively
+    * flag an already-emitted copy) and `(event-time, id)` order within a
+    * batch, so the result is deterministic given the batch sequence.
+    *
+    * The signature splits into `bands` disjoint bit-ranges; by pigeonhole
+    * two signatures within `maxHamming` agree exactly on at least one
+    * band when `bands > maxHamming`, so keying state by `(band, bits)`
+    * has guaranteed candidate recall, and the exact hamming check inside
+    * each group removes the false positives. Every band group applies the
+    * same `(ts, id)` order and a matching pair always shares a group, so
+    * `dup_of` (the smallest matching prior id, aggregated across bands)
+    * is deterministic regardless of partitioning.
+    *
+    * Scale: state per band bucket is (ts, id, sig) triples — 24 bytes per
+    * document per band, never text; the shuffle is the band-key exchange
+    * plus one per-doc aggregation. Priors count whether or not they were
+    * themselves kept (dominance semantics — the batch twin is
+    * [[simhashPairs]] + lowest-id resolution); like [[exactStreaming]],
+    * pair with a periodic batch sweep to expire state by event time.
+    * Returns an UPDATE-mode stream of (id, dup_of, kept). */
+  def nearDupStreaming(stream: DataFrame, idCol: String, textCol: String,
+      tsCol: String, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming && 64 % bands == 0,
+      "pigeonhole recall needs bands > maxHamming and bands | 64")
+    graft.functions.Functions.register(stream.sparkSession)
+    val session = stream.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = stream
+      .select(col(idCol).cast("long").as("id"),
+        unix_micros(col(tsCol)).as("tsu"),
+        simhash(col(textCol)).as("sig"))
+      .select(col("id"), col("tsu"), col("sig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
+              .as("bits"))): _*)).as("bk"))
+      .select(col("id"), col("tsu"), col("sig"),
+        col("bk.band").as("band"), col("bk.bits").as("bbits"))
+      .as[(Long, Long, Long, Int, Long)]
+    val flagged = banded
+      .groupByKey { case (_, _, _, band, bbits) => (band, bbits) }
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Seq.empty) // (tsu, id, sig)
+          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map {
+            case (id, tsu, sig, _, _) =>
+              val dupOf = seen.iterator
+                .filter(s => java.lang.Long.bitCount(s._3 ^ sig) <= maxHamming)
+                .map(_._2).minOption
+              seen = seen :+ ((tsu, id, sig))
+              (id, dupOf.getOrElse(-1L))
+          }
+          state.update(seen)
+          out.iterator
+      }
+    // OR across the bands: keep the smallest matching prior id
+    flagged.toDF("id", "flag")
+      .groupBy(col("id"))
+      .agg(min(when(col("flag") >= 0, col("flag"))).as("dup_of"))
+      .withColumn("kept", col("dup_of").isNull.cast("long"))
+  }
+
   /** Exact Jaccard similarity of two token arrays (|∩| / |∪|), computed
     * from intersection size only — no union materialization. */
   def jaccard(a: Column, b: Column): Column = {

@@ -78,6 +78,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("streaming near-dup: cross-batch and in-batch dominance on simhash bands") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val nearDup = long.replace("omicron", "changed")
+    // calibrate the operating point from the ACTUAL signature distance so
+    // the test pins semantics, not a lucky hash
+    val sigs = Seq(long, nearDup).toDF("t")
+      .select(TextDedup.simhash($"t")).as[Long].collect()
+    val h = math.max(1, java.lang.Long.bitCount(sigs(0) ^ sigs(1)))
+    assert(h <= 15, s"one-token change moved $h bits — pick a longer fixture")
+    val bands = Seq(2, 4, 8, 16, 32).find(_ > h).get
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndstream").toString
+    Seq((1L, long, "2026-01-01 10:00:00"),
+        (2L, "totally different words in this one entirely unrelated", "2026-01-01 10:00:01"))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .coalesce(1).write.parquet(s"$tmp/in/f1") // ONE file = one micro-batch
+    Seq((3L, nearDup, "2026-01-01 10:00:02"),
+        (4L, "fresh distinct content appears here now", "2026-01-01 10:00:03"),
+        (5L, "fresh distinct content appears here now", "2026-01-01 10:00:04"))
+      .toDF("doc_id", "text", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .coalesce(1).write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+        maxHamming = h, bands = bands)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ndstream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update-mode sink may re-emit an id; the latest state has min kept
+    val rows = spark.table("ndstream_out")
+      .select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.minBy(_._3) }
+    assert(rows(1L)._3 == 1L && rows(2L)._3 == 1L && rows(4L)._3 == 1L,
+      s"originals must be kept: $rows")
+    assert(rows(3L) == (3L, Some(1L), 0L),
+      s"cross-batch near-dup must be flagged against doc 1: ${rows(3L)}")
+    assert(rows(5L) == (5L, Some(4L), 0L),
+      s"in-batch exact dup must be flagged against the earlier row: ${rows(5L)}")
+  }
+
   test("containmentPairs: sub-document copies score 1.0 where Jaccard stays low") {
     import graft.ext.TextDedup
     val long =
