@@ -259,6 +259,77 @@ object ExtQueries {
         |    AS BIGINT) AS cum_vocab
         |FROM tot t LEFT JOIN nw n USING (bucket) ORDER BY bucket""".stripMargin),
 
+    // Cross-source duplication matrix (which sources copy each other):
+    // near-dup pairs from the blocked Jaccard operator — blocked by lang
+    // here so pairs CROSS sources; at scale add a token-count band to the
+    // block (0.9 Jaccard bounds the size ratio) — rolled up into a
+    // symmetric (src_lo, src_hi) pair-count heatmap. The id→source joins
+    // move (id, source) projections only.
+    "x41_source_dup_matrix" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
+          blockCol = "lang", n = 1, threshold = 0.9)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .select(least(col("src_a"), col("src_b")).as("src_lo"),
+            greatest(col("src_a"), col("src_b")).as("src_hi"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      """WITH t AS (SELECT doc_id, lang, source,
+        |             list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents)
+        |SELECT least(a.source, b.source) AS src_lo,
+        |  greatest(a.source, b.source) AS src_hi, count(*) AS n_pairs
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |  / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |  >= 0.9
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin),
+
+    // Truncated-dimension retrieval audit (the matryoshka storage
+    // question: do the first 16 of 64 dims preserve the top-k?): per
+    // query, how many of the full-precision top-5 the 16-dim prefix
+    // retrieval recovers. Two bounded top-k passes + one equi-join on
+    // (qid, nid) — no new plan shapes at scale.
+    "x42_dim_truncation_recall" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        val full = Similarity.bruteForceTopK(emb, q,
+          "vec_id", "embedding", k = 5)
+        val emb16 = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+          .select(col("vec_id"), col("emb16"))
+        val q16 = emb16.filter(col("vec_id") % 25 === 0)
+        val trunc = Similarity.bruteForceTopK(emb16, q16,
+          "vec_id", "emb16", k = 5)
+        full.join(trunc.select(col("qid"), col("nid"), lit(1).as("hit")),
+            Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"))
+          .orderBy(col("qid"))
+      },
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             CAST(embedding[1:16] AS DOUBLE[]) AS v16
+        |           FROM embeddings),
+        |fl AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
+        |      PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(c.v, q.v) DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM b q JOIN b c ON q.vec_id % 25 = 0) WHERE rnk <= 5),
+        |tr AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
+        |      PARTITION BY q.vec_id ORDER BY
+        |        list_cosine_similarity(c.v16, q.v16) DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM b q JOIN b c ON q.vec_id % 25 = 0) WHERE rnk <= 5)
+        |SELECT fl.qid, CAST(count(tr.nid) AS BIGINT) AS n_common
+        |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.nid = tr.nid
+        |GROUP BY fl.qid ORDER BY fl.qid""".stripMargin),
+
     // Per-doc TF-IDF keywords (corpus-level document indexing): top-3
     // tokens by tf×ln(N/df); ranked on the rounded score so rank order
     // is engine-independent.

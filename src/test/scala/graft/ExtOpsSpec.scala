@@ -338,6 +338,56 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("source dup matrix: symmetric rollup counts cross-source near-dups") {
+    import graft.ext.TextDedup
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, t, "en", "srcB"), (2L, t, "en", "srcA"),   // cross-source dup
+      (3L, t, "en", "srcA"),                          // same-source dup of 2
+      (4L, t, "fr", "srcA"),                          // other lang block: no pair
+      (5L, "completely different tokens entirely here now", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = TextDedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCol = "lang", n = 1, threshold = 0.9)
+    val src = d.select($"doc_id", $"source")
+    val got = pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("src_a")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("src_b")), "id_b")
+      .select(least($"src_a", $"src_b").as("lo"),
+        greatest($"src_a", $"src_b").as("hi"))
+      .groupBy($"lo", $"hi").count()
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // pairs in the en block: (1,2) (1,3) cross, (2,3) within srcA — doc 4
+    // never pairs (lang block) even though its text is identical
+    assert(got == Map(("srcA", "srcB") -> 2L, ("srcA", "srcA") -> 1L), got)
+  }
+
+  test("dim-truncation recall: prefix-identical decoy fools the truncated rank") {
+    val rnd = new scala.util.Random(23L)
+    def vec(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val q = vec(64)
+    // decoy: matches q on dims 0-15, points away on 16-63 → top under
+    // 16-dim retrieval, far under full; twin: exact copy of q → top under
+    // both
+    val decoy = q.take(16) ++ q.drop(16).map(x => -x)
+    val twin = q.clone()
+    val rows = Seq((1L, q), (2L, twin), (3L, decoy)) ++
+      (4L to 30L).map(i => i -> vec(64))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" === 1L)
+    val full = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 2)
+      .select($"nid").as[Long].collect().toSet
+    val df16 = df.select($"vec_id",
+      slice($"embedding", 1, 16).as("emb16"))
+    val trunc = Similarity.bruteForceTopK(df16,
+        df16.filter($"vec_id" === 1L), "vec_id", "emb16", 3)
+      .select($"nid").as[Long].collect().toSet
+    assert(full == Set(1L, 2L), s"full rank: self + twin, never the decoy: $full")
+    assert(trunc == Set(1L, 2L, 3L),
+      s"the 16-dim prefix cannot tell the decoy apart: $trunc")
+  }
+
   test("tfidfKeywords: doc-specific terms outrank ubiquitous ones") {
     import graft.ext.Curation
     // "common" appears in every doc → ln(N/df)=0 → score 0; each doc's
