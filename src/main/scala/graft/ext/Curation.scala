@@ -349,6 +349,8 @@ object Curation {
     val toks = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .crossJoin(broadcast(mx))
+      // ids must be non-negative: `div` truncates toward zero while the
+      // oracle's `//` floors — they agree only on non-negative operands
       .withColumn("bucket", expr(s"(id * $buckets) div (mx + 1)"))
       .localCheckpoint(eager = false)
     val totals = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))

@@ -282,6 +282,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(2L) == (2L, None, 1L), "identical vector in another cluster stays")
   }
 
+  test("semanticDedup matches a naive driver-side dominance check") {
+    val rnd = new scala.util.Random(29L)
+    val rows = (1L to 60L).map(i =>
+      (i, (i % 5).toInt, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val t = 0.25
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // same accumulation semantics as the native vector_dot: per-element
+      // float→double widening, left-to-right double sum
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val naive = rows.map { case (id, cl, v) =>
+      val doms = rows.filter { case (j, cj, w) =>
+        cj == cl && j < id && cos(v, w) >= t }
+      id -> (if (doms.isEmpty) None else Some(doms.map(_._1).min))
+    }.toMap
+    val got = Similarity.semanticDedup(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", threshold = t)
+      .select($"id", $"dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(got == naive,
+      s"diff: ${(got.toSet diff naive.toSet).take(3)} vs ${(naive.toSet diff got.toSet).take(3)}")
+    assert(naive.values.count(_.isDefined) > 0, "fixture must contain some dups")
+  }
+
   test("knnPredict: planted tight clusters vote the right label, self excluded") {
     val rnd = new scala.util.Random(13L)
     def around(c: Array[Float]) = c.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
@@ -303,6 +329,32 @@ class ExtOpsSpec extends SparkSpec {
         "vec_id", "embedding", "label", k = 5)
       .select($"pred_label").as[Int].collect()
     assert(pred.length == 1 && pred(0) != 2, "self must be excluded from the vote")
+  }
+
+  test("knnPredict matches a naive vote on random data") {
+    val rnd = new scala.util.Random(31L)
+    val rows = (1L to 40L).map(i =>
+      (i, (i % 4).toInt, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val naive = rows.filter(_._1 % 7 == 0).map { case (qid, _, qv) =>
+      val nn = rows.filter(_._1 != qid)
+        .map { case (id, l, v) => (id, l, cos(qv, v)) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(10)
+      val best = nn.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      qid -> best
+    }.toMap
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnPredict(df, df.filter($"vec_id" % 7 === 0),
+        "vec_id", "embedding", "label", k = 10)
+      .select($"qid", $"pred_label", $"votes")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3.toInt)).toMap
+    assert(got == naive, s"got $got want $naive")
   }
 
   test("vocabGrowth: new tokens land in their first bucket; totals cover all") {
