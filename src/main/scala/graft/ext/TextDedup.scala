@@ -71,11 +71,25 @@ object TextDedup {
     * document per band, never text; the shuffle is the band-key exchange
     * plus one per-doc aggregation. Priors count whether or not they were
     * themselves kept (dominance semantics — the batch twin is
-    * [[simhashPairs]] + lowest-id resolution); like [[exactStreaming]],
-    * pair with a periodic batch sweep to expire state by event time.
+    * [[simhashPairs]] + lowest-id resolution).
+    *
+    * `expireAfter` bounds the state by EVENT time: an original is
+    * forgotten once the watermark passes its timestamp plus the expiry —
+    * duplicates arriving within `expireAfter` of their original's event
+    * time are caught, later ones may pass (the
+    * `dropDuplicatesWithinWatermark` contract; like [[exactStreaming]],
+    * a periodic batch sweep catches the tail). `None` keeps state
+    * forever — exact dominance, unbounded state. With expiry on, Spark's
+    * conservative multi-stateful-operator check must be disabled
+    * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    * false`): it guards downstream WATERMARK-EVICTING state against late
+    * upstream emissions, but the per-doc vote here is keyed by id in
+    * update mode and never evicts by watermark, so a "late" band verdict
+    * updates its group rather than being dropped.
     * Returns an UPDATE-mode stream of (id, dup_of, kept). */
   def nearDupStreaming(stream: DataFrame, idCol: String, textCol: String,
-      tsCol: String, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      tsCol: String, maxHamming: Int = 3, bands: Int = 4,
+      expireAfter: Option[java.time.Duration] = None): DataFrame = {
     require(bands > maxHamming && 64 % bands == 0,
       "pigeonhole recall needs bands > maxHamming and bands | 64")
     graft.functions.Functions.register(stream.sparkSession)
@@ -84,34 +98,67 @@ object TextDedup {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = stream
+    val watermarked = expireAfter.fold(stream)(d =>
+      stream.withWatermark(tsCol, s"${d.toMillis} milliseconds"))
+    // the watermarked timestamp column rides along untouched: event-time
+    // timeout requires the event-time attribute to reach the stateful
+    // operator's input (a derived long would shed the watermark tag)
+    val banded = watermarked
       .select(col(idCol).cast("long").as("id"),
         unix_micros(col(tsCol)).as("tsu"),
-        simhash(col(textCol)).as("sig"))
+        simhash(col(textCol)).as("sig"),
+        col(tsCol).as("evt"))
       .select(col("id"), col("tsu"), col("sig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask))
-              .as("bits"))): _*)).as("bk"))
+              .as("bits"))): _*)).as("bk"), col("evt"))
       .select(col("id"), col("tsu"), col("sig"),
-        col("bk.band").as("band"), col("bk.bits").as("bbits"))
-      .as[(Long, Long, Long, Int, Long)]
+        col("bk.band").as("band"), col("bk.bits").as("bbits"), col("evt"))
+      .as[(Long, Long, Long, Int, Long, java.sql.Timestamp)]
+    val timeoutConf = if (expireAfter.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val expireMicros = expireAfter.map(_.toMillis * 1000L)
     val flagged = banded
-      .groupByKey { case (_, _, _, band, bbits) => (band, bbits) }
+      .groupByKey { case (_, _, _, band, bbits, _) => (band, bbits) }
       .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, rows, state) =>
-          var seen = state.getOption.getOrElse(Seq.empty) // (tsu, id, sig)
-          val out = rows.toSeq.sortBy(r => (r._2, r._1)).map {
-            case (id, tsu, sig, _, _) =>
-              val dupOf = seen.iterator
-                .filter(s => java.lang.Long.bitCount(s._3 ^ sig) <= maxHamming)
-                .map(_._2).minOption
-              seen = seen :+ ((tsu, id, sig))
-              (id, dupOf.getOrElse(-1L))
+          if (state.hasTimedOut) {
+            // the timeout fires only past max(tsu) + expiry, so every
+            // entry is expired — drop the bucket wholesale
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Seq.empty) // (tsu, id, sig)
+            // event-time expiry: forget originals the watermark has passed
+            // by more than the expiry window
+            expireMicros.foreach { exp =>
+              val wmMicros = state.getCurrentWatermarkMs() * 1000L
+              if (wmMicros > 0) seen = seen.filter(_._1 + exp >= wmMicros)
+            }
+            val out = rows.toSeq.sortBy(r => (r._2, r._1)).map {
+              case (id, tsu, sig, _, _, _) =>
+                val dupOf = seen.iterator
+                  .filter(s => java.lang.Long.bitCount(s._3 ^ sig) <= maxHamming)
+                  .map(_._2).minOption
+                seen = seen :+ ((tsu, id, sig))
+                (id, dupOf.getOrElse(-1L))
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              expireMicros.foreach { exp =>
+                // wholesale-removal point for a bucket that goes idle; a
+                // late-arriving row can sit behind the watermark, and a
+                // timeout must always be ahead of it
+                state.setTimeoutTimestamp(math.max(
+                  (seen.map(_._1).max + exp) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
       }
     // OR across the bands: keep the smallest matching prior id
     flagged.toDF("id", "flag")

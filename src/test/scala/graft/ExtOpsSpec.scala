@@ -124,6 +124,49 @@ class ExtOpsSpec extends SparkSpec {
       s"in-batch exact dup must be flagged against the earlier row: ${rows(5L)}")
   }
 
+  test("streaming near-dup: event-time expiry forgets originals, fresh state works") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndexp").toString
+    def write(f: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq((1L, a, "2026-01-01 10:00:00")))
+    // unrelated doc an hour later advances the watermark past doc 1's
+    // timestamp + the 10-minute expiry
+    write("f2", Seq((2L, "totally different unrelated words here", "2026-01-01 11:00:00")))
+    // doc 3 duplicates doc 1 AFTER its expiry → kept; doc 4 duplicates
+    // doc 3 within the window → flagged against the fresh state
+    write("f3", Seq((3L, a, "2026-01-01 11:05:00"),
+      (4L, a, "2026-01-01 11:06:00")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    // see the nearDupStreaming scaladoc: the downstream per-doc vote
+    // never evicts by watermark, so the conservative check doesn't apply
+    val check = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(check, "false")
+    try {
+      val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+          maxHamming = 3, bands = 4,
+          expireAfter = Some(java.time.Duration.ofMinutes(10)))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("ndexp_out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.unset(check)
+    val rows = spark.table("ndexp_out")
+      .select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.minBy(_._3) }
+    assert(rows(1L)._3 == 1L && rows(2L)._3 == 1L)
+    assert(rows(3L)._3 == 1L,
+      s"the original expired ${rows(3L)} — its late duplicate must pass")
+    assert(rows(4L) == (4L, Some(3L), 0L),
+      s"in-window duplicate must be flagged against fresh state: ${rows(4L)}")
+  }
+
   test("containmentPairs: sub-document copies score 1.0 where Jaccard stays low") {
     import graft.ext.TextDedup
     val long =

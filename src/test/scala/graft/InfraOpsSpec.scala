@@ -10,6 +10,18 @@ import graft.producer.{Genesis, Suppressor}
 class InfraOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("driver contract: query-category maps never collide or shadow") {
+    // SparkEntry.allEntries merges the four category maps with `++` — a
+    // duplicate key would silently drop a query from the correctness gate
+    val parts = Seq(graft.queries.StandardQueries.all,
+      graft.queries.ProducerQueries.all,
+      graft.queries.ConsumerQueries.all,
+      graft.queries.ExtQueries.all)
+    assert(SparkEntry.queries.size == parts.map(_.size).sum,
+      "a query key is declared twice across category maps")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("P18: genesis Performed window event carries the padded window") {
     val start = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val row = Genesis.performedEvent(spark, "booking", "app", "v1_bookings",
