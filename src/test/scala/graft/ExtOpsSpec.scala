@@ -124,6 +124,46 @@ class ExtOpsSpec extends SparkSpec {
       s"in-batch exact dup must be flagged against the earlier row: ${rows(5L)}")
   }
 
+  test("streaming near-dup matches naive hamming dominance on one batch") {
+    val rnd = new scala.util.Random(37L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 25L).map(i => (i, doc()))
+    // plant exact and near copies so the dominance graph is non-trivial
+    val rows = base ++ Seq(
+      (26L, base(0)._2), (27L, base(0)._2),
+      (28L, base(5)._2.replace(base(5)._2.split(" ").head, "nu")))
+    val df = rows.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", TextDedup.simhash($"text"))
+      .as[(Long, Long)].collect().toMap
+    val maxHamming = 3
+    val naive = rows.map(_._1).map { id =>
+      val doms = rows.map(_._1).filter(j => j < id &&
+        java.lang.Long.bitCount(sigs(j) ^ sigs(id)) <= maxHamming)
+      id -> (if (doms.isEmpty) None else Some(doms.min))
+    }.toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndeq").toString
+    df.withColumn("ts",
+        timestamp_seconds(lit(1767261600L) + $"doc_id")) // distinct event times
+      .coalesce(1).write.parquet(s"$tmp/in/f1")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .parquet(s"$tmp/in/*")
+    val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+        maxHamming = maxHamming, bands = 4)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ndeq_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndeq_out").select($"id", $"dup_of")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == naive,
+      s"diff: ${(got.toSet diff naive.toSet).take(3)} vs ${(naive.toSet diff got.toSet).take(3)}")
+    assert(naive.values.count(_.isDefined) >= 2, "fixture must plant dups")
+  }
+
   test("streaming near-dup: event-time expiry forgets originals, fresh state works") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tmp = java.nio.file.Files.createTempDirectory("graft-ndexp").toString
