@@ -174,7 +174,10 @@ object Similarity {
     // a coarse quantizer needs usable cells, not converged ones: cap the
     // iterations (default 20) — recall is governed by nProbe, not by the
     // last few centroid refinements (random init was also measured: no
-    // wall-time gain, worse cells — the capped iterations dominate)
+    // wall-time gain, worse cells — the capped iterations dominate;
+    // quarter-sampling the fit input was also measured: no gain either —
+    // the fit is iteration/scheduling-bound at bench scale, though at
+    // 100 TB the fit input must be a bounded sample regardless)
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").fit(features)
 
