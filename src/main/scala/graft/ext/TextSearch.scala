@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — the text-side
+  * counterpart of the ANN family ([[Similarity]]): a small query set
+  * ranks documents by BM25.
+  *
+  * Scale shape (the inverted-index join): one tokenize feeds the
+  * term-frequency table, which feeds document lengths, document
+  * frequencies AND scoring; query terms broadcast into the TF table so
+  * only matching postings survive; per-(query, doc) scores aggregate
+  * once. Nothing corpus-sized is broadcast or collected. At 100 TB the
+  * TF table is the materialized inverted index — persist it bucketed by
+  * token and every query batch skips the build.
+  */
+object TextSearch {
+
+  /** BM25 top-`k` documents per query. Repeated query terms count once
+    * (terms are distinct-ed per query). The per-document score folds its
+    * term scores in token order in both engines, so the float sum — and
+    * the oracle hash — is pinned; ranking runs on the ROUNDED score with
+    * an id tiebreak. Documents matching no query term do not appear. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val tf = df
+      .select(col(idCol).as("nid"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("nid"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // the inverted index: feeds dl, df, scoring
+    val docLen = tf.groupBy(col("nid")).agg(sum(col("tf")).as("dl"))
+    // exact integer sum over exact count — deterministic avgdl in both engines
+    val stats = docLen.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    val qtoks = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
+        .as("tok"))
+    val idf = log((col("n") - col("dfq") + lit(0.5)) /
+      (col("dfq") + lit(0.5)) + lit(1.0))
+    val termScore = idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    val terms = tf
+      .join(broadcast(qtoks), Seq("tok"))
+      .join(dfreq, Seq("tok"))
+      .join(docLen, Seq("nid"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("nid"), col("tok"), termScore.as("s"))
+    val scored = terms
+      .groupBy(col("qid"), col("nid"))
+      // token-order-pinned fold: a handful of terms per (query, doc)
+      .agg(round(aggregate(
+          transform(sort_array(collect_list(struct(col("tok"), col("s")))),
+            x => x.getField("s")),
+          lit(0.0), (a: Column, s: Column) => a + s), 4).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("score"))
+  }
+}

@@ -330,6 +330,43 @@ object ExtQueries {
         |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.nid = tr.nid
         |GROUP BY fl.qid ORDER BY fl.qid""".stripMargin),
 
+    // BM25 keyword retrieval (the text-side ANN): four fixed keyword
+    // queries rank the corpus via the inverted-index join; one query
+    // carries an out-of-vocabulary term that must contribute nothing.
+    "x43_bm25_search" -> entry(
+      (s, dir) =>
+        graft.ext.TextSearch.bm25TopK(tbl(s, dir, "documents"),
+            "doc_id", "text",
+            queries = Seq(1 -> "hash join strategy", 2 -> "window sort order",
+              3 -> "vector column scan", 4 -> "stream batch merge"),
+            k = 10)
+          .orderBy(col("qid"), col("rnk")),
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join strategy'), (2, 'window sort order'),
+        |    (3, 'vector column scan'), (4, 'stream batch merge')),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT qid, rnk, nid, score FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+
     // Per-doc TF-IDF keywords (corpus-level document indexing): top-3
     // tokens by tf×ln(N/df); ranked on the rounded score so rank order
     // is engine-independent.

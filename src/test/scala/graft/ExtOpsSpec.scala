@@ -542,6 +542,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.filter(_._2 == 1).forall(_._4 == 2.1972))
   }
 
+  test("bm25TopK: rarer terms dominate, doc-length normalizes, OOV is inert") {
+    import graft.ext.TextSearch
+    val d = Seq(
+      (1L, "spark shuffle spark shuffle spark shuffle"), // tf-heavy, short
+      (2L, "spark " + Seq.fill(40)("filler").mkString(" ")), // long doc, tf=1
+      (3L, "rareterm appears here once"),
+      (4L, "common words only nothing special"),
+      (5L, "common words again nothing more")).toDF("doc_id", "text")
+    val got = TextSearch.bm25TopK(d, "doc_id", "text",
+        queries = Seq(1 -> "spark", 2 -> "rareterm", 3 -> "zzz_oov"), k = 3)
+      .select($"qid", $"rnk", $"nid", $"score")
+      .as[(Int, Int, Long, Double)].collect()
+    val q1 = got.filter(_._1 == 1).sortBy(_._2).map(_._3).toList
+    // tf-rich short doc outranks the diluted long one
+    assert(q1 == List(1L, 2L), s"q1 ranking: $q1")
+    val q2 = got.filter(_._1 == 2)
+    assert(q2.map(_._3).toList == List(3L), "only the rare-term doc matches")
+    assert(got.count(_._1 == 3) == 0, "an OOV-only query matches nothing")
+    // IDF: the corpus-rare term scores above the two-doc term at tf=1
+    val sRare = q2.head._4
+    val sSpark2 = got.find(r => r._1 == 1 && r._3 == 2L).get._4
+    assert(sRare > sSpark2, s"rare $sRare must outweigh common $sSpark2")
+  }
+
   test("quantizationAudit: fidelity near 1 for real vectors, null for zero") {
     val rnd = new scala.util.Random(19L)
     val rows = (1L to 20L).map(i =>
