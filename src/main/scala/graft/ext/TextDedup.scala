@@ -71,7 +71,10 @@ object TextDedup {
     * document per band, never text; the shuffle is the band-key exchange
     * plus one per-doc aggregation. Priors count whether or not they were
     * themselves kept (dominance semantics — the batch twin is
-    * [[simhashPairs]] + lowest-id resolution).
+    * [[simhashPairs]] + lowest-id resolution): flagged copies enter
+    * state too, so a drifting chain A~B~C still collapses even when
+    * A̸~C directly, at the cost of state linear in copies — `expireAfter`
+    * is the growth bound for hot clusters.
     *
     * `expireAfter` bounds the state by EVENT time: an original is
     * forgotten once the watermark passes its timestamp plus the expiry —
