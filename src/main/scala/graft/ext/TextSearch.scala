@@ -63,4 +63,29 @@ object TextSearch {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("nid"), col("score"))
   }
+
+  /** Reciprocal-rank fusion of a per-query candidate ranking with a
+    * per-document quality signal (retrieve-then-rerank): each candidate
+    * scores `1/(c+r_relevance) + 1/(c+r_quality)` — ranks are integers,
+    * so the two-term sum is engine-exact — and the top `k` per query
+    * survive. `cands` carries (qid, rnk, nid); `quality` carries
+    * (nid, quality). The candidate list is queries×depth rows at any
+    * corpus size, so it broadcasts into the quality scan. */
+  def rrfRerank(cands: DataFrame, quality: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val qw = Window.partitionBy(col("qid"))
+      .orderBy(col("quality").desc, col("nid"))
+    val fused = quality
+      .join(broadcast(cands.select(col("qid"), col("rnk"), col("nid"))),
+        Seq("nid"))
+      .withColumn("r_q", row_number().over(qw))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(c) + col("rnk")) +
+          lit(1.0) / (lit(c) + col("r_q")), 6))
+    val fw = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("nid"))
+    fused.withColumn("frk", row_number().over(fw))
+      .filter(col("frk") <= k)
+      .select(col("qid"), col("frk"), col("nid"), col("rrf"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
 import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
@@ -366,6 +367,68 @@ object ExtQueries {
         |  SELECT qid, nid, score, row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+
+    // Quality-aware retrieval (retrieve-then-rerank): BM25 top-20
+    // candidates fused with a document-quality rank via reciprocal-rank
+    // fusion (1/(60+r)); ranks are integers so the two-term RRF sum is
+    // engine-exact. The quality join broadcasts the candidate list into
+    // the corpus-wide metric scan — candidates are queries×20 rows at
+    // any corpus size.
+    "x44_quality_rerank" -> entry(
+      (s, dir) => {
+        val qs = Seq(1 -> "hash join strategy", 2 -> "window sort order",
+          3 -> "vector column scan", 4 -> "stream batch merge")
+        val cands = graft.ext.TextSearch.bm25TopK(
+          tbl(s, dir, "documents"), "doc_id", "text", queries = qs, k = 20)
+        val toks = split(col("text"), " ")
+        val quality = tbl(s, dir, "documents")
+          .select(col("doc_id").as("nid"),
+            (size(filter(toks, (x: Column) => x.isin(
+                "the", "a", "an", "of", "and", "or", "to", "in", "is", "on")))
+              .cast("double") / size(toks)).as("quality"))
+        graft.ext.TextSearch.rrfRerank(cands, quality, k = 5)
+          .orderBy(col("qid"), col("frk"))
+      },
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join strategy'), (2, 'window sort order'),
+        |    (3, 'vector column scan'), (4, 'stream batch merge')),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |cands AS (SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |  WHERE rnk <= 20),
+        |qual AS (SELECT doc_id AS nid,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS quality
+        |  FROM documents),
+        |fused AS (SELECT c.qid, c.nid, c.rnk, row_number() OVER (
+        |    PARTITION BY c.qid ORDER BY q.quality DESC, c.nid) AS r_q
+        |  FROM cands c JOIN qual q USING (nid))
+        |SELECT qid, frk, nid, rrf FROM (
+        |  SELECT qid, nid,
+        |    round(1.0 / (60 + rnk) + 1.0 / (60 + r_q), 6) AS rrf,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      round(1.0 / (60 + rnk) + 1.0 / (60 + r_q), 6) DESC, nid) AS frk
+        |  FROM fused)
+        |WHERE frk <= 5 ORDER BY qid, frk""".stripMargin),
 
     // Per-doc TF-IDF keywords (corpus-level document indexing): top-3
     // tokens by tf×ln(N/df); ranked on the rounded score so rank order

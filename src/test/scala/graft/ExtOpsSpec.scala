@@ -566,6 +566,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(sRare > sSpark2, s"rare $sRare must outweigh common $sSpark2")
   }
 
+  test("quality rerank: RRF lifts a high-quality doc over a closer BM25 rank") {
+    val d = Seq(
+      (1L, "spark spark spark spark spark"),      // BM25 rank 1, quality 0
+      (2L, "spark the of and to in is"),          // BM25 rank 3, quality 6/7
+      (3L, "spark alpha beta gamma delta"),       // BM25 rank 2, quality 0
+      (4L, "no match here at all")).toDF("doc_id", "text")
+    import graft.ext.TextSearch
+    val cands = TextSearch.bm25TopK(d, "doc_id", "text",
+      queries = Seq(1 -> "spark"), k = 20)
+    val bm25 = cands.orderBy($"rnk").select($"nid").as[Long].collect().toList
+    assert(bm25 == List(1L, 3L, 2L), s"BM25-only order: $bm25")
+    // stopword quality: d2 = 6/7, d1 = d3 = 0
+    val toks = split($"text", " ")
+    val quality = d.select($"doc_id".as("nid"),
+      (size(filter(toks, (x: org.apache.spark.sql.Column) => x.isin(
+          "the", "a", "an", "of", "and", "or", "to", "in", "is", "on")))
+        .cast("double") / size(toks)).as("quality"))
+    val fused = TextSearch.rrfRerank(cands, quality, k = 3)
+      .orderBy($"frk").select($"nid", $"rrf").as[(Long, Double)].collect()
+    // hand RRF: d1 1/61+1/62, d2 1/63+1/61, d3 1/62+1/63 → d1 > d2 > d3
+    assert(fused.map(_._1).toList == List(1L, 2L, 3L),
+      s"quality must lift doc 2 over doc 3: ${fused.toList}")
+    assert(fused(0)._2 > fused(1)._2 && fused(1)._2 > fused(2)._2)
+  }
+
   test("quantizationAudit: fidelity near 1 for real vectors, null for zero") {
     val rnd = new scala.util.Random(19L)
     val rows = (1L to 20L).map(i =>
