@@ -305,15 +305,6 @@ object Curation {
         sum(col("n")).over(Window.partitionBy())).as("share"))
   }
 
-  /** Vocabulary-growth curve: bucket the corpus by id into `buckets`
-    * equal id-ranges and count the tokens whose FIRST occurrence falls in
-    * each bucket, plus the running vocabulary size — the Heaps'-law
-    * saturation diagnostic for "is more data still adding new language".
-    *
-    * One token explode feeds a partial-aggregated min-id shuffle (the only
-    * corpus-sized exchange); the max-id scalar broadcasts; bucketing is
-    * exact integer division so the oracle bit-matches. The cumulative
-    * window runs over `buckets` rows on one partition — free. */
   /** Per-document TF-IDF keyword extraction: top-`k` tokens per doc by
     * `tf × ln(N / df)`, ranked on the ROUNDED score (token tiebreak) so
     * rank order is deterministic across engines.
@@ -341,6 +332,15 @@ object Curation {
       .select(col("id"), col("rk"), col("tok"), col("score"))
   }
 
+  /** Vocabulary-growth curve: bucket the corpus by id into `buckets`
+    * equal id-ranges and count the tokens whose FIRST occurrence falls in
+    * each bucket, plus the running vocabulary size — the Heaps'-law
+    * saturation diagnostic for "is more data still adding new language".
+    *
+    * One token explode feeds a partial-aggregated min-id shuffle (the only
+    * corpus-sized exchange); the max-id scalar broadcasts; bucketing is
+    * exact integer division so the oracle bit-matches. The cumulative
+    * window runs over `buckets` rows on one partition — free. */
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       buckets: Int): DataFrame = {
     val mx = df.agg(max(col(idCol)).as("mx"))
@@ -349,9 +349,12 @@ object Curation {
     val toks = df
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .crossJoin(broadcast(mx))
-      // ids must be non-negative: `div` truncates toward zero while the
-      // oracle's `//` floors — they agree only on non-negative operands
-      .withColumn("bucket", expr(s"(id * $buckets) div (mx + 1)"))
+      // FLOOR division in exact integer math (pmod is non-negative, so
+      // subtracting it floors for any sign): Spark `div` truncates toward
+      // zero while the oracle's `//` floors — they'd diverge on negative
+      // ids; this form matches the oracle for every id sign
+      .withColumn("bucket",
+        expr(s"(id * $buckets - pmod(id * $buckets, mx + 1)) div (mx + 1)"))
       .localCheckpoint(eager = false)
     val totals = toks.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
     // bucket is monotone in id, so min(bucket) = bucket of first sighting

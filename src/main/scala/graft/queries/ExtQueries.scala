@@ -320,12 +320,18 @@ object ExtQueries {
         |fl AS (SELECT qid, nid FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
         |      PARTITION BY q.vec_id ORDER BY
-        |        list_cosine_similarity(c.v, q.v) DESC NULLS LAST, c.vec_id) AS rnk
+        |        (CASE WHEN list_dot_product(c.v, c.v) > 0
+        |               AND list_dot_product(q.v, q.v) > 0
+        |          THEN list_cosine_similarity(c.v, q.v) END)
+        |          DESC NULLS LAST, c.vec_id) AS rnk
         |  FROM b q JOIN b c ON q.vec_id % 25 = 0) WHERE rnk <= 5),
         |tr AS (SELECT qid, nid FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
         |      PARTITION BY q.vec_id ORDER BY
-        |        list_cosine_similarity(c.v16, q.v16) DESC NULLS LAST, c.vec_id) AS rnk
+        |        (CASE WHEN list_dot_product(c.v16, c.v16) > 0
+        |               AND list_dot_product(q.v16, q.v16) > 0
+        |          THEN list_cosine_similarity(c.v16, q.v16) END)
+        |          DESC NULLS LAST, c.vec_id) AS rnk
         |  FROM b q JOIN b c ON q.vec_id % 25 = 0) WHERE rnk <= 5)
         |SELECT fl.qid, CAST(count(tr.nid) AS BIGINT) AS n_common
         |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.nid = tr.nid
@@ -727,7 +733,10 @@ object ExtQueries {
         |           FROM embeddings),
         |d AS (SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
         |      FROM b a JOIN b b ON a.label = b.label AND a.vec_id > b.vec_id
-        |      WHERE list_cosine_similarity(a.v, b.v) >= 0.35 GROUP BY 1)
+        |      WHERE (CASE WHEN list_dot_product(a.v, a.v) > 0
+        |                   AND list_dot_product(b.v, b.v) > 0
+        |             THEN list_cosine_similarity(a.v, b.v) END) >= 0.35
+        |      GROUP BY 1)
         |SELECT b.vec_id AS id, b.label AS cluster, d.dup_of,
         |  CAST(d.dup_of IS NULL AS BIGINT) AS kept
         |FROM b LEFT JOIN d ON b.vec_id = d.id ORDER BY id""".stripMargin),
@@ -749,7 +758,10 @@ object ExtQueries {
         |           FROM embeddings),
         |nn AS (SELECT q.vec_id AS qid, q.label AS tl, c.label AS cl,
         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |      list_cosine_similarity(c.v, q.v) DESC NULLS LAST, c.vec_id) AS rnk
+        |      (CASE WHEN list_dot_product(c.v, c.v) > 0
+        |             AND list_dot_product(q.v, q.v) > 0
+        |        THEN list_cosine_similarity(c.v, q.v) END)
+        |        DESC NULLS LAST, c.vec_id) AS rnk
         |  FROM b q JOIN b c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id % 10 = 0),
         |votes AS (SELECT qid, tl, cl, count(*) AS n FROM nn
@@ -770,8 +782,9 @@ object ExtQueries {
           .orderBy(col("label"), col("rk")),
       """WITH b AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
-        |parts AS (SELECT label, vec_id, i, v[i] AS x
-        |          FROM b, range(1, 65) t(i)),
+        |parts AS (SELECT label, vec_id,
+        |            unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
+        |          FROM b),
         |cent AS (SELECT label, i,
         |    list_reduce(list(x ORDER BY vec_id), (a, c) -> a + c)
         |      / count(*) AS m
