@@ -177,6 +177,19 @@ object TextDedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** Natural-log width of one size band for Jaccard threshold `threshold`:
+    * a pair at jac ≥ θ has size ratio max/min ≤ 1/θ (|∩| ≤ min and
+    * |∪| ≥ max force jac ≤ min/max), so two true-pair sizes differ by at
+    * most this much in log space — adjacent-band joining loses no true
+    * pair. The (1+1e-9) stretch absorbs the ≤1-ulp error of Math.log at
+    * exact-ratio boundaries; the max(…, 1e-12) floor keeps θ = 1 (equal
+    * sizes ⇒ equal log ⇒ same band) finite. */
+  private[graft] def bandWidthFor(threshold: Double): Double = {
+    require(threshold > 0 && threshold <= 1,
+      s"length banding needs a threshold in (0, 1], got $threshold")
+    math.max(math.log(1.0 / threshold) * (1 + 1e-9), 1e-12)
+  }
+
   /** n-gram Jaccard near-dup pairs within a blocking key. The block join is
     * the scale lever: candidates are generated per block, so the quadratic
     * term is bounded by block size, not corpus size. The per-pair
@@ -185,12 +198,27 @@ object TextDedup {
     * shingle arrays (distinct-then-hash, so set sizes — and therefore the
     * Jaccard value — are preserved; fixed-width longs halve both the join
     * payload and the per-pair compare cost vs raw strings) — this is the
-    * engine's hottest inner loop. Returns (id_a, id_b, jac) with
-    * id_a < id_b and jac >= threshold. */
+    * engine's hottest inner loop.
+    *
+    * `lengthBanded = true` adds a LOSSLESS token-count band to the block
+    * key: jac ≥ θ bounds the size ratio to 1/θ ([[bandWidthFor]]), so
+    * banding shingle counts at that log width and joining adjacent bands
+    * keeps every true pair while cutting candidate generation from
+    * O(block²) to O(Σ band²) — the scale lever when the natural block
+    * (a language, a source) is huge. `minGrams > 0` drops docs with
+    * fewer distinct shingles from BOTH sides before the join (a floor on
+    * min(|A|,|B|); tiny docs pair promiscuously and are rarely
+    * meaningful dedup targets). Both knobs change which pairs are
+    * REPORTED only via that documented contract — banding not at all,
+    * the floor exactly per its predicate.
+    * Returns (id_a, id_b, jac) with id_a < id_b and jac >= threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 1, threshold: Double = 0.9): DataFrame = {
-    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n)
+      n: Int = 1, threshold: Double = 0.9,
+      lengthBanded: Boolean = false, minGrams: Int = 0): DataFrame = {
+    val bw = if (lengthBanded) Some(bandWidthFor(threshold)) else None
+    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n,
+      minGrams, bw)
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       // length prefilter: |∩| ≤ min(|a|,|b|) and |∪| ≥ max(|a|,|b|), so
@@ -208,19 +236,51 @@ object TextDedup {
   /** Shared scaffold of the pairwise shingle-overlap operators: both
     * sides of the blocked self-join, each row carrying its SORTED hashed
     * shingle array and its size, the base frame materialized once
-    * (tokenize+sort once, not per join side). */
-  private def blockedShinglePairSides(
+    * (tokenize+sort once, not per join side).
+    *
+    * `minGrams` pre-filters BOTH sides to `sz >= minGrams`. `bandWidth`
+    * augments the join key with a size band `⌊ln(sz)/W⌋`: the `id_a`
+    * side carries its own band, the `id_b` side explodes to
+    * `{band−1, band, band+1}`, so exactly the pairs within one band of
+    * each other meet — each at most once, because the match band is
+    * always the a-side's band and the b-side emits each band once. Docs
+    * whose band is NULL (null text → null shingles) drop from the banded
+    * join; they can never form a reported pair in the unbanded form
+    * either (null/zero sizes fail every downstream filter), so reported
+    * pairs are unchanged. The b-side explode triples that side's
+    * pre-join rows — the candidate cut (quadratic → per-band quadratic)
+    * dwarfs it on any block big enough to need banding. */
+  private[graft] def blockedShinglePairSides(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int): (DataFrame, DataFrame) = {
+      n: Int, minGrams: Int = 0, bandWidth: Option[Double] = None)
+      : (DataFrame, DataFrame) = {
     graft.functions.Functions.register(df.sparkSession)
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+    val t0 = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       sort_array(hashedShingles(col(textCol), n)).as("toks"))
       .withColumn("sz", size(col("toks")))
+    val t = (if (minGrams > 0) t0.filter(col("sz") >= minGrams) else t0)
       .localCheckpoint(eager = false)
-    (t.select(col("id").as("id_a"), col("block"),
-      col("toks").as("toks_a"), col("sz").as("sz_a")),
-      t.select(col("id").as("id_b"), col("block"),
-        col("toks").as("toks_b"), col("sz").as("sz_b")))
+    bandWidth match {
+      case None =>
+        (t.select(col("id").as("id_a"), col("block"),
+          col("toks").as("toks_a"), col("sz").as("sz_a")),
+          t.select(col("id").as("id_b"), col("block"),
+            col("toks").as("toks_b"), col("sz").as("sz_b")))
+      case Some(w) =>
+        val band = floor(log(col("sz").cast("double")) / lit(w)).cast("long")
+        val a = t.select(col("id").as("id_a"),
+          struct(col("block").as("blk"), band.as("band")).as("block"),
+          col("toks").as("toks_a"), col("sz").as("sz_a"))
+        val b = t.withColumn("__band", band)
+          .select(col("id").as("id_b"), col("block").as("blk"),
+            explode(array(col("__band") - 1, col("__band"),
+              col("__band") + 1)).as("band"),
+            col("toks").as("toks_b"), col("sz").as("sz_b"))
+          .select(col("id_b"),
+            struct(col("blk"), col("band")).as("block"),
+            col("toks_b"), col("sz_b"))
+        (a, b)
+    }
   }
 
   /** Asymmetric containment near-dup pairs within a blocking key:
@@ -229,15 +289,22 @@ object TextDedup {
     * scores ~1.0 here while its Jaccard (÷ union) stays low, so
     * [[ngramJaccardPairs]] never surfaces it. Same scale machinery:
     * distinct-then-hashed shingles, native merge-walk intersection,
-    * block-bounded candidates. No size-ratio prefilter exists for
-    * containment (that pruning is exactly what the ÷min denominator
-    * removes), so thresholds here cost more than Jaccard ones — use a
-    * higher n (default 3-grams) to keep gram sets document-specific.
-    * Returns (id_a, id_b, containment) with id_a < id_b. */
+    * block-bounded candidates. No size-ratio prefilter OR length band
+    * exists for containment (Jaccard's ratio bound is exactly what the
+    * ÷min denominator removes — a 5-gram fragment legitimately pairs
+    * with a 5000-gram host), so thresholds here cost more than Jaccard
+    * ones — use a higher n (default 3-grams) to keep gram sets
+    * document-specific, and `minGrams` as the degenerate-doc guard: a
+    * doc with a handful of distinct shingles scores containment ≈ 1
+    * against half the corpus by chance alone, so flooring min(|A|,|B|)
+    * (by pre-filtering both sides) is the one sound fan-out cut the
+    * metric admits. Returns (id_a, id_b, containment) with id_a < id_b
+    * and both sides' shingle counts >= minGrams. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n)
+      n: Int = 3, threshold: Double = 0.8, minGrams: Int = 0): DataFrame = {
+    val (a, b) = blockedShinglePairSides(df, idCol, textCol, blockCol, n,
+      minGrams)
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
       .withColumn("containment",

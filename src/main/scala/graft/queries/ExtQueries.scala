@@ -262,15 +262,18 @@ object ExtQueries {
 
     // Cross-source duplication matrix (which sources copy each other):
     // near-dup pairs from the blocked Jaccard operator — blocked by lang
-    // here so pairs CROSS sources; at scale add a token-count band to the
-    // block (0.9 Jaccard bounds the size ratio) — rolled up into a
-    // symmetric (src_lo, src_hi) pair-count heatmap. The id→source joins
-    // move (id, source) projections only.
+    // here so pairs CROSS sources, with the LOSSLESS token-count band on
+    // the block key (0.9 Jaccard bounds the size ratio to 1/0.9, so
+    // adjacent log-width bands keep every true pair): a handful of langs
+    // would otherwise make candidate generation O((n/|langs|)²) — the
+    // band caps the quadratic term at band-bucket size instead — rolled
+    // up into a symmetric (src_lo, src_hi) pair-count heatmap. The
+    // id→source joins move (id, source) projections only.
     "x41_source_dup_matrix" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
         val pairs = TextDedup.ngramJaccardPairs(docs, "doc_id", "text",
-          blockCol = "lang", n = 1, threshold = 0.9)
+          blockCol = "lang", n = 1, threshold = 0.9, lengthBanded = true)
         val src = docs.select(col("doc_id"), col("source"))
         pairs
           .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
@@ -516,7 +519,13 @@ object ExtQueries {
     // stays low. The synthetic corpus has no natural sub-document copies,
     // so plant truncated halves of every 50th doc (id + 1e6) — the
     // operator must recover exactly those (plus the corpus's one real
-    // containing pair), same planted-recall shape as x18.
+    // containing pair), same planted-recall shape as x18. Every 100th doc
+    // also plants a DEGENERATE 3-token fragment (id + 2e6, exactly one
+    // real 3-gram — the host's first): those pair at containment 1.0
+    // with their hosts by construction, and the minGrams = 3 floor must
+    // exclude them from both join sides — the floor is load-bearing, not
+    // decorative, and the oracle carries the same `len(g) >= 3`
+    // predicate.
     "x34_dedup_containment" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
@@ -527,22 +536,34 @@ object ExtQueries {
             concat_ws(" ", slice(toks, lit(1),
               greatest(floor(size(toks) / 2), lit(3)).cast("int"))).as("text"),
             col("source"))
-        TextDedup.containmentPairs(docs.unionByName(half),
-            "doc_id", "text", blockCol = "source", n = 3, threshold = 0.8)
+        val frag = docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat_ws(" ", slice(toks, 1, 3)).as("text"),
+            col("source"))
+        TextDedup.containmentPairs(docs.unionByName(half).unionByName(frag),
+            "doc_id", "text", blockCol = "source", n = 3, threshold = 0.8,
+            minGrams = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
       """WITH half AS (SELECT doc_id + 1000000 AS doc_id,
         |    array_to_string(tk[1:greatest(len(tk)//2, 3)], ' ') AS text, source
         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk, source FROM documents)
         |  WHERE doc_id % 50 = 0),
+        |frag AS (SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(tk[1:3], ' ') AS text, source
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk, source FROM documents)
+        |  WHERE doc_id % 100 = 0),
         |corpus AS (SELECT doc_id, text, source FROM documents
-        |           UNION ALL SELECT * FROM half),
-        |t AS (SELECT doc_id, source,
+        |           UNION ALL SELECT * FROM half
+        |           UNION ALL SELECT * FROM frag),
+        |t AS (SELECT doc_id, source, g FROM (
+        |  SELECT doc_id, source,
         |    list_distinct(CASE WHEN len(tk) >= 3
         |      THEN list_transform(range(1, len(tk) - 1),
         |             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
         |      ELSE [array_to_string(tk, ' ')] END) AS g
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM corpus))
+        |  WHERE len(g) >= 3)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.g, b.g))::DOUBLE / least(len(a.g), len(b.g))
         |    AS containment

@@ -228,6 +228,101 @@ class ExtOpsSpec extends SparkSpec {
     assert(jac.isEmpty, jac.mkString(","))
   }
 
+  test("length banding: no true pair can land more than one band apart (exhaustive at θ=0.9)") {
+    import graft.ext.TextDedup
+    val theta = 0.9
+    val w = TextDedup.bandWidthFor(theta)
+    def bandOf(sz: Long): Long = math.floor(math.log(sz.toDouble) / w).toLong
+    // every admissible size pair: jac >= θ forces max/min <= 1/θ; the
+    // banded join must see all of them within one band — exhaustive over
+    // small sizes, then a boundary sweep at large ones
+    for (a <- 1L to 2000L; b <- a to (a / theta).toLong)
+      assert(math.abs(bandOf(b) - bandOf(a)) <= 1,
+        s"sizes ($a, $b): bands ${bandOf(a)}, ${bandOf(b)}")
+    for (a <- Seq(10000L, 123457L, 10000000L, 999999937L)) {
+      val b = (a / theta).toLong // the worst admissible ratio
+      assert(math.abs(bandOf(b) - bandOf(a)) <= 1, s"boundary at $a")
+    }
+  }
+
+  test("lengthBanded ngramJaccardPairs ≡ unbanded (zero true-pair loss) and cuts candidates") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(7)
+    // one giant block with a wide length spread + planted near-dups: the
+    // shape banding exists for
+    val base = (1 to 300).map { i =>
+      val len = 5 + rnd.nextInt(200)
+      (i.toLong, (1 to len).map(_ => s"w${rnd.nextInt(500)}").mkString(" "))
+    }
+    val dups = base.filter(_._1 % 7 == 0).map { case (id, text) =>
+      val toks = text.split(" ")
+      // drop one token: stays above 0.9 Jaccard for longer docs
+      (id + 10000L, toks.drop(1).mkString(" "))
+    }
+    val df = (base ++ dups).map { case (id, t) => (id, t, "blk") }
+      .toDF("doc_id", "text", "source")
+    def pairs(banded: Boolean) =
+      TextDedup.ngramJaccardPairs(df, "doc_id", "text", "source",
+          n = 1, threshold = 0.9, lengthBanded = banded)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (unbanded, banded) = (pairs(false), pairs(true))
+    assert(unbanded.nonEmpty, "corpus must contain true near-dup pairs")
+    assert(banded == unbanded,
+      s"banding changed the result: only-unbanded=${(unbanded -- banded).take(5)} " +
+        s"only-banded=${(banded -- unbanded).take(5)}")
+    // the point of the band: candidate fan-out (pairs entering the
+    // merge-walk) drops hard on a block with a wide length spread
+    def candidates(bw: Option[Double]): Long = {
+      val (a, b) = TextDedup.blockedShinglePairSides(
+        df, "doc_id", "text", "source", 1, 0, bw)
+      a.join(b, Seq("block")).filter($"id_a" < $"id_b").count()
+    }
+    val (cu, cb) =
+      (candidates(None), candidates(Some(TextDedup.bandWidthFor(0.9))))
+    assert(cb < cu / 4,
+      s"banding must cut candidates ≥4× on this corpus: $cb vs $cu")
+  }
+
+  test("containment minGrams floor: degenerate docs drop, surviving pairs unchanged") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(11)
+    val normal = (1 to 60).map { i =>
+      (i.toLong, (1 to 30 + rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(80)}").mkString(" "))
+    }
+    // sub-document copies (the true positives the floor must keep)
+    val halves = normal.filter(_._1 % 10 == 0).map { case (id, t) =>
+      (id + 1000L, t.split(" ").take(15).mkString(" "))
+    }
+    // degenerate 3-token fragments: exactly one REAL 3-gram each (the
+    // host's first), containment 1.0 against their host by construction
+    // — pure fan-out noise
+    val frags = normal.map { case (id, t) =>
+      (id + 2000L, t.split(" ").take(3).mkString(" "))
+    }
+    val df = (normal ++ halves ++ frags).map { case (id, t) => (id, t, "blk") }
+      .toDF("doc_id", "text", "source")
+    def run(minGrams: Int) =
+      TextDedup.containmentPairs(df, "doc_id", "text", "source",
+          n = 3, threshold = 0.8, minGrams = minGrams)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (unfloored, floored) = (run(0), run(3))
+    val wantKept = unfloored.filter { case (a, b) => a < 2000L && b < 2000L }
+    assert(floored == wantKept,
+      s"floor must drop exactly the fragment pairs: ${(floored -- wantKept).take(5)} / ${(wantKept -- floored).take(5)}")
+    assert(halves.map(h => (h._1 - 1000L, h._1)).forall(floored.contains),
+      "every planted half must survive the floor")
+    assert(unfloored.size > floored.size,
+      "fragments must have produced pairs for this test to bite")
+    // candidate reduction: both sides lose the fragment rows pre-join
+    def candidates(minGrams: Int): Long = {
+      val (a, b) = TextDedup.blockedShinglePairSides(
+        df, "doc_id", "text", "source", 3, minGrams, None)
+      a.join(b, Seq("block")).filter($"id_a" < $"id_b").count()
+    }
+    assert(candidates(3) < candidates(0),
+      "the floor must shrink the candidate join")
+  }
+
   test("chunkDedup: keep-first across docs and within a doc; reassembly in order") {
     import graft.ext.Curation
     val d = Seq(
