@@ -185,22 +185,9 @@ object Similarity {
       .select(col("nid"), col("arr").as("cv"), col("prediction").as("cell"))
       .withColumn("cn", norm(col("cv")))
 
-    // probe ranking: distance of each query to every centroid (plan-time
-    // literals), keep the nProbe nearest cells
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
-    }
-    val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm(col("qv")))
-      .withColumn("c", explode(array(centroids: _*)))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("c.cvec"), (x: Column, y: Column) => (x - y) * (x - y)),
-        lit(0.0), (acc: Column, x: Column) => acc + x))
-    val probeW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
-    val probes = q.withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), col("c.cell").as("cell"))
+    val probes = probeCells(queries, idCol, vecCol,
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
+      nProbe)
 
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("sim", when(col("cn") * col("qn") > 0,
@@ -209,6 +196,36 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+
+  /** Rank each query against the coarse-quantizer centroids and keep its
+    * `nProbe` nearest cells. The centroids ride in a BROADCAST local
+    * relation, not the plan tree: the former `array(struct(lit…))`
+    * explode inlined nCentroids × dim literal nodes per query row — fine
+    * at 16 cells, a plan-construction bomb at the 4k–64k cells a
+    * production IVF uses (the same failure mode the native
+    * `hyperplane_sig` expression killed for LSH planes). As a local
+    * relation the plan carries one LocalTableScan regardless of cell
+    * count, and the per-(query, centroid) distance is the identical
+    * zip-with fold, so probe choice — and therefore ivfTopK output — is
+    * unchanged. */
+  private[graft] def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val session = queries.sparkSession
+    import session.implicits._
+    val centDf = centroids.toDF("cell", "cvec")
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(centDf))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("cvec"), (x: Column, y: Column) => (x - y) * (x - y)),
+        lit(0.0), (acc: Column, x: Column) => acc + x))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cell"))
+    q.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
   }
 
   /** SemDeDup-style semantic deduplication: within each semantic cluster,

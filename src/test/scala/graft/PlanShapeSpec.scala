@@ -95,6 +95,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("IVF probe ranking at production cell counts: local relation, not a literal tree") {
+    import spark.implicits._
+    // 4096 cells × 64 dims — the scale where the former
+    // array(struct(lit…)) form inlined ~260k literal nodes into the plan.
+    // As a broadcast local relation the analyzed plan stays small and the
+    // query executes; the probe result itself must be exact.
+    val rnd = new scala.util.Random(3)
+    val cents = (0 until 4096).map(i => (i, Array.fill(64)(rnd.nextGaussian())))
+    val qs = (1 to 5).map(i => (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val probes = graft.ext.Similarity.probeCells(qs, "vec_id", "embedding",
+      cents, nProbe = 4)
+    val planChars = probes.queryExecution.analyzed.treeString.length
+    assert(planChars < 100000,
+      s"analyzed plan is $planChars chars — the centroid table leaked into the tree")
+    val got = probes.select($"qid", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == (1L to 5L).toSet && got.values.forall(_.size == 4))
+    // exactness: nearest-4 centroids by squared distance, recomputed naively
+    val qrows = qs.as[(Long, Seq[Double])].collect().toMap
+    for ((qid, cells) <- got) {
+      val want = cents.map { case (i, c) =>
+        (i, c.zip(qrows(qid)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1).toSet
+      assert(cells == want, s"qid $qid: $cells vs $want")
+    }
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
