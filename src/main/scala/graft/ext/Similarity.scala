@@ -369,11 +369,23 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
-    * higher recall and cost. */
+    * higher recall and cost.
+    *
+    * `broadcastQueries` controls the candidate join's build side: `true`
+    * (default) broadcasts the query set — right for a labeling/search
+    * batch that is small next to the corpus; set `false` when the query
+    * set is a corpus FRACTION (an audit sweep, self-join-style sweeps):
+    * the join then runs as a plain bucket equi-join — both sides shuffle
+    * on the bucket key, nothing scales with the corpus on one executor,
+    * and AQE is still free to broadcast at runtime when the actual size
+    * allows. `excludeSelf` drops the query row itself from its candidate
+    * set (the leave-one-out shape every self-audit needs). */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 8, dim: Int = 64): DataFrame = {
+      nBits: Int = 8, dim: Int = 64,
+      excludeSelf: Boolean = false,
+      broadcastQueries: Boolean = true): DataFrame = {
     graft.functions.Functions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
       .withColumn("bucket", lshSignature(col("cv"), nBits, dim))
@@ -381,12 +393,57 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("bucket", lshSignature(col("qv"), nBits, dim))
       .withColumn("qn", norm(col("qv")))
-    val scored = c.join(broadcast(q), "bucket")
+    val joined = c.join(if (broadcastQueries) broadcast(q) else q, "bucket")
+    val candidates = if (excludeSelf) joined.filter(col("nid") =!= col("qid"))
+      else joined
+    val scored = candidates
       .withColumn("sim", when(col("cn") * col("qn") > 0,
         dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+
+  /** Majority-vote labeling over ANY ranked candidate frame: the vote
+    * pipeline of [[knnPredict]] factored out so the candidate stage is
+    * swappable — brute force for small query batches, [[lshTopK]] /
+    * [[ivfTopK]] buckets when the query set is a corpus fraction (the
+    * 100 TB default; neither broadcasts a corpus-scaling frame).
+    * `topk`: (qid, nid, …) rows, at most k per query; `labels`: one
+    * (id, label) row per corpus/query id — the joins move that
+    * two-column projection only. Queries whose candidate set is empty
+    * drop from the output (no neighbours — no vote). */
+  def labelVote(topk: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__lab"))
+    val votes = topk
+      .join(lab.select(col("__id").as("nid"), col("__lab").as("nlabel")), "nid")
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val voteW = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    votes.withColumn("pr", row_number().over(voteW))
+      .filter(col("pr") === 1)
+      .join(lab.select(col("__id").as("qid"), col("__lab").as("true_label")), "qid")
+      .select(col("qid"), col("true_label"),
+        col("nlabel").as("pred_label"), col("votes"),
+        (col("true_label") === col("nlabel")).cast("long").as("correct"))
+  }
+
+  /** kNN label vote with LSH-bucketed candidates: [[lshTopK]]
+    * (leave-one-out, NO query broadcast — the query set is a corpus
+    * fraction in the auto-labeling audit shape this serves) feeding
+    * [[labelVote]]. The brute-force [[knnPredict]] is the small-batch
+    * twin; this is the form that survives 100 TB — every join is a
+    * bucket/id equi-join, and the only per-executor state is a bucket's
+    * worth of vectors. */
+  def knnPredictLsh(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val topk = lshTopK(corpus, queries, idCol, vecCol, k, nBits, dim,
+      excludeSelf = true, broadcastQueries = false)
+    labelVote(topk, corpus, idCol, labelCol)
   }
 }

@@ -28,10 +28,11 @@ object ExtQueries {
 
   /** `sign(v · plane_p) → 2^p` signature terms over inlined plane
     * literals — the SQL twin of [[graft.functions.HyperplaneSig]]
-    * (HUGEINT keeps bit 63 exact). */
-  private def sigSql(nBits: Int, dim: Int): String =
+    * (HUGEINT keeps bit 63 exact). `vcol` names the vector column the
+    * signature reads (the truncated-dim audit signs a prefix column). */
+  private def sigSql(nBits: Int, dim: Int, vcol: String = "v"): String =
     planeLits(nBits, dim).zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product(v, $p) > 0 " +
+      s"(CASE WHEN list_dot_product($vcol, $p) > 0 " +
         s"THEN ${java.math.BigInteger.ONE.shiftLeft(i)}::HUGEINT ELSE 0::HUGEINT END)"
     }.mkString(" + ")
 
@@ -298,8 +299,10 @@ object ExtQueries {
     // Truncated-dimension retrieval audit (the matryoshka storage
     // question: do the first 16 of 64 dims preserve the top-k?): per
     // query, how many of the full-precision top-5 the 16-dim prefix
-    // retrieval recovers. Two bounded top-k passes + one equi-join on
-    // (qid, nid) — no new plan shapes at scale.
+    // retrieval recovers. EXACT ground truth via two brute-force passes
+    // over a broadcast 4% query sample — the small-sample form; x46 is
+    // the same audit on LSH retrieval with no broadcast, the form that
+    // sweeps a corpus fraction at 100 TB.
     "x42_dim_truncation_recall" -> entry(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
@@ -336,6 +339,96 @@ object ExtQueries {
         |          THEN list_cosine_similarity(c.v16, q.v16) END)
         |          DESC NULLS LAST, c.vec_id) AS rnk
         |  FROM b q JOIN b c ON q.vec_id % 25 = 0) WHERE rnk <= 5)
+        |SELECT fl.qid, CAST(count(tr.nid) AS BIGINT) AS n_common
+        |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.nid = tr.nid
+        |GROUP BY fl.qid ORDER BY fl.qid""".stripMargin),
+
+    // kNN label vote on LSH-bucketed candidates — the 100 TB form of
+    // x36: the query set is 10% of the corpus, so nothing may broadcast
+    // it; candidates come from a signature-bucket equi-join (both sides
+    // shuffle on the bucket key), leave-one-out, then the same majority
+    // vote. Oracle: x06's inlined-plane bucket join feeding x36's vote.
+    "x45_knn_vote_lsh" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.knnPredictLsh(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 10 === 0),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 10, nBits = 4)
+          .orderBy(col("qid"))
+      },
+      s"""WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(${sigSql(nBits = 4, dim = 64)} AS INTEGER) AS bucket
+        |  FROM base),
+        |nn AS (SELECT q.vec_id AS qid, q.label AS tl, c.label AS cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN c.nrm * q.nrm > 0
+        |        THEN list_dot_product(c.v, q.v) / (c.nrm * q.nrm) END)
+        |        DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM sig c JOIN sig q
+        |    ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 10 = 0),
+        |votes AS (SELECT qid, tl, cl, count(*) AS n FROM nn
+        |          WHERE rnk <= 10 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, tl, cl, n, row_number() OVER (
+        |    PARTITION BY qid ORDER BY n DESC, cl) AS pr FROM votes)
+        |SELECT qid, tl AS true_label, cl AS pred_label, n AS votes,
+        |  CAST(tl = cl AS BIGINT) AS correct
+        |FROM pred WHERE pr = 1 ORDER BY qid""".stripMargin),
+
+    // Truncated-dimension retrieval audit on LSH candidates — the 100 TB
+    // form of x42: both the full-precision and the 16-dim-prefix top-5
+    // come from signature-bucket retrieval (16-dim planes for the
+    // prefix), no corpus-fraction broadcast anywhere; recall is then
+    // "how many of the full-index top-5 the truncated index recovers" —
+    // the question a storage-tiering decision actually asks of its
+    // production index, not of an unaffordable exact scan.
+    "x46_truncation_recall_lsh" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 25 === 0)
+        val full = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+          k = 5, nBits = 4, dim = 64, broadcastQueries = false)
+        val emb16 = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+          .select(col("vec_id"), col("emb16"))
+        val q16 = emb16.filter(col("vec_id") % 25 === 0)
+        val trunc = Similarity.lshTopK(emb16, q16, "vec_id", "emb16",
+          k = 5, nBits = 4, dim = 16, broadcastQueries = false)
+        full.join(trunc.select(col("qid"), col("nid"), lit(1).as("hit")),
+            Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_common"))
+          .orderBy(col("qid"))
+      },
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             CAST(embedding[1:16] AS DOUBLE[]) AS v16
+        |           FROM embeddings),
+        |sf AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |    CAST(${sigSql(nBits = 4, dim = 64)} AS INTEGER) AS bucket
+        |  FROM b),
+        |st AS (SELECT vec_id, v16, sqrt(list_dot_product(v16, v16)) AS nrm,
+        |    CAST(${sigSql(nBits = 4, dim = 16, vcol = "v16")} AS INTEGER) AS bucket
+        |  FROM b),
+        |fl AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
+        |      PARTITION BY q.vec_id ORDER BY
+        |        (CASE WHEN c.nrm * q.nrm > 0
+        |          THEN list_dot_product(c.v, q.v) / (c.nrm * q.nrm) END)
+        |          DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM sf c JOIN sf q ON c.bucket = q.bucket AND q.vec_id % 25 = 0)
+        |  WHERE rnk <= 5),
+        |tr AS (SELECT qid, nid FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid, row_number() OVER (
+        |      PARTITION BY q.vec_id ORDER BY
+        |        (CASE WHEN c.nrm * q.nrm > 0
+        |          THEN list_dot_product(c.v16, q.v16) / (c.nrm * q.nrm) END)
+        |          DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM st c JOIN st q ON c.bucket = q.bucket AND q.vec_id % 25 = 0)
+        |  WHERE rnk <= 5)
         |SELECT fl.qid, CAST(count(tr.nid) AS BIGINT) AS n_common
         |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.nid = tr.nid
         |GROUP BY fl.qid ORDER BY fl.qid""".stripMargin),
@@ -764,7 +857,9 @@ object ExtQueries {
 
     // kNN label vote (auto-labeling / weak supervision): majority label
     // among the 10 nearest neighbours, self excluded, ties to the higher
-    // count then the smaller label.
+    // count then the smaller label. Brute-force candidates with the
+    // query set broadcast — the SMALL-BATCH form; x45 is the same vote
+    // on LSH candidates with no broadcast, the corpus-fraction form.
     "x36_knn_label_vote" -> entry(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

@@ -323,6 +323,43 @@ class ExtOpsSpec extends SparkSpec {
       "the floor must shrink the candidate join")
   }
 
+  test("lshTopK leave-one-out: planted duplicates surface as rank-1 without self-matches") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id", $"embedding")
+    val copies = emb.withColumn("vec_id", $"vec_id" + 10000L)
+    val corpus = emb.unionByName(copies)
+    val top = Similarity.lshTopK(corpus, copies, "vec_id", "embedding",
+      k = 3, nBits = 4, dim = 64, excludeSelf = true, broadcastQueries = false)
+    val r1 = top.filter($"rnk" === 1).select("qid", "nid")
+      .as[(Long, Long)].collect()
+    assert(r1.nonEmpty)
+    // identical vectors share every band, so the original is always a
+    // candidate; sim 1.0 + smallest-id tiebreak makes it rank-1, and
+    // excludeSelf keeps the query row itself out
+    assert(r1.forall { case (q, n) => n == q - 10000L },
+      r1.filterNot { case (q, n) => n == q - 10000L }.take(5).mkString(","))
+  }
+
+  test("labelVote: majority wins, ties to the smaller label, empty-candidate queries drop") {
+    val topk = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // a,b,a -> a (majority)
+      (2L, 10L, 1), (2L, 13L, 2),               // a,a   -> a, true y -> wrong
+      (3L, 11L, 1), (3L, 10L, 2))               // b,a tie -> a (smaller label)
+      .toDF("qid", "nid", "rnk")
+    val labels = Seq((1L, "a"), (2L, "y"), (3L, "b"), (10L, "a"),
+      (11L, "b"), (12L, "a"), (13L, "a")).toDF("id", "label")
+    val got = Similarity.labelVote(topk, labels, "id", "label")
+      .orderBy($"qid")
+      .select("qid", "true_label", "pred_label", "votes", "correct")
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 2L, 1L),
+      (2L, "y", "a", 2L, 0L),
+      (3L, "b", "a", 1L, 0L)), got.mkString(","))
+    // qid 4 never appears in topk -> absent from the output
+    assert(!got.exists(_._1 == 4L))
+  }
+
   test("chunkDedup: keep-first across docs and within a doc; reassembly in order") {
     import graft.ext.Curation
     val d = Seq(

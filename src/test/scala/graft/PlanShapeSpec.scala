@@ -123,6 +123,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x45/x46 LSH sweeps: no explicit broadcast of the corpus-fraction query set") {
+    // the audit-sweep queries are a fixed FRACTION of the corpus — an
+    // explicit broadcast hint would pin a corpus-scaling frame onto every
+    // executor at 100 TB. The plan must carry no hint at all (AQE may
+    // still broadcast at runtime when the actual size allows — that's
+    // adaptive, not structural).
+    for (name <- Seq("x45_knn_vote_lsh", "x46_truncation_recall_lsh")) {
+      val analyzed = query(name).queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name carries a broadcast hint:\n${analyzed.take(2000)}")
+    }
+    // contrast: the small-batch forms (x05/x36) DO hint — that contract
+    // stays pinned too
+    val bf = query("x36_knn_label_vote").queryExecution.analyzed.toString
+    assert(bf.contains("ResolvedHint"), bf.take(1500))
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
