@@ -31,6 +31,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     allEntries.collect { case (name, Q.Entry(_, Some(sql))) => name -> sql }
 
+  /** Spark-naive oracle references ([[graft.queries.NaiveOracles]]) for
+    * queries whose semantics DuckDB cannot express: Verify dumps each as
+    * a parquet artifact and registers a `read_parquet` oracle SQL for
+    * it, so the driver's checker still runs the full rows+schema+hash
+    * compare instead of a rows-only count. */
+  def naiveOracle: Map[String, (SparkSession, String) => DataFrame] =
+    NaiveOracles.all
+
   private def allEntries: Map[String, Q.Entry] =
     StandardQueries.all ++ ProducerQueries.all ++ ConsumerQueries.all ++
       ExtQueries.all

@@ -27,6 +27,26 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Spark-naive oracle artifacts (x02/x03/x13): dump the independent
+    // brute-force reference next to the query result and register a
+    // read_parquet oracle for it — the checker then hash-compares the
+    // two artifacts exactly like a DuckDB oracle. A failed naive dump
+    // degrades that query to its former rows-only state (no SQL entry)
+    // rather than guaranteeing a checker failure.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
+    val naiveSql = SparkEntry.naiveOracle
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/${name}_naive")
+          Some(name ->
+            s"SELECT * FROM read_parquet('$outAbs/${name}_naive/*.parquet')")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] naive oracle $name failed: ${e.getMessage}")
+          None
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,7 +59,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = (SparkEntry.oracleSql ++ naiveSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

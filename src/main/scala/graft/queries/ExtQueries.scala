@@ -8,12 +8,14 @@ import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
   * similarity search, text analysis, multimodal columns — over the
-  * `documents` and `embeddings` tables. Four queries remain rows-only —
-  * x02/x03 (MinHash/SimHash: xxhash64 is not portable to the oracle),
-  * x12 (HLL sketch: engine-specific) and x13 (KMeans: iterative ML) —
-  * each with exact-semantics coverage in ScalaTest instead. Everything
-  * else hash-matches DuckDB, including the hyperplane-LSH queries
-  * (x06/x18), whose seeded planes inline into the oracle SQL as literals.
+  * `documents` and `embeddings` tables. One query remains rows-only —
+  * x12 (HLL sketch: estimates are engine-specific by construction).
+  * x02/x03/x13 (xxhash64 hash families, the KMeans quantizer) hash-check
+  * against independent Spark-naive references instead
+  * ([[NaiveOracles]], dumped by Verify as read_parquet oracles).
+  * Everything else hash-matches DuckDB, including the hyperplane-LSH
+  * queries (x06/x18/x45/x46), whose seeded planes inline into the
+  * oracle SQL as literals.
   */
 object ExtQueries {
 
@@ -576,14 +578,16 @@ object ExtQueries {
         |FROM qq ORDER BY id""".stripMargin),
 
     // MinHash+LSH near-dup candidates, verified with exact Jaccard.
-    // Rows-only: xxhash64 signatures aren't oracle-portable.
+    // Hash-checked against NaiveOracles.x02 (all-pairs HOF re-derivation
+    // of the same xxhash64 family — not DuckDB-portable).
     "x02_dedup_minhash_lsh" -> rowsOnly(
       (s, dir) =>
         TextDedup.minhashLshPairs(tbl(s, dir, "documents"), "doc_id", "text",
             k = 16, bands = 8, shingleN = 2, threshold = 0.6)
           .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash fingerprints + hamming-banded near-dup pairs (rows-only).
+    // SimHash fingerprints + hamming-banded near-dup pairs. Hash-checked
+    // against NaiveOracles.x03 (per-bit HOF vote folds, all pairs).
     "x03_dedup_simhash" -> rowsOnly(
       (s, dir) =>
         TextDedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
@@ -821,8 +825,9 @@ object ExtQueries {
         |  FROM sig c JOIN sig q ON c.bucket = q.bucket AND q.vec_id % 100 = 0)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
 
-    // IVF ANN (scale path): KMeans coarse quantizer + multi-probe
-    // (rows-only: clustering is engine-specific).
+    // IVF ANN (scale path): KMeans coarse quantizer + multi-probe.
+    // Hash-checked against NaiveOracles.x13 (shared quantizer fit, all
+    // downstream stages re-derived naively).
     "x13_ann_ivf" -> rowsOnly(
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")

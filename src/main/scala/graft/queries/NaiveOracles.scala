@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q.tbl
+
+/** Spark-naive oracle references for the queries whose semantics cannot
+  * be expressed in the DuckDB dialect (xxhash64 hash families, the ML
+  * coarse quantizer): an INDEPENDENT brute-force re-derivation — no
+  * native graft expressions, no banded/bucketed candidate generation —
+  * that [[graft.Verify]] dumps next to the query result and points the
+  * oracle SQL at via `read_parquet`, so the driver's checker runs the
+  * same rows + schema + hash compare it runs for DuckDB oracles (these
+  * queries were previously rows-only).
+  *
+  * Independence inventory — what IS shared with the engine path, and why
+  * that is sound:
+  *  - `xxhash64` (a Spark built-in) and the minhash remix CONSTANTS
+  *    ([[graft.functions.MinhashSigs.mixConsts]]): these are the
+  *    hash-family SPEC. Every derived quantity — signatures, band
+  *    hashes, estimates, exact overlaps — is recomputed here with plain
+  *    column expressions (HOF folds, explicit per-index comparisons)
+  *    instead of the native codegen expressions and band-key joins the
+  *    engine uses.
+  *  - the fitted KMeans centroids for x13: the quantizer is shared
+  *    deterministic preprocessing (same data + seed inside the same
+  *    Verify JVM). Cell assignment, probe ranking, scoring and top-k
+  *    are all re-derived naively (exploded literal centroids, HOF
+  *    argmin, fold dot products) — exactly the parts the old rows-only
+  *    check could never see.
+  * All-pairs enumeration is a broadcast-nested-loop over the corpus —
+  * quadratic on purpose; this runs only in Verify at sf0.01.
+  */
+object NaiveOracles {
+
+  /** Column twin of [[graft.functions.MinhashSigs.mix]]: xor-rotate
+    * remix i of a base hash, from the shared constant table. */
+  private def mixCol(h: Column, i: Int): Column =
+    if (i == 0) h
+    else {
+      val r = (i * 7) % 61 + 1
+      h.bitwiseXOR(shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r)))
+        .bitwiseXOR(lit(graft.functions.MinhashSigs.mixConsts(i)))
+    }
+
+  /** Left-to-right double fold dot product — the documented evaluation
+    * order of the native `vector_dot`, rebuilt from HOFs. */
+  private def dotH(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a: Column, b: Column) => a * b),
+      lit(0.0), (acc: Column, v: Column) => acc + v)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x02_dedup_minhash_lsh" -> (x02 _),
+    "x03_dedup_simhash" -> (x03 _),
+    "x13_ann_ivf" -> (x13 _))
+
+  /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
+    * shingles, ALL document pairs enumerated, band agreement as eight
+    * explicit signature-slice comparisons, estimate as sixteen explicit
+    * positional equalities, exact Jaccard via array_intersect. Mirrors
+    * minhashLshPairs(k=16, bands=8, shingleN=2, threshold=0.6). */
+  private def x02(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val rowsPerBand = k / bands
+    val threshold = 0.6
+    val docs = tbl(s, dir, "documents")
+    val toks = transform(graft.ext.TextDedup.shingles(col("text"), 2),
+      (g: Column) => xxhash64(g))
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("toks"), (h: Column) => mixCol(h, i))).as(s"s$i"))
+    val sigged = docs
+      .select(col("doc_id").as("id"), toks.as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .select(Seq(col("id"), col("toks"), col("sz")) ++ sigCols: _*)
+    val bandCols = (0 until bands).map { bd =>
+      val elems = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(i => col(s"s$i"))
+      xxhash64(elems: _*).as(s"bh$bd")
+    }
+    val base = sigged.select(
+      Seq(col("id"), col("toks"), col("sz")) ++
+        (0 until k).map(i => col(s"s$i")) ++ bandCols: _*)
+    def side(sfx: String) = base.select(base.columns.map(c =>
+      col(c).as(s"${c}_$sfx")): _*)
+    val shareBand = (0 until bands)
+      .map(bd => col(s"bh${bd}_a") === col(s"bh${bd}_b")).reduce(_ || _)
+    val eqCount = (0 until k)
+      .map(i => when(col(s"s${i}_a") === col(s"s${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val estFloor = math.max(0.0,
+      threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    side("a").crossJoin(side("b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(shareBand)
+      .withColumn("est_jac", eqCount.cast("double") / k)
+      .filter(col("est_jac") >= estFloor)
+      .withColumn("jac",
+        inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
+  }
+
+  /** Naive x03: 64 interpreted per-bit vote folds per document (the
+    * pre-native HOF simhash), all pairs enumerated, the four 16-bit band
+    * agreements as explicit comparisons. Mirrors simhashPairs
+    * (maxHamming=6). */
+  private def x03(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val th = transform(split(col("text"), " "), (t: Column) => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(col("th"), lit(0),
+        (acc: Column, h: Column) => acc +
+          (shiftrightunsigned(h, j).bitwiseAND(lit(1L)).cast("int") * 2 - 1))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val base = docs.select(col("doc_id").as("id"), th.as("th"))
+      .withColumn("sh", bits)
+    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val share = (0 until 4).map(bd =>
+      shiftright(col("sh_a"), bd * 16).bitwiseAND(lit(0xFFFFL)) ===
+        shiftright(col("sh_b"), bd * 16).bitwiseAND(lit(0xFFFFL)))
+      .reduce(_ || _)
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") && share &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 6)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
+  /** Naive x13: the same seeded KMeans fit (shared quantizer spec), then
+    * cell assignment by exploded-literal argmin, probe ranking, scoring
+    * and top-k all re-derived with HOF arithmetic — no model.transform,
+    * no broadcast probe join. Mirrors ivfTopK(k=5, nCentroids=16,
+    * nProbe=4) over the %100 query sample. */
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = tbl(s, dir, "embeddings")
+    val features = emb.select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("arr"))
+      .withColumn("features", array_to_vector(col("arr")))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").fit(features)
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    }: _*)
+    def d2(v: Column, cvec: Column) = aggregate(
+      zip_with(v, cvec, (x: Column, y: Column) => (x - y) * (x - y)),
+      lit(0.0), (acc: Column, x: Column) => acc + x)
+    val corpusExp = emb
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", d2(col("cv"), col("c.cvec")))
+    val aw = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.cell"))
+    val assigned = corpusExp.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("cv"), col("c.cell").as("cell"))
+      .withColumn("cn", sqrt(dotH(col("cv"), col("cv"))))
+    val queryExp = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", d2(col("qv"), col("c.cvec")))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = queryExp.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"))
+      .withColumn("qn", sqrt(dotH(col("qv"), col("qv"))))
+    val scored = assigned.join(probes, "cell")
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dotH(col("cv"), col("qv")) / (col("cn") * col("qn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+}
