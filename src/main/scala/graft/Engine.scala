@@ -390,8 +390,8 @@ object Engine {
           .select(
             EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey))
               .as("kafka_key"),
-            Serializers.partitionKey(
-              t.partitionKeyAttr.orElse(Some(m.primaryKey)))
+            Serializers.partitionKey(t.partitionKeyFn,
+              t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id")
               .as("partition_key"),
             lit(null).cast("string").as("value"),
             col("__ts").as("ts"))
@@ -434,8 +434,8 @@ object Engine {
         array(to_json(Serializers.destroyedPayload(m,
           col("__ts"), col("__ts"), canceledAt))).as("data"),
         EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
-        Serializers.partitionKey(
-          t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+        Serializers.partitionKey(t.partitionKeyFn,
+          t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
         col("__ts").as("ts"))
     }
 
@@ -489,8 +489,8 @@ object Engine {
       lit(m.name).as("model_name"),
       array(payloadJson).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
-      Serializers.partitionKey(
-        t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+      Serializers.partitionKey(t.partitionKeyFn,
+        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
       col("__ts").as("ts"))
   }
 
@@ -570,8 +570,8 @@ object Engine {
       array(to_json(Serializers.wirePayload(m,
         col("__ts"), col("__ts"), snapshotCanceled(dependents)))).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
-      Serializers.partitionKey(
-        t.partitionKeyAttr.orElse(Some(m.primaryKey))).as("partition_key"),
+      Serializers.partitionKey(t.partitionKeyFn,
+        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
       col("__ts").as("ts"))
   }
 

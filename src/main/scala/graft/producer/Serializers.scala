@@ -113,12 +113,21 @@ object Serializers {
   def deletedProjection(df: DataFrame, m: ModelDef): DataFrame =
     df.select(col(m.primaryKey).as("id"))
 
-  /** P10 — Kafka partition key: per-topic attribute or function, default
+  /** P10 — Kafka partition key: per-topic lambda, attribute, or default
     * `account_id` (reference: partition_key.rb:12-41, config.rb:33-35).
-    * An opaque user lambda becomes a Scala function registered in the
-    * registry; the common declarative case stays a column. */
+    * The lambda form ([[graft.registry.TopicDef.partitionKeyFn]]) is
+    * applied to the full row packed as ONE struct column — the Spark
+    * analogue of the reference calling the user lambda with the resource
+    * (partition_key.rb:34-36) — and its result is cast to string, null
+    * staying null (the reference's `&.to_s`). The attribute form stays a
+    * plain column cast. */
   def partitionKey(attr: Option[String], default: String = "account_id"): Column =
-    col(attr.getOrElse(default)).cast("string")
+    partitionKey(None, attr, default)
+
+  def partitionKey(fn: Option[Column => Column], attr: Option[String],
+      default: String): Column =
+    fn.map(f => f(struct(col("*"))).cast("string"))
+      .getOrElse(col(attr.getOrElse(default)).cast("string"))
 
   /** P3/P11 — topic fan-out: one change → one outbox/publish row per
     * declared topic, plus the `_genesis` replica topic where declared

@@ -159,6 +159,23 @@ object ProducerQueries {
         | CAST(user_id AS VARCHAR) AS partition_key
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // P10 lambda form — an opaque per-topic key function over the
+    // resource struct (reference partition_key.rb:34-36), here a
+    // user-shard lambda: the partition key is user_id % 8 stringified.
+    "p10_partition_key_fn" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        ev.select(
+            col("event_id"),
+            Serializers.partitionKey(
+              Some((r: org.apache.spark.sql.Column) =>
+                pmod(r.getField("user_id"), lit(8))),
+              None, "user_id").as("partition_key"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, CAST(user_id % 8 AS VARCHAR) AS partition_key
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // P12 — retry bookkeeping: exponential backoff 5·2^attempts seconds.
     // Pure integral arithmetic in µs for exact cross-engine equality.
     "p12_retry_backoff" -> entry(

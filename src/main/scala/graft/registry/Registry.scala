@@ -122,6 +122,15 @@ final case class TopicDef(
     name: String,
     models: Seq[ModelDef],
     partitionKeyAttr: Option[String] = None,
+    /** P10 lambda form (reference partition_key.rb:34-36: a per-topic
+      * `lambda` called with the resource, result stringified): a Scala
+      * function over the RESOURCE STRUCT — the full record as one struct
+      * column — returning any column; the engine casts the result to
+      * string, and a null result stays null (the reference's `&.to_s`).
+      * Takes precedence over [[partitionKeyAttr]], mirroring the
+      * reference's `respond_to?(:call)` branch ordering. */
+    partitionKeyFn: Option[org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column] = None,
     genesisReplica: Boolean = false,
     importMode: Boolean = false,
     dedupIncoming: Boolean = true,

@@ -478,6 +478,43 @@ class StreamingPipelineSpec extends SparkSpec {
       Engine.genesis(spark, depReg, gBindings, "line", s"$tmp/work"))
   }
 
+  test("P10: lambda partition key resolves through the engine producer") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-p10").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq((7L, 1.0), (12L, 2.0)).toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts"))
+      .write.parquet(s"$src/f1")
+    // the reference's partition_key lambda (partition_key.rb:34-36): an
+    // opaque per-topic function of the resource — here a shard router
+    val reg = Registry("pk", Seq(TopicDef("events",
+      models = Seq(ModelDef("click",
+        attributes = Seq(Attribute("value", DoubleType)))),
+      partitionKeyFn = Some((r: org.apache.spark.sql.Column) =>
+        concat(lit("shard-"), pmod(r.getField("id"), lit(4)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val keys = spark.read.parquet(s"$tmp/work/topics/pk_events")
+      .select($"partition_key").as[String].collect().toSet
+    assert(keys == Set("shard-3", "shard-0"), keys.toString) // 7%4, 12%4
+  }
+
   test("Engine: live trigger keeps queries running and picks up new changes") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
