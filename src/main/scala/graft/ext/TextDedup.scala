@@ -68,31 +68,50 @@ object TextDedup {
     * is deterministic regardless of partitioning.
     *
     * Scale: state per band bucket is (ts, id, sig) triples — 24 bytes per
-    * document per band, never text; the shuffle is the band-key exchange
-    * plus one per-doc aggregation. Priors count whether or not they were
-    * themselves kept (dominance semantics — the batch twin is
-    * [[simhashPairs]] + lowest-id resolution): flagged copies enter
-    * state too, so a drifting chain A~B~C still collapses even when
-    * A̸~C directly, at the cost of state linear in copies — `expireAfter`
-    * is the growth bound for hot clusters.
+    * document per band, never text — and is DOUBLY bounded: by event time
+    * (`expireAfter`) and by size (`maxPerBucket`). Priors count whether
+    * or not they were themselves kept (dominance semantics — the batch
+    * twin is [[simhashPairs]] + lowest-id resolution): flagged copies
+    * enter state too, so a drifting chain A~B~C still collapses even
+    * when A̸~C directly, which makes hot-bucket state linear in copies —
+    * `maxPerBucket` (count-and-drop overflow: an arrival into a full
+    * bucket is still CHECKED against the retained priors, and still
+    * flagged, but is not itself retained) caps the degenerate case of a
+    * viral template flooding one band bucket, where the linear scan per
+    * arrival would otherwise go quadratic. The trade is bounded and
+    * explicit: a dropped entry cannot anchor later chained drift, so a
+    * copy whose only within-hamming prior was dropped passes — for a
+    * flood of near-identical docs the retained priors flag it anyway.
     *
     * `expireAfter` bounds the state by EVENT time: an original is
     * forgotten once the watermark passes its timestamp plus the expiry —
     * duplicates arriving within `expireAfter` of their original's event
     * time are caught, later ones may pass (the
     * `dropDuplicatesWithinWatermark` contract; like [[exactStreaming]],
-    * a periodic batch sweep catches the tail). `None` keeps state
-    * forever — exact dominance, unbounded state. With expiry on, Spark's
+    * a periodic batch sweep catches the tail). `None` keeps band-bucket
+    * state until `maxPerBucket` alone bounds it. With expiry on, Spark's
     * conservative multi-stateful-operator check must be disabled
     * (`spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
     * false`): it guards downstream WATERMARK-EVICTING state against late
-    * upstream emissions, but the per-doc vote here is keyed by id in
-    * update mode and never evicts by watermark, so a "late" band verdict
-    * updates its group rather than being dropped.
-    * Returns an UPDATE-mode stream of (id, dup_of, kept). */
+    * upstream emissions, but the per-doc vote here stores NOTHING (next
+    * paragraph), so a "late" band verdict is simply processed in its
+    * arrival batch rather than being dropped.
+    *
+    * The per-doc vote (OR across band verdicts) is a STATELESS pass-
+    * through group stage: every band verdict of a document is emitted by
+    * the band stage in the document's own arrival batch (the band
+    * explode and the verdicts live inside one trigger), so the vote
+    * group is complete by construction, emits immediately, and never
+    * writes to its state store — end-to-end query state is exactly the
+    * band buckets', and the `expireAfter`/`maxPerBucket` bounds hold for
+    * the WHOLE query (an earlier form aggregated the vote in update
+    * mode, whose per-id state grew with every document ever seen).
+    * Returns an APPEND-mode stream of (id, dup_of, kept), one row per
+    * document arrival. */
   def nearDupStreaming(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, maxHamming: Int = 3, bands: Int = 4,
-      expireAfter: Option[java.time.Duration] = None): DataFrame = {
+      expireAfter: Option[java.time.Duration] = None,
+      maxPerBucket: Int = 8192): DataFrame = {
     require(bands > maxHamming && 64 % bands == 0,
       "pigeonhole recall needs bands > maxHamming and bands | 64")
     graft.functions.Functions.register(stream.sparkSession)
@@ -145,7 +164,9 @@ object TextDedup {
                 val dupOf = seen.iterator
                   .filter(s => java.lang.Long.bitCount(s._3 ^ sig) <= maxHamming)
                   .map(_._2).minOption
-                seen = seen :+ ((tsu, id, sig))
+                // count-and-drop overflow: a full bucket still flags
+                // against its retained priors but stops growing
+                if (seen.size < maxPerBucket) seen = seen :+ ((tsu, id, sig))
                 (id, dupOf.getOrElse(-1L))
             }
             if (seen.isEmpty) state.remove()
@@ -163,11 +184,20 @@ object TextDedup {
             out.iterator
           }
       }
-    // OR across the bands: keep the smallest matching prior id
-    flagged.toDF("id", "flag")
-      .groupBy(col("id"))
-      .agg(min(when(col("flag") >= 0, col("flag"))).as("dup_of"))
-      .withColumn("kept", col("dup_of").isNull.cast("long"))
+    // OR across the bands: keep the smallest matching prior id. All of a
+    // document's band verdicts are emitted in its arrival batch, so this
+    // group is complete by construction — emit immediately, store
+    // nothing (state.update is never called; the store stays empty).
+    flagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Option[Long], Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (id, rows, _) =>
+          val flags = rows.collect { case (_, f) if f >= 0 => f }
+          val dupOf = flags.minOption
+          Iterator.single((id, dupOf, if (dupOf.isEmpty) 1L else 0L))
+      }
+      .toDF("id", "dup_of", "kept")
   }
 
   /** Exact Jaccard similarity of two token arrays (|∩| / |∪|), computed

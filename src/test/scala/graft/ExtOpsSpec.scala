@@ -106,7 +106,7 @@ class ExtOpsSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
     val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
         maxHamming = h, bands = bands)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("ndstream_out")
       .option("checkpointLocation", s"$tmp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -122,6 +122,47 @@ class ExtOpsSpec extends SparkSpec {
       s"cross-batch near-dup must be flagged against doc 1: ${rows(3L)}")
     assert(rows(5L) == (5L, Some(4L), 0L),
       s"in-batch exact dup must be flagged against the earlier row: ${rows(5L)}")
+  }
+
+  test("streaming near-dup: hot-bucket flood stays capped, copies still flagged") {
+    // a viral template: 60 identical docs across two batches, one band
+    // bucket. With maxPerBucket=8 the band state must stop growing at 8
+    // entries per band while every copy is still flagged against the
+    // retained priors — and the vote stage must store NOTHING.
+    val viral = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndcap").toString
+    def write(f: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, viral, s"2026-01-01 10:00:${"%02d".format(i % 60)}"))
+        .toDF("doc_id", "text", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", 1 to 30)
+    write("f2", 31 to 60)
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+        maxHamming = 3, bands = 4, maxPerBucket = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndcap_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndcap_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got(1L) == ((None, 1L)), s"first arrival is the original: ${got(1L)}")
+    // every later copy is flagged against doc 1 — including arrivals far
+    // past the cap and in the second batch (retained priors keep working)
+    for (i <- 2L to 60L)
+      assert(got(i) == ((Some(1L), 0L)), s"copy $i: ${got(i)}")
+    // state bound: identical docs share all 4 band buckets, each capped
+    // at 8 entries -> ≤ 32 state rows in the band stage; the vote stage
+    // stores nothing. (Progress metrics sum both stateful operators.)
+    val prog = q.recentProgress.flatMap(_.stateOperators)
+    assert(prog.nonEmpty)
+    val maxRows = prog.map(_.numRowsTotal).max
+    assert(maxRows <= 32, s"band state leaked past the cap: $maxRows rows")
   }
 
   test("streaming near-dup matches naive hamming dominance on one batch") {
@@ -152,7 +193,7 @@ class ExtOpsSpec extends SparkSpec {
       .parquet(s"$tmp/in/*")
     val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
         maxHamming = maxHamming, bands = 4)
-      .writeStream.outputMode("update")
+      .writeStream.outputMode("append")
       .format("memory").queryName("ndeq_out")
       .option("checkpointLocation", s"$tmp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
@@ -190,7 +231,7 @@ class ExtOpsSpec extends SparkSpec {
       val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
           maxHamming = 3, bands = 4,
           expireAfter = Some(java.time.Duration.ofMinutes(10)))
-        .writeStream.outputMode("update")
+        .writeStream.outputMode("append")
         .format("memory").queryName("ndexp_out")
         .option("checkpointLocation", s"$tmp/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
