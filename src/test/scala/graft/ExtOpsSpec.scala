@@ -401,6 +401,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("multimodal: metadata-only queries prune the media bytes at the parquet scan") {
+    // the claim Multimodal's layout advice makes (binary column last,
+    // metadata first): a query that touches only metadata must never
+    // read the blob — at 100 TB the blob IS the table
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mmprune").toString
+    Multimodal.asMediaTable(
+        graft.queries.Q.tbl(spark, sf(), "documents"), "doc_id", "text")
+      .write.parquet(s"$tmp/media")
+    val q = spark.read.parquet(s"$tmp/media")
+      .filter($"format" === "image").select($"id", $"format")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // isolate the ReadSchema struct — the line also carries the file
+    // path, which contains the word "media"
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .flatMap(_.split("ReadSchema: ").lastOption).getOrElse("")
+    assert(readSchema.contains("id") && readSchema.contains("format"),
+      plan.take(2000))
+    assert(!readSchema.contains("media"),
+      s"metadata query read the blob column: $readSchema")
+  }
+
   test("chunkDedup: keep-first across docs and within a doc; reassembly in order") {
     import graft.ext.Curation
     val d = Seq(
