@@ -367,4 +367,83 @@ object Curation {
         Window.orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how much more likely its tokens are under the TARGET
+    * distribution than under the raw one —
+    * `log w(doc) = Σ_tok ln p̂_target(tok) − ln p̂_raw(tok)` with add-0.5
+    * smoothing over the joint vocabulary — then keep the top `perSource`
+    * docs per source (deterministic resampling; the paper adds Gumbel
+    * noise, which a seeded hash column slots into the same rank).
+    *
+    * Scale shape: ONE token explode feeds a single conditional-aggregate
+    * shuffle producing both sides' counts per token (no second corpus
+    * pass); the scored join is a token-keyed equi-join against that
+    * vocabulary-sized frame (never broadcast — only the three scalar
+    * totals are); the per-doc sum folds in token-sorted order (the x31
+    * float-parity pattern) and the per-source top-k is the map-side
+    * WindowGroupLimit shape. `isTarget` marks the target-domain rows;
+    * scores are reported for the raw (non-target) rows. */
+  def dsirSelection(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, isTarget: Column, perSource: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(strataCol).as("source"),
+        isTarget.as("__t"), explode(split(col(textCol), " ")).as("tok"))
+      .localCheckpoint(eager = false) // feeds counts AND per-doc scoring
+    val counts = toks.groupBy(col("tok")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+      .localCheckpoint(eager = false) // feeds totals AND the score join
+    val totals = counts.agg(
+      sum(col("ct")).cast("double").as("tt"),
+      sum(col("cr")).cast("double").as("tr"),
+      count(lit(1)).cast("double").as("v"))
+    val llr = log((col("ct") + lit(0.5)) / (col("tt") + lit(0.5) * col("v"))) -
+      log((col("cr") + lit(0.5)) / (col("tr") + lit(0.5) * col("v")))
+    val scored = toks.filter(!col("__t"))
+      .join(counts, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("source"), col("tok"), llr.as("llr"))
+      .groupBy(col("id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sort_array(collect_list(struct(col("tok"), col("llr")))).as("ls"))
+      .select(col("id"), col("source"), col("n_tok"),
+        round(aggregate(transform(col("ls"), s => s.getField("llr")),
+          lit(0.0), (a: Column, x: Column) => a + x), 4).as("log_w"))
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("log_w").desc, col("id"))))
+      .filter(col("rk") <= perSource)
+      .select(col("id"), col("source"), col("n_tok"), col("log_w"), col("rk"))
+  }
+
+  /** Token-budget fill: walk each source's documents in a deterministic
+    * hash-shuffled order (seeded by id, so the fill is stable across
+    * replays and unbiased by ingestion order) and keep the PREFIX whose
+    * running token total stays within `budget` — the "fill each domain's
+    * token quota" step that turns mixture weights into an actual corpus.
+    * Prefix-truncate semantics: the walk stops contributing at the first
+    * document that crosses the budget (a plain running-total predicate,
+    * identical in any engine; a first-fit variant that skips oversized
+    * docs and keeps walking buys marginal utilization at the cost of a
+    * sequential fold that no longer maps to a window).
+    *
+    * One cumulative-sum window per source over (hash, id) — the x24/x25
+    * per-stratum shape: parallel in the source count, no global sort, no
+    * driver state, and the window's running total is the only state a
+    * 1000-executor run carries per stratum. */
+  def tokenBudgetFill(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budget: Long): DataFrame = {
+    // the x25 multiplicative hash: oracle-portable (plain integer
+    // arithmetic) and free of ingestion-order bias
+    val t = df.select(col(idCol).as("id"), col(strataCol).as("source"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok"),
+      pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
 }

@@ -534,6 +534,59 @@ object ExtQueries {
         |  FROM fused)
         |WHERE frk <= 5 ORDER BY qid, frk""".stripMargin),
 
+    // DSIR-style importance selection (Xie et al. 2023): score raw docs
+    // by Σ ln p̂_target(tok) − ln p̂_raw(tok) (add-0.5 smoothing over the
+    // joint vocabulary; target = doc_id % 19, the x21 benchmark split),
+    // keep the top-20 per source. One conditional-aggregate shuffle
+    // builds both count sides; the scoring join is token-keyed against
+    // the vocab-sized frame (only scalar totals broadcast); the per-doc
+    // fold is token-SORTED so the float sum — and the hash — is pinned.
+    "x47_dsir_selection" -> entry(
+      (s, dir) =>
+        Curation.dsirSelection(tbl(s, dir, "documents"), "doc_id", "text",
+            "source", isTarget = col("doc_id") % 19 === 0, perSource = 20)
+          .orderBy(col("source"), col("rk")),
+      """WITH toks AS (SELECT doc_id, source, doc_id % 19 = 0 AS t,
+        |       unnest(string_split(text, ' ')) AS tok FROM documents),
+        |counts AS (SELECT tok,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr,
+        |               count(*)::DOUBLE AS v FROM counts),
+        |scored AS (SELECT doc_id AS id, source,
+        |    count(*) AS n_tok,
+        |    round(list_reduce(list(
+        |        ln((ct + 0.5) / (tt + 0.5 * v)) - ln((cr + 0.5) / (tr + 0.5 * v))
+        |        ORDER BY tok), (a, b) -> a + b), 4) AS log_w
+        |  FROM toks JOIN counts USING (tok), tot
+        |  WHERE NOT t GROUP BY 1, 2)
+        |SELECT id, source, n_tok, log_w, rk FROM (
+        |  SELECT id, source, n_tok, log_w, row_number() OVER (
+        |    PARTITION BY source ORDER BY log_w DESC, id) AS rk FROM scored)
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin),
+
+    // Token-budget fill (mixture weights → an actual corpus): keep each
+    // source's hash-ordered prefix while the running token total fits
+    // the per-source budget — one cumulative window per stratum, the
+    // x24/x25 shape; the hash order makes the fill replay-stable.
+    "x48_token_budget_fill" -> entry(
+      (s, dir) =>
+        Curation.tokenBudgetFill(tbl(s, dir, "documents"), "doc_id", "text",
+            "source", budget = 600L)
+          .orderBy(col("id")),
+      """SELECT id, source, n_tok, cum_tok FROM (
+        |  SELECT doc_id AS id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source
+        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+        |               doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM documents)
+        |WHERE cum_tok <= 600 ORDER BY id""".stripMargin),
+
     // Per-doc TF-IDF keywords (corpus-level document indexing): top-3
     // tokens by tf×ln(N/df); ranked on the rounded score so rank order
     // is engine-independent.

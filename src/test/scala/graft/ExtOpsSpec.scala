@@ -401,6 +401,52 @@ class ExtOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("dsirSelection: target-like raw docs outrank off-domain ones") {
+    import graft.ext.Curation
+    // target domain speaks "alpha beta gamma"; half the raw docs speak
+    // it too, half speak an unrelated vocabulary — the selection must
+    // rank every in-domain raw doc above every off-domain one
+    val target = (1L to 10L).map(i => (i * 19, "alpha beta gamma delta alpha beta", "s"))
+    val inDomain = (1L to 5L).map(i => (i * 19 + 1, "alpha beta gamma delta epsilon zeta", "s"))
+    val offDomain = (1L to 5L).map(i => (i * 19 + 2, "omega psi chi phi upsilon tau", "s"))
+    val df = (target ++ inDomain ++ offDomain).toDF("doc_id", "text", "source")
+    val got = Curation.dsirSelection(df, "doc_id", "text", "source",
+        isTarget = $"doc_id" % 19 === 0, perSource = 10)
+      .orderBy($"rk").select("id", "log_w").as[(Long, Double)].collect()
+    assert(got.length == 10, got.mkString(","))
+    val (top5, bottom5) = got.splitAt(5)
+    assert(top5.forall(r => inDomain.exists(_._1 == r._1)),
+      s"in-domain docs must rank first: ${got.mkString(",")}")
+    assert(top5.map(_._2).min > bottom5.map(_._2).max,
+      "in-domain weights must strictly exceed off-domain ones")
+  }
+
+  test("tokenBudgetFill: per-source prefix under budget, replay-stable order") {
+    import graft.ext.Curation
+    val df = (1L to 40L).map(i =>
+        (i, (1 to 10).map(j => s"w$j").mkString(" "), s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.tokenBudgetFill(df, "doc_id", "text", "source",
+        budget = 95L)
+      .select("id", "source", "n_tok", "cum_tok")
+      .as[(Long, String, Long, Long)].collect()
+    // 10 tokens per doc, budget 95 -> exactly 9 docs per source
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.keySet == Set("src0", "src1") &&
+      bySrc.values.forall(_.length == 9), got.length.toString)
+    assert(got.forall(r => r._4 <= 95L && r._4 % 10 == 0))
+    // the kept set is the hash-order prefix: recompute it naively
+    def h(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L
+    val want = (0 to 1).flatMap { s =>
+      (1L to 40L).filter(_ % 2 == s).sortBy(i => (h(i), i)).take(9)
+    }.toSet
+    assert(got.map(_._1).toSet == want)
+    // replay stability: a second run returns the identical set
+    val again = Curation.tokenBudgetFill(df, "doc_id", "text", "source",
+      budget = 95L).select("id").as[Long].collect().toSet
+    assert(again == got.map(_._1).toSet)
+  }
+
   test("multimodal: metadata-only queries prune the media bytes at the parquet scan") {
     // the claim Multimodal's layout advice makes (binary column last,
     // metadata first): a query that touches only metadata must never
