@@ -411,7 +411,11 @@ object TextDedup {
     // computes inside the candidate join — no signature-lookup joins
     // later. Signature agreement runs once per candidate pair (the
     // quadratic hot path), so it uses the native codegen expression.
-    val bucketed = base.select(col("id"), col("sig"),
+    // The shingle-set size rides along too: jac ≥ θ bounds the size
+    // ratio to 1/θ (the ngramJaccardPairs prefilter), so candidates
+    // failing it are discarded INSIDE the join stage before the
+    // estimate — they could never survive exact verification.
+    val bucketed = base.select(col("id"), col("sig"), size(col("toks")).as("sz"),
       explode(array(bandKeys: _*)).as("bk"))
     val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
     // NO distinct here: multi-band duplicate candidates (a few percent)
@@ -429,6 +433,11 @@ object TextDedup {
       threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
     val cands = bucketed.as("x").join(bucketed.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
+      // size-ratio bound first (two longs), estimate second (k-element
+      // walk) — the cheap filter shields the expensive one. The 1e-6
+      // slack keeps float-boundary pairs for the exact filter to decide.
+      .filter(least(col("x.sz"), col("y.sz")).cast("double") >=
+        greatest(col("x.sz"), col("y.sz")) * threshold - 1e-6)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (eqCount.cast("double") / k).as("est_jac"))
       .filter(col("est_jac") >= estFloor)
