@@ -265,6 +265,30 @@ object Similarity {
       .withColumn("kept", col("dup_of").isNull.cast("long"))
   }
 
+  /** SemDeDup at corpus scale: [[semanticDedup]] with the cluster column
+    * produced by the IVF coarse quantizer — the documented "IVF cells as
+    * clusters at 100 TB" composition as working code, not a comment. One
+    * KMeans fit (driver-side model; at real scale the fit input is a
+    * bounded sample — the transform labels the full corpus either way),
+    * one scan to label rows, then the cluster-bucketed dominance join:
+    * the quadratic term never leaves a cell, and cell count is the knob
+    * that sizes cells to a task. */
+  def semanticDedupIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, threshold: Double = 0.35,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol), col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("features", array_to_vector(col("__arr")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("features").fit(feats)
+    val assigned = model.transform(feats)
+      .select(col(idCol), col("__arr").as(vecCol),
+        col("prediction").as("__cell"))
+    semanticDedup(assigned, idCol, vecCol, "__cell", threshold)
+  }
+
   /** kNN label vote: predict each query's label by majority among its `k`
     * nearest corpus neighbours (self excluded), ties broken toward the
     * higher vote count then the smaller label — the weak-supervision /

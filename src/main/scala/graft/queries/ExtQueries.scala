@@ -913,6 +913,17 @@ object ExtQueries {
         |  CAST(d.dup_of IS NULL AS BIGINT) AS kept
         |FROM b LEFT JOIN d ON b.vec_id = d.id ORDER BY id""".stripMargin),
 
+    // SemDeDup over IVF cells — x35's dominance dedup with the cluster
+    // column coming from the coarse quantizer instead of a planted
+    // label: the composition the 100 TB path actually runs (cells sized
+    // to a task bound the quadratic term). Hash-checked against
+    // NaiveOracles.x49 (shared fit; assignment + dominance re-derived).
+    "x49_semantic_dedup_ivf" -> rowsOnly(
+      (s, dir) =>
+        Similarity.semanticDedupIvf(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", nCells = 16, threshold = 0.35)
+          .orderBy(col("id"))),
+
     // kNN label vote (auto-labeling / weak supervision): majority label
     // among the 10 nearest neighbours, self excluded, ties to the higher
     // count then the smaller label. Brute-force candidates with the

@@ -53,7 +53,8 @@ object NaiveOracles {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x02_dedup_minhash_lsh" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
-    "x13_ann_ivf" -> (x13 _))
+    "x13_ann_ivf" -> (x13 _),
+    "x49_semantic_dedup_ivf" -> (x49 _))
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
     * shingles, ALL document pairs enumerated, band agreement as eight
@@ -127,6 +128,48 @@ object NaiveOracles {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 6)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+  }
+
+  /** Naive x49: the same seeded KMeans fit (shared quantizer spec),
+    * cell assignment by exploded-literal argmin (no model.transform),
+    * then all-pairs cosine dominance WITHIN each cell via a plain
+    * cross join — no cluster-equi bucketing, no checkpointed shared
+    * frame. Mirrors semanticDedupIvf(nCells=16, threshold=0.35). */
+  private def x49(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = tbl(s, dir, "embeddings")
+    val features = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").fit(features)
+    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    }: _*)
+    val exp = features.select(col("id"), col("v"))
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", aggregate(
+        zip_with(col("v"), col("c.cvec"), (x: Column, y: Column) => (x - y) * (x - y)),
+        lit(0.0), (acc: Column, x: Column) => acc + x))
+    val aw = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cell"))
+    val assigned = exp.withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("c.cell").as("cluster"))
+      .withColumn("n", sqrt(dotH(col("v"), col("v"))))
+    val a = assigned.select(col("id").as("ida"), col("v").as("va"),
+      col("n").as("na"), col("cluster").as("ca"))
+    val b = assigned.select(col("id").as("idb"), col("v").as("vb"),
+      col("n").as("nb"), col("cluster").as("cb"))
+    val dups = a.crossJoin(b)
+      .filter(col("ca") === col("cb") && col("ida") > col("idb"))
+      .filter(when(col("na") * col("nb") > 0,
+        dotH(col("va"), col("vb")) / (col("na") * col("nb"))) >= 0.35)
+      .groupBy(col("ida").as("id"))
+      .agg(min(col("idb")).as("dup_of"))
+    assigned.select(col("id"), col("cluster"))
+      .join(dups, Seq("id"), "left")
+      .withColumn("kept", col("dup_of").isNull.cast("long"))
   }
 
   /** Naive x13: the same seeded KMeans fit (shared quantizer spec), then
