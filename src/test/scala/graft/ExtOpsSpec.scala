@@ -165,6 +165,54 @@ class ExtOpsSpec extends SparkSpec {
     assert(maxRows <= 32, s"band state leaked past the cap: $maxRows rows")
   }
 
+  test("naive oracles wire to declared queries and never shadow a SQL oracle") {
+    // a typo'd key here would silently degrade a query to rows-only (or
+    // dump an orphan artifact) — pin the wiring
+    val q = SparkEntry.queries.keySet
+    val sql = SparkEntry.oracleSql.keySet
+    val naive = SparkEntry.naiveOracle.keySet
+    assert(naive.subsetOf(q), s"orphan naive oracles: ${naive -- q}")
+    assert((naive & sql).isEmpty,
+      s"naive oracle shadows a DuckDB oracle: ${naive & sql}")
+    // the declared rows-only surface is exactly x12 (HLL): everything
+    // else has one oracle or the other
+    assert(q -- sql -- naive == Set("x12_approx_distinct"),
+      s"unexpected rows-only queries: ${q -- sql -- naive}")
+  }
+
+  test("streaming near-dup: restart from checkpoint keeps band state working") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndrestart").toString
+    def write(f: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    def run(): Unit = {
+      val in = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+      // a FILE sink (the memory sink cannot recover from a checkpoint;
+      // append-mode output makes the parquet sink legal here)
+      val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+          maxHamming = 3, bands = 4)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write("f1", Seq((1L, a, "2026-01-01 10:00:00")))
+    run() // first process lifetime: doc 1 enters band state
+    write("f2", Seq((2L, a, "2026-01-01 10:00:05")))
+    run() // second lifetime: the copy must flag against RESTORED state
+    val got = spark.read.parquet(s"$tmp/out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got(1L) == ((None, 1L)), got.toString)
+    assert(got(2L) == ((Some(1L), 0L)),
+      s"restored band state must flag the post-restart copy: ${got(2L)}")
+  }
+
   test("streaming near-dup matches naive hamming dominance on one batch") {
     val rnd = new scala.util.Random(37L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
