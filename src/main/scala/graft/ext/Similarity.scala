@@ -325,6 +325,35 @@ object Similarity {
         (col("qlabel") === col("nlabel")).cast("long").as("correct"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the `k`
+    * most-similar corpus vectors with a DIFFERENT label — near the
+    * query in embedding space yet labeled otherwise, the negatives that
+    * actually teach a retriever (random negatives are trivially far).
+    * Same candidate economics as [[knnPredict]]: queries broadcast for
+    * a small mining batch; swap the candidate stage for
+    * [[lshTopK]]-style buckets (no broadcast) when mining a corpus
+    * fraction — the rank/filter tail is candidate-source-agnostic. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"), col(labelCol).as("nlabel"),
+        col(vecCol).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+        col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nlabel") =!= col("qlabel")) // negatives only
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("qlabel"), col("rnk"), col("nid"),
+        col("nlabel"), col("sim"))
+  }
+
   /** Embedding outlier detection: each vector's cosine to its label/cell
     * centroid, bottom-`bottomK` per label reported (smallest similarity =
     * farthest from the cluster mass — mislabeled or junk rows in a

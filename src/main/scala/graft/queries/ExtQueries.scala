@@ -957,6 +957,40 @@ object ExtQueries {
         |  CAST(tl = cl AS BIGINT) AS correct
         |FROM pred WHERE pr = 1 ORDER BY qid""".stripMargin),
 
+    // Hard-negative mining (contrastive retriever training): per query,
+    // the top-5 most-similar vectors with a DIFFERENT label — close in
+    // embedding space, labeled otherwise. Broadcast mining batch; the
+    // rank/filter tail swaps onto LSH candidates for corpus-fraction
+    // sweeps (the x45 pattern). Rounded sim pins rank determinism.
+    "x50_hard_negatives" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.hardNegatives(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 20 === 0),
+            idCol = "vec_id", vecCol = "embedding", labelCol = "label",
+            k = 5)
+          .select(col("qid"), col("qlabel"), col("rnk"), col("nid"),
+            col("nlabel"), round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      """WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT qid, qlabel, rnk, nid, nlabel, round(sim, 4) AS sim FROM (
+        |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nid,
+        |    c.label AS nlabel,
+        |    (CASE WHEN list_dot_product(c.v, c.v) > 0
+        |           AND list_dot_product(q.v, q.v) > 0
+        |      THEN list_cosine_similarity(c.v, q.v) END) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      (CASE WHEN list_dot_product(c.v, c.v) > 0
+        |             AND list_dot_product(q.v, q.v) > 0
+        |        THEN list_cosine_similarity(c.v, q.v) END)
+        |        DESC NULLS LAST, c.vec_id) AS rnk
+        |  FROM b q JOIN b c ON c.label <> q.label
+        |  WHERE q.vec_id % 20 = 0)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin),
+
     // Embedding outliers: bottom-10 cosine-to-label-centroid per label
     // (mislabeled/junk row detection). The centroid mean folds in id
     // order in both engines, so the hash is pinned (x31 pattern).
