@@ -128,6 +128,10 @@ object Engine {
     *    window for concurrent readers whose lazy plans still reference
     *    recent versions (the Delta retention analogue); 0 disables
     *    maintenance (`runAvailableNow` vacuums after the drain instead).
+    *  - `batchTransforms`: per-topic `params_batch_transformation`
+    *    lambda over the decoded micro-batch (custom case only — the
+    *    reference's default dedup strategy is C2/C7), applied after
+    *    `messageFilters`, before persistence and the DLQ boundary.
     *  - `sourceMaxFilesPerTrigger`: consumption pacing for the default
     *    file transport — bounds each micro-batch so a drained genesis
     *    backfill replays in rate-limited batches instead of one giant one
@@ -144,7 +148,14 @@ object Engine {
       strictKeyRedaction: Boolean = false,
       maintainEvery: Int = 0,
       retainVersions: Int = 8,
-      sourceMaxFilesPerTrigger: Option[Int] = None)
+      sourceMaxFilesPerTrigger: Option[Int] = None,
+      /** Per-topic `params_batch_transformation` lambda (reference
+        * README.md:900-915): a custom transform of the DECODED
+        * micro-batch frame, applied after message filters and before
+        * persistence/DLQ. The reference's default remove-duplicates
+        * strategy is already the engine's C2 dedup + C7 LWW merge —
+        * this slot carries only genuinely custom batch logic. */
+      batchTransforms: Map[String, DataFrame => DataFrame] = Map.empty)
 
   /** Soft-delete image of a snapshot frame: the optional `__canceled`
     * column when the binding provides it, else null (all rows live).
@@ -632,6 +643,15 @@ object Engine {
             ok
           case None => batch
         }
+        // params_batch_transformation (reference README.md:900-915): an
+        // opaque per-topic batch transform over the DECODED frame,
+        // applied after filters and before persistence. The reference's
+        // DEFAULT strategy (remove-duplicates keep-latest) is the
+        // engine's C2 dedup + C7 LWW merge and needs no hook; this slot
+        // is the custom-lambda case — e.g. merging an import topic's
+        // per-record rows into grouped batches.
+        val transformed = options.batchTransforms.get(topicName)
+          .map(_(kept)).getOrElse(kept)
         val consumedDir =
           if (options.publishConsumedEvents)
             Some(s"$workDir/consumed/$topicName") else None
@@ -647,8 +667,9 @@ object Engine {
         // C17: poison batches park in the DLQ instead of failing the query
         try {
           if (options.deadLetter)
-            ConsumerOps.withDeadLetter(kept, s"$workDir/dlq/$topicName")(persist)
-          else persist(kept)
+            ConsumerOps.withDeadLetter(transformed,
+              s"$workDir/dlq/$topicName")(persist)
+          else persist(transformed)
         } finally batch.unpersist()
         // storage maintenance on a batch cadence: a live deployment must
         // not accumulate one version per micro-batch per replica forever

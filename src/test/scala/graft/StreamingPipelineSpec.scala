@@ -515,6 +515,46 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(keys == Set("shard-3", "shard-0"), keys.toString) // 7%4, 12%4
   }
 
+  test("params_batch_transformation: custom per-topic batch transform reaches persistence") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-bt").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts"))
+      .write.parquet(s"$src/f1")
+    val reg = Registry("bt", Seq(TopicDef("events",
+      models = Seq(ModelDef("click",
+        attributes = Seq(Attribute("value", DoubleType)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    // the custom lambda: keep only odd-id records (reference
+    // README.md:900-915 — an opaque per-topic params_batch transform)
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(batchTransforms = Map(
+        "bt_events" -> ((b: org.apache.spark.sql.DataFrame) =>
+          b.filter(get_json_object($"payload_json", "$.id")
+            .cast("long") % 2 === 1)))))
+    val ids = res.replicas("click").read()
+      .select($"synced_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"transform must gate persistence: $ids")
+  }
+
   test("Engine: live trigger keeps queries running and picks up new changes") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
