@@ -23,7 +23,7 @@ object Serializers {
     * `fkToOne`/`fkToMany` name FK columns already present on the frame
     * (to-many link arrays come from the sideload join, P8). */
   def payload(m: ModelDef, extra: Seq[(String, Column)] = Nil): Column = {
-    val attrs = m.attributes.map(a => col(a.name).as(a.name))
+    val attrs = m.attributes.map(a => a.computed.getOrElse(col(a.name)).as(a.name))
     val linkFields =
       m.hasOne.map(a => col(a.fk).as(a.name)) ++
         extra.map { case (n, c) => c.as(n) }
@@ -53,7 +53,9 @@ object Serializers {
       canceledAt: Column,
       manyIds: Seq[(String, Column)] = Nil,
       embedded: Seq[(String, Column)] = Nil): Column = {
-    val attrs = m.attributes.map(a => col(a.name).as(a.name))
+    // computed attributes: the custom-serializer slot — derived at
+    // publish time, carried on the wire under the declared name/type
+    val attrs = m.attributes.map(a => a.computed.getOrElse(col(a.name)).as(a.name))
     val linkFields =
       m.hasOne.map(a => col(a.fk).as(a.name)) ++
         manyIds.map { case (n, c) => c.as(n) }

@@ -14,7 +14,15 @@ import org.apache.spark.sql.types._
   * must exist) and lib/dionysus/producer/genesis.rb:25-30 (dependency-only
   * models cannot be backfilled directly).
   */
-final case class Attribute(name: String, dataType: DataType = StringType)
+/** One declared payload attribute. `computed` is the custom-serializer
+  * slot (reference: README.md:125-135 — a user serializer class deriving
+  * payload fields): when set, the producer serializes this expression
+  * over the change/snapshot row instead of reading a source column of
+  * the same name. The field still travels the wire and persists under
+  * `name` with `dataType` on the consumer — derived once at publish
+  * time, exactly like a custom Ruby serializer's method. */
+final case class Attribute(name: String, dataType: DataType = StringType,
+    computed: Option[org.apache.spark.sql.Column] = None)
 
 /** A to-one / to-many relationship; `fk` is the foreign-key column on the
   * child (to-many) or on the parent (to-one). */

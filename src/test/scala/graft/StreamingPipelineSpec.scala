@@ -555,6 +555,45 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(ids == Set(1L, 3L), s"transform must gate persistence: $ids")
   }
 
+  test("computed attribute: custom-serializer field derives at publish and persists") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-computed").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 2.0), (2L, 5.0)).toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts"))
+      .write.parquet(s"$src/f1")
+    // the custom-serializer slot (reference README.md:125-135): a
+    // derived payload field — serialized from an expression, carried on
+    // the wire under its declared name/type, persisted by the consumer
+    val reg = Registry("cs", Seq(TopicDef("events", models = Seq(
+      ModelDef("click", attributes = Seq(
+        Attribute("value", DoubleType),
+        Attribute("value_x2", DoubleType, computed = Some($"value" * 2))))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val got = res.replicas("click").read()
+      .select($"synced_id", $"value", $"value_x2")
+      .as[(Long, Double, Double)].collect()
+      .map { case (i, v, v2) => i -> ((v, v2)) }.toMap
+    assert(got == Map(1L -> ((2.0, 4.0)), 2L -> ((5.0, 10.0))), got.toString)
+  }
+
   test("Engine: live trigger keeps queries running and picks up new changes") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
