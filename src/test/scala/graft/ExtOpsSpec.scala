@@ -213,6 +213,43 @@ class ExtOpsSpec extends SparkSpec {
       s"restored band state must flag the post-restart copy: ${got(2L)}")
   }
 
+  test("streaming curation pipeline: quality gate → near-dup suppression end to end") {
+    // the streaming ingest composition a training pipeline runs: a
+    // stateless quality gate feeds the stateful near-dup suppressor —
+    // junk never reaches (or pollutes) dedup state, copies are flagged
+    // across batches, clean docs flow through
+    val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndpipe").toString
+    def write(f: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq(
+      (1L, good, "2026-01-01 10:00:00"),
+      (2L, "junk", "2026-01-01 10:00:01"))) // fails the length gate
+    write("f2", Seq(
+      (3L, good, "2026-01-01 10:00:02"), // near-dup of 1, cross-batch
+      (4L, "totally different unrelated words appear in here", "2026-01-01 10:00:03")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val gated = in.filter(size(split($"text", " ")) >= 5)
+    val q = TextDedup.nearDupStreaming(gated, "doc_id", "text", "ts",
+        maxHamming = 3, bands = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndpipe_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndpipe_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(!got.contains(2L), "gated junk must never reach the suppressor")
+    assert(got(1L) == ((None, 1L)) && got(4L) == ((None, 1L)), got.toString)
+    assert(got(3L) == ((Some(1L), 0L)),
+      s"cross-batch copy must flag through the composed pipeline: ${got(3L)}")
+  }
+
   test("streaming near-dup matches naive hamming dominance on one batch") {
     val rnd = new scala.util.Random(37L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
