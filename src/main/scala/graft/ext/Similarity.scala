@@ -420,6 +420,102 @@ object Similarity {
       .select(col("id"), col("fidelity"))
   }
 
+  /** Product-quantization ANN — the compression half of IVF-PQ (Jégou,
+    * Douze, Schmid 2011, "Product quantization for nearest neighbor
+    * search"). Each dim-D vector splits into `m` contiguous subvectors; a
+    * seeded KMeans codebook of `codebookSize` entries is fit per subspace;
+    * the corpus is then stored as m small codes. At 256 codes and m=8 a
+    * 64-dim float corpus shrinks 32× (256 B → 8 B/vector) — THE 100 TB
+    * lever: queries rank against the code table alone and the float
+    * vectors are never touched (or shuffled) at query time.
+    *
+    * Scoring is asymmetric distance (ADC): per query, a lookup table of
+    * subvector→centroid squared L2 distances (m × codebookSize rows) is
+    * joined against the code table and the partials are summed in fixed
+    * subspace order (one `sum(when(sub=i))` term per subspace, added
+    * 0..m-1 — deterministic double arithmetic, oracle-parity-safe).
+    *
+    * Scale shape: encoding is one broadcast-codebook join + a map-side-
+    * combinable (id, sub) argmin — computed once, persisted beside the
+    * corpus, reused by every query batch; scoring is a broadcast LUT join
+    * plus a (qid, id) partial aggregation. The two driver-side actions are
+    * bounded by construction: a 1-row dim probe and the m codebook fits
+    * (KMeans over an `m`-th of the columns each; at 100 TB the fit input
+    * must be a bounded sample, as with [[ivfTopK]]).
+    *
+    * Returns (qid, nid, rnk, adc): `adc` is the approximate squared L2
+    * distance, ascending. Reference capability: corpus-scale similarity
+    * search (SURVEY §2 ext); composes with the IVF cells of [[ivfTopK]]
+    * for the full IVF-PQ shape. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val base = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    // (sub, subvector) pairs of one vector, as an explodable array
+    def subs(v: Column): Column = transform(
+      sequence(lit(0), lit(m - 1)),
+      (i: Column) => struct(i.as("sub"),
+        slice(v, i * subDim + 1, lit(subDim)).as("sv")))
+
+    val codebook = (0 until m).flatMap { subIdx =>
+      val feats = base.select(array_to_vector(
+        slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(codebookSize).setSeed(seed + subIdx)
+        .setMaxIter(8).setFeaturesCol("features").fit(feats)
+      model.clusterCenters.zipWithIndex.map { case (c, ci) =>
+        (subIdx, ci, c.toArray)
+      }
+    }
+    val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
+
+    // encode: per (vector, subspace), the nearest codebook entry; the
+    // struct-min is an argmin with a deterministic tie-break on code
+    val encoded = base
+      .select(col("nid"), explode(subs(col("v"))).as("e"))
+      .select(col("nid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(cbDf, "sub")
+      .groupBy(col("nid"), col("sub"))
+      .agg(min(struct(l2sq(col("sv"), col("cvec")).as("d2"),
+        col("code").as("code"))).as("best"))
+      .select(col("nid"), col("sub"), col("best.code").as("code"))
+
+    // per-query ADC lookup table: m × codebookSize partial distances
+    val lut = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), explode(subs(col("qv"))).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))
+      .join(cbDf, "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        l2sq(col("qsv"), col("cvec")).as("pd2"))
+
+    // each (nid, sub) matches exactly one LUT row per qid, so every sum
+    // term below aggregates a single value — exact, and the terms add in
+    // fixed subspace order
+    val adc = (0 until m)
+      .map(i => sum(when(col("sub") === i, col("pd2")))).reduce(_ + _)
+    val scored = encoded.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"))
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost.

@@ -924,6 +924,21 @@ object ExtQueries {
             "vec_id", "embedding", nCells = 16, threshold = 0.35)
           .orderBy(col("id"))),
 
+    // Product-quantization ANN (IVF-PQ's compression half): corpus stored
+    // as 4 subspace codes, queries score against per-query ADC lookup
+    // tables — the float vectors never move at query time. ML-fit
+    // codebooks → Spark-naive oracle (NaiveOracles.x51).
+    "x51_ann_pq" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.pqTopK(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 100 === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            m = 4, codebookSize = 16)
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // kNN label vote (auto-labeling / weak supervision): majority label
     // among the 10 nearest neighbours, self excluded, ties to the higher
     // count then the smaller label. Brute-force candidates with the

@@ -54,7 +54,8 @@ object NaiveOracles {
     "x02_dedup_minhash_lsh" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
     "x13_ann_ivf" -> (x13 _),
-    "x49_semantic_dedup_ivf" -> (x49 _))
+    "x49_semantic_dedup_ivf" -> (x49 _),
+    "x51_ann_pq" -> (x51 _))
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
     * shingles, ALL document pairs enumerated, band agreement as eight
@@ -170,6 +171,67 @@ object NaiveOracles {
     assigned.select(col("id"), col("cluster"))
       .join(dups, Seq("id"), "left")
       .withColumn("kept", col("dup_of").isNull.cast("long"))
+  }
+
+  /** Naive x51: the same seeded per-subspace KMeans fits (shared codebook
+    * spec), then everything else re-derived without the engine's joins —
+    * codebooks as exploded literal arrays, per-(vector, subspace) codes
+    * by window argmin, and ADC computed directly on an all-pairs
+    * queries × corpus cross join: per subspace, the squared L2 distance
+    * between the query's subvector and the LITERAL centroid the doc's
+    * code points at, summed in the same fixed subspace order. No
+    * broadcast codebook relation, no LUT join, no struct-min argmin.
+    * Mirrors pqTopK(k=5, m=4, codebookSize=16) over the %100 sample. */
+  private def x51(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    // per-subspace literal codebooks, fit exactly as the engine fits them
+    val cents: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
+      val feats = base.select(array_to_vector(
+        slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(codebookSize).setSeed(seed + subIdx)
+        .setMaxIter(8).setFeaturesCol("features").fit(feats)
+        .clusterCenters.toSeq.map(_.toArray)
+    }
+    def litVec(c: Array[Double]): Column = array(c.map(lit): _*)
+    // the centroid a subvector encodes to, resolved per subspace by
+    // window argmin over the exploded literal codebook
+    def codeCentroid(subIdx: Int): DataFrame = {
+      val cb = array(cents(subIdx).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("code"), litVec(c).as("cvec"))
+      }: _*)
+      val sv = slice(col("v"), subIdx * subDim + 1, subDim)
+      val exp = base.select(col("nid"), sv.as("sv"))
+        .withColumn("c", explode(cb))
+        .withColumn("d2", l2sq(col("sv"), col("c.cvec")))
+      val w = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.code"))
+      exp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("nid"), col("c.cvec").as(s"cent$subIdx"))
+    }
+    val encoded = (0 until m).map(codeCentroid)
+      .reduce((a, b) => a.join(b, "nid"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    // fixed-order per-subspace partials, identical addition order to the
+    // engine's sum(when(sub=i)) terms
+    val adc = (0 until m).map { subIdx =>
+      l2sq(slice(col("qv"), subIdx * subDim + 1, subDim), col(s"cent$subIdx"))
+    }.reduce(_ + _)
+    val scored = q.crossJoin(encoded).withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"))
   }
 
   /** Naive x13: the same seeded KMeans fit (shared quantizer spec), then

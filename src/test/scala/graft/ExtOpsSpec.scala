@@ -636,6 +636,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 too low: $recall")
   }
 
+  test("PQ ANN: self attains the minimal ADC; decent recall vs exact L2") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+      m = 4, codebookSize = 16)
+    val rows = pq.select("qid", "nid", "rnk", "adc")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    // ADC(doc) = Σ_sub d2(q_sub, cent[code_sub(doc)]) ≥ Σ_sub min_code d2
+    // = ADC(self): the query's own row always attains the minimum, so the
+    // rank-1 distance must equal self's distance exactly
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"qid=$qid must return k rows")
+      assert(rs.sortBy(_._3).map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"qid=$qid adc must be non-decreasing in rank")
+      val selfAdc = rs.find(_._2 == qid)
+        .getOrElse(fail(s"qid=$qid: self missing from top-5"))._4
+      val top1 = rs.minBy(_._3)
+      assert(top1._4 == selfAdc,
+        s"qid=$qid rank-1 adc ${top1._4} must equal self's minimal $selfAdc")
+    }
+    // exact squared-L2 top-5 as the in-test oracle
+    val base = emb.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val exact = base.select($"id".as("qid"), $"v".as("qv"))
+      .filter($"qid" % 100 === 0)
+      .crossJoin(base.select($"id".as("nid"), $"v".as("nv")))
+      .withColumn("d2", aggregate(
+        zip_with($"qv", $"nv", (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy($"d2", $"nid")))
+      .filter($"rnk" <= 5).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall@5 vs exact L2 too low: $recall")
+  }
+
   test("blocked near-dup pairs equal naive all-pairs (every block count)") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     // naive all-pairs triangle as the in-test oracle (the shape the
