@@ -446,4 +446,57 @@ object Curation {
       .filter(col("cum_tok") <= budget)
       .select(col("id"), col("source"), col("n_tok"), col("cum_tok"))
   }
+
+  /** Temperature-scaled domain resampling — the multilingual-pretraining
+    * mix of XLM-R / mT5: a domain's sampling weight is its token mass
+    * raised to `alpha` < 1 and renormalized, which upweights rare
+    * domains relative to proportional sampling (alpha=1) without the
+    * uniform mix's (alpha=0) repetition of tiny ones. Returns each
+    * selected document with its domain's normalized weight and document
+    * quota (`floor(budget × w)`, capped at the domain's size); selection
+    * within a domain is the deterministic id order.
+    *
+    * Parity note: alpha = 0.5 routes through `sqrt`, which IEEE 754
+    * requires to be correctly rounded in every engine — the
+    * oracle-portable exponent. Other alphas use `pow`, whose last ULP
+    * may differ across libm implementations. The cross-domain weight
+    * denominator folds in sorted domain order (the x31/x47 pattern) so
+    * the double sum is reproducible on both sides.
+    *
+    * Scale shape: domain stats are a map-side-combinable aggregation to
+    * |domains| rows, broadcast back; the only corpus-sized work is the
+    * per-domain rank window. A domain with billions of rows makes that
+    * window one giant partition — at that scale swap the rank for
+    * residue thinning at rate quota/docs ([[stratifiedSample]]'s shape:
+    * keep iff pmod(hash(id), docs) < quota), which trades the exact
+    * first-k-by-id semantics for a full-shuffle-free Bernoulli-style
+    * pick that is still deterministic and replay-stable. */
+  def temperatureMix(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0 && alpha > 0)
+    val tw: Column => Column =
+      if (alpha == 0.5) sqrt(_) else c => pow(c, lit(alpha))
+    val per = df.select(col(strataCol).as("strata"), col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .localCheckpoint(eager = false) // feeds domain stats AND selection
+    val counts = per.groupBy(col("strata"))
+      .agg(sum(col("n_tok")).as("toks"), count(lit(1)).as("docs"))
+    val denom = counts.agg(aggregate(
+      transform(
+        sort_array(collect_list(struct(col("strata").as("k"),
+          tw(col("toks").cast("double")).as("s")))),
+        e => e.getField("s")),
+      lit(0.0), (a: Column, x: Column) => a + x).as("denom"))
+    val quotas = counts.crossJoin(broadcast(denom))
+      .withColumn("w", tw(col("toks").cast("double")) / col("denom"))
+      .withColumn("quota",
+        least(col("docs"), floor(lit(budget.toDouble) * col("w")).cast("long")))
+      .select(col("strata"), col("w"), col("quota"))
+    per.join(broadcast(quotas), "strata")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("strata")).orderBy(col("id"))))
+      .filter(col("rn") <= col("quota"))
+      .select(col("id"), col("strata"), round(col("w"), 6).as("mix_w"),
+        col("quota"))
+  }
 }

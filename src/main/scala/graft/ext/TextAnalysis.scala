@@ -59,6 +59,33 @@ object TextAnalysis {
     trim(regexp_replace(noPunct, " +", " "))
   }
 
+  /** Typed PII audit patterns: (name, regex, placeholder), applied in
+    * this order (emails first so their digit runs never count as
+    * numbers; IPv4 before the bare digit-run catch-all). The regexes
+    * stay inside the Java-regex ∩ RE2 portable subset — char classes,
+    * bounded repetition, `\b` — so the DuckDB oracle runs them
+    * verbatim. Redaction placeholders contain no digits, so later
+    * patterns cannot re-match earlier redactions. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{1,3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("longnum", "\\d{9,}", "<NUM>"))
+
+  /** Per-category PII hit counts (audit side: counted on the RAW text,
+    * independently per category). Scan-local, codegen'd. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (n, p, _) =>
+      s"n_$n" -> regexp_count(text, lit(p)).cast("long")
+    }
+
+  /** Typed redaction: every pattern replaced by its placeholder, in
+    * [[piiPatterns]] order. */
+  def piiRedacted(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p, r)) =>
+      regexp_replace(t, p, r)
+    }
+
   /** Language-ID marker words (tiny per-language stopword profiles —
     * the classic n-gram/stopword heuristic at word granularity). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -939,6 +939,83 @@ object ExtQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
+    // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
+    // denominator folded in sorted domain order (x31 pattern).
+    "x52_temperature_mix" -> entry(
+      (s, dir) =>
+        Curation.temperatureMix(tbl(s, dir, "documents"), "doc_id", "text",
+            "source", budget = 300L)
+          .select(col("id").as("doc_id"), col("strata").as("source"),
+            col("mix_w"), col("quota"))
+          .orderBy(col("doc_id")),
+      """WITH per AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT source, sum(n_tok) AS toks, count(*) AS docs
+        |      FROM per GROUP BY 1),
+        |d AS (SELECT list_reduce(list(sqrt(CAST(toks AS DOUBLE))
+        |        ORDER BY source), (a, b) -> a + b) AS denom FROM c),
+        |q AS (SELECT source,
+        |    sqrt(CAST(toks AS DOUBLE)) / denom AS w,
+        |    least(docs, CAST(floor(300.0 * (sqrt(CAST(toks AS DOUBLE))
+        |      / denom)) AS BIGINT)) AS quota
+        |  FROM c, d),
+        |r AS (SELECT p.doc_id, p.source, q.w, q.quota,
+        |    row_number() OVER (PARTITION BY p.source ORDER BY p.doc_id) AS rn
+        |  FROM per p JOIN q USING (source))
+        |SELECT doc_id, source, round(w, 6) AS mix_w, quota
+        |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin),
+
+    // Typed PII audit: per-category hit counts + typed redaction over a
+    // deterministically synthesized PII column (the raw corpus has no
+    // PII to find; the synthesis is mirrored verbatim in the oracle).
+    "x53_pii_audit" -> entry(
+      (s, dir) => {
+        val piiText = concat_ws(" ", col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("user"), col("doc_id"), lit("@mail.example.com"))),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("+1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit("4111"),
+              lpad(pmod(col("doc_id"), lit(100000)).cast("string"), 8, "0"))))
+        val withPii = tbl(s, dir, "documents").withColumn("pt", piiText)
+        withPii.select(
+            Seq(col("doc_id")) ++
+              TextAnalysis.piiCounts(col("pt")).map { case (n, c) => c.as(n) } ++
+              Seq(TextAnalysis.piiRedacted(col("pt")).as("redacted")): _*)
+          .orderBy(col("doc_id"))
+      },
+      """WITH p AS (SELECT doc_id, concat_ws(' ', text,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'user' || doc_id || '@mail.example.com' END,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '10.0.' || (doc_id % 256) || '.7' END,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN '4111' || lpad(CAST(doc_id % 100000 AS VARCHAR), 8, '0') END
+        |  ) AS pt FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(pt,
+        |    '\+\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(pt, '\d{9,}')) AS BIGINT) AS n_longnum,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin),
+
     // kNN label vote (auto-labeling / weak supervision): majority label
     // among the 10 nearest neighbours, self excluded, ties to the higher
     // count then the smaller label. Brute-force candidates with the

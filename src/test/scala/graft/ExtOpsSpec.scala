@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Hash-based ext operators (rows-only in the oracle gate) verified here
   * with planted duplicates and hand-checkable fixtures. */
@@ -634,6 +634,51 @@ class ExtOpsSpec extends SparkSpec {
     val got = ivf.select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = (bf intersect got).size.toDouble / bf.size
     assert(recall >= 0.5, s"recall@5 too low: $recall")
+  }
+
+  test("temperatureMix upweights rare domains and respects quotas") {
+    // big domain: 90 docs × 4 tokens; small domain: 10 docs × 4 tokens
+    val rows = (1L to 90L).map(i => (i, "big", "a b c d")) ++
+      (91L to 100L).map(i => (i, "small", "a b c d"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val got = Curation.temperatureMix(df, "doc_id", "text", "source",
+      budget = 50L, alpha = 0.5)
+    val byDomain = got.groupBy($"strata").count()
+      .as[(String, Long)].collect().toMap
+    // proportional sampling would give small 10% of the budget; sqrt
+    // scaling gives sqrt(40)/(sqrt(360)+sqrt(40)) = 25%
+    val smallShare = byDomain("small").toDouble /
+      (byDomain("big") + byDomain("small"))
+    assert(smallShare > 0.15, s"sqrt mix must upweight small: $smallShare")
+    // quota caps: no domain exceeds its own size or its quota
+    val perDoc = got.select($"strata", $"quota").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain("small") <= 10 && byDomain("small") == perDoc("small").min(10))
+    assert(byDomain("big") == perDoc("big").min(90))
+    // selection within a domain is the first-quota ids
+    val smallIds = got.filter($"strata" === "small").select($"id")
+      .as[Long].collect().sorted
+    assert(smallIds.headOption.contains(91L) &&
+      smallIds.lastOption.contains(91L + smallIds.length - 1),
+      "within-domain selection must be the deterministic id prefix")
+  }
+
+  test("PII audit counts and redacts each typed category") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org or at 10.1.2.3 now"),
+      (2L, "call +1-555-0100 acct 123456789012 done"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = df.select(
+        Seq($"doc_id") ++
+          TextAnalysis.piiCounts($"text").map { case (n, c) => c.as(n) } ++
+          Seq(TextAnalysis.piiRedacted($"text").as("red")): _*)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1 && out(1L)._4 == 0 && out(1L)._5 == 0)
+    assert(out(1L)._6 == "mail me at <EMAIL> or at <IP> now")
+    assert(out(2L)._4 == 1 && out(2L)._5 == 1)
+    assert(out(2L)._6 == "call <PHONE> acct <NUM> done")
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L, "no pii here at all")))
   }
 
   test("PQ ANN: self attains the minimal ADC; decent recall vs exact L2") {
