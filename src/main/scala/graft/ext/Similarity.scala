@@ -471,15 +471,23 @@ object Similarity {
       (i: Column) => struct(i.as("sub"),
         slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
-    val codebook = (0 until m).flatMap { subIdx =>
-      val feats = base.select(array_to_vector(
-        slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
-      val model = new KMeans().setK(codebookSize).setSeed(seed + subIdx)
-        .setMaxIter(8).setFeaturesCol("features").fit(feats)
-      model.clusterCenters.zipWithIndex.map { case (c, ci) =>
-        (subIdx, ci, c.toArray)
+    // the m fits are independent and scheduling-bound, not data-bound
+    // (measured: sampling the fit input gains nothing) — submit them as
+    // concurrent Spark jobs so wall time is one fit, not m
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val codebook = Await.result(Future.sequence((0 until m).map { subIdx =>
+      Future {
+        val feats = base.select(array_to_vector(
+          slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
+        val model = new KMeans().setK(codebookSize).setSeed(seed + subIdx)
+          .setMaxIter(8).setFeaturesCol("features").fit(feats)
+        model.clusterCenters.zipWithIndex.map { case (c, ci) =>
+          (subIdx, ci, c.toArray)
+        }.toSeq
       }
-    }
+    }), Duration.Inf).flatten
     val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
 
     // encode: per (vector, subspace), the nearest codebook entry; the
