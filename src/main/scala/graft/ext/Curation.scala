@@ -253,6 +253,39 @@ object Curation {
         col("kept_text"))
   }
 
+  /** Stride-1 duplicated-n-gram diagnostic (the Lee et al. 2022 exact-
+    * substring signal at sliding granularity): for every document, how
+    * many of its overlapping word `n`-grams occur at two or more
+    * positions corpus-wide, and the duplicated fraction. Complements
+    * [[chunkDedup]] (tiled chunks, keep-first rewrite): stride-1 catches
+    * repeats at ANY offset, so it quantifies duplication that tiling
+    * misses by up to a factor of `n` — the survey step pipelines run
+    * BEFORE deciding a dedup granularity.
+    *
+    * Grams ride as `xxhash64` longs from the generator on (counts are
+    * collision-exact at realistic cardinalities — the x21 argument), so
+    * both shuffles move fixed-width keys: one partial-aggregated count
+    * keyed by gram hash, one join back on the same key (the count side
+    * arrives already hash-partitioned, so only the occurrence side
+    * exchanges), then a partial-aggregated fold onto doc ids. Hot grams
+    * are bounded by the partial count; no corpus-sized window, no sort. */
+  def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val occ = df
+      .select(col(idCol).as("doc_id"),
+        explode(transform(ngrams(col(textCol), n), g => xxhash64(g)))
+          .as("ng"))
+      .localCheckpoint(eager = false) // feeds the count AND the join back
+    val counts = occ.groupBy(col("ng")).agg(count(lit(1)).as("c"))
+    occ.join(counts, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
+  }
+
   /** Quality-score ensemble → per-stratum deciles (the CCNet-style
     * bucketing step: downstream pipelines keep/mix by bucket, not by raw
     * score). The score folds three scan-local signals — distinct-token

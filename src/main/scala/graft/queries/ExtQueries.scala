@@ -1016,6 +1016,59 @@ object ExtQueries {
         |    '\d{9,}', '<NUM>', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin),
 
+    // Stride-1 duplicated-n-gram diagnostic (Lee et al. exact-substring
+    // signal at sliding granularity): grams join as xxhash64 longs, the
+    // oracle joins the raw strings and must agree (the x21 argument).
+    "x54_dup_gram_spans" -> entry(
+      (s, dir) =>
+        Curation.duplicatedGramStats(tbl(s, dir, "documents"), "doc_id",
+            "text", n = 5)
+          .orderBy(col("doc_id")),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 5
+        |    THEN list_transform(range(1, len(tk) - 3),
+        |           i -> array_to_string(tk[i:i+4], ' '))
+        |    ELSE [array_to_string(tk, ' ')] END) AS ng FROM t),
+        |c AS (SELECT ng, count(*) AS c FROM g GROUP BY ng)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS dup_ratio
+        |FROM g JOIN c USING (ng)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Semi-structured property extraction: schema'd from_json over the
+    // events.props JSON column, banded group-by, mean folded in
+    // event_id order (x31 pattern) so the float path is order-exact.
+    "x55_props_extract" -> entry(
+      (s, dir) => {
+        val k = from_json(col("props"), lit("k INT")).getField("k")
+        tbl(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value"),
+            // pmod floor-div form: exact on any sign (Spark div truncates,
+            // DuckDB // floors — they only agree on non-negatives)
+            ((k - pmod(k, lit(10))) / 10).cast("long").as("k_band"))
+          .groupBy(col("event_type"), col("k_band"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(
+              struct(col("event_id"), col("value")))).as("vs"))
+          .select(col("event_type"), col("k_band"), col("n"),
+            round(aggregate(
+                transform(col("vs"), s => s.getField("value")),
+                lit(0.0), (a: Column, v: Column) => a + v) / col("n"), 4)
+              .as("avg_value"))
+          .orderBy(col("event_type"), col("k_band"))
+      },
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST((k - ((k % 10 + 10) % 10)) / 10 AS BIGINT) AS k_band,
+        |  count(*) AS n,
+        |  round(list_reduce(list(value ORDER BY event_id), (a, b) -> a + b)
+        |    / count(*), 4) AS avg_value
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, k_band""".stripMargin),
+
     // kNN label vote (auto-labeling / weak supervision): majority label
     // among the 10 nearest neighbours, self excluded, ties to the higher
     // count then the smaller label. Brute-force candidates with the

@@ -579,6 +579,39 @@ class ExtOpsSpec extends SparkSpec {
       got(2).getAs[String]("kept_text") == "", got(2).toString)
   }
 
+  test("duplicatedGramStats: stride-1 repeats counted across and within docs") {
+    import graft.ext.Curation
+    val d = Seq(
+      // "a b c" occurs at stride-1 offsets in docs 1 AND 2 — tiled
+      // 3-chunks would miss doc 2's shifted copy
+      (1L, "a b c d e"),
+      (2L, "z a b c d"),
+      // doc 3: internal repeat "p q r p q r" duplicates its own 3-gram
+      (3L, "p q r p q r"),
+      // doc 4: all fresh
+      (4L, "u v w x y"))
+      .toDF("doc_id", "text")
+    val got = Curation.duplicatedGramStats(d, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+    // doc 1 grams: [a b c][b c d][c d e] — first two also appear in doc 2
+    assert(got(0).getAs[Long]("n_grams") == 3 &&
+      got(0).getAs[Long]("n_dup") == 2, got(0).toString)
+    // doc 2 grams: [z a b][a b c][b c d] — last two shared with doc 1
+    assert(got(1).getAs[Long]("n_dup") == 2, got(1).toString)
+    // doc 3 grams: [p q r][q r p][r p q][p q r] — only "p q r" repeats,
+    // at BOTH its positions
+    assert(got(2).getAs[Long]("n_grams") == 4 &&
+      got(2).getAs[Long]("n_dup") == 2 &&
+      got(2).getAs[Double]("dup_ratio") == 0.5, got(2).toString)
+    assert(got(3).getAs[Long]("n_dup") == 0, got(3).toString)
+    // a doc shorter than n contributes its whole text as one gram
+    val short = Curation.duplicatedGramStats(
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"), "doc_id",
+      "text", n = 5).orderBy($"doc_id").collect()
+    assert(short.forall(r => r.getAs[Long]("n_grams") == 1 &&
+      r.getAs[Long]("n_dup") == 1), short.mkString(","))
+  }
+
   test("qualityDeciles: repetitive docs sink, buckets stay within range") {
     import graft.ext.Curation
     val rep = ("rep " * 60).trim                       // heavy repetition
