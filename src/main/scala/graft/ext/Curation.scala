@@ -262,26 +262,37 @@ object Curation {
     * misses by up to a factor of `n` — the survey step pipelines run
     * BEFORE deciding a dedup granularity.
     *
-    * Grams ride as `xxhash64` longs from the generator on (counts are
-    * collision-exact at realistic cardinalities — the x21 argument), so
-    * both shuffles move fixed-width keys: one partial-aggregated count
-    * keyed by gram hash, one join back on the same key (the count side
-    * arrives already hash-partitioned, so only the occurrence side
-    * exchanges), then a partial-aggregated fold onto doc ids. Hot grams
-    * are bounded by the partial count; no corpus-sized window, no sort. */
+    * Grams ride as `xxhash64` longs straight out of the native
+    * occurrence-level hasher ([[graft.functions.HashedNgramsAll]] — no
+    * gram-string materialization; counts are collision-exact at
+    * realistic cardinalities, the x21 argument), so every exchange moves
+    * fixed-width keys. Shape: one partial-aggregated count keyed by
+    * (gram, doc) feeds BOTH the per-gram total and the join back —
+    * Catalyst's ReuseExchange dedups the shared shuffle, so the corpus
+    * scans and explodes exactly once (PlanShapeSpec pins this) — then a
+    * partial-aggregated fold onto doc ids. Hot grams never concentrate:
+    * both aggregations are map-side-combined, and the total↔occurrence
+    * join is AQE-planned (broadcast while gram totals fit, skew-split
+    * sort-merge beyond). No corpus-sized window, no sort, no list
+    * state. */
   def duplicatedGramStats(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    require(n >= 1)
-    val occ = df
+    require(n >= 1 && n <= 64,
+      s"gram n must be in 1..64 (native gram hasher bound), got $n")
+    graft.functions.Functions.register(df.sparkSession)
+    // occurrence-level grams (multiplicity kept): the native non-distinct
+    // hasher — null-text docs drop here, matching the oracle's null-gram
+    // join-drop
+    val cd = df
       .select(col(idCol).as("doc_id"),
-        explode(transform(ngrams(col(textCol), n), g => xxhash64(g)))
+        explode(call_function("hashed_ngrams_all", col(textCol), lit(n)))
           .as("ng"))
-      .localCheckpoint(eager = false) // feeds the count AND the join back
-    val counts = occ.groupBy(col("ng")).agg(count(lit(1)).as("c"))
-    occ.join(counts, Seq("ng"))
+      .groupBy(col("ng"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val counts = cd.groupBy(col("ng")).agg(sum(col("cnt")).as("c"))
+    cd.join(counts, Seq("ng"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("c") >= 2, col("cnt")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
   }

@@ -66,12 +66,55 @@ case class HashedNgrams(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `hashed_ngrams_all(text, n)` — [[HashedNgrams]] WITHOUT the distinct:
+  * every sliding gram occurrence hashes in position order, multiplicity
+  * kept. The occurrence-level front of stride-1 duplication analytics
+  * ([[graft.ext.Curation.duplicatedGramStats]]), where dropping repeats
+  * would undercount the very thing being measured. Same tokenization,
+  * seed, short-document and null semantics as the distinct form;
+  * bit-identical to `transform(ngrams(text, n), xxhash64)`. */
+case class HashedNgramsAll(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_ngrams_all"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal n")
+      case (StringType, IntegerType) =>
+        val n = right.eval().asInstanceOf[Int]
+        if (n >= 1 && n <= 64) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName n must be in 1..64, got $n")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string text, int n), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashedNgrams.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[Int],
+      distinct = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashedNgrams.compute($a, $b, false);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashedNgrams {
 
   /** Same seed as Spark's `xxhash64(...)` with no explicit seed arg. */
   private val Seed = 42L
 
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  def compute(text: UTF8String, n: Int): GenericArrayData =
+    compute(text, n, distinct = true)
+
+  def compute(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes
@@ -92,7 +135,7 @@ object HashedNgrams {
     // gram i = bytes [starts(i), end of token i+n-1); the end of token j
     // is starts(j+1)-1 (the separating space) except the last, which is len
     def tokEnd(j: Int): Int = if (j + 1 < t) starts(j + 1) - 1 else len
-    val set = new LongSeenSet(16)
+    val set = if (distinct) new LongSeenSet(16) else null
     val out = new LongBuf(math.max(8, t))
     if (t >= n) {
       var i = 0
@@ -100,7 +143,7 @@ object HashedNgrams {
       while (i <= last) {
         val s = starts(i)
         val h = XXH64.hashUnsafeBytes(base, off + s, tokEnd(i + n - 1) - s, Seed)
-        if (set.add(h)) out.append(h)
+        if (set == null || set.add(h)) out.append(h)
         i += 1
       }
     } else {

@@ -99,7 +99,9 @@ object Functions {
     ("hyperplane_sig", classOf[HyperplaneSig],
       arity("hyperplane_sig", 4)(e => HyperplaneSig(e(0), e(1), e(2), e(3)))),
     ("hashed_ngrams", classOf[HashedNgrams],
-      arity("hashed_ngrams", 2)(e => HashedNgrams(e(0), e(1)))))
+      arity("hashed_ngrams", 2)(e => HashedNgrams(e(0), e(1)))),
+    ("hashed_ngrams_all", classOf[HashedNgramsAll],
+      arity("hashed_ngrams_all", 2)(e => HashedNgramsAll(e(0), e(1)))))
 
   private def arity(name: String, n: Int)(
       f: Seq[Expression] => Expression): Seq[Expression] => Expression =

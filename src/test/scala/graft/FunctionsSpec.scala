@@ -167,6 +167,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hashed_ngrams_all: bit-identical to the HOF occurrence-level form") {
+    Functions.register(spark)
+    def hofForm(text: org.apache.spark.sql.Column, n: Int) =
+      transform(graft.ext.Curation.ngrams(text, n),
+        (g: org.apache.spark.sql.Column) => xxhash64(g))
+    val hazards = Seq(
+      "", " ", "  ", "a", "a b", "a  b", " a", "a ", "a b c",
+      "x y x y x y x y", "héllo wörld ünïcode tæxt",
+      "samegram samegram samegram")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val rows = hazards.toDF("t").select(
+          call_function("hashed_ngrams_all", $"t", lit(n)).as("native"),
+          hofForm($"t", n).as("hof"), $"t")
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"n=$n text='${r.getString(2)}': ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+    }
+    for (n <- Seq(1, 5)) {
+      val mism = graft.queries.Q.tbl(spark, sf(), "documents")
+        .select(call_function("hashed_ngrams_all", $"text", lit(n)).as("native"),
+          hofForm($"text", n).as("hof"))
+        .filter(not($"native" <=> $"hof")).count()
+      assert(mism == 0, s"n=$n")
+    }
+    // multiplicity is the point: repeats stay, order is positional
+    val rep = Seq("p q p q").toDF("t")
+      .select(call_function("hashed_ngrams_all", $"t", lit(2))).collect()
+    assert(rep(0).getSeq[Long](0).length == 3) // [p q][q p][p q]
+    assert(rep(0).getSeq[Long](0)(0) == rep(0).getSeq[Long](0)(2))
+    // same null semantics as the distinct form
+    for (n <- Seq(1, 2, 8)) {
+      val nl = Seq(null.asInstanceOf[String]).toDF("t")
+        .select(call_function("hashed_ngrams_all", $"t", lit(n))).collect()
+      assert(nl(0).isNullAt(0), s"n=$n")
+    }
+  }
+
   test("GraftExtensions injects the native functions for cluster-wide use") {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.analysis.FunctionRegistry

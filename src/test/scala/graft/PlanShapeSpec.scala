@@ -140,6 +140,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(bf.contains("ResolvedHint"), bf.take(1500))
   }
 
+  test("x54 dup-gram spans: the (gram, doc) shuffle is shared — corpus scans once") {
+    // the AQE plan string repeats subtrees under "== Initial Plan ==" —
+    // pin the final plan only
+    val p = executedPlan(query("x54_dup_gram_spans"))
+      .split("== Initial Plan ==").head
+    // the per-gram total branch re-reads the shared (ng, doc_id) exchange
+    // instead of re-scanning + re-exploding the corpus
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      p.take(3000))
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
