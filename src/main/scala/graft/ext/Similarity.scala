@@ -450,11 +450,139 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame =
+    pqTopKImpl(corpus, queries, idCol, vecCol, k, m, codebookSize, seed)
+
+  /** Seeded Lloyd's k-means over a driver-local sample: k-means++ D²
+    * seeding, `iters` assignment/update rounds, empty clusters keep
+    * their previous center. Deterministic for a fixed (sample, k, seed)
+    * — the codebook fit of [[pqTopK]], where the input is a bounded
+    * sample by contract and distributed KMeans was measured to be pure
+    * scheduling overhead. */
+  private def localLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(pts.nonEmpty)
+    val rnd = new scala.util.Random(seed)
+    val n = pts.length
+    val dim = pts(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0
+      var t = 0
+      while (t < dim) { val x = a(t) - b(t); d += x * x; t += 1 }
+      d
+    }
+    // k-means++ init: first center uniform, then D²-weighted draws
+    val centers = Array.ofDim[Double](k, dim)
+    centers(0) = pts(rnd.nextInt(n)).clone()
+    val minD2 = Array.fill(n)(Double.MaxValue)
+    var ci = 1
+    while (ci < k) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = d2(pts(i), centers(ci - 1))
+        if (d < minD2(i)) minD2(i) = d
+        total += minD2(i)
+        i += 1
+      }
+      if (total == 0.0) {
+        // fewer distinct points than k: repeat a point, cluster stays empty
+        centers(ci) = pts(rnd.nextInt(n)).clone()
+      } else {
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        i = 0
+        while (i < n && r >= 0.0) {
+          r -= minD2(i)
+          if (r < 0.0) pick = i
+          i += 1
+        }
+        centers(ci) = pts(pick).clone()
+      }
+      ci += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var t = 0
+          while (t < dim) {
+            val x = pts(i)(t) - centers(c)(t); d += x * x; t += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        cnt(a) += 1
+        var t = 0
+        while (t < dim) { sums(a)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnt(c) > 0) {
+          var t = 0
+          while (t < dim) { centers(c)(t) = sums(c)(t) / cnt(c); t += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** The PQ codebook as a published seeded constant of the corpus (the
+    * LSH-planes precedent: a deterministic artifact both the engine and
+    * an oracle consume as literals). Bounded-sample local fit — the
+    * 100 TB contract was always "the fit input is a sample, never the
+    * corpus", honored literally: ONE distributed action takes the
+    * `fitSample` vectors with the smallest id-hashes (TakeOrdered:
+    * map-side partial top-K, bounded driver memory, deterministic),
+    * then all m codebooks run seeded k-means++ / Lloyd rounds
+    * driver-locally over ≤ a few MB. Fit cost stops scaling with
+    * m × maxIter Spark jobs — distributed KMeans on a 4096-row sample
+    * was measured to be pure scheduling overhead (2.0 s → the
+    * encode/score cost alone). Returns (sub, code, centroid) rows. */
+  def pqCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, codebookSize: Int, seed: Long,
+      fitSample: Int = 4096): Seq[(Int, Int, Array[Double])] = {
+    val base = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val sample = base
+      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
+      .limit(fitSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).flatMap { subIdx =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, subIdx * subDim, (subIdx + 1) * subDim))
+      localLloyd(pts, codebookSize, iters = 8, seed = seed + subIdx)
+        .zipWithIndex.map { case (c, ci) => (subIdx, ci, c) }
+    }
+  }
+
+  private def pqTopKImpl(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, codebookSize: Int, seed: Long): DataFrame = {
     val session = corpus.sparkSession
     import session.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
     val base = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("v"))
@@ -471,23 +599,8 @@ object Similarity {
       (i: Column) => struct(i.as("sub"),
         slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
-    // the m fits are independent and scheduling-bound, not data-bound
-    // (measured: sampling the fit input gains nothing) — submit them as
-    // concurrent Spark jobs so wall time is one fit, not m
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val codebook = Await.result(Future.sequence((0 until m).map { subIdx =>
-      Future {
-        val feats = base.select(array_to_vector(
-          slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
-        val model = new KMeans().setK(codebookSize).setSeed(seed + subIdx)
-          .setMaxIter(8).setFeaturesCol("features").fit(feats)
-        model.clusterCenters.zipWithIndex.map { case (c, ci) =>
-          (subIdx, ci, c.toArray)
-        }.toSeq
-      }
-    }), Duration.Inf).flatten
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, codebookSize, seed)
+      .map { case (sub, code, c) => (sub, code, c.toSeq) }
     val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
 
     // encode: per (vector, subspace), the nearest codebook entry; the

@@ -173,8 +173,10 @@ object NaiveOracles {
       .withColumn("kept", col("dup_of").isNull.cast("long"))
   }
 
-  /** Naive x51: the same seeded per-subspace KMeans fits (shared codebook
-    * spec), then everything else re-derived without the engine's joins —
+  /** Naive x51: the codebook is a PUBLISHED seeded constant of the corpus
+    * ([[graft.ext.Similarity.pqCodebook]] — the LSH-planes precedent:
+    * both sides consume the same deterministic artifact as literals),
+    * then everything else re-derived without the engine's joins —
     * codebooks as exploded literal arrays, per-(vector, subspace) codes
     * by window argmin, and ADC computed directly on an all-pairs
     * queries × corpus cross join: per subspace, the squared L2 distance
@@ -183,8 +185,6 @@ object NaiveOracles {
     * broadcast codebook relation, no LUT join, no struct-min argmin.
     * Mirrors pqTopK(k=5, m=4, codebookSize=16) over the %100 sample. */
   private def x51(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
     val emb = tbl(s, dir, "embeddings")
     val base = emb.select(col("vec_id").as("nid"),
@@ -194,13 +194,11 @@ object NaiveOracles {
     def l2sq(x: Column, y: Column): Column = aggregate(
       zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
       lit(0.0), (acc: Column, t: Column) => acc + t)
-    // per-subspace literal codebooks, fit exactly as the engine fits them
+    // per-subspace literal codebooks: the published artifact, as literals
+    val cb = graft.ext.Similarity.pqCodebook(
+      emb, "vec_id", "embedding", m, codebookSize, seed)
     val cents: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
-      val feats = base.select(array_to_vector(
-        slice(col("v"), subIdx * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(codebookSize).setSeed(seed + subIdx)
-        .setMaxIter(8).setFeaturesCol("features").fit(feats)
-        .clusterCenters.toSeq.map(_.toArray)
+      cb.filter(_._1 == subIdx).sortBy(_._2).map(_._3)
     }
     def litVec(c: Array[Double]): Column = array(c.map(lit): _*)
     // the centroid a subvector encodes to, resolved per subspace by
