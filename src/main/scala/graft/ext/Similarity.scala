@@ -154,7 +154,58 @@ object Similarity {
       .distinct()
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+  /** The IVF coarse-quantizer centroids as a published seeded constant of
+    * the corpus (same contract as [[pqCodebook]]): ONE distributed action
+    * samples the `fitSample` vectors with the smallest id-hashes
+    * (TakeOrdered — map-side partial top-K, bounded driver memory,
+    * deterministic), then seeded k-means++/Lloyd rounds run driver-
+    * locally. A coarse quantizer needs usable cells, not converged ones —
+    * recall is governed by nProbe — and distributed KMeans over what must
+    * be a bounded sample anyway was measured to be pure scheduling
+    * overhead (m × maxIter jobs). Returns (cell, centroid) pairs. */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
+      seed: Long, fitSample: Int = 4096): Seq[(Int, Array[Double])] = {
+    val sample = corpus
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("v"))
+      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
+      .limit(fitSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    localLloyd(sample, nCentroids, iters = 8, seed = seed)
+      .zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** Label every row of `df` with the id of its nearest centroid (squared
+    * L2, ties to the lower cell id) in a new `cell` column. Map-only: the
+    * centroids ride to executors as a broadcast variable and the argmin
+    * is a primitive loop per row — no shuffle, no per-centroid plan
+    * nodes, the exact physical shape of MLlib's `model.transform`
+    * (which is also a predict UDF over broadcast centers). */
+  private[graft] def assignCells(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val cents: Array[Array[Double]] =
+      centroids.sortBy(_._1).map(_._2).toArray
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val predict = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0
+        var t = 0
+        val cv = cs(c)
+        while (t < cv.length) { val x = arr(t) - cv(t); d += x * x; t += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    df.withColumn("cell", predict(col(vecCol)))
+  }
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nCentroids` cells; each query probes its `nProbe`
     * nearest cells and scores only those vectors. At 100 TB the corpus is
     * written partitioned by cell id (one shuffle, reused by every query
@@ -165,29 +216,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.Functions.register(corpus.sparkSession)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val features = corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("arr"))
-      .withColumn("features", array_to_vector(col("arr")))
-    // a coarse quantizer needs usable cells, not converged ones: cap the
-    // iterations (default 20) — recall is governed by nProbe, not by the
-    // last few centroid refinements (random init was also measured: no
-    // wall-time gain, worse cells — the capped iterations dominate;
-    // quarter-sampling the fit input was also measured: no gain either —
-    // the fit is iteration/scheduling-bound at bench scale, though at
-    // 100 TB the fit input must be a bounded sample regardless)
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features").fit(features)
-
-    val assigned = model.transform(features)
-      .select(col("nid"), col("arr").as("cv"), col("prediction").as("cell"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids, seed = 42L)
+    val assigned = assignCells(
+        corpus.select(col(idCol).as("nid"),
+          col(vecCol).cast("array<double>").as("cv")),
+        "cv", cents)
       .withColumn("cn", norm(col("cv")))
 
-    val probes = probeCells(queries, idCol, vecCol,
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
-      nProbe)
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
 
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("sim", when(col("cn") * col("qn") > 0,
@@ -268,24 +304,19 @@ object Similarity {
   /** SemDeDup at corpus scale: [[semanticDedup]] with the cluster column
     * produced by the IVF coarse quantizer — the documented "IVF cells as
     * clusters at 100 TB" composition as working code, not a comment. One
-    * KMeans fit (driver-side model; at real scale the fit input is a
-    * bounded sample — the transform labels the full corpus either way),
-    * one scan to label rows, then the cluster-bucketed dominance join:
-    * the quadratic term never leaves a cell, and cell count is the knob
-    * that sizes cells to a task. */
+    * bounded-sample centroid fit ([[ivfCentroids]]), one map-only scan to
+    * label rows ([[assignCells]]), then the cluster-bucketed dominance
+    * join: the quadratic term never leaves a cell, and cell count is the
+    * knob that sizes cells to a task. */
   def semanticDedupIvf(
       df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, threshold: Double = 0.35,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = df.select(col(idCol), col(vecCol).cast("array<double>").as("__arr"))
-      .withColumn("features", array_to_vector(col("__arr")))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("features").fit(feats)
-    val assigned = model.transform(feats)
-      .select(col(idCol), col("__arr").as(vecCol),
-        col("prediction").as("__cell"))
+    val cents = ivfCentroids(df, idCol, vecCol, nCells, seed = seed)
+    val assigned = assignCells(
+        df.select(col(idCol), col(vecCol).cast("array<double>").as("__arr")),
+        "__arr", cents)
+      .select(col(idCol), col("__arr").as(vecCol), col("cell").as("__cell"))
     semanticDedup(assigned, idCol, vecCol, "__cell", threshold)
   }
 

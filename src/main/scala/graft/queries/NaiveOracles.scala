@@ -131,24 +131,21 @@ object NaiveOracles {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
   }
 
-  /** Naive x49: the same seeded KMeans fit (shared quantizer spec),
-    * cell assignment by exploded-literal argmin (no model.transform),
-    * then all-pairs cosine dominance WITHIN each cell via a plain
-    * cross join — no cluster-equi bucketing, no checkpointed shared
-    * frame. Mirrors semanticDedupIvf(nCells=16, threshold=0.35). */
+  /** Naive x49: the quantizer centroids are a PUBLISHED seeded constant
+    * of the corpus ([[graft.ext.Similarity.ivfCentroids]]), cell
+    * assignment by exploded-literal argmin (no predict UDF), then
+    * all-pairs cosine dominance WITHIN each cell via a plain cross join
+    * — no cluster-equi bucketing, no checkpointed shared frame. Mirrors
+    * semanticDedupIvf(nCells=16, threshold=0.35). */
   private def x49(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = tbl(s, dir, "embeddings")
-    val features = emb.select(col("vec_id").as("id"),
-        col("embedding").cast("array<double>").as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features").fit(features)
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    val cents = graft.ext.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, seed = 42L)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
     }: _*)
-    val exp = features.select(col("id"), col("v"))
+    val exp = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("c", explode(centArr))
       .withColumn("d2", aggregate(
         zip_with(col("v"), col("c.cvec"), (x: Column, y: Column) => (x - y) * (x - y)),
@@ -232,22 +229,18 @@ object NaiveOracles {
       .select(col("qid"), col("nid"), col("rnk"), col("adc"))
   }
 
-  /** Naive x13: the same seeded KMeans fit (shared quantizer spec), then
-    * cell assignment by exploded-literal argmin, probe ranking, scoring
-    * and top-k all re-derived with HOF arithmetic — no model.transform,
-    * no broadcast probe join. Mirrors ivfTopK(k=5, nCentroids=16,
-    * nProbe=4) over the %100 query sample. */
+  /** Naive x13: the quantizer centroids are a PUBLISHED seeded constant
+    * of the corpus ([[graft.ext.Similarity.ivfCentroids]] — the
+    * LSH-planes precedent), then cell assignment by exploded-literal
+    * argmin, probe ranking, scoring and top-k all re-derived with HOF
+    * arithmetic — no predict UDF, no broadcast probe join. Mirrors
+    * ivfTopK(k=5, nCentroids=16, nProbe=4) over the %100 query sample. */
   private def x13(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val emb = tbl(s, dir, "embeddings")
-    val features = emb.select(col("vec_id").as("nid"),
-        col("embedding").cast("array<double>").as("arr"))
-      .withColumn("features", array_to_vector(col("arr")))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features").fit(features)
-    val centArr = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit): _*).as("cvec"))
+    val cents = graft.ext.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, seed = 42L)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
     }: _*)
     def d2(v: Column, cvec: Column) = aggregate(
       zip_with(v, cvec, (x: Column, y: Column) => (x - y) * (x - y)),
