@@ -234,6 +234,19 @@ object ProducerQueries {
         | FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // P9 — destroyed records serialize as {primary_key} only: the wire
+    // form a consumer's destroy path keys on (p20 covers the tombstone
+    // envelope around it).
+    "p09_deleted_projection" -> entry(
+      (s, dir) => {
+        val m = ModelDef("order", primaryKey = "o_orderkey")
+        Serializers.deletedProjection(
+            tbl(s, dir, "orders").filter(col("o_orderkey") % 10 === 3), m)
+          .orderBy(col("id"))
+      },
+      """SELECT o_orderkey AS id FROM orders
+        |WHERE o_orderkey % 10 = 3 ORDER BY id""".stripMargin),
+
     // P12 — publish ack/retry bookkeeping: successes stamped published_at,
     // failures get attempts+1 and exponential-backoff retry_at.
     "p12_acknowledge" -> entry(
