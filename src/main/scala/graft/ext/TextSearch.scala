@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * counterpart of the ANN family ([[Similarity]]): a small query set
   * ranks documents by BM25.
   *
-  * Scale shape (the inverted-index join): one tokenize feeds the
-  * term-frequency table, which feeds document lengths, document
-  * frequencies AND scoring; query terms broadcast into the TF table so
-  * only matching postings survive; per-(query, doc) scores aggregate
-  * once. Nothing corpus-sized is broadcast or collected. At 100 TB the
-  * TF table is the materialized inverted index — persist it bucketed by
-  * token and every query batch skips the build.
+  * Scale shape (the inverted-index join): the distinct query terms are
+  * driver-side data, so pruning is scan-local — an `arrays_overlap`
+  * prefilter skips whole non-matching documents before the explode and
+  * an `isin` keeps only matching postings after — and ONLY matching
+  * postings ever reach a shuffle; the corpus-wide (doc, token)
+  * aggregation the naive form would pay never happens. Document length
+  * is scan-local (`size(split(text))` — no aggregation), document
+  * frequency and scoring aggregate the pruned postings only. Nothing corpus-sized is
+  * broadcast or collected. At 100 TB with a standing query workload,
+  * persist the full TF table bucketed by token as the materialized
+  * inverted index and every query batch skips even the tokenize scan.
   */
 object TextSearch {
 
@@ -28,26 +32,40 @@ object TextSearch {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
-    val tf = df
-      .select(col(idCol).as("nid"), explode(split(col(textCol), " ")).as("tok"))
-      .groupBy(col("nid"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // the inverted index: feeds dl, df, scoring
-    val docLen = tf.groupBy(col("nid")).agg(sum(col("tf")).as("dl"))
+    val toks = df.select(col(idCol).as("nid"),
+      split(col(textCol), " ").as("tk"))
+    // document length is scan-local — no corpus aggregation for dl
+    val docLen = toks.select(col("nid"), size(col("tk")).cast("long").as("dl"))
     // exact integer sum over exact count — deterministic avgdl in both engines
     val stats = docLen.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
     val qtoks = queries.toDF("qid", "qtext")
       .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
         .as("tok"))
+    // the query-term set is driver-side data — prune scan-locally, no
+    // join: an arrays_overlap prefilter skips whole non-matching docs
+    // before the explode, an isin keeps only matching postings after.
+    // dl rides along as a grouping column (constant per nid), so scoring
+    // needs no corpus join either.
+    val qterms = queries.flatMap(_._2.split(" ")).distinct
+    val tf = toks
+      .filter(arrays_overlap(col("tk"),
+        array(qterms.map(lit).toIndexedSeq: _*)))
+      .select(col("nid"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(qterms: _*))
+      .groupBy(col("nid"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds document frequency AND scoring
+    // df(t) over the corpus equals df(t) over the pruned postings for
+    // every query term — pruning does not change the counted set
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
     val idf = log((col("n") - col("dfq") + lit(0.5)) /
       (col("dfq") + lit(0.5)) + lit(1.0))
     val termScore = idf * col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
     val terms = tf
       .join(broadcast(qtoks), Seq("tok"))
-      .join(dfreq, Seq("tok"))
-      .join(docLen, Seq("nid"))
+      .join(broadcast(dfreq), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("nid"), col("tok"), termScore.as("s"))
     val scored = terms
