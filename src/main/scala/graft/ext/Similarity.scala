@@ -668,6 +668,81 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"), col("adc"))
   }
 
+  /** IVF-PQ ANN — the full production composition ([[ivfTopK]]'s coarse
+    * cells × [[pqTopK]]'s compressed scoring), previously only promised
+    * in prose. Each query probes its `nProbe` nearest cells; within
+    * them, candidates rank by ADC against the PQ code table. The float
+    * vectors are touched only at index-build time: at query time the
+    * corpus contributes (cell, m codes) per vector — at 100 TB that
+    * index is ~1/30th the corpus, written partitioned by cell, and a
+    * query batch scans ~nProbe/nCentroids of it.
+    *
+    * Both constants are published seeded artifacts ([[ivfCentroids]],
+    * [[pqCodebook]]), so the whole pipeline is deterministic and
+    * naive-oracle-checkable. The cell id rides the PQ-encode groupBy as
+    * a grouping column (constant per nid) — no corpus-keyed join
+    * re-associates it. Returns (qid, nid, rnk, adc). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+    val session = corpus.sparkSession
+    graft.functions.Functions.register(session)
+    import session.implicits._
+    val base = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    def subs(v: Column): Column = transform(
+      sequence(lit(0), lit(m - 1)),
+      (i: Column) => struct(i.as("sub"),
+        slice(v, i * subDim + 1, lit(subDim)).as("sv")))
+
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids, seed = seed)
+    val codebook = pqCodebook(corpus, idCol, vecCol, m, codebookSize, seed)
+      .map { case (sub, code, c) => (sub, code, c.toSeq) }
+    val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
+
+    // index build: cell label (map-only) + PQ codes; the cell rides the
+    // encode groupBy as a grouping column
+    val encoded = assignCells(base, "v", cents)
+      .select(col("nid"), col("cell"), explode(subs(col("v"))).as("e"))
+      .select(col("nid"), col("cell"),
+        col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .join(cbDf, "sub")
+      .groupBy(col("nid"), col("cell"), col("sub"))
+      .agg(min(struct(l2sq(col("sv"), col("cvec")).as("d2"),
+        col("code").as("code"))).as("best"))
+      .select(col("nid"), col("cell"), col("sub"), col("best.code").as("code"))
+
+    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
+      .select(col("qid"), col("cell"))
+    val lut = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), explode(subs(col("qv"))).as("e"))
+      .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))
+      .join(cbDf, "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        l2sq(col("qsv"), col("cvec")).as("pd2"))
+
+    val adc = (0 until m)
+      .map(i => sum(when(col("sub") === i, col("pd2")))).reduce(_ + _)
+    val scored = encoded
+      .join(broadcast(probes), Seq("cell")) // candidate gate: probed cells only
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(adc.as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"))
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost.

@@ -939,6 +939,20 @@ object ExtQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // IVF-PQ ANN (the full production composition): coarse cells gate the
+    // candidates, PQ ADC ranks them — floats touched only at index build.
+    // Published seeded constants → Spark-naive oracle (NaiveOracles.x56).
+    "x56_ann_ivfpq" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfPqTopK(
+            corpus = emb,
+            queries = emb.filter(col("vec_id") % 100 === 0),
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nCentroids = 16, nProbe = 4, m = 4, codebookSize = 16)
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
     // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
     // denominator folded in sorted domain order (x31 pattern).

@@ -55,7 +55,8 @@ object NaiveOracles {
     "x03_dedup_simhash" -> (x03 _),
     "x13_ann_ivf" -> (x13 _),
     "x49_semantic_dedup_ivf" -> (x49 _),
-    "x51_ann_pq" -> (x51 _))
+    "x51_ann_pq" -> (x51 _),
+    "x56_ann_ivfpq" -> (x56 _))
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
     * shingles, ALL document pairs enumerated, band agreement as eight
@@ -272,5 +273,82 @@ object NaiveOracles {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+
+  /** Naive x56: both constants are PUBLISHED seeded artifacts
+    * ([[graft.ext.Similarity.ivfCentroids]] and `pqCodebook`); cell
+    * assignment and probe ranking by exploded-literal argmin (the x13
+    * naive), per-(vector, subspace) codes by window argmin over the
+    * literal codebook and ADC against the LITERAL centroid each code
+    * points at (the x51 naive), candidates restricted to probed cells
+    * by a plain (qid, cell) join. Mirrors ivfPqTopK(k=5, nCentroids=16,
+    * nProbe=4, m=4, codebookSize=16) over the %100 query sample. */
+  private def x56(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
+    val emb = tbl(s, dir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, seed = seed)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
+    }: _*)
+    val base = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    // cell per corpus vector: exploded-literal argmin
+    val aw = Window.partitionBy(col("nid"))
+      .orderBy(col("d2"), col("c.cell"))
+    val cellOf = base
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("v"), col("c.cvec")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("c.cell").as("cell"))
+    // the centroid each (vector, subspace) encodes to, from the literal
+    // codebook
+    val cb = graft.ext.Similarity.pqCodebook(
+      emb, "vec_id", "embedding", m, codebookSize, seed)
+    val cents2: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
+      cb.filter(_._1 == subIdx).sortBy(_._2).map(_._3)
+    }
+    def litVec(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def codeCentroid(subIdx: Int): DataFrame = {
+      val cbArr = array(cents2(subIdx).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("code"), litVec(c).as("cvec"))
+      }: _*)
+      val sv = slice(col("v"), subIdx * subDim + 1, subDim)
+      val exp = base.select(col("nid"), sv.as("sv"))
+        .withColumn("c", explode(cbArr))
+        .withColumn("d2", l2sq(col("sv"), col("c.cvec")))
+      val w = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.code"))
+      exp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("nid"), col("c.cvec").as(s"cent$subIdx"))
+    }
+    val encoded = (0 until m).map(codeCentroid)
+      .reduce((a, b) => a.join(b, "nid"))
+      .join(cellOf, "nid")
+    // probed cells per query: exploded-literal argmin, top nProbe
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = q
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("qv"), col("c.cvec")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"))
+    // ADC on candidates in probed cells, fixed subspace addition order
+    val adc = (0 until m).map { subIdx =>
+      l2sq(slice(col("qv"), subIdx * subDim + 1, subDim), col(s"cent$subIdx"))
+    }.reduce(_ + _)
+    val scored = probes.join(encoded, "cell").withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"))
   }
 }

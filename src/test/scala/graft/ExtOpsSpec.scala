@@ -754,6 +754,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@5 vs exact L2 too low: $recall")
   }
 
+  test("IVF-PQ: full probe degenerates to plain PQ; partial probe stays in-cell") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    // probing every cell removes the candidate gate — the composition
+    // must then reproduce pqTopK EXACTLY (same published codebook, same
+    // ADC arithmetic, same tie-breaks)
+    val full = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 8, m = 4, codebookSize = 16)
+      .select("qid", "nid", "rnk", "adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", 5,
+        m = 4, codebookSize = 16)
+      .select("qid", "nid", "rnk", "adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full == pq, "full-probe IVF-PQ must equal plain PQ bit-for-bit")
+    // partial probe: every candidate's cell is one the query probed
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8, 42L)
+    val cellOf = Similarity.assignCells(
+        emb.select($"vec_id".as("nid"),
+          $"embedding".cast("array<double>").as("v")), "v", cents)
+      .select($"nid", $"cell").as[(Long, Int)].collect().toMap
+    val probed = Similarity.probeCells(q, "vec_id", "embedding", cents, 2)
+      .select($"qid", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val part = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 2, m = 4, codebookSize = 16)
+      .select("qid", "nid").as[(Long, Long)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (qid, nid) =>
+      assert(probed(qid).contains(cellOf(nid)),
+        s"candidate $nid for query $qid came from an unprobed cell")
+    }
+  }
+
   test("blocked near-dup pairs equal naive all-pairs (every block count)") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     // naive all-pairs triangle as the in-test oracle (the shape the
