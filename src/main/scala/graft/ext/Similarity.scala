@@ -165,15 +165,24 @@ object Similarity {
     * overhead (m × maxIter jobs). Returns (cell, centroid) pairs. */
   def ivfCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
-      seed: Long, fitSample: Int = 4096): Seq[(Int, Array[Double])] = {
-    val sample = corpus
-      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("v"))
-      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
-      .limit(fitSample)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      seed: Long, fitSample: Int = 4096): Seq[(Int, Array[Double])] =
+    ivfCentroidsFrom(
+      sampleVectors(corpus, idCol, vecCol, fitSample), nCentroids, seed)
+
+  /** The shared deterministic fit sample: the `fitSample` vectors with
+    * the smallest id-hashes. One TakeOrdered action; [[ivfPqTopK]]
+    * collects it once and feeds BOTH fits. */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, fitSample: Int): Array[Array[Double]] = corpus
+    .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("v"))
+    .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
+    .limit(fitSample)
+    .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+  private def ivfCentroidsFrom(sample: Array[Array[Double]],
+      nCentroids: Int, seed: Long): Seq[(Int, Array[Double])] =
     localLloyd(sample, nCentroids, iters = 8, seed = seed)
       .zipWithIndex.map { case (c, i) => (i, c) }
-  }
 
   /** Label every row of `df` with the id of its nearest centroid (squared
     * L2, ties to the lower cell id) in a new `cell` column. Map-only: the
@@ -590,16 +599,16 @@ object Similarity {
   def pqCodebook(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, codebookSize: Int, seed: Long,
-      fitSample: Int = 4096): Seq[(Int, Int, Array[Double])] = {
-    val base = corpus.select(col(idCol).as("nid"),
-      col(vecCol).cast("array<double>").as("v"))
-    val dim = base.select(size(col("v"))).head.getInt(0)
+      fitSample: Int = 4096): Seq[(Int, Int, Array[Double])] =
+    pqCodebookFrom(
+      sampleVectors(corpus, idCol, vecCol, fitSample), m, codebookSize, seed)
+
+  private def pqCodebookFrom(sample: Array[Array[Double]],
+      m: Int, codebookSize: Int, seed: Long): Seq[(Int, Int, Array[Double])] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val sample = base
-      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
-      .limit(fitSample)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     (0 until m).flatMap { subIdx =>
       val pts = sample.map(v =>
         java.util.Arrays.copyOfRange(v, subIdx * subDim, (subIdx + 1) * subDim))
@@ -703,8 +712,11 @@ object Similarity {
       (i: Column) => struct(i.as("sub"),
         slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
-    val cents = ivfCentroids(corpus, idCol, vecCol, nCentroids, seed = seed)
-    val codebook = pqCodebook(corpus, idCol, vecCol, m, codebookSize, seed)
+    // ONE sample action feeds both fits (the public per-fit entry points
+    // collect the identical rows, so the artifacts are unchanged)
+    val sample = sampleVectors(corpus, idCol, vecCol, fitSample = 4096)
+    val cents = ivfCentroidsFrom(sample, nCentroids, seed)
+    val codebook = pqCodebookFrom(sample, m, codebookSize, seed)
       .map { case (sub, code, c) => (sub, code, c.toSeq) }
     val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
 
