@@ -695,56 +695,89 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+      m: Int = 4, codebookSize: Int = 16, seed: Long = 42L): DataFrame =
+    ivfPqTopKOnIndex(
+      buildIvfPqIndex(corpus, idCol, vecCol, nCentroids, m, codebookSize,
+        seed),
+      queries, idCol, vecCol, k, nProbe)
+
+  /** The persistable IVF-PQ index: the two seeded fit artifacts plus the
+    * per-vector code table `codes` — (nid, cell, sub: one row per
+    * subspace, code). Write `codes` partitioned by `cell` and store the
+    * constants beside it; [[Similarity.ivfPqTopKOnIndex]] accepts the
+    * reloaded frame unchanged (IvfPqSpec round-trips it through
+    * parquet), so the corpus floats are read exactly once per index
+    * build, never per query batch. */
+  final case class IvfPqIndex(
+      centroids: Seq[(Int, Array[Double])],
+      codebook: Seq[(Int, Int, Array[Double])],
+      codes: DataFrame)
+
+  /** Build the IVF-PQ index for a corpus: one sample action feeds both
+    * seeded fits (the public per-fit entry points collect the identical
+    * rows, so the artifacts are unchanged), then one corpus pass labels
+    * cells (map-only [[assignCells]]) and PQ-encodes — the cell id rides
+    * the encode groupBy as a grouping column (constant per nid), so no
+    * corpus-keyed join re-associates it. */
+  def buildIvfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, m: Int = 4, codebookSize: Int = 16,
+      seed: Long = 42L): IvfPqIndex = {
     val session = corpus.sparkSession
-    graft.functions.Functions.register(session)
     import session.implicits._
     val base = corpus.select(col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    def l2sq(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
-      lit(0.0), (acc: Column, t: Column) => acc + t)
-    def subs(v: Column): Column = transform(
-      sequence(lit(0), lit(m - 1)),
-      (i: Column) => struct(i.as("sub"),
-        slice(v, i * subDim + 1, lit(subDim)).as("sv")))
-
-    // ONE sample action feeds both fits (the public per-fit entry points
-    // collect the identical rows, so the artifacts are unchanged)
     val sample = sampleVectors(corpus, idCol, vecCol, fitSample = 4096)
     val cents = ivfCentroidsFrom(sample, nCentroids, seed)
     val codebook = pqCodebookFrom(sample, m, codebookSize, seed)
-      .map { case (sub, code, c) => (sub, code, c.toSeq) }
-    val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
-
-    // index build: cell label (map-only) + PQ codes; the cell rides the
-    // encode groupBy as a grouping column
-    val encoded = assignCells(base, "v", cents)
-      .select(col("nid"), col("cell"), explode(subs(col("v"))).as("e"))
+    val cbDf = broadcast(
+      codebook.map { case (s_, c_, v_) => (s_, c_, v_.toSeq) }
+        .toDF("sub", "code", "cvec"))
+    val codes = assignCells(base, "v", cents)
+      .select(col("nid"), col("cell"),
+        explode(subsExpr(col("v"), m, subDim)).as("e"))
       .select(col("nid"), col("cell"),
         col("e.sub").as("sub"), col("e.sv").as("sv"))
       .join(cbDf, "sub")
       .groupBy(col("nid"), col("cell"), col("sub"))
-      .agg(min(struct(l2sq(col("sv"), col("cvec")).as("d2"),
+      .agg(min(struct(l2sqCol(col("sv"), col("cvec")).as("d2"),
         col("code").as("code"))).as("best"))
       .select(col("nid"), col("cell"), col("sub"), col("best.code").as("code"))
+    IvfPqIndex(cents, codebook, codes)
+  }
 
-    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
+  /** Query a prebuilt [[IvfPqIndex]]: probe `nProbe` cells per query
+    * against the centroid constants, gate candidates to probed cells,
+    * rank by ADC against the code table. Touches only the index — the
+    * corpus float vectors do not participate. */
+  def ivfPqTopKOnIndex(
+      index: IvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val session = queries.sparkSession
+    graft.functions.Functions.register(session)
+    import session.implicits._
+    val m = index.codebook.map(_._1).max + 1
+    val subDim = index.codebook.head._3.length
+    val cbDf = broadcast(
+      index.codebook.map { case (s_, c_, v_) => (s_, c_, v_.toSeq) }
+        .toDF("sub", "code", "cvec"))
+    val probes = probeCells(queries, idCol, vecCol, index.centroids, nProbe)
       .select(col("qid"), col("cell"))
     val lut = queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-      .select(col("qid"), explode(subs(col("qv"))).as("e"))
+      .select(col("qid"), explode(subsExpr(col("qv"), m, subDim)).as("e"))
       .select(col("qid"), col("e.sub").as("sub"), col("e.sv").as("qsv"))
       .join(cbDf, "sub")
       .select(col("qid"), col("sub"), col("code"),
-        l2sq(col("qsv"), col("cvec")).as("pd2"))
-
+        l2sqCol(col("qsv"), col("cvec")).as("pd2"))
+    // each (nid, sub) matches exactly one LUT row per qid, so every sum
+    // term aggregates a single value — exact, fixed subspace order
     val adc = (0 until m)
       .map(i => sum(when(col("sub") === i, col("pd2")))).reduce(_ + _)
-    val scored = encoded
+    val scored = index.codes
       .join(broadcast(probes), Seq("cell")) // candidate gate: probed cells only
       .join(broadcast(lut), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("nid"))
@@ -754,6 +787,19 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), col("adc"))
   }
+
+  /** Squared L2 between two double arrays, left-to-right fold — the
+    * shared ADC/encode arithmetic (addition order is part of the oracle
+    * contract). */
+  private def l2sqCol(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+    lit(0.0), (acc: Column, t: Column) => acc + t)
+
+  /** (sub, subvector) pairs of one vector, as an explodable array. */
+  private def subsExpr(v: Column, m: Int, subDim: Int): Column = transform(
+    sequence(lit(0), lit(m - 1)),
+    (i: Column) => struct(i.as("sub"),
+      slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →

@@ -788,6 +788,26 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index round-trips through parquet and answers identically") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val direct = Similarity.ivfPqTopKOnIndex(idx, q, "vec_id", "embedding",
+        5, nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // persist the code table (partitioned by cell, as the docs prescribe)
+    // and query from the RELOADED frame — the corpus floats are gone
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    idx.codes.write.partitionBy("cell").parquet(s"$dir/codes")
+    val reloaded = idx.copy(codes = spark.read.parquet(s"$dir/codes"))
+    val fromDisk = Similarity.ivfPqTopKOnIndex(reloaded, q, "vec_id",
+        "embedding", 5, nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(direct.nonEmpty && fromDisk == direct,
+      "reloaded index must answer bit-identically")
+  }
+
   test("blocked near-dup pairs equal naive all-pairs (every block count)") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     // naive all-pairs triangle as the in-test oracle (the shape the
