@@ -387,11 +387,89 @@ object TextDedup {
     * bands of k/bands rows each, bucket-join on (band index, band hash),
     * then verify candidates with exact Jaccard. Returns
     * (id_a, id_b, est_jac, jac) with jac >= threshold. */
+  /** The (band index, band hash) keys of a k-wide signature column —
+    * shared by the one-corpus pair join and the incremental
+    * batch-vs-index join (identical banding is what makes the persisted
+    * index reusable). */
+  private def bandKeyExprs(sig: Column, k: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = k / bands
+    (0 until bands).map { bd =>
+      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(i => element_at(sig, i + 1))
+      struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+  }
+
+  /** The persistable MinHash signature index of a corpus: one row per
+    * document — (id, sz, toks: sorted hashed shingles, sig: k-wide
+    * signature). Everything [[nearDupAgainstIndex]] needs to admit new
+    * batches without re-reading the indexed corpus text: band keys
+    * re-derive from `sig`, the size-ratio prefilter from `sz`, exact
+    * verification from `toks`. Write it as parquet beside the corpus and
+    * append each accepted batch's own rows to it (the daily-ingest
+    * loop). Shingle hashing is seedless xxhash64, so index and batch
+    * agree across sessions by construction. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleN: Int = 2): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        sort_array(hashedShingles(col(textCol), shingleN)).as("toks"))
+      .select(col("id"), size(col("toks")).as("sz"), col("toks"),
+        call_function("minhash_sigs", col("toks"), lit(k)).as("sig"))
+  }
+
+  /** Incremental near-dup: which documents of a NEW batch near-duplicate
+    * the already-indexed corpus — the shape a standing ingest pipeline
+    * runs daily, where re-pairing the whole corpus (x02) would redo
+    * quadratic work for a sliver of new rows. Batch docs build the same
+    * signature frame ([[minhashIndex]] on the fly), band-bucket-join
+    * against the index's re-derived band keys, and survive the identical
+    * size-ratio → estimate-floor → exact-Jaccard cascade as
+    * [[minhashLshPairs]] — IndexDedupSpec pins exact agreement with the
+    * one-corpus operator on the union. Returns (id: batch doc,
+    * dup_of: index doc, est_jac, jac ≥ threshold).
+    *
+    * Scale shape: the index is never re-read in full — band keys are
+    * scan-local projections of its `sig` column, the bucket join moves
+    * (id, sig, sz) fixed-width rows, and only candidate-surviving index
+    * docs ship their shingle arrays into verification. `k`/`bands`/
+    * `shingleN`/threshold must match the index build (band agreement is
+    * meaningless across different families). */
+  def nearDupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, k: Int = 16, bands: Int = 8, shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.Functions.register(batch.sparkSession)
+    val newSide = minhashIndex(batch, idCol, textCol, k, shingleN)
+      .localCheckpoint(eager = false) // feeds banding AND verification
+    val idx = index.localCheckpoint(eager = false)
+    def banded(side: DataFrame) = side.select(col("id"), col("sig"),
+      col("sz"), explode(array(bandKeyExprs(col("sig"), k, bands): _*)).as("bk"))
+    val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
+    val estFloor = math.max(0.0,
+      threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
+    val cands = banded(newSide).as("x")
+      .join(banded(idx).as("y"), col("x.bk") === col("y.bk"))
+      .filter(least(col("x.sz"), col("y.sz")).cast("double") >=
+        greatest(col("x.sz"), col("y.sz")) * threshold - 1e-6)
+      .select(col("x.id").as("id"), col("y.id").as("dup_of"),
+        (eqCount.cast("double") / k).as("est_jac"))
+      .filter(col("est_jac") >= estFloor)
+    val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
+    cands
+      .join(newSide.select(col("id"), col("toks").as("toks_a")), "id")
+      .join(idx.select(col("id").as("dup_of"), col("toks").as("toks_b")),
+        "dup_of")
+      .withColumn("jac",
+        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
+      .distinct()
+  }
+
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = k / bands
     graft.functions.Functions.register(df.sparkSession)
     // ONE base frame carries both the sorted hashed shingles (verification
     // input) and the signature derived from them scan-local (native
@@ -402,11 +480,7 @@ object TextDedup {
         sort_array(hashedShingles(col(textCol), shingleN)).as("toks"))
       .withColumn("sig", call_function("minhash_sigs", col("toks"), lit(k)))
       .localCheckpoint(eager = false)
-    val bandKeys = (0 until bands).map { bd =>
-      val cols = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
-        .map(i => element_at(col("sig"), i + 1))
-      struct(lit(bd).as("band"), xxhash64(cols: _*).as("bh"))
-    }
+    val bandKeys = bandKeyExprs(col("sig"), k, bands)
     // carry the whole signature on the banded rows: the estimate then
     // computes inside the candidate join — no signature-lookup joins
     // later. Signature agreement runs once per candidate pair (the

@@ -788,6 +788,32 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup vs persisted index equals the one-corpus operator") {
+    import graft.ext.TextDedup
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id", $"text")
+    // planted batch: exact copies (guaranteed hits) + untouched docs
+    val batch = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    // the index persists and reloads — the daily-ingest loop's artifact
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    TextDedup.minhashIndex(docs, "doc_id", "text").write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    val got = TextDedup.nearDupAgainstIndex(batch, "doc_id", "text", idx)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // reference: the whole-union pair operator, restricted to cross pairs
+    // (old id < 1000000 <= new id, which also matches its id_a < id_b
+    // orientation), reoriented to (new, old)
+    val expected = TextDedup.minhashLshPairs(docs.union(batch), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .filter { case (a, b, _, _) => a < 1000000L && b >= 1000000L }
+      .map { case (a, b, e, j) => (b, a, e, j) }.toSet
+    assert(got.nonEmpty, "planted copies must surface")
+    assert(got == expected,
+      s"incremental diverged: only-got ${(got -- expected).take(3)}, " +
+        s"only-want ${(expected -- got).take(3)}")
+  }
+
   test("IVF-PQ index round-trips through parquet and answers identically") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     val q = emb.filter($"vec_id" % 100 === 0)
