@@ -953,6 +953,20 @@ object ExtQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // Incremental near-dup: a planted batch (copies at id+2,000,000)
+    // checked against the persisted-index form of the corpus — must
+    // agree exactly with the whole-union pair family (NaiveOracles.x57).
+    "x57_incremental_neardup" -> rowsOnly(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        TextDedup.nearDupAgainstIndex(batch, "doc_id", "text",
+            TextDedup.minhashIndex(docs, "doc_id", "text"))
+          .orderBy(col("id"), col("dup_of"))
+      }),
+
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
     // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
     // denominator folded in sorted domain order (x31 pattern).

@@ -56,17 +56,23 @@ object NaiveOracles {
     "x13_ann_ivf" -> (x13 _),
     "x49_semantic_dedup_ivf" -> (x49 _),
     "x51_ann_pq" -> (x51 _),
-    "x56_ann_ivfpq" -> (x56 _))
+    "x56_ann_ivfpq" -> (x56 _),
+    "x57_incremental_neardup" -> (x57 _))
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
     * shingles, ALL document pairs enumerated, band agreement as eight
     * explicit signature-slice comparisons, estimate as sixteen explicit
     * positional equalities, exact Jaccard via array_intersect. Mirrors
     * minhashLshPairs(k=16, bands=8, shingleN=2, threshold=0.6). */
-  private def x02(s: SparkSession, dir: String): DataFrame = {
+  private def x02(s: SparkSession, dir: String): DataFrame =
+    naiveMinhashPairs(tbl(s, dir, "documents"), threshold = 0.6)
+
+  /** The shared x02/x57 machinery: HOF-remixed minhash over a (doc_id,
+    * text) frame at k=16, bands=8, shingleN=2 — every step explicit,
+    * none of the engine's native expressions or join staging. */
+  private def naiveMinhashPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
     val k = 16; val bands = 8; val rowsPerBand = k / bands
-    val threshold = 0.6
-    val docs = tbl(s, dir, "documents")
     val toks = transform(graft.ext.TextDedup.shingles(col("text"), 2),
       (g: Column) => xxhash64(g))
     val sigCols = (0 until k).map(i =>
@@ -102,6 +108,21 @@ object NaiveOracles {
         inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
+  }
+
+  /** Naive x57: the one-corpus naive pair machinery over the SAME
+    * planted union the engine query splits into batch + index (copies at
+    * id+2,000,000), restricted to cross pairs and reoriented — the
+    * incremental operator must agree with the whole-union family
+    * exactly, which is precisely what it buys over re-pairing. */
+  private def x57(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    naiveMinhashPairs(docs.union(planted), threshold = 0.8)
+      .filter(col("id_a") < 2000000L && col("id_b") >= 2000000L)
+      .select(col("id_b").as("id"), col("id_a").as("dup_of"),
+        col("est_jac"), col("jac"))
   }
 
   /** Naive x03: 64 interpreted per-bit vote folds per document (the
