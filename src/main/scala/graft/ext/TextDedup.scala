@@ -466,6 +466,68 @@ object TextDedup {
       .distinct()
   }
 
+  /** Streaming incremental near-dup: a continuous ingest stream checked
+    * against the static persisted index — the stream-static form of
+    * [[nearDupAgainstIndex]], and the missing half of the ingest loop
+    * ([[nearDupStreaming]] covers stream-internal duplicates; this
+    * covers duplicates of the already-indexed corpus).
+    *
+    * COMPLETELY STATELESS: the band-bucket match is a stream-static
+    * equi-join (no watermark, no state store, append mode), and the
+    * multi-band candidate duplicate that the batch operator removes with
+    * a final `distinct()` is eliminated STRUCTURALLY instead — both
+    * sides carry their full band-hash array, and a candidate survives
+    * only on its FIRST agreeing band (`array_position` over the zipped
+    * equality), so each (doc, index doc) pair exits the join exactly
+    * once. The same size-ratio → estimate-floor → exact-Jaccard cascade
+    * follows, scan-local. Emits (id, dup_of, est_jac, jac) per arrival,
+    * one row per matched index doc; docs with no match emit nothing
+    * (gate on the output to drop dups, anti-join to keep clean docs).
+    *
+    * The stream side carries its shingle array through the band join
+    * (a micro-batch is small; a self-join-back would be a stream-stream
+    * join needing watermarks for no benefit). The static side is
+    * re-evaluated per trigger — callers with a large index should pass
+    * a persisted/cached frame. `k`/`bands`/`shingleN`/threshold must
+    * match the index build. */
+  def nearDupAgainstIndexStreaming(stream: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 2, threshold: Double = 0.8): DataFrame = {
+    graft.functions.Functions.register(stream.sparkSession)
+    def withBhs(side: DataFrame) = side.withColumn("bhs",
+      array(bandKeyExprs(col("sig"), k, bands).map(_.getField("bh")): _*))
+    val newSide = withBhs(stream
+      .select(col(idCol).as("id"),
+        sort_array(hashedShingles(col(textCol), shingleN)).as("toks"))
+      .select(col("id"), size(col("toks")).as("sz"), col("toks"),
+        call_function("minhash_sigs", col("toks"), lit(k)).as("sig")))
+      .select(col("id"), col("sz"), col("toks"), col("sig"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+    val idxSide = withBhs(index)
+      .select(col("id").as("dup_of"), col("sz").as("sz_b"),
+        col("toks").as("toks_b"), col("sig").as("sig_b"), col("bhs").as("bhs_b"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+    val eqCount = call_function("positional_eq_count", col("sig"), col("sig_b"))
+    val estFloor = math.max(0.0,
+      threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
+    // first agreeing band (1-based from array_position; the join key
+    // guarantees at least one)
+    val firstAgree = array_position(
+      zip_with(col("bhs"), col("bhs_b"), (a: Column, b: Column) => a === b),
+      true)
+    val inter = call_function("sorted_intersect_size", col("toks"), col("toks_b"))
+    newSide.join(idxSide, Seq("band", "bh"))
+      .filter(col("band") === firstAgree - 1)
+      .filter(least(col("sz"), col("sz_b")).cast("double") >=
+        greatest(col("sz"), col("sz_b")) * threshold - 1e-6)
+      .withColumn("est_jac", eqCount.cast("double") / k)
+      .filter(col("est_jac") >= estFloor)
+      .withColumn("jac",
+        inter.cast("double") / (col("sz") + col("sz_b") - inter))
+      .filter(col("jac") >= threshold)
+      .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
+  }
+
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,

@@ -788,6 +788,41 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental near-dup equals the batch operator, stateless") {
+    import graft.ext.TextDedup
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id", $"text")
+    val idx = TextDedup.minhashIndex(docs, "doc_id", "text")
+      .persist()
+    val batch = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("incstream").toString
+    batch.coalesce(1).write.parquet(s"$tmp/in/f1")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = TextDedup.nearDupAgainstIndexStreaming(in, "doc_id", "text", idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inc_stream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // a stateless stream-static pipeline: no state store rows at all
+    val lastProg = q.lastProgress
+    assert(Option(lastProg).forall(_.stateOperators.isEmpty),
+      "stream-static incremental dedup must carry no state operators")
+    val got = spark.table("inc_stream_out")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length == got.toSet.size,
+      "first-agreeing-band gate must emit each pair once")
+    val expected = TextDedup.nearDupAgainstIndex(batch, "doc_id", "text", idx)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got.nonEmpty && got.toSet == expected,
+      s"stream diverged: only-got ${(got.toSet -- expected).take(3)}, " +
+        s"only-want ${(expected -- got.toSet).take(3)}")
+    idx.unpersist()
+  }
+
   test("incremental near-dup vs persisted index equals the one-corpus operator") {
     import graft.ext.TextDedup
     val docs = graft.queries.Q.tbl(spark, sf(), "documents")
