@@ -86,6 +86,20 @@ object TextAnalysis {
       regexp_replace(t, p, r)
     }
 
+  /** Lower-cased host of an http(s) URL (everything between `://` and
+    * the first `/`, `?` or `#`) — scan-local regex, no URL library, so
+    * the oracle mirrors it verbatim. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/?#]+)", 1))
+
+  /** Aggressive crawl-style canonicalization: lower-cased host, path
+    * kept verbatim, query string and fragment dropped (the standard
+    * dedup key for crawl curation — tracking params and fragments are
+    * the bulk of URL-level duplication). Scheme normalizes to https. */
+  def canonicalUrl(url: Column): Column =
+    concat(lit("https://"), urlHost(url),
+      regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1))
+
   /** Language-ID marker words (tiny per-language stopword profiles —
     * the classic n-gram/stopword heuristic at word granularity). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -967,6 +967,58 @@ object ExtQueries {
           .orderBy(col("id"), col("dup_of"))
       }),
 
+    // URL canonicalization + per-host cap (crawl curation): host
+    // lower-cased, query/fragment dropped (the URL-dedup key), then a
+    // per-host document cap — over deterministically synthesized messy
+    // URLs (the corpus has no URL column; synthesis mirrored verbatim in
+    // the oracle, the x53 pattern). Scan-local regexes; the only shuffle
+    // is the per-host rank window.
+    "x58_url_canonicalize" -> entry(
+      (s, dir) => {
+        val hostBase = concat(lit("site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.org"))
+        val url = concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(2)) === 0, upper(hostBase))
+            .otherwise(hostBase),
+          lit("/p/"), pmod(col("doc_id"), lit(97)),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit("?utm_source=x&ref="), col("doc_id"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit("#sec"), pmod(col("doc_id"), lit(3)))).otherwise(lit("")))
+        val rk = row_number().over(Window.partitionBy(col("host"))
+          .orderBy(col("doc_id")))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            TextAnalysis.urlHost(col("url")).as("host"),
+            TextAnalysis.canonicalUrl(col("url")).as("canon_url"))
+          .withColumn("host_rank", rk.cast("long"))
+          .withColumn("kept", (col("host_rank") <= 20).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH u AS (SELECT doc_id,
+        |    'https://' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |       THEN upper('site' || (doc_id % 7) || '.example.org')
+        |       ELSE 'site' || (doc_id % 7) || '.example.org' END) ||
+        |    '/p/' || (doc_id % 97) ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |       THEN '?utm_source=x&ref=' || doc_id ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0
+        |       THEN '#sec' || (doc_id % 3) ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS host,
+        |    'https://' || lower(regexp_extract(url, '^https?://([^/?#]+)', 1))
+        |      || regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS canon_url
+        |  FROM u)
+        |SELECT doc_id, host, canon_url,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |    AS BIGINT) AS host_rank,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 20
+        |    AS BIGINT) AS kept
+        |FROM c ORDER BY doc_id""".stripMargin),
+
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
     // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
     // denominator folded in sorted domain order (x31 pattern).

@@ -788,6 +788,29 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("URL canonicalization: host lower-cased, query/fragment dropped") {
+    val rows = Seq(
+      "https://WWW.Example.ORG/Path/To?q=1&utm=x#frag",
+      "http://host.example.com:8080/a/b",
+      "https://plain.example.net",
+      "not a url at all")
+      .toDF("url")
+      .select(TextAnalysis.urlHost($"url").as("h"),
+        TextAnalysis.canonicalUrl($"url").as("c"))
+      .as[(String, String)].collect()
+    // case folds on host only; path case survives; query+fragment drop
+    assert(rows(0) == (("www.example.org", "https://www.example.org/Path/To")))
+    // scheme normalizes to https; port stays (it addresses a different
+    // endpoint); path kept verbatim
+    assert(rows(1) == (("host.example.com:8080",
+      "https://host.example.com:8080/a/b")))
+    // no path → empty path, host alone
+    assert(rows(2) == (("plain.example.net", "https://plain.example.net")))
+    // non-URLs yield empty host and the bare scheme prefix — callers
+    // filter on host != '' (the query's host grouping does implicitly)
+    assert(rows(3)._1 == "")
+  }
+
   test("streaming incremental near-dup equals the batch operator, stateless") {
     import graft.ext.TextDedup
     val docs = graft.queries.Q.tbl(spark, sf(), "documents")
