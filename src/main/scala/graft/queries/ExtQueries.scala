@@ -1019,6 +1019,36 @@ object ExtQueries {
         |    AS BIGINT) AS kept
         |FROM c ORDER BY doc_id""".stripMargin),
 
+    // Padding-waste audit for length-bucketed batching (the padded-batch
+    // SFT counterpart of x24's concat-and-chunk): docs pad to their
+    // 32-token bucket ceiling; per bucket, the token mass and the waste
+    // the bucketing strategy pays. Scan-local lengths, one partial-agg
+    // shuffle on the bucket key.
+    "x59_padding_audit" -> entry(
+      (s, dir) => {
+        val n = size(split(col("text"), " ")).cast("long")
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), n.as("n"))
+          .withColumn("bucket",
+            (ceil(col("n") / lit(32.0)) * 32).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+          .select(col("bucket"), col("n_docs"), col("total_tokens"),
+            (col("n_docs") * col("bucket")).as("padded_tokens"),
+            round(lit(1.0) - col("total_tokens").cast("double") /
+              (col("n_docs") * col("bucket")), 4).as("waste_ratio"))
+          .orderBy(col("bucket"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |    CAST(ceil(n / 32.0) * 32 AS BIGINT) AS bucket FROM t)
+        |SELECT bucket, count(*) AS n_docs, sum(n) AS total_tokens,
+        |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |  round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 4)
+        |    AS waste_ratio
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
     // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
     // denominator folded in sorted domain order (x31 pattern).
