@@ -612,6 +612,42 @@ class ExtOpsSpec extends SparkSpec {
       r.getAs[Long]("n_dup") == 1), short.mkString(","))
   }
 
+  test("duplicatedGramStats equals an in-memory naive count on random corpora") {
+    import graft.ext.Curation
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 1 to 3) {
+      val n = 3
+      // small alphabet + short docs force plenty of collisions and
+      // shorter-than-n docs
+      val docs = (1L to 40L).map { id =>
+        val len = 1 + rnd.nextInt(8)
+        id -> Seq.fill(len)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+      }
+      // in-memory reference: sliding n-grams (whole text when short),
+      // corpus-wide multiset counts, per-doc dup positions
+      def grams(t: String): Seq[String] = {
+        val tk = t.split(" ", -1).toSeq
+        if (tk.length >= n) tk.sliding(n).map(_.mkString(" ")).toSeq
+        else Seq(tk.mkString(" "))
+      }
+      val counts = docs.flatMap(d => grams(d._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expected = docs.map { case (id, t) =>
+        val g = grams(t)
+        id -> ((g.size.toLong, g.count(counts(_) >= 2).toLong))
+      }.toMap
+      val got = Curation.duplicatedGramStats(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .select($"doc_id", $"n_grams", $"n_dup")
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == docs.length, s"trial $trial: row count")
+      got.foreach { case (id, ng, nd) =>
+        assert((ng, nd) == expected(id),
+          s"trial $trial doc $id: got ($ng, $nd), want ${expected(id)}")
+      }
+    }
+  }
+
   test("qualityDeciles: repetitive docs sink, buckets stay within range") {
     import graft.ext.Curation
     val rep = ("rep " * 60).trim                       // heavy repetition
@@ -820,7 +856,13 @@ class ExtOpsSpec extends SparkSpec {
     val batch = docs.filter($"doc_id" % 50 === 0)
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
     val tmp = java.nio.file.Files.createTempDirectory("incstream").toString
-    batch.coalesce(1).write.parquet(s"$tmp/in/f1")
+    // TWO micro-batches: statelessness means each is checked against the
+    // index independently, and the union of emissions equals the batch
+    // operator on the union
+    batch.filter($"doc_id" % 100 === 0).coalesce(1)
+      .write.parquet(s"$tmp/in/f1")
+    batch.filter($"doc_id" % 100 =!= 0).coalesce(1)
+      .write.parquet(s"$tmp/in/f2")
     val in = spark.readStream
       .schema(spark.read.parquet(s"$tmp/in/f1").schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
