@@ -297,6 +297,47 @@ object Curation {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
   }
 
+  /** T5-style span-corruption mask statistics: deterministic seeded
+    * masking — position `i` of document `id` STARTS a `span`-token mask
+    * when `(id·1000003 + i·7919) mod 100 < startPct`, and a position is
+    * masked when any of the previous `span` positions started one
+    * (overlapping spans merge; spans truncate at the document end).
+    * `startPct`=5, `span`=3 lands the canonical ~15% corruption rate.
+    * Reports per document: token count, masked count, merged-span count,
+    * mask ratio — the objective-construction audit a pretraining
+    * pipeline runs before materializing denoising targets.
+    *
+    * Entirely scan-local integer arithmetic (one `transform` chain per
+    * row, no shuffle but the final sort), and the mask is a pure
+    * function of (id, position) — replay-stable across retries and
+    * engines, which is what makes it oracle-portable (plain modular
+    * arithmetic, no engine hash). */
+  def spanCorruptionStats(df: DataFrame, idCol: String, textCol: String,
+      startPct: Int = 5, span: Int = 3): DataFrame = {
+    require(startPct >= 0 && startPct <= 100 && span >= 1)
+    val tk = split(col(textCol), " ")
+    val n = size(tk)
+    val idx = sequence(lit(0), n - 1)
+    val sf = transform(idx, i =>
+      (pmod(col(idCol) * 1000003L + i * 7919L, lit(100)) < startPct)
+        .cast("int"))
+    def startedAt(sfc: Column, i: Column, j: Int): Column =
+      if (j == 0) element_at(sfc, i + 1) === 1
+      else (i >= j) && element_at(sfc, i - j + 1) === 1
+    def maskedExpr(sfc: Column): Column = transform(idx, i =>
+      when((0 until span).map(j => startedAt(sfc, i, j)).reduce(_ || _), 1)
+        .otherwise(0))
+    df.select(col(idCol).as("doc_id"), n.as("n"), maskedExpr(sf).as("mk"))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        aggregate(col("mk"), lit(0L), (a, x) => a + x).as("n_masked"),
+        aggregate(transform(sequence(lit(0), col("n") - 1), i =>
+            when(element_at(col("mk"), i + 1) === 1 &&
+              (i === 0 || element_at(col("mk"), i) === 0), 1).otherwise(0)),
+          lit(0L), (a, x) => a + x).as("n_spans"))
+      .withColumn("mask_ratio",
+        round(col("n_masked").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Quality-score ensemble → per-stratum deciles (the CCNet-style
     * bucketing step: downstream pipelines keep/mix by bucket, not by raw
     * score). The score folds three scan-local signals — distinct-token

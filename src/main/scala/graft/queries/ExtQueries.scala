@@ -1049,6 +1049,33 @@ object ExtQueries {
         |    AS waste_ratio
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // T5-style span-corruption mask audit: deterministic seeded spans
+    // (pure modular arithmetic — oracle-portable), ~15% corruption at
+    // the canonical startPct=5/span=3. Scan-local; only the order sorts.
+    "x60_span_corruption" -> entry(
+      (s, dir) =>
+        Curation.spanCorruptionStats(tbl(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy(col("doc_id")),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id, len(tk) AS n,
+        |    list_transform(range(0, len(tk)), i ->
+        |      CASE WHEN (doc_id * 1000003 + i * 7919) % 100 < 5
+        |        THEN 1 ELSE 0 END) AS sf
+        |  FROM t),
+        |k AS (SELECT doc_id, n, sf,
+        |    list_transform(range(0, n), i -> CASE WHEN
+        |      sf[i+1] = 1 OR (i >= 1 AND sf[i] = 1) OR (i >= 2 AND sf[i-1] = 1)
+        |      THEN 1 ELSE 0 END) AS mk
+        |  FROM m)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(mk) AS BIGINT) AS n_masked,
+        |  CAST(list_sum(list_transform(range(0, n), i ->
+        |    CASE WHEN mk[i+1] = 1 AND (i = 0 OR mk[i] = 0) THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS n_spans,
+        |  round(CAST(list_sum(mk) AS DOUBLE) / n, 4) AS mask_ratio
+        |FROM k ORDER BY doc_id""".stripMargin),
+
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas
     // from sqrt-scaled token mass (α=0.5 — the IEEE-exact exponent),
     // denominator folded in sorted domain order (x31 pattern).

@@ -648,6 +648,41 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanCorruptionStats equals an in-memory mask on random lengths") {
+    import graft.ext.Curation
+    val rnd = new scala.util.Random(17L)
+    // mask depends only on (id, position): text content is irrelevant
+    val docs = (0L to 60L).map(id =>
+      id -> Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    def expected(id: Long, n: Int): (Long, Long, Double) = {
+      val starts = (0 until n).map(i => (id * 1000003L + i * 7919L) % 100 < 5)
+      val masked = (0 until n).map(i =>
+        (0 until 3).exists(j => i >= j && starts(i - j)))
+      val spans = (0 until n).count(i => masked(i) && (i == 0 || !masked(i - 1)))
+      val nm = masked.count(identity)
+      (nm.toLong, spans.toLong,
+        BigDecimal(nm.toDouble / n).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Curation.spanCorruptionStats(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans", $"mask_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, nt, nm, ns, r) =>
+      val n = docs.find(_._1 == id).get._2.split(" ").length
+      assert(nt == n.toLong, s"doc $id token count")
+      val (enm, ens, er) = expected(id, n)
+      assert((nm, ns, r) == ((enm, ens, er)),
+        s"doc $id: got ($nm, $ns, $r), want ($enm, $ens, $er)")
+    }
+    // a span starting near the end truncates instead of overflowing
+    val one = Curation.spanCorruptionStats(
+        Seq((0L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"n_masked").as[Long].head()
+    assert(one == 1L) // id 0 position 0 starts a span; doc has 1 token
+  }
+
   test("qualityDeciles: repetitive docs sink, buckets stay within range") {
     import graft.ext.Curation
     val rep = ("rep " * 60).trim                       // heavy repetition
