@@ -949,6 +949,32 @@ class ExtOpsSpec extends SparkSpec {
         s"only-want ${(expected -- got).take(3)}")
   }
 
+  test("edge cases: tiny corpus vs k, empty index, empty batch") {
+    import graft.ext.TextDedup
+    // fewer distinct vectors than centroids: fit pads with repeats,
+    // empty clusters stay empty, queries still answer
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfPqTopK(tiny, tiny, "vec_id", "embedding", k = 2,
+      nCentroids = 8, nProbe = 8, m = 2, codebookSize = 16)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(r.groupBy(_._1).size == 3 && r.length == 6,
+      s"each tiny query answers with k=2 rows: ${r.mkString(",")}")
+    // empty index: no matches, no failure
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val emptyIdx = TextDedup.minhashIndex(
+      docs.filter($"doc_id" < 0), "doc_id", "text")
+    assert(TextDedup.nearDupAgainstIndex(docs, "doc_id", "text", emptyIdx)
+      .count() == 0)
+    // empty batch against a real index: same
+    val idx = TextDedup.minhashIndex(docs, "doc_id", "text")
+    assert(TextDedup.nearDupAgainstIndex(docs.filter($"doc_id" < 0),
+      "doc_id", "text", idx).count() == 0)
+  }
+
   test("IVF-PQ index round-trips through parquet and answers identically") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     val q = emb.filter($"vec_id" % 100 === 0)
