@@ -297,6 +297,32 @@ object Curation {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
   }
 
+  /** Sliding-window chunking with overlap (the RAG-ingestion chunker):
+    * windows of `width` tokens every `stride` tokens, the final window
+    * clamped to the document tail — stride < width gives the standard
+    * overlapped retrieval chunks, stride = width degenerates to
+    * [[chunkDedup]]'s tiling. One generator per document, scan-local;
+    * chunk count is ⌈max(n−width, 0)/stride⌉ + 1 so the tail is always
+    * covered and a short document yields exactly one chunk. Returns one
+    * row per chunk: (doc_id, chunk_idx, start_tok, n_tokens,
+    * chunk_text). */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width)
+    val tk = split(col(textCol), " ")
+    val n = size(tk)
+    val nChunks = (ceil(greatest(n - width, lit(0)) / lit(stride.toDouble))
+      .cast("int") + 1)
+    df.select(col(idCol).as("doc_id"), tk.as("tk"), n.as("n"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(width), col("n") - col("pos") * stride).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("tk"), col("pos") * stride + 1, lit(width)))
+          .as("chunk_text"))
+  }
+
   /** T5-style span-corruption mask statistics: deterministic seeded
     * masking — position `i` of document `id` STARTS a `span`-token mask
     * when `(id·1000003 + i·7919) mod 100 < startPct`, and a position is

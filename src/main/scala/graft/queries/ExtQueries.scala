@@ -1049,6 +1049,24 @@ object ExtQueries {
         |    AS waste_ratio
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // Sliding-window RAG chunking (width 16, stride 8 — 50% overlap),
+    // tail-clamped; the retrieval-ingestion counterpart of x32's tiling.
+    "x61_rag_chunks" -> entry(
+      (s, dir) =>
+        Curation.slidingChunks(tbl(s, dir, "documents"), "doc_id", "text",
+            width = 16, stride = 8)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS n,
+        |    unnest(range(0,
+        |      CAST(ceil(greatest(len(tk) - 16, 0) / 8.0) AS BIGINT) + 1)) AS ci
+        |  FROM t)
+        |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+        |  CAST(ci * 8 AS BIGINT) AS start_tok,
+        |  CAST(least(16, n - ci * 8) AS BIGINT) AS n_tokens,
+        |  array_to_string(tk[(ci*8+1):(ci*8+16)], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // T5-style span-corruption mask audit: deterministic seeded spans
     // (pure modular arithmetic — oracle-portable), ~15% corruption at
     // the canonical startPct=5/span=3. Scan-local; only the order sorts.

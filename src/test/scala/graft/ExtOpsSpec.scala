@@ -648,6 +648,32 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("slidingChunks: overlap, tail clamp, short docs, tiling degenerate") {
+    import graft.ext.Curation
+    val doc20 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val got = Curation.slidingChunks(
+        Seq((1L, doc20), (2L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", width = 16, stride = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1 (20 tokens): chunks at 0 and 8; the second clamps to 12 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.length == 2)
+    assert(d1(0) == ((1L, 0L, 0L, 16L, (1 to 16).map(i => s"t$i").mkString(" "))))
+    assert(d1(1) == ((1L, 1L, 8L, 12L, (9 to 20).map(i => s"t$i").mkString(" "))))
+    // consecutive chunks overlap by width - stride = 8 tokens
+    assert(d1(0)._5.split(" ").takeRight(8).toSeq ==
+      d1(1)._5.split(" ").take(8).toSeq)
+    // short doc: exactly one clamped chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L, "a b c")))
+    // stride == width tiles without overlap, like chunkDedup's cutter
+    val tiles = Curation.slidingChunks(
+        Seq((1L, doc20)).toDF("doc_id", "text"), "doc_id", "text",
+        width = 8, stride = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(tiles.length == 3 && tiles.map(_._4).toSeq == Seq(8L, 8L, 4L))
+  }
+
   test("spanCorruptionStats equals an in-memory mask on random lengths") {
     import graft.ext.Curation
     val rnd = new scala.util.Random(17L)
