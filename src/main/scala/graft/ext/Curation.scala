@@ -323,6 +323,43 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** Contrastive pair construction (embedding-model training data): per
+    * document, a POSITIVE pair of its two halves, and a deterministic
+    * same-stratum NEGATIVE — its front half against the back half of the
+    * NEXT document in (stratum, id) order. Same-source negatives are the
+    * harder ones (cross-source pairs are trivially separable); the last
+    * document of each stratum contributes no negative. Deterministic and
+    * replay-stable — no RNG, the pairing is a pure function of the
+    * corpus order.
+    *
+    * Scale shape: one scan for the half sizes, one per-stratum `lead`
+    * window (parallel in the stratum count — never a global order);
+    * only ids and token counts move, the halves themselves are sliced
+    * out later by whoever materializes the pair text. Returns
+    * (anchor_id, other_id, label 1|0, n_anchor_tokens,
+    * n_other_tokens). */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String): DataFrame = {
+    val n = size(split(col(textCol), " "))
+    val h = df
+      .select(col(idCol).as("anchor_id"), col(strataCol).as("__src"),
+        n.as("n"))
+      .filter(col("n") >= 2)
+      .select(col("anchor_id"), col("__src"),
+        (col("n") / 2).cast("long").as("n_front"),
+        (col("n") - (col("n") / 2).cast("long")).as("n_back"))
+    val w = Window.partitionBy(col("__src")).orderBy(col("anchor_id"))
+    val pos = h.select(col("anchor_id"), col("anchor_id").as("other_id"),
+      lit(1L).as("label"), col("n_front").as("n_anchor_tokens"),
+      col("n_back").as("n_other_tokens"))
+    val neg = h.select(col("anchor_id"),
+        lead(col("anchor_id"), 1).over(w).as("other_id"), lit(0L).as("label"),
+        col("n_front").as("n_anchor_tokens"),
+        lead(col("n_back"), 1).over(w).as("n_other_tokens"))
+      .filter(col("other_id").isNotNull)
+    pos.union(neg)
+  }
+
   /** T5-style span-corruption mask statistics: deterministic seeded
     * masking — position `i` of document `id` STARTS a `span`-token mask
     * when `(id·1000003 + i·7919) mod 100 < startPct`, and a position is

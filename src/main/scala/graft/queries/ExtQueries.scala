@@ -1067,6 +1067,33 @@ object ExtQueries {
         |  array_to_string(tk[(ci*8+1):(ci*8+16)], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // Contrastive pair construction: doc-half positives + deterministic
+    // same-source next-doc negatives (the harder kind), per-stratum lead
+    // windows — no RNG, no global order.
+    "x62_contrastive_pairs" -> entry(
+      (s, dir) =>
+        Curation.contrastivePairs(tbl(s, dir, "documents"), "doc_id",
+            "text", "source")
+          .orderBy(col("anchor_id"), col("label").desc, col("other_id")),
+      """WITH t AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |h AS (SELECT doc_id, source,
+        |    CAST(n // 2 AS BIGINT) AS n_front,
+        |    CAST(n - n // 2 AS BIGINT) AS n_back
+        |  FROM t WHERE n >= 2),
+        |p AS (
+        |  SELECT doc_id AS anchor_id, doc_id AS other_id, 1 AS label,
+        |    n_front AS n_anchor_tokens, n_back AS n_other_tokens
+        |  FROM h
+        |  UNION ALL
+        |  SELECT doc_id, lead(doc_id) OVER w, 0, n_front,
+        |    lead(n_back) OVER w
+        |  FROM h WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT anchor_id, other_id, CAST(label AS BIGINT) AS label,
+        |  n_anchor_tokens, n_other_tokens
+        |FROM p WHERE other_id IS NOT NULL
+        |ORDER BY anchor_id, label DESC, other_id""".stripMargin),
+
     // T5-style span-corruption mask audit: deterministic seeded spans
     // (pure modular arithmetic — oracle-portable), ~15% corruption at
     // the canonical startPct=5/span=3. Scan-local; only the order sorts.
