@@ -152,6 +152,15 @@ class PlanShapeSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("objective-construction ops stay scan-local — only the output sort exchanges") {
+    for (q <- Seq("x60_span_corruption", "x61_rag_chunks")) {
+      val p = executedPlan(query(q)).split("== Initial Plan ==").head
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"$q wants 1 exchange (the orderBy), " +
+        s"got $exchanges:\n${p.take(2500)}")
+    }
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
