@@ -15,33 +15,70 @@ import org.apache.spark.sql.functions._
   * postings ever reach a shuffle; the corpus-wide (doc, token)
   * aggregation the naive form would pay never happens. Document length
   * is scan-local (`size(split(text))` — no aggregation), document
-  * frequency and scoring aggregate the pruned postings only. Nothing corpus-sized is
-  * broadcast or collected. At 100 TB with a standing query workload,
-  * persist the full TF table bucketed by token as the materialized
-  * inverted index and every query batch skips even the tokenize scan.
+  * frequency and scoring aggregate the pruned postings only. Nothing
+  * corpus-sized is broadcast or collected. For a STANDING query
+  * workload, [[buildBm25Index]] materializes the full inverted index
+  * once (persist `postings` bucketed by token) and
+  * [[bm25TopKOnIndex]] answers every batch from it — the corpus text
+  * is never re-tokenized.
   */
 object TextSearch {
 
-  /** BM25 top-`k` documents per query. Repeated query terms count once
-    * (terms are distinct-ed per query). The per-document score folds its
-    * term scores in token order in both engines, so the float sum — and
-    * the oracle hash — is pinned; ranking runs on the ROUNDED score with
-    * an id tiebreak. Documents matching no query term do not appear. */
+  /** The persistable BM25 inverted index: exact corpus statistics (doc
+    * count and total token count — integers, so the derived `avgdl` is
+    * bit-reproducible) plus the full postings table (nid, dl, tok, tf).
+    * Write `postings` bucketed/partitioned by `tok` and store the two
+    * scalars beside it; [[bm25TopKOnIndex]] accepts the reloaded frame
+    * unchanged (Bm25IndexSpec round-trips it through parquet). */
+  final case class Bm25Index(nDocs: Long, totalTokens: Long,
+      postings: DataFrame)
+
+  /** Build the full inverted index for a corpus: one tokenize scan feeds
+    * the postings aggregation (dl rides as a grouping column) and the
+    * two exact corpus scalars. */
+  def buildBm25Index(df: DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    val toks = df.select(col(idCol).as("nid"),
+      split(col(textCol), " ").as("tk"))
+    val postings = toks
+      .select(col("nid"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("tok"))
+      .groupBy(col("nid"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val st = toks
+      .agg(count(lit(1)), sum(size(col("tk")).cast("long")))
+      .head()
+    Bm25Index(st.getLong(0), st.getLong(1), postings)
+  }
+
+  /** BM25 top-`k` from a prebuilt [[Bm25Index]]: prune the postings to
+    * the query terms scan-locally (`isin` — with `postings` bucketed by
+    * token, a standing deployment prunes at the file level too), then
+    * the shared scoring tail. The corpus text does not participate. */
+  def bm25TopKOnIndex(index: Bm25Index, queries: Seq[(Int, String)],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries.flatMap(_._2.split(" ")).distinct
+    val tf = index.postings.filter(col("tok").isin(qterms: _*))
+    scorePostings(tf, index.nDocs.toDouble,
+      index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
+  }
+
+  /** BM25 top-`k` documents per query, one-shot over the corpus text.
+    * Repeated query terms count once (terms are distinct-ed per query).
+    * The per-document score folds its term scores in token order in both
+    * engines, so the float sum — and the oracle hash — is pinned;
+    * ranking runs on the ROUNDED score with an id tiebreak. Documents
+    * matching no query term do not appear. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val session = df.sparkSession
-    import session.implicits._
     val toks = df.select(col(idCol).as("nid"),
       split(col(textCol), " ").as("tk"))
-    // document length is scan-local — no corpus aggregation for dl
-    val docLen = toks.select(col("nid"), size(col("tk")).cast("long").as("dl"))
-    // exact integer sum over exact count — deterministic avgdl in both engines
-    val stats = docLen.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qtoks = queries.toDF("qid", "qtext")
-      .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
-        .as("tok"))
+    // exact integer count/sum — the derived avgdl is deterministic and
+    // identical to the index path's
+    val st = toks
+      .agg(count(lit(1)), sum(size(col("tk")).cast("long")))
+      .head()
+    val (nDocs, totalTokens) = (st.getLong(0), st.getLong(1))
     // the query-term set is driver-side data — prune scan-locally, no
     // join: an arrays_overlap prefilter skips whole non-matching docs
     // before the explode, an isin keeps only matching postings after.
@@ -55,18 +92,33 @@ object TextSearch {
         explode(col("tk")).as("tok"))
       .filter(col("tok").isin(qterms: _*))
       .groupBy(col("nid"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    scorePostings(tf, nDocs.toDouble, totalTokens.toDouble / nDocs.toDouble,
+      queries, k, k1, b)
+  }
+
+  /** The shared scoring tail over PRUNED postings (nid, dl, tok, tf):
+    * document frequency from the pruned set (df(t) over the corpus
+    * equals df(t) over the pruned postings for every query term), IDF ×
+    * saturation term score, token-order-pinned per-document fold,
+    * rounded-score ranking. */
+  private def scorePostings(prunedTf: DataFrame, nDocs: Double,
+      avgDl: Double, queries: Seq[(Int, String)], k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val session = prunedTf.sparkSession
+    import session.implicits._
+    val tf = prunedTf
       .localCheckpoint(eager = false) // feeds document frequency AND scoring
-    // df(t) over the corpus equals df(t) over the pruned postings for
-    // every query term — pruning does not change the counted set
+    val qtoks = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
+        .as("tok"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
-    val idf = log((col("n") - col("dfq") + lit(0.5)) /
+    val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) /
       (col("dfq") + lit(0.5)) + lit(1.0))
     val termScore = idf * col("tf") * lit(k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgDl)))
     val terms = tf
       .join(broadcast(qtoks), Seq("tok"))
       .join(broadcast(dfreq), Seq("tok"))
-      .crossJoin(broadcast(stats))
       .select(col("qid"), col("nid"), col("tok"), termScore.as("s"))
     val scored = terms
       .groupBy(col("qid"), col("nid"))

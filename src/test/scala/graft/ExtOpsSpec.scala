@@ -1001,6 +1001,27 @@ class ExtOpsSpec extends SparkSpec {
       "doc_id", "text", idx).count() == 0)
   }
 
+  test("BM25 index round-trips through parquet and answers identically") {
+    import graft.ext.TextSearch
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val qs = Seq(1 -> "fast spark table scan", 2 -> "hash join merge")
+    val direct = TextSearch.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    val idx = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val fromIdx = TextSearch.bm25TopKOnIndex(idx, qs, k = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(direct.nonEmpty && fromIdx == direct,
+      "index path must equal the one-shot operator bit-for-bit")
+    // persist the postings (the docs prescribe bucketing by token; plain
+    // parquet here) and answer from the RELOADED frame
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    idx.postings.write.parquet(s"$dir/postings")
+    val reloaded = idx.copy(postings = spark.read.parquet(s"$dir/postings"))
+    val fromDisk = TextSearch.bm25TopKOnIndex(reloaded, qs, k = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(fromDisk == direct, "reloaded index must answer bit-identically")
+  }
+
   test("IVF-PQ index round-trips through parquet and answers identically") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     val q = emb.filter($"vec_id" % 100 === 0)
