@@ -297,6 +297,47 @@ object Curation {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
   }
 
+  /** Domain-shift audit: per-stratum KL divergence to the corpus token
+    * distribution, restricted to the corpus's `topN` most frequent
+    * tokens (the head carries the signal; restricting the support also
+    * sidesteps p=0 terms — a stratum simply contributes no term for a
+    * head token it never uses, the correct KL limit). The mix-design
+    * companion of [[temperatureMix]]: which domains actually DIFFER
+    * before you reweight them.
+    *
+    * Scale shape: the head is a TakeOrdered over partial-aggregated
+    * token counts (no global window), rides as a broadcast ≤ topN rows;
+    * stratum counts partial-aggregate over the head-joined explode; the
+    * KL fold runs over ≤ topN terms per stratum, token-order-pinned so
+    * the float sum is engine-exact. */
+  def domainShiftKl(df: DataFrame, textCol: String, strataCol: String,
+      topN: Int = 50): DataFrame = {
+    require(topN >= 1)
+    val tok = df.select(col(strataCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .localCheckpoint(eager = false) // feeds corpus counts AND stratum counts
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+      .localCheckpoint(eager = false) // feeds the total AND two joins
+    val ct = top.agg(sum(col("c")).cast("double").as("tot"))
+    val sc = tok.join(broadcast(top.select(col("tok"))), Seq("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("s"))
+      .localCheckpoint(eager = false) // feeds stratum totals AND terms
+    val st = sc.groupBy(col("source")).agg(sum(col("s")).as("stot"))
+    val p = col("s").cast("double") / col("stot")
+    val q = col("c").cast("double") / col("tot")
+    sc.join(broadcast(top), Seq("tok"))
+      .join(st, Seq("source"))
+      .crossJoin(broadcast(ct))
+      .select(col("source"), col("tok"), (p * log(p / q)).as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens_in_set"),
+        round(aggregate(
+            transform(sort_array(collect_list(
+              struct(col("tok"), col("term")))), x => x.getField("term")),
+          lit(0.0), (a: Column, t: Column) => a + t), 6).as("kl"))
+  }
+
   /** Sliding-window chunking with overlap (the RAG-ingestion chunker):
     * windows of `width` tokens every `stride` tokens, the final window
     * clamped to the document tail — stride < width gives the standard

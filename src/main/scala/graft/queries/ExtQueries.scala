@@ -1067,6 +1067,34 @@ object ExtQueries {
         |  array_to_string(tk[(ci*8+1):(ci*8+16)], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // Domain-shift audit: per-source KL divergence to the corpus token
+    // head (top-50 support; p=0 terms correctly absent), fold pinned in
+    // token order.
+    "x63_domain_shift_kl" -> entry(
+      (s, dir) =>
+        Curation.domainShiftKl(tbl(s, dir, "documents"), "text", "source",
+            topN = 50)
+          .orderBy(col("source")),
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |top AS (SELECT tok, c FROM (SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS r FROM cc)
+        |  WHERE r <= 50),
+        |ct AS (SELECT sum(c) AS tot FROM top),
+        |sc AS (SELECT source, t.tok, count(*) AS s
+        |       FROM tok t JOIN top USING (tok) GROUP BY source, t.tok),
+        |st AS (SELECT source, sum(s) AS stot FROM sc GROUP BY source),
+        |terms AS (SELECT sc.source, sc.tok,
+        |    (CAST(sc.s AS DOUBLE) / st.stot) *
+        |      ln((CAST(sc.s AS DOUBLE) / st.stot) /
+        |         (CAST(top.c AS DOUBLE) / (SELECT tot FROM ct))) AS term
+        |  FROM sc JOIN top USING (tok) JOIN st USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens_in_set,
+        |  round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b), 6)
+        |    AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin),
+
     // Contrastive pair construction: doc-half positives + deterministic
     // same-source next-doc negatives (the harder kind), per-stratum lead
     // windows — no RNG, no global order.

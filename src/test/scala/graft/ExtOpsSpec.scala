@@ -648,6 +648,23 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("domainShiftKl: aligned strata score near zero, skewed higher, never negative") {
+    import graft.ext.Curation
+    val uniform = (0 until 10).map(i => s"w$i").mkString(" ")
+    val rows = (1 to 9).map(i => (s"doc$i", uniform, "flat")) ++
+      Seq(("skewdoc", "w0 w0 w0 w0 w0 w0 w0 w0 w0 w0", "skew"))
+    val got = Curation.domainShiftKl(
+        rows.toDF("id", "text", "source"), "text", "source", topN = 10)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // restricted-support KL is still >= 0 (q under-sums on the support)
+    assert(got.values.forall(_ >= 0.0), got.toString)
+    // the flat stratum IS most of the corpus — near-zero divergence;
+    // the one-token stratum diverges hard
+    assert(got("skew") > got("flat") + 0.5, got.toString)
+    assert(got("flat") < 0.1, got.toString)
+  }
+
   test("slidingChunks: overlap, tail clamp, short docs, tiling degenerate") {
     import graft.ext.Curation
     val doc20 = (1 to 20).map(i => s"t$i").mkString(" ")
