@@ -1067,6 +1067,41 @@ object ExtQueries {
         |  array_to_string(tk[(ci*8+1):(ci*8+16)], ' ') AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // Tokenizer-fertility audit: chars per token by language, for both
+    // whitespace and BPE-ish tokenizations — the "how expensive is this
+    // language for the tokenizer" diagnostic. One partial-agg shuffle on
+    // lang; ratios from exact integer sums.
+    "x64_tokenizer_fertility" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("ws")).as("ws_tokens"),
+            sum(col("bpe")).as("bpe_tokens"))
+          .select(col("lang"), col("n_docs"), col("total_chars"),
+            col("ws_tokens"), col("bpe_tokens"),
+            round(col("total_chars").cast("double") / col("ws_tokens"), 4)
+              .as("chars_per_ws_token"),
+            round(col("total_chars").cast("double") / col("bpe_tokens"), 4)
+              .as("chars_per_bpe_token"))
+          .orderBy(col("lang")),
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  sum(len(string_split(text, ' '))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE)
+        |    / sum(len(string_split(text, ' '))), 4) AS chars_per_ws_token,
+        |  round(CAST(sum(n_chars) AS DOUBLE)
+        |    / sum(len(regexp_extract_all(text,
+        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+        |    AS chars_per_bpe_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // Domain-shift audit: per-source KL divergence to the corpus token
     // head (top-50 support; p=0 terms correctly absent), fold pinned in
     // token order.
