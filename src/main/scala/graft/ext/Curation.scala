@@ -438,8 +438,13 @@ object Curation {
             when(element_at(col("mk"), i + 1) === 1 &&
               (i === 0 || element_at(col("mk"), i) === 0), 1).otherwise(0)),
           lit(0L), (a, x) => a + x).as("n_spans"))
-      .withColumn("mask_ratio",
-        round(col("n_masked").cast("double") / col("n_tokens"), 4))
+      // Basis-point ratio via exact integer round-half-up (floor((2·1e4·
+      // num + den) / (2·den))): n_tokens is frequently a power of two, so
+      // round()-on-double would sit on exactly representable .5 ties where
+      // rounding libraries disagree (half-even vs half-away). Operands are
+      // non-negative, so Spark `div` truncation == DuckDB `//` floor.
+      .withColumn("mask_ratio_bp",
+        expr("(20000 * n_masked + n_tokens) div (2 * n_tokens)"))
   }
 
   /** Quality-score ensemble → per-stratum deciles (the CCNet-style

@@ -439,19 +439,24 @@ object Similarity {
   }
 
   /** Scalar int8 quantization audit: symmetric per-vector quantization
-    * (`q_i = round(127·x_i / max|x|)`, the faiss/SQ8 storage shape that
-    * cuts an embedding corpus 4× at 100 TB), scored by the cosine between
-    * each original vector and its quantized form — cosine is scale-
-    * invariant, so no dequantization pass is needed. Everything is
-    * element-wise scan-local arithmetic: zero shuffles, zero joins;
-    * the one aggregation is the caller's. Zero vectors quantize to zero
-    * and report null fidelity (no direction to preserve). */
+    * (`q_i = floor(127·x_i / max|x| + 0.5)`, the faiss/SQ8 storage shape
+    * that cuts an embedding corpus 4× at 100 TB), scored by the cosine
+    * between each original vector and its quantized form — cosine is
+    * scale-invariant, so no dequantization pass is needed. The rounding
+    * is explicit floor(·+0.5) rather than round(): x/mx is a dyadic
+    * ratio that can land exactly on .5 (e.g. x = mx/2 → 63.5), where
+    * round() tie modes differ across engines/versions; floor(·+0.5) is
+    * the same IEEE ops everywhere. Everything is element-wise scan-local
+    * arithmetic: zero shuffles, zero joins; the one aggregation is the
+    * caller's. Zero vectors quantize to zero and report null fidelity
+    * (no direction to preserve). */
   def quantizationAudit(
       df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     graft.functions.Functions.register(df.sparkSession)
     val v = col("v")
     val mx = array_max(transform(v, x => abs(x)))
-    val qv = transform(v, x => round(x * 127d / col("mx")).cast("double"))
+    val qv = transform(v,
+      x => floor(x * 127d / col("mx") + 0.5d).cast("double"))
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("mx", mx)
       .withColumn("qv", when(col("mx") > 0, qv))
@@ -640,19 +645,15 @@ object Similarity {
         slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
     val codebook = pqCodebook(corpus, idCol, vecCol, m, codebookSize, seed)
+    val cbDf = broadcast(codebook
       .map { case (sub, code, c) => (sub, code, c.toSeq) }
-    val cbDf = broadcast(codebook.toDF("sub", "code", "cvec"))
+      .toDF("sub", "code", "cvec"))
 
-    // encode: per (vector, subspace), the nearest codebook entry; the
-    // struct-min is an argmin with a deterministic tie-break on code
-    val encoded = base
-      .select(col("nid"), explode(subs(col("v"))).as("e"))
-      .select(col("nid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-      .join(cbDf, "sub")
-      .groupBy(col("nid"), col("sub"))
-      .agg(min(struct(l2sq(col("sv"), col("cvec")).as("d2"),
-        col("code").as("code"))).as("best"))
-      .select(col("nid"), col("sub"), col("best.code").as("code"))
+    // encode: per (vector, subspace), the nearest codebook entry —
+    // map-only (broadcast-variable argmin + posexplode), zero exchanges
+    val encoded = pqEncodeCodes(base, "v", codebook, m)
+      .select(col("nid"), posexplode(col("codes_arr")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
 
     // per-query ADC lookup table: m × codebookSize partial distances
     val lut = queries
@@ -729,23 +730,17 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val dim = base.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subDim = dim / m
     val sample = sampleVectors(corpus, idCol, vecCol, fitSample = 4096)
     val cents = ivfCentroidsFrom(sample, nCentroids, seed)
     val codebook = pqCodebookFrom(sample, m, codebookSize, seed)
-    val cbDf = broadcast(
-      codebook.map { case (s_, c_, v_) => (s_, c_, v_.toSeq) }
-        .toDF("sub", "code", "cvec"))
-    val codes = assignCells(base, "v", cents)
-      .select(col("nid"), col("cell"),
-        explode(subsExpr(col("v"), m, subDim)).as("e"))
-      .select(col("nid"), col("cell"),
-        col("e.sub").as("sub"), col("e.sv").as("sv"))
-      .join(cbDf, "sub")
-      .groupBy(col("nid"), col("cell"), col("sub"))
-      .agg(min(struct(l2sqCol(col("sv"), col("cvec")).as("d2"),
-        col("code").as("code"))).as("best"))
-      .select(col("nid"), col("cell"), col("sub"), col("best.code").as("code"))
+    // cell label and PQ codes are both map-only over broadcast constants
+    // (assignCells + pqEncodeCodes): the whole code table materializes
+    // with ZERO exchanges — one corpus scan, pinned in PlanShapeSpec
+    val codes = pqEncodeCodes(assignCells(base, "v", cents), "v",
+        codebook, m)
+      .select(col("nid"), col("cell"), posexplode(col("codes_arr")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+      .select(col("nid"), col("cell"), col("sub"), col("code"))
     IvfPqIndex(cents, codebook, codes)
   }
 
@@ -794,6 +789,50 @@ object Similarity {
   private def l2sqCol(x: Column, y: Column): Column = aggregate(
     zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
     lit(0.0), (acc: Column, t: Column) => acc + t)
+
+  /** PQ-encode, map-only: append `codes_arr` — the per-subspace nearest
+    * codebook codes of `vecCol`, one array element per subspace. The
+    * codebook rides to executors as a broadcast VARIABLE (the
+    * [[assignCells]] shape) and the subspace argmin is a primitive loop,
+    * so the encode stage has ZERO exchanges — the former
+    * explode→join→groupBy-argmin pushed corpus×m rows through a shuffle
+    * for no semantic gain (at 100 TB with m=8 that was 8 corpus-scans of
+    * shuffle I/O per index build). Arithmetic is bit-identical to the
+    * join form: the same left-to-right (a−b)² fold per subvector, and
+    * strict `<` keeps the LOWER code on distance ties, exactly the old
+    * `min(struct(d2, code))` tie-break. */
+  private def pqEncodeCodes(df: DataFrame, vecCol: String,
+      codebook: Seq[(Int, Int, Array[Double])], m: Int): DataFrame = {
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      codebook.filter(_._1 == s).sortBy(_._2).map(_._3).toArray)
+    val bc = df.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf { (v: Seq[Double]) =>
+      val cbv = bc.value
+      val arr = v.toArray
+      val subDim = arr.length / cbv.length
+      val out = new Array[Int](cbv.length)
+      var s = 0
+      while (s < cbv.length) {
+        val codes = cbv(s)
+        val off = s * subDim
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < codes.length) {
+          val cv = codes(c)
+          var d = 0.0
+          var t = 0
+          while (t < cv.length) { val x = arr(off + t) - cv(t); d += x * x; t += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      out
+    }
+    df.withColumn("codes_arr", enc(col(vecCol)))
+  }
 
   /** (sub, subvector) pairs of one vector, as an explodable array. */
   private def subsExpr(v: Column, m: Int, subDim: Int): Column = transform(

@@ -136,11 +136,16 @@ object TextSearch {
 
   /** Reciprocal-rank fusion of a per-query candidate ranking with a
     * per-document quality signal (retrieve-then-rerank): each candidate
-    * scores `1/(c+r_relevance) + 1/(c+r_quality)` — ranks are integers,
-    * so the two-term sum is engine-exact — and the top `k` per query
-    * survive. `cands` carries (qid, rnk, nid); `quality` carries
-    * (nid, quality). The candidate list is queries×depth rows at any
-    * corpus size, so it broadcasts into the quality scan. */
+    * scores `1/(c+r_relevance) + 1/(c+r_quality)` and the top `k` per
+    * query survive. Ranks are integers, so the sum is the exact rational
+    * `(r_rel + r_qual + 2c) / ((c+r_rel)(c+r_qual))`; `rrf_e7` emits it
+    * scaled ×1e7 and rounded half-up with PURE INTEGER arithmetic
+    * (floor((2·1e7·num + den) / (2·den)), non-negative operands so
+    * Spark `div` == DuckDB `//`) — no round()-on-double anywhere, so
+    * the output hash cannot depend on a rounding library's tie mode.
+    * `cands` carries (qid, rnk, nid); `quality` carries (nid, quality).
+    * The candidate list is queries×depth rows at any corpus size, so it
+    * broadcasts into the quality scan. */
   def rrfRerank(cands: DataFrame, quality: DataFrame, k: Int,
       c: Int = 60): DataFrame = {
     val qw = Window.partitionBy(col("qid"))
@@ -149,13 +154,14 @@ object TextSearch {
       .join(broadcast(cands.select(col("qid"), col("rnk"), col("nid"))),
         Seq("nid"))
       .withColumn("r_q", row_number().over(qw))
-      .withColumn("rrf", round(
-        lit(1.0) / (lit(c) + col("rnk")) +
-          lit(1.0) / (lit(c) + col("r_q")), 6))
+      .withColumn("rrf_e7",
+        expr(s"(20000000L * (rnk + r_q + ${2 * c})" +
+          s" + ($c + rnk) * ($c + r_q))" +
+          s" div (2L * ($c + rnk) * ($c + r_q))"))
     val fw = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf").desc, col("nid"))
+      .orderBy(col("rrf_e7").desc, col("nid"))
     fused.withColumn("frk", row_number().over(fw))
       .filter(col("frk") <= k)
-      .select(col("qid"), col("frk"), col("nid"), col("rrf"))
+      .select(col("qid"), col("frk"), col("nid"), col("rrf_e7"))
   }
 }

@@ -526,11 +526,13 @@ object ExtQueries {
         |fused AS (SELECT c.qid, c.nid, c.rnk, row_number() OVER (
         |    PARTITION BY c.qid ORDER BY q.quality DESC, c.nid) AS r_q
         |  FROM cands c JOIN qual q USING (nid))
-        |SELECT qid, frk, nid, rrf FROM (
+        |SELECT qid, frk, nid, rrf_e7 FROM (
         |  SELECT qid, nid,
-        |    round(1.0 / (60 + rnk) + 1.0 / (60 + r_q), 6) AS rrf,
+        |    CAST((20000000 * (rnk + r_q + 120) + (60 + rnk) * (60 + r_q))
+        |      // (2 * (60 + rnk) * (60 + r_q)) AS BIGINT) AS rrf_e7,
         |    row_number() OVER (PARTITION BY qid ORDER BY
-        |      round(1.0 / (60 + rnk) + 1.0 / (60 + r_q), 6) DESC, nid) AS frk
+        |      (20000000 * (rnk + r_q + 120) + (60 + rnk) * (60 + r_q))
+        |        // (2 * (60 + rnk) * (60 + r_q)) DESC, nid) AS frk
         |  FROM fused)
         |WHERE frk <= 5 ORDER BY qid, frk""".stripMargin),
 
@@ -621,7 +623,7 @@ object ExtQueries {
         |    list_max(list_transform(v, x -> abs(x))) AS mx FROM b),
         |qq AS (SELECT id, v,
         |    CASE WHEN mx > 0 THEN
-        |      list_transform(v, x -> CAST(round(x * 127 / mx) AS DOUBLE))
+        |      list_transform(v, x -> CAST(floor(x * 127 / mx + 0.5) AS DOUBLE))
         |    END AS qv FROM q)
         |SELECT id, CASE WHEN qv IS NOT NULL THEN
         |    round(list_dot_product(v, qv)
@@ -1024,6 +1026,15 @@ object ExtQueries {
     // 32-token bucket ceiling; per bucket, the token mass and the waste
     // the bucketing strategy pays. Scan-local lengths, one partial-agg
     // shuffle on the bucket key.
+    //
+    // waste_ratio_bp (basis points) is computed with EXACT integer
+    // round-half-up — floor((2·1e4·num + den) / (2·den)) — never
+    // round()-on-double: the ratio's denominator is power-of-2-rich
+    // (buckets are multiples of 32), so 1e4·ratio lands on exactly
+    // representable .5 ties (e.g. 1 − 31/32 → 312.5) where DuckDB
+    // versions disagree on half-even vs half-away. Integer div is
+    // engine-portable (operands are non-negative, so Spark `div`
+    // truncation == DuckDB `//` floor).
     "x59_padding_audit" -> entry(
       (s, dir) => {
         val n = size(split(col("text"), " ")).cast("long")
@@ -1034,20 +1045,24 @@ object ExtQueries {
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
           .select(col("bucket"), col("n_docs"), col("total_tokens"),
-            (col("n_docs") * col("bucket")).as("padded_tokens"),
-            round(lit(1.0) - col("total_tokens").cast("double") /
-              (col("n_docs") * col("bucket")), 4).as("waste_ratio"))
+            (col("n_docs") * col("bucket")).as("padded_tokens"))
+          .withColumn("waste_ratio_bp",
+            expr("(20000 * (padded_tokens - total_tokens) + padded_tokens)" +
+              " div (2 * padded_tokens)"))
           .orderBy(col("bucket"))
       },
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
         |b AS (SELECT doc_id, n,
-        |    CAST(ceil(n / 32.0) * 32 AS BIGINT) AS bucket FROM t)
-        |SELECT bucket, count(*) AS n_docs, sum(n) AS total_tokens,
-        |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
-        |  round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket), 4)
-        |    AS waste_ratio
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+        |    CAST(ceil(n / 32.0) * 32 AS BIGINT) AS bucket FROM t),
+        |a AS (SELECT bucket, count(*) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) * bucket AS BIGINT) AS padded_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, total_tokens, padded_tokens,
+        |  CAST((20000 * (padded_tokens - total_tokens) + padded_tokens)
+        |    // (2 * padded_tokens) AS BIGINT) AS waste_ratio_bp
+        |FROM a ORDER BY bucket""".stripMargin),
 
     // Sliding-window RAG chunking (width 16, stride 8 — 50% overlap),
     // tail-clamped; the retrieval-ingestion counterpart of x32's tiling.
@@ -1070,7 +1085,10 @@ object ExtQueries {
     // Tokenizer-fertility audit: chars per token by language, for both
     // whitespace and BPE-ish tokenizations — the "how expensive is this
     // language for the tokenizer" diagnostic. One partial-agg shuffle on
-    // lang; ratios from exact integer sums.
+    // lang; ratios from exact integer sums, scaled ×1e4 and rounded
+    // half-up with pure integer arithmetic (floor((2·1e4·num + den) /
+    // (2·den))) — see the x59 comment for why round()-on-double is
+    // banned on integer-ratio outputs.
     "x64_tokenizer_fertility" -> entry(
       (s, dir) =>
         tbl(s, dir, "documents")
@@ -1084,23 +1102,23 @@ object ExtQueries {
             sum(col("bpe")).as("bpe_tokens"))
           .select(col("lang"), col("n_docs"), col("total_chars"),
             col("ws_tokens"), col("bpe_tokens"),
-            round(col("total_chars").cast("double") / col("ws_tokens"), 4)
-              .as("chars_per_ws_token"),
-            round(col("total_chars").cast("double") / col("bpe_tokens"), 4)
-              .as("chars_per_bpe_token"))
+            expr("(20000 * total_chars + ws_tokens) div (2 * ws_tokens)")
+              .as("chars_per_ws_token_x10k"),
+            expr("(20000 * total_chars + bpe_tokens) div (2 * bpe_tokens)")
+              .as("chars_per_bpe_token_x10k"))
           .orderBy(col("lang")),
-      """SELECT lang, count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
-        |  sum(len(string_split(text, ' '))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text,
-        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bpe_tokens,
-        |  round(CAST(sum(n_chars) AS DOUBLE)
-        |    / sum(len(string_split(text, ' '))), 4) AS chars_per_ws_token,
-        |  round(CAST(sum(n_chars) AS DOUBLE)
-        |    / sum(len(regexp_extract_all(text,
-        |        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
-        |    AS chars_per_bpe_token
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      """WITH a AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |    CAST(sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, total_chars, ws_tokens, bpe_tokens,
+        |  CAST((20000 * total_chars + ws_tokens) // (2 * ws_tokens)
+        |    AS BIGINT) AS chars_per_ws_token_x10k,
+        |  CAST((20000 * total_chars + bpe_tokens) // (2 * bpe_tokens)
+        |    AS BIGINT) AS chars_per_bpe_token_x10k
+        |FROM a ORDER BY lang""".stripMargin),
 
     // Domain-shift audit: per-source KL divergence to the corpus token
     // head (top-50 support; p=0 terms correctly absent), fold pinned in
@@ -1181,7 +1199,8 @@ object ExtQueries {
         |  CAST(list_sum(list_transform(range(0, n), i ->
         |    CASE WHEN mk[i+1] = 1 AND (i = 0 OR mk[i] = 0) THEN 1 ELSE 0 END))
         |    AS BIGINT) AS n_spans,
-        |  round(CAST(list_sum(mk) AS DOUBLE) / n, 4) AS mask_ratio
+        |  CAST((20000 * list_sum(mk) + n) // (2 * n) AS BIGINT)
+        |    AS mask_ratio_bp
         |FROM k ORDER BY doc_id""".stripMargin),
 
     // Temperature-scaled domain mix (XLM-R/mT5 α-resampling): quotas

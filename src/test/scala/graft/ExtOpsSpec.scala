@@ -697,20 +697,20 @@ class ExtOpsSpec extends SparkSpec {
     // mask depends only on (id, position): text content is irrelevant
     val docs = (0L to 60L).map(id =>
       id -> Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
-    def expected(id: Long, n: Int): (Long, Long, Double) = {
+    def expected(id: Long, n: Int): (Long, Long, Long) = {
       val starts = (0 until n).map(i => (id * 1000003L + i * 7919L) % 100 < 5)
       val masked = (0 until n).map(i =>
         (0 until 3).exists(j => i >= j && starts(i - j)))
       val spans = (0 until n).count(i => masked(i) && (i == 0 || !masked(i - 1)))
       val nm = masked.count(identity)
-      (nm.toLong, spans.toLong,
-        BigDecimal(nm.toDouble / n).setScale(4,
-          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // exact integer round-half-up of 1e4·nm/n, as the operator computes
+      (nm.toLong, spans.toLong, (20000L * nm + n) / (2L * n))
     }
     val got = Curation.spanCorruptionStats(
         docs.toDF("doc_id", "text"), "doc_id", "text")
-      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans", $"mask_ratio")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .select($"doc_id", $"n_tokens", $"n_masked", $"n_spans",
+        $"mask_ratio_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
     assert(got.length == docs.length)
     got.foreach { case (id, nt, nm, ns, r) =>
       val n = docs.find(_._1 == id).get._2.split(" ").length
@@ -1333,11 +1333,17 @@ class ExtOpsSpec extends SparkSpec {
           "the", "a", "an", "of", "and", "or", "to", "in", "is", "on")))
         .cast("double") / size(toks)).as("quality"))
     val fused = TextSearch.rrfRerank(cands, quality, k = 3)
-      .orderBy($"frk").select($"nid", $"rrf").as[(Long, Double)].collect()
+      .orderBy($"frk").select($"nid", $"rrf_e7").as[(Long, Long)].collect()
     // hand RRF: d1 1/61+1/62, d2 1/63+1/61, d3 1/62+1/63 → d1 > d2 > d3
     assert(fused.map(_._1).toList == List(1L, 2L, 3L),
       s"quality must lift doc 2 over doc 3: ${fused.toList}")
     assert(fused(0)._2 > fused(1)._2 && fused(1)._2 > fused(2)._2)
+    // exact integer form: 1e7·(a+b+120)/((60+a)(60+b)) rounded half-up
+    def e7(a: Long, b: Long): Long =
+      (20000000L * (a + b + 120) + (60 + a) * (60 + b)) /
+        (2L * (60 + a) * (60 + b))
+    assert(fused(0)._2 == e7(1, 2) && fused(1)._2 == e7(3, 1) &&
+      fused(2)._2 == e7(2, 3), s"rrf_e7 values: ${fused.toList}")
   }
 
   test("quantizationAudit: fidelity near 1 for real vectors, null for zero") {

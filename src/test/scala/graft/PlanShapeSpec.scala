@@ -161,6 +161,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ index build: the encode stage is map-only — zero exchanges") {
+    import graft.ext.Similarity
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    // the whole code table: scan → assignCells(udf) → pqEncode(udf) →
+    // posexplode — cell label and subspace argmin both ride broadcast
+    // VARIABLES, so no shuffle may appear anywhere in the build plan
+    val p = executedPlan(idx.codes).split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0,
+      s"index build wants 0 exchanges, got $exchanges:\n${p.take(2500)}")
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))

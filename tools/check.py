@@ -5,8 +5,16 @@ import sys, json, glob, os
 import duckdb
 
 def norm(v):
+    # EXACT float comparison (bit-identical via repr), matching the
+    # driver's hash check. Rounding here (the old 9dp form) was SOFTER
+    # than the driver and let round()-on-double tie divergence through
+    # (r7: x59/x64 passed locally, failed the driver hash). NOTE the
+    # residual blind spot: the local DuckDB may be older than the
+    # driver's, so any round(double, n) in oracle SQL can still diverge
+    # on version-specific tie behavior — the real fix is to keep
+    # round-on-double off integer-ratio output columns entirely.
     if isinstance(v, float):
-        return round(v, 9)
+        return repr(v)
     return v
 
 def rows_of(cur):
