@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   * passes: a single warm pass can inherit GC pressure from whichever
   * query happened to precede it in the sweep (the r01/r02 recorded-vs-
   * isolation drift), and the min of two is a stable steady-state estimate
-  * that matches isolated measurement. `total` is the steady-state sum,
-  * `cold_total` the first-pass sum for reference.
+  * that matches isolated measurement. `warm_total` (= `value`) is the
+  * steady-state sum — the drift-resistant cross-round signal —
+  * `cold_total` the first-pass sum for reference; both print at the END
+  * of the line so a tail-truncating capture still sees them, and the
+  * full line is mirrored to BENCH_LAST.json.
   *
   * A failing query is NEVER silent: a query with NO successful warm pass
   * lands in the `errors` array (empty on a clean sweep) and is absent
@@ -58,8 +61,9 @@ object Bench {
 
     // failed queries serialize as null, never a -1.0 that tooling could
     // rank as a (negative) timing
+    def fmt(d: Double): String = f"$d%.3f"
     val qs = names.map(n =>
-        "\"" + n + "\":" + (if (warm(n) < 0) "null" else warm(n).toString))
+        "\"" + n + "\":" + (if (warm(n) < 0) "null" else fmt(warm(n))))
       .mkString("{", ",", "}")
     val total = warm.values.filter(_ >= 0).sum
     val coldTotal = cold.values.filter(_ >= 0).sum
@@ -68,7 +72,24 @@ object Bench {
     val errs = names.filter(warm(_) < 0).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     failed.foreach { case (n, msg) => System.err.println(s"BENCH ERROR $n: $msg") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"errors":$errs,"sf":"$sfDir"}""")
+    // Field ORDER is part of the contract with the harness: its artifact
+    // keeps only the TAIL of this line (observed: 2000 chars — r6/r7
+    // recorded "parsed": null because "value" led the line and was
+    // truncated away with 124 queries in the middle). Every scalar a
+    // cross-round comparison needs — warm AND cold totals, the drift-
+    // resistant signal — therefore sits AFTER the per-query map, in the
+    // last ~150 chars. The full line also lands in BENCH_LAST.json
+    // beside the repo so per-query history survives the tail window.
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
+        s""""errors":$errs,"n_queries":${names.size},""" +
+        s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
+        s""""value":${fmt(total)}}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout line is the contract
+    println(line)
     spark.stop()
   }
 }
