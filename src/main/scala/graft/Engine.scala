@@ -402,7 +402,8 @@ object Engine {
             EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey))
               .as("kafka_key"),
             Serializers.partitionKey(t.partitionKeyFn,
-              t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id")
+              t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id",
+              Some(m))
               .as("partition_key"),
             lit(null).cast("string").as("value"),
             col("__ts").as("ts"))
@@ -446,7 +447,8 @@ object Engine {
           col("__ts"), col("__ts"), canceledAt))).as("data"),
         EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
         Serializers.partitionKey(t.partitionKeyFn,
-          t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
+          t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id",
+          Some(m)).as("partition_key"),
         col("__ts").as("ts"))
     }
 
@@ -501,7 +503,8 @@ object Engine {
       array(payloadJson).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
       Serializers.partitionKey(t.partitionKeyFn,
-        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
+        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id",
+        Some(m)).as("partition_key"),
       col("__ts").as("ts"))
   }
 
@@ -582,7 +585,8 @@ object Engine {
         col("__ts"), col("__ts"), snapshotCanceled(dependents)))).as("data"),
       EnvelopeCodec.messageKey(lit(m.name), col(m.primaryKey)).as("kafka_key"),
       Serializers.partitionKey(t.partitionKeyFn,
-        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id").as("partition_key"),
+        t.partitionKeyAttr.orElse(Some(m.primaryKey)), "account_id",
+        Some(m)).as("partition_key"),
       col("__ts").as("ts"))
   }
 
@@ -635,23 +639,27 @@ object Engine {
         // Side outputs coalesce to one file per batch: un-coalesced, every
         // shuffle partition spills a fragment per micro-batch — a
         // small-files generator on any long-lived stream.
+        // params_batch_transformation (reference README.md:900-915): an
+        // opaque per-topic batch transform over the DECODED frame. It
+        // runs BEFORE the message-filter gate to match the reference,
+        // where the lambda receives the raw params batch and filters run
+        // later inside ParamsBatchProcessor (karafka_consumer_generator
+        // .rb:29) — so a transform that needs rows the filter would drop
+        // (e.g. merge logic) sees them. The reference's DEFAULT strategy
+        // (remove-duplicates keep-latest) is the engine's C2 dedup + C7
+        // LWW merge and needs no hook; this slot is the custom-lambda
+        // case — e.g. merging an import topic's per-record rows into
+        // grouped batches.
+        val transformed = options.batchTransforms.get(topicName)
+          .map(_(batch)).getOrElse(batch)
         val kept = options.messageFilters.get(topicName) match {
           case Some(drop) =>
-            val (ok, dropped) = ConsumerOps.messageFilter(batch, drop)
+            val (ok, dropped) = ConsumerOps.messageFilter(transformed, drop)
             dropped.coalesce(1).write.mode("append")
               .parquet(s"$workDir/quarantine/$topicName")
             ok
-          case None => batch
+          case None => transformed
         }
-        // params_batch_transformation (reference README.md:900-915): an
-        // opaque per-topic batch transform over the DECODED frame,
-        // applied after filters and before persistence. The reference's
-        // DEFAULT strategy (remove-duplicates keep-latest) is the
-        // engine's C2 dedup + C7 LWW merge and needs no hook; this slot
-        // is the custom-lambda case — e.g. merging an import topic's
-        // per-record rows into grouped batches.
-        val transformed = options.batchTransforms.get(topicName)
-          .map(_(kept)).getOrElse(kept)
         val consumedDir =
           if (options.publishConsumedEvents)
             Some(s"$workDir/consumed/$topicName") else None
@@ -667,9 +675,9 @@ object Engine {
         // C17: poison batches park in the DLQ instead of failing the query
         try {
           if (options.deadLetter)
-            ConsumerOps.withDeadLetter(transformed,
+            ConsumerOps.withDeadLetter(kept,
               s"$workDir/dlq/$topicName")(persist)
-          else persist(transformed)
+          else persist(kept)
         } finally batch.unpersist()
         // storage maintenance on a batch cadence: a live deployment must
         // not accumulate one version per micro-batch per replica forever

@@ -535,13 +535,19 @@ object Similarity {
         centers(ci) = pts(rnd.nextInt(n)).clone()
       } else {
         var r = rnd.nextDouble() * total
-        var pick = 0
+        // fallback when floating-point residue leaves r >= 0 after the
+        // scan: the LAST point with positive D² mass — a valid draw from
+        // the tail of the distribution — never index 0, which would bias
+        // the seeding toward an already-covered point
+        var pick = -1
         i = 0
         while (i < n && r >= 0.0) {
           r -= minD2(i)
           if (r < 0.0) pick = i
+          else if (minD2(i) > 0.0) pick = i
           i += 1
         }
+        if (pick < 0) pick = 0 // unreachable: total > 0 has a positive entry
         centers(ci) = pts(pick).clone()
       }
       ci += 1

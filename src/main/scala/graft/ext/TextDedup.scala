@@ -82,6 +82,11 @@ object TextDedup {
     * explicit: a dropped entry cannot anchor later chained drift, so a
     * copy whose only within-hamming prior was dropped passes — for a
     * flood of near-identical docs the retained priors flag it anyway.
+    * Because that trade silently weakens `expireAfter = None`'s "exact
+    * dominance" meaning, the bound is OPT-IN: the default
+    * `Int.MaxValue` keeps the historical unbounded-recall semantics,
+    * and a production deployment sets an explicit cap (8192 is a sane
+    * choice) sized to its viral-template exposure.
     *
     * `expireAfter` bounds the state by EVENT time: an original is
     * forgotten once the watermark passes its timestamp plus the expiry —
@@ -111,7 +116,7 @@ object TextDedup {
   def nearDupStreaming(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, maxHamming: Int = 3, bands: Int = 4,
       expireAfter: Option[java.time.Duration] = None,
-      maxPerBucket: Int = 8192): DataFrame = {
+      maxPerBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > maxHamming && 64 % bands == 0,
       "pigeonhole recall needs bands > maxHamming and bands | 64")
     graft.functions.Functions.register(stream.sparkSession)

@@ -47,7 +47,10 @@ object TextSearch {
     val st = toks
       .agg(count(lit(1)), sum(size(col("tk")).cast("long")))
       .head()
-    Bm25Index(st.getLong(0), st.getLong(1), postings)
+    // empty corpus: count is 0 and the sum aggregate is NULL — read it
+    // null-safely so the index is simply empty instead of throwing
+    Bm25Index(st.getLong(0),
+      if (st.isNullAt(1)) 0L else st.getLong(1), postings)
   }
 
   /** BM25 top-`k` from a prebuilt [[Bm25Index]]: prune the postings to
@@ -56,11 +59,21 @@ object TextSearch {
     * the shared scoring tail. The corpus text does not participate. */
   def bm25TopKOnIndex(index: Bm25Index, queries: Seq[(Int, String)],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    if (index.nDocs == 0) return emptyResult(index.postings)
     val qterms = queries.flatMap(_._2.split(" ")).distinct
     val tf = index.postings.filter(col("tok").isin(qterms: _*))
     scorePostings(tf, index.nDocs.toDouble,
       index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
   }
+
+  /** Zero-row (qid, rnk, nid, score) frame with `nid` typed like the
+    * corpus id — the empty-corpus result (avgdl is undefined at nDocs=0;
+    * the lazy-plan form used to return empty here and the corpus-stats
+    * `.head()` must not turn that into a throw). */
+  private def emptyResult(withNid: DataFrame): DataFrame = withNid
+    .select(lit(0).cast("int").as("qid"), lit(0).cast("int").as("rnk"),
+      col("nid"), lit(0.0).as("score"))
+    .limit(0)
 
   /** BM25 top-`k` documents per query, one-shot over the corpus text.
     * Repeated query terms count once (terms are distinct-ed per query).
@@ -78,6 +91,9 @@ object TextSearch {
     val st = toks
       .agg(count(lit(1)), sum(size(col("tk")).cast("long")))
       .head()
+    // empty corpus: the sum is NULL and avgdl is undefined — return the
+    // empty result the old lazy-plan form produced, instead of throwing
+    if (st.getLong(0) == 0) return emptyResult(toks)
     val (nDocs, totalTokens) = (st.getLong(0), st.getLong(1))
     // the query-term set is driver-side data — prune scan-locally, no
     // join: an arrays_overlap prefilter skips whole non-matching docs

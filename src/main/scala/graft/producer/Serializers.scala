@@ -118,18 +118,34 @@ object Serializers {
   /** P10 — Kafka partition key: per-topic lambda, attribute, or default
     * `account_id` (reference: partition_key.rb:12-41, config.rb:33-35).
     * The lambda form ([[graft.registry.TopicDef.partitionKeyFn]]) is
-    * applied to the full row packed as ONE struct column — the Spark
+    * applied to the RESOURCE packed as ONE struct column — the Spark
     * analogue of the reference calling the user lambda with the resource
     * (partition_key.rb:34-36) — and its result is cast to string, null
-    * staying null (the reference's `&.to_s`). The attribute form stays a
-    * plain column cast. */
+    * staying null (the reference's `&.to_s`). When the model is known,
+    * the struct is built from its declared shape (primary key + declared
+    * attributes, in declaration order), NOT `struct(col("*"))`: the raw
+    * row differs per call site (wire vs tombstone vs `serialize: false`
+    * paths) and carries engine-internal `__`-prefixed columns, while the
+    * reference lambda always sees the same resource object. The
+    * model-less `struct(col("*"))` form survives only for ad-hoc frames
+    * with no registry model. The attribute form stays a plain column
+    * cast. */
   def partitionKey(attr: Option[String], default: String = "account_id"): Column =
     partitionKey(None, attr, default)
 
   def partitionKey(fn: Option[Column => Column], attr: Option[String],
       default: String): Column =
-    fn.map(f => f(struct(col("*"))).cast("string"))
-      .getOrElse(col(attr.getOrElse(default)).cast("string"))
+    partitionKey(fn, attr, default, None)
+
+  def partitionKey(fn: Option[Column => Column], attr: Option[String],
+      default: String, model: Option[ModelDef]): Column =
+    fn.map { f =>
+      val resource = model
+        .map(m => struct(
+          (m.primaryKey +: m.attributes.map(_.name)).distinct.map(col): _*))
+        .getOrElse(struct(col("*")))
+      f(resource).cast("string")
+    }.getOrElse(col(attr.getOrElse(default)).cast("string"))
 
   /** P3/P11 — topic fan-out: one change → one outbox/publish row per
     * declared topic, plus the `_genesis` replica topic where declared

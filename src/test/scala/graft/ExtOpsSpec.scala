@@ -1346,6 +1346,19 @@ class ExtOpsSpec extends SparkSpec {
       fused(2)._2 == e7(2, 3), s"rrf_e7 values: ${fused.toList}")
   }
 
+  test("BM25 on an empty corpus returns empty results, never throws") {
+    import graft.ext.TextSearch
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val direct = TextSearch.bm25TopK(empty, "doc_id", "text",
+      queries = Seq(1 -> "anything"), k = 5)
+    assert(direct.count() == 0)
+    assert(direct.columns.toSeq == Seq("qid", "rnk", "nid", "score"))
+    val idx = TextSearch.buildBm25Index(empty, "doc_id", "text")
+    assert(idx.nDocs == 0 && idx.totalTokens == 0)
+    assert(TextSearch.bm25TopKOnIndex(idx,
+      Seq(1 -> "anything"), k = 5).count() == 0)
+  }
+
   test("quantizationAudit: fidelity near 1 for real vectors, null for zero") {
     val rnd = new scala.util.Random(19L)
     val rows = (1L to 20L).map(i =>

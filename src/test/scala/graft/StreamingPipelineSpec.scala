@@ -515,6 +515,50 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(keys == Set("shard-3", "shard-0"), keys.toString) // 7%4, 12%4
   }
 
+  test("P10 lambda sees the declared resource shape, not engine internals") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-p10-shape").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq((7L, 1.0)).toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts"))
+      .write.parquet(s"$src/f1")
+    // the lambda serializes its whole input: the key then RECORDS the
+    // struct shape the engine handed it — which must be the declared
+    // resource (primary key + declared attributes), identical on every
+    // call site, with no __-prefixed engine columns (the reference
+    // lambda receives the resource object, partition_key.rb:34-36)
+    val reg = Registry("ps", Seq(TopicDef("events",
+      models = Seq(ModelDef("click",
+        attributes = Seq(Attribute("value", DoubleType)))),
+      partitionKeyFn = Some((r: org.apache.spark.sql.Column) => to_json(r)))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work")
+    val keys = spark.read.parquet(s"$tmp/work/topics/ps_events")
+      .select($"partition_key").as[String].collect()
+    assert(keys.nonEmpty)
+    keys.foreach { k =>
+      assert(!k.contains("__"), s"engine internals leaked into resource: $k")
+      assert(k.contains("\"id\":7") && k.contains("\"value\":1.0"),
+        s"declared resource fields missing: $k")
+    }
+  }
+
   test("params_batch_transformation: custom per-topic batch transform reaches persistence") {
     import graft.registry._
     import org.apache.spark.sql.types.DoubleType
@@ -553,6 +597,54 @@ class StreamingPipelineSpec extends SparkSpec {
     val ids = res.replicas("click").read()
       .select($"synced_id").as[Long].collect().toSet
     assert(ids == Set(1L, 3L), s"transform must gate persistence: $ids")
+  }
+
+  test("params_batch_transformation runs BEFORE the message filter (reference order)") {
+    import graft.registry._
+    import org.apache.spark.sql.types.DoubleType
+    val tmp = Files.createTempDirectory("graft-bt-order").toString
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("user_id", "value")
+      .select($"user_id", $"value", lit("click").as("event_type"),
+        (lit(1735689600000000L) * 1000).as("ts"))
+      .write.parquet(s"$src/f1")
+    val reg = Registry("bo", Seq(TopicDef("events",
+      models = Seq(ModelDef("click",
+        attributes = Seq(Attribute("value", DoubleType)))))))
+    val bindings = new Engine.ModelBindings {
+      def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        s.readStream.schema(s.read.parquet(s"$src/f1").schema)
+          .parquet(s"$src/*")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .filter($"event_type" === m.name)
+          .select($"user_id".as("id"), $"value",
+            lit("update").as("__op"),
+            lit(null).cast("timestamp").as("__old_canceled"),
+            lit(null).cast("timestamp").as("__new_canceled"),
+            $"ts".as("__ts"))
+      def snapshot(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
+        throw new UnsupportedOperationException("no sideloads")
+    }
+    // the transform keeps id X only when id X+1 is in the batch IT sees;
+    // the filter drops even ids. Reference order (transform on the raw
+    // batch, karafka_consumer_generator.rb:29) → transform over {1,2,3,4}
+    // keeps {1,2,3}, filter then keeps {1,3}. Filter-first would hand the
+    // transform {1,3} and persist NOTHING — the ordering is observable.
+    def jid(c: org.apache.spark.sql.Column) =
+      get_json_object(c, "$.id").cast("long")
+    val res = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/work",
+      options = Engine.EngineOptions(
+        batchTransforms = Map("bo_events" -> ((b: org.apache.spark.sql.DataFrame) => {
+          val next = b.select((jid($"payload_json") - 1).as("__prev"))
+          b.join(next, jid($"payload_json") === $"__prev", "left_semi")
+        })),
+        messageFilters = Map("bo_events" -> (jid($"payload_json") % 2 === 0))))
+    val ids = res.replicas("click").read()
+      .select($"synced_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L),
+      s"transform must see pre-filter rows (got $ids)")
   }
 
   test("computed attribute: custom-serializer field derives at publish and persists") {
