@@ -7,15 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract plumbing.
   *
-  * The media libraries are not in this container, so the byte-level decode
-  * is a clearly-marked deterministic STUB — but the Spark-side plumbing is
-  * real: schema, batched per-partition processing, and partitioning
-  * behavior are exactly what a production decode (libjpeg/ffmpeg behind
-  * the same signature) would use. Heavy decode work belongs in
-  * `mapPartitions` so per-partition setup (codec init) amortizes across
-  * rows, and media tables should be stored with the binary column LAST and
-  * metadata columns first, so metadata-only queries never read the bytes
-  * (parquet column pruning).
+  * IMAGE decode is REAL: the stock JDK ships `javax.imageio` codecs for
+  * PNG/BMP/JPEG/GIF, so [[decodeImage]]/[[imageStats]] parse actual
+  * image bytes (and [[encodeBmp]] writes them — pure header+pixel
+  * arithmetic, no library). Audio/video byte-level decode has no
+  * in-container codec and stays a clearly-marked deterministic STUB —
+  * but the Spark-side plumbing is real: schema, batched per-partition
+  * processing, and partitioning behavior are exactly what a production
+  * decode (ffmpeg behind the same signature) would use. Heavy decode
+  * work belongs in `mapPartitions` so per-partition setup (codec init)
+  * amortizes across rows, and media tables should be stored with the
+  * binary column LAST and metadata columns first, so metadata-only
+  * queries never read the bytes (parquet column pruning).
   */
 object Multimodal {
 
@@ -31,10 +34,9 @@ object Multimodal {
     StructField("format", StringType),
     StructField("media", BinaryType)))
 
-  /** STUB decode: a real implementation hands `bytes` to an image/audio
-    * codec. The deterministic fake derives pseudo-dimensions from the
-    * content so tests are stable and the dataflow (bytes in → typed meta
-    * out) is exercised end to end. */
+  /** STUB decode (audio/video only — no in-container codec): derives
+    * pseudo-dimensions from the content so tests are stable and the
+    * dataflow (bytes in → typed meta out) is exercised end to end. */
   private[ext] def decodeStub(id: Long, format: String, bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0L else bytes.length.toLong
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
@@ -45,13 +47,128 @@ object Multimodal {
   }
 
   /** Batched decode over partitions: one codec context per partition, rows
-    * streamed through it (the Scala analogue of `mapInPandas` batches). */
+    * streamed through it (the Scala analogue of `mapInPandas` batches).
+    * Image rows whose bytes PARSE as a real image (PNG/BMP/JPEG/GIF via
+    * the JDK's `javax.imageio`) report their true decoded dimensions;
+    * anything else — audio/video, or image rows whose payload is not
+    * actually image bytes — falls back to the deterministic stub. */
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     implicit val enc = Encoders.product[MediaMeta]
     media.mapPartitions { rows =>
-      // real impl: initialize codec/decoder once per partition here
-      rows.map(r => decodeStub(r.id, r.format, r.media))
+      // ImageIO scans for codec plugins per-JVM; mapPartitions keeps any
+      // per-partition decoder setup amortized, as a real codec needs
+      rows.map { r =>
+        val real = if (r.format == "image") decodeImage(r.media) else None
+        real match {
+          case Some(st) => MediaMeta(r.id, r.format,
+            if (r.media == null) 0L else r.media.length.toLong,
+            st.width, st.height, nFrames = 1)
+          case None => decodeStub(r.id, r.format, r.media)
+        }
+      }
     }
+  }
+
+  /** Exact decoded-pixel statistics: dimensions, pixel count, and the
+    * per-channel integer SUMS (not float means — sums are bit-exact and
+    * oracle-portable; a mean is one division away for the caller). */
+  final case class ImageStats(
+      width: Int, height: Int, nPx: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF
+    * readers ship with the stock JRE — verified in MultimodalSpec).
+    * Returns None when the bytes do not parse as a supported image, so
+    * callers can fall back to the stub path; never throws on garbage. */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageStats(w, h, w.toLong * h, sr, sg, sb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Real per-image pixel statistics over a media table: one decoded
+    * (id, width, height, n_px, sum_r, sum_g, sum_b) row per image whose
+    * bytes parse; non-images and undecodable rows are dropped (decode
+    * yield is itself a data-quality signal — count the difference).
+    * Integer sums, so downstream aggregation is oracle-exact. */
+  final case class ImageStatsRow(
+      id: Long, width: Int, height: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def imageStats(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[ImageStatsRow]
+    media.mapPartitions { rows =>
+      rows.flatMap(r => decodeImage(r.media).map(st =>
+        ImageStatsRow(r.id, st.width, st.height, st.nPx,
+          st.sumR, st.sumG, st.sumB)))
+    }.toDF()
+  }
+
+  /** Pure-JVM 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up rows,
+    * BGR byte order, 4-byte row padding — plain header+pixel arithmetic,
+    * no library). `px(x, y)` returns (r, g, b), each masked to 0–255.
+    * Gives the engine a real image WRITE path so decode tests and
+    * fixture generation need no external assets. */
+  def encodeBmp(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0)
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * height
+    val size = 54 + dataSize
+    val out = new Array[Byte](size)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up storage: last image row first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        bb.put((b & 0xff).toByte).put((g & 0xff).toByte).put((r & 0xff).toByte)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic image: doc_id fully determines dimensions
+    * and every pixel (plain modular arithmetic), so an oracle can
+    * recompute the expected pixel sums WITHOUT decoding — which makes
+    * the whole encode→ImageIO-decode round trip independently
+    * verifiable (the x66 query). */
+  def syntheticBmp(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    encodeBmp(w, h, (x, y) => (
+      ((docId + 7L * x + 13L * y) % 256).toInt,
+      ((3L * docId + 11L * x + y) % 256).toInt,
+      ((x.toLong * y + docId) % 256).toInt))
   }
 
   /** Frame sampling plumbing for video-like media: emit `every`-th frame

@@ -1760,6 +1760,43 @@ object ExtQueries {
       """SELECT doc_id AS id,
         | ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS format,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin),
+
+    // REAL image decode audit: each doc_id deterministically synthesizes
+    // a 24-bit BMP (pure-JVM encoder), which javax.imageio — an actual
+    // codec, stock in the JDK — decodes back; the output is exact
+    // integer pixel-channel sums. The ORACLE never decodes: it recomputes
+    // the sums straight from the pixel formula, so a bug in either the
+    // BMP writer or the decode path breaks the hash. Decode is map-only
+    // inside mapPartitions (codec amortized per partition, no shuffle
+    // until the output sort) — the 100 TB shape for media feature
+    // extraction.
+    "x66_image_decode_audit" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkBmp = udf((id: Long) => Multimodal.syntheticBmp(id))
+        val media = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            lit("image").as("format"), mkBmp(col("doc_id")).as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.imageStats(media)
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |xs AS (SELECT unnest(range(0, 16)) AS x),
+        |ys AS (SELECT unnest(range(0, 14)) AS y),
+        |px AS (SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+        |       FROM d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((3 * doc_id + 11 * x + y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x * y + doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1574,6 +1574,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(frames.count() >= rows.count(_.nFrames > 0))
   }
 
+  test("BMP encode → ImageIO decode round-trips exact pixel stats") {
+    import graft.ext.Multimodal
+    // a 5×3 image with hand-computable channels
+    val bytes = Multimodal.encodeBmp(5, 3,
+      (x, y) => (10 * x, 20 * y, x + y))
+    val st = Multimodal.decodeImage(bytes).get
+    assert(st.width == 5 && st.height == 3 && st.nPx == 15)
+    val xs = for (y <- 0 until 3; x <- 0 until 5) yield (x, y)
+    assert(st.sumR == xs.map { case (x, _) => 10 * x }.sum)
+    assert(st.sumG == xs.map { case (_, y) => 20 * y }.sum)
+    assert(st.sumB == xs.map { case (x, y) => x + y }.sum)
+    // the independent codec cross-check: the JDK PNG writer must decode
+    // to the identical stats (stats are codec-independent pixel truth)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val png = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", png))
+    assert(Multimodal.decodeImage(png.toByteArray).get == st)
+    // garbage and empty bytes refuse quietly (stub fallback contract)
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+  }
+
+  test("decodeMeta: real image bytes report true dims, text bytes fall back") {
+    import graft.ext.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.encodeBmp(9, 4, (_, _) => (1, 2, 3))),
+      Multimodal.MediaRecord(2L, "image", "just text".getBytes), // stub path
+      Multimodal.MediaRecord(3L, "audio", Multimodal.encodeBmp(9, 4, (_, _) => (1, 2, 3))))
+    val meta = Multimodal.decodeMeta(spark.createDataset(rows))
+      .collect().map(m => m.id -> m).toMap
+    assert(meta(1L).width == 9 && meta(1L).height == 4, "real decode")
+    assert(meta(2L).width >= 64, "non-image bytes take the stub path")
+    assert(meta(3L).width >= 64, "audio never routes through ImageIO")
+  }
+
   test("bruteForceTopK: zero-norm corpus rows rank last, never poison top-k") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),
