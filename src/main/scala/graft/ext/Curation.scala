@@ -87,6 +87,58 @@ object Curation {
           .as("contamination"))
   }
 
+  /** Span-level benchmark decontamination — WHERE a training document
+    * overlaps the benchmark, not just whether ([[contamination]]'s
+    * boolean form): every corpus n-gram occurrence that appears anywhere
+    * in the benchmark set marks tokens [pos, pos+n-1] contaminated, and
+    * overlapping-or-contiguous marks merge into maximal spans. Returns
+    * one row per span — (doc_id, span_idx, start_tok, len_toks),
+    * span_idx 1-based in start order — the operator a pipeline runs
+    * BEFORE cutting contaminated windows out of training text (Lee et
+    * al. 2022 exact-substring removal at occurrence granularity).
+    *
+    * Scale shape: grams ride as `xxhash64` longs out of the native
+    * occurrence hasher ([[graft.functions.HashedNgramsAll]] — position
+    * order, multiplicity kept, so `posexplode` yields exact token
+    * offsets with zero gram-string materialization); the benchmark side
+    * is the distinct-gram long set ([[TextDedup.hashedShingles]], same
+    * bytes→hash, so the join is collision-exact at realistic
+    * cardinalities — the x21 argument). Only bench-MATCHING occurrences
+    * survive into the span merge, which is one per-doc window (a single
+    * doc_id exchange): positions sort per doc, a gap > n starts a new
+    * island (classic gap-and-islands — with a fixed gram width the
+    * running coverage end is just prev_pos + n − 1, so one `lag`
+    * suffices), and the island aggregate emits (start, length). No
+    * corpus-sized sort, no list state; the hit set a window touches is
+    * the contaminated subset, not the corpus. */
+  def contaminationSpans(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1 && n <= 64,
+      s"gram n must be in 1..64 (native gram hasher bound), got $n")
+    graft.functions.Functions.register(corpus.sparkSession)
+    graft.functions.Functions.register(benchmark.sparkSession)
+    val bench = benchmark
+      .select(explode(hashedGrams(col(benchTextCol), n)).as("ng"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(call_function("hashed_ngrams_all", col(textCol), lit(n))))
+      .withColumnRenamed("col", "ng")
+      .join(bench, Seq("ng"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    hits
+      .withColumn("new_span",
+        when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("span_idx", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min(col("pos")).as("s"), max(col("pos")).as("e"))
+      .select(col("doc_id"), col("span_idx").cast("long").as("span_idx"),
+        col("s").cast("long").as("start_tok"),
+        (col("e") + n - col("s")).cast("long").as("len_toks"))
+  }
+
   /** Intra-document repetition quality signals (the Gopher repetition
     * rules' Spark form): distinct-token ratio and duplicate-n-gram
     * fraction per document for n = 2 and 3. Scan-local column

@@ -1762,6 +1762,48 @@ object ExtQueries {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY id""".stripMargin),
 
+    // Span-level decontamination (x21's quarantine list upgraded to
+    // occurrence granularity): WHICH token spans of each training doc
+    // overlap a benchmark 5-gram, merged into maximal spans — the
+    // operator that feeds contaminated-window CUTTING, not just doc
+    // quarantine. Grams join as native xxhash64 longs with exact
+    // positions (posexplode of hashed_ngrams_all); the oracle joins the
+    // raw gram strings and must agree (the x21 argument). One gram join
+    // + one per-doc window.
+    "x65_contamination_spans" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.contaminationSpans(
+            docs.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 19 === 0), "text", n = 5)
+          .orderBy(col("doc_id"), col("start_tok"))
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4)
+        |      ELSE [CAST(0 AS BIGINT)] END) AS pos,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS ng
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0),
+        |hits AS (SELECT doc_id, pos FROM g
+        |         WHERE doc_id % 19 <> 0 AND ng IN (SELECT ng FROM bench)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx
+        |  FROM isl)
+        |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        |  CAST(min(pos) AS BIGINT) AS start_tok,
+        |  CAST(max(pos) + 5 - min(pos) AS BIGINT) AS len_toks
+        |FROM sp GROUP BY doc_id, span_idx
+        |ORDER BY doc_id, start_tok""".stripMargin),
+
     // REAL image decode audit: each doc_id deterministically synthesizes
     // a 24-bit BMP (pure-JVM encoder), which javax.imageio — an actual
     // codec, stock in the JDK — decodes back; the output is exact

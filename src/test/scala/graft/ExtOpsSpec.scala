@@ -1574,6 +1574,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(frames.count() >= rows.count(_.nFrames > 0))
   }
 
+  test("contaminationSpans merges overlapping hits into maximal spans") {
+    import graft.ext.Curation
+    val bench = Seq((100L, "a b c d e"), (101L, "p q r s t")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // two hits at pos 2 and 3 (grams "a b c d e" at 2 via itself? no —
+      // doc 1: tokens x y a b c d e f p q r s t u: gram@2 = "a b c d e"
+      // (hit), gram@8 = "p q r s t" (hit) — separated by > n → 2 spans
+      (1L, "x y a b c d e f p q r s t u"),
+      // doc 2: "a b c d e" at 0 and overlapping again at 4? build
+      // a b c d e a b c d e → hits at 0 and 5: 5 <= 0+5 → contiguous,
+      // ONE span of length 10
+      (2L, "a b c d e a b c d e"),
+      // doc 3: no overlap
+      (3L, "u v w x y z zz"),
+      // doc 4: shorter than n, equals a bench doc exactly → whole-doc
+      // gram hit at pos 0 — wait, "a b c" is not a bench gram; bench
+      // docs are ≥ n tokens so their only grams are 5-grams; a short
+      // corpus doc's whole-text gram can still match nothing → absent
+      (4L, "a b c")).toDF("doc_id", "text")
+    val got = Curation.contaminationSpans(corpus, "doc_id", "text",
+        bench, "text", n = 5)
+      .orderBy($"doc_id", $"start_tok")
+      .select($"doc_id", $"span_idx", $"start_tok", $"len_toks")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got == List(
+      (1L, 1L, 2L, 5L), (1L, 2L, 8L, 5L),
+      (2L, 1L, 0L, 10L)), s"got $got")
+  }
+
   test("BMP encode → ImageIO decode round-trips exact pixel stats") {
     import graft.ext.Multimodal
     // a 5×3 image with hand-computable channels
