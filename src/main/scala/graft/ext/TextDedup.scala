@@ -100,7 +100,11 @@ object TextDedup {
     * false`): it guards downstream WATERMARK-EVICTING state against late
     * upstream emissions, but the per-doc vote here stores NOTHING (next
     * paragraph), so a "late" band verdict is simply processed in its
-    * arrival batch rather than being dropped.
+    * arrival batch rather than being dropped. This is PROVEN, not
+    * asserted: the ExtOpsSpec out-of-order replay ("drops and duplicates
+    * NO verdicts") feeds a late event-time arrival through the chained
+    * stages with the flag off and pins exactly-one-verdict-per-document
+    * against an independently computed dominance.
     *
     * The per-doc vote (OR across band verdicts) is a STATELESS pass-
     * through group stage: every band verdict of a document is emitted by

@@ -1506,6 +1506,8 @@ object ExtQueries {
     // Approximate distinct via HLL++ sketches (rows-only: sketch estimates
     // are engine-specific). At 100 TB this replaces exact distinct wherever
     // a ±2% answer is acceptable — mergeable, single-pass, fixed memory.
+    // The estimate's CONTRACT is oracle-checked by the _bound companion
+    // below; this row stays rows-only by design.
     "x12_approx_distinct" -> rowsOnly(
       (s, dir) =>
         tbl(s, dir, "events")
@@ -1513,6 +1515,29 @@ object ExtQueries {
           .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
             countDistinct(col("user_id")).as("exact_users"))
           .orderBy(col("event_type"))),
+
+    // x12's explicit error contract, as a HASH-CHECKED query: the HLL++
+    // estimate must sit within 3 standard errors (3·rsd) of the exact
+    // distinct count. The oracle recomputes exact_users and pins
+    // within_bound = 1 — a sketch drifting out of its documented bound
+    // breaks the hash, so the approx row above no longer rides on an
+    // unverified "trust the sketch".
+    "x12_approx_distinct_bound" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02)
+              .as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              ceil(lit(3 * 0.02) * col("exact_users"))).cast("long")
+              .as("within_bound"))
+          .orderBy(col("event_type")),
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // Text normalization / PII scrubbing — regex projection, portable to
     // the oracle (DuckDB needs the 'g' flag for global replacement).

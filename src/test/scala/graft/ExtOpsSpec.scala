@@ -333,6 +333,68 @@ class ExtOpsSpec extends SparkSpec {
       s"in-window duplicate must be flagged against fresh state: ${rows(4L)}")
   }
 
+  test("streaming near-dup: out-of-order replay drops and duplicates NO verdicts" +
+      " with the correctness check disabled") {
+    // WHY the disabled check is safe (the proof the scaladoc promises):
+    // Spark's statefulOperator.checkCorrectness guards a DOWNSTREAM
+    // watermark-EVICTING stateful operator against upstream emissions
+    // arriving behind its watermark — state it already evicted can no
+    // longer answer them. The per-doc vote stage here stores nothing and
+    // evicts nothing (every band verdict of a document is emitted in the
+    // document's own arrival batch), so a "late" emission has no evicted
+    // state to miss: it is simply processed in its arrival batch. This
+    // replay makes that observable: a LATE event-time arrival (behind a
+    // later doc's event time, ahead of the watermark) still produces
+    // exactly ONE verdict, correct against the retained priors — nothing
+    // dropped, nothing double-emitted, matching the sequential
+    // in-arrival-order dominance computed independently below.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "totally different unrelated words appear in this text here"
+    val e = "yet another completely separate document body sits right here"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndooo").toString
+    def write(f: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq((1L, a, "2026-01-01 10:00:00"),
+      (2L, b, "2026-01-01 10:20:00")))
+    // doc 3 arrives in batch 2 with an EVENT time before doc 2's — late,
+    // but ahead of the 30-min watermark, so nothing may drop it
+    write("f2", Seq((3L, a, "2026-01-01 10:05:00")))
+    write("f3", Seq((4L, a, "2026-01-01 10:25:00"),
+      (5L, e, "2026-01-01 10:21:00")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val check = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(check, "false")
+    try {
+      val q = TextDedup.nearDupStreaming(in, "doc_id", "text", "ts",
+          maxHamming = 3, bands = 4,
+          expireAfter = Some(java.time.Duration.ofMinutes(30)))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ndooo_out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.unset(check)
+    val all = spark.table("ndooo_out")
+      .select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+    // EXACTLY one verdict per document: the stateless vote emitted every
+    // arrival once — no late-drop, no re-emission
+    assert(all.length == 5 && all.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L),
+      s"verdict multiset broken: ${all.toList.sortBy(_._1)}")
+    val got = all.map { case (i, d, k) => i -> ((d, k)) }.toMap
+    // sequential in-arrival-order dominance (the operator's contract):
+    // 3 and 4 are copies of 1 (within expiry at their event times)
+    assert(got(1L) == ((None, 1L)) && got(2L) == ((None, 1L)) &&
+      got(5L) == ((None, 1L)), got.toString)
+    assert(got(3L) == ((Some(1L), 0L)),
+      s"the LATE arrival's verdict must not be dropped: ${got(3L)}")
+    assert(got(4L) == ((Some(1L), 0L)), got.toString)
+  }
+
   test("containmentPairs: sub-document copies score 1.0 where Jaccard stays low") {
     import graft.ext.TextDedup
     val long =
