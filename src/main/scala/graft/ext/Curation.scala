@@ -139,6 +139,42 @@ object Curation {
         (col("e") + n - col("s")).cast("long").as("len_toks"))
   }
 
+  /** The decontamination REWRITE: apply [[contaminationSpans]] and cut
+    * the contaminated windows out, emitting each affected document's
+    * cleaned text (tokens outside every span, original order) plus the
+    * removal accounting — the step that actually edits training data,
+    * where [[contamination]] only quarantines and [[contaminationSpans]]
+    * only locates. Documents with no overlap are absent (their text is
+    * unchanged; a pipeline unions them back untouched — cheaper than
+    * rewriting the whole corpus through this operator).
+    *
+    * Scale shape: spans aggregate per doc (the contaminated subset
+    * only), then one join back to the corpus text and a SCAN-LOCAL
+    * rewrite — `filter` with a positional lambda over the token array
+    * against the ≤ spans-per-doc span list — so the corpus tokens never
+    * shuffle; the only exchanges are the span window's and the span→doc
+    * join's, both sized by contamination, not corpus. */
+  def decontaminatedRewrite(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      n: Int = 5): DataFrame = {
+    val spans = contaminationSpans(corpus, idCol, textCol,
+        benchmark, benchTextCol, n)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("len_toks")).as("n_removed"),
+        collect_list(struct(col("start_tok"), col("len_toks"))).as("sp"))
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(split(col("__text"), " ")).cast("long").as("n_tokens"),
+        col("n_spans"), col("n_removed"),
+        concat_ws(" ", filter(split(col("__text"), " "),
+          (x: Column, i: Column) => !exists(col("sp"),
+            s => i >= s.getField("start_tok") &&
+              i < s.getField("start_tok") + s.getField("len_toks"))))
+          .as("kept_text"))
+  }
+
   /** Intra-document repetition quality signals (the Gopher repetition
     * rules' Spark form): distinct-token ratio and duplicate-n-gram
     * fraction per document for n = 2 and 3. Scan-local column

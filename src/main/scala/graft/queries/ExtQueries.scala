@@ -1829,6 +1829,63 @@ object ExtQueries {
         |FROM sp GROUP BY doc_id, span_idx
         |ORDER BY doc_id, start_tok""".stripMargin),
 
+    // The decontamination REWRITE: x65's spans applied — contaminated
+    // windows cut from the text, cleaned text + removal accounting per
+    // affected doc. Spark rewrites SCAN-LOCALLY (positional filter
+    // against the per-doc span list — corpus tokens never shuffle); the
+    // oracle rebuilds the kept text by anti-joining unnested token
+    // positions against span-expanded positions — different plan, must
+    // agree byte-for-byte.
+    "x67_decontaminated_rewrite" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.decontaminatedRewrite(
+            docs.filter(col("doc_id") % 19 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 19 === 0), "text", n = 5)
+          .orderBy(col("doc_id"))
+      },
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(t) >= 5 THEN range(0, len(t) - 4)
+        |      ELSE [CAST(0 AS BIGINT)] END) AS pos,
+        |    unnest(CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3),
+        |             i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE [array_to_string(t, ' ')] END) AS ng
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0),
+        |hits AS (SELECT doc_id, pos FROM g
+        |         WHERE doc_id % 19 <> 0 AND ng IN (SELECT ng FROM bench)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 5
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sp AS (SELECT doc_id, pos,
+        |    sum(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS si
+        |  FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+        |          FROM sp GROUP BY doc_id, si),
+        |acct AS (SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+        |  FROM spans GROUP BY doc_id),
+        |bad AS (SELECT spans.doc_id,
+        |    unnest(range(spans.s, spans.e + 1)) AS pos FROM spans),
+        |tp AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok
+        |       FROM toks WHERE doc_id % 19 <> 0),
+        |kept AS (SELECT tp.doc_id,
+        |    coalesce(string_agg(CASE WHEN bad.pos IS NULL THEN tok END,
+        |      ' ' ORDER BY tp.pos), '') AS kept_text
+        |  FROM tp LEFT JOIN bad
+        |    ON tp.doc_id = bad.doc_id AND tp.pos = bad.pos
+        |  GROUP BY tp.doc_id)
+        |SELECT a.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens, a.n_spans, a.n_removed,
+        |  k.kept_text
+        |FROM acct a JOIN kept k ON a.doc_id = k.doc_id
+        |  JOIN toks t ON a.doc_id = t.doc_id
+        |ORDER BY a.doc_id""".stripMargin),
+
     // REAL image decode audit: each doc_id deterministically synthesizes
     // a 24-bit BMP (pure-JVM encoder), which javax.imageio — an actual
     // codec, stock in the JDK — decodes back; the output is exact
