@@ -1829,6 +1829,112 @@ object ExtQueries {
         |FROM sp GROUP BY doc_id, span_idx
         |ORDER BY doc_id, start_tok""".stripMargin),
 
+    // Epoch/repetition planning under a token budget (the Muennighoff
+    // et al. 2023 "scaling data-constrained LMs" table): budget 2× the
+    // corpus, shares from sqrt-scaled token mass (the x52 α=0.5 form,
+    // denominator folded in source order so the float path is pinned),
+    // per-source allocation floored, and the implied epoch count capped
+    // at 4 epochs (×100 fixed-point, exact integer div) — past which
+    // repeated data stops helping. One partial-agg shuffle + a scalar
+    // broadcast.
+    "x69_epoch_plan" -> entry(
+      (s, dir) => {
+        val per = tbl(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+        val scalars = per.agg(
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("source"), col("tokens")))),
+              x => sqrt(x.getField("tokens").cast("double"))),
+            lit(0.0), (a: Column, x: Column) => a + x).as("denom"),
+          sum(col("tokens")).as("total"))
+        per.crossJoin(broadcast(scalars))
+          .withColumn("alloc",
+            floor(lit(2.0) * col("total") * sqrt(col("tokens").cast("double"))
+              / col("denom")).cast("long"))
+          .select(col("source"), col("n_docs"), col("tokens"), col("alloc"),
+            least(lit(400L), expr("(100 * alloc) div tokens"))
+              .as("epochs_x100"),
+            least(col("alloc"), lit(4L) * col("tokens"))
+              .as("repeated_tokens"))
+          .orderBy(col("source"))
+      },
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT list_reduce(list(sqrt(CAST(tokens AS DOUBLE))
+        |        ORDER BY source), (a, b) -> a + b) AS denom,
+        |      CAST(sum(tokens) AS BIGINT) AS total FROM per),
+        |a AS (SELECT source, n_docs, tokens,
+        |    CAST(floor(2.0 * total * sqrt(CAST(tokens AS DOUBLE)) / denom)
+        |      AS BIGINT) AS alloc
+        |  FROM per, d)
+        |SELECT source, n_docs, tokens, alloc,
+        |  least(CAST(400 AS BIGINT), (100 * alloc) // tokens) AS epochs_x100,
+        |  least(alloc, 4 * tokens) AS repeated_tokens
+        |FROM a ORDER BY source""".stripMargin),
+
+    // Retrieval self-recall audit (the "needle" eval run against every
+    // standing index): each probe query is the leading 5 tokens of a
+    // known document, and the audit reports where BM25 ranks the source
+    // doc itself (0 = missed the top-10). The probe set is BOUNDED BY ID
+    // RANGE (doc_id ≤ 2500, every 50th) — ≤ 50 queries at ANY corpus
+    // scale, so the driver-side collect is constant, never a corpus
+    // fraction. The scoring pipeline is x43's (scan-local pruning, exact
+    // integer corpus stats).
+    "x68_retrieval_self_recall" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val qs = docs
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("q"))
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq.sortBy(_._1)
+        graft.ext.TextSearch.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+          .groupBy(col("qid"))
+          .agg(coalesce(
+              min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
+              lit(0)).cast("long").as("self_rank"),
+            count(lit(1)).as("n_results"))
+          .orderBy(col("qid"))
+      },
+      """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |q AS (SELECT CAST(doc_id AS INT) AS qid,
+        |    array_to_string(t[1:5], ' ') AS qtext
+        |  FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |cands AS (SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |  WHERE rnk <= 10)
+        |SELECT qid,
+        |  CAST(coalesce(min(CASE WHEN nid = qid THEN rnk END), 0) AS BIGINT)
+        |    AS self_rank,
+        |  count(*) AS n_results
+        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin),
+
     // The decontamination REWRITE: x65's spans applied — contaminated
     // windows cut from the text, cleaned text + removal accounting per
     // affected doc. Spark rewrites SCAN-LOCALLY (positional filter
