@@ -750,6 +750,28 @@ object Similarity {
     IvfPqIndex(cents, codebook, codes)
   }
 
+  /** Extend a standing [[IvfPqIndex]] with a new vector batch WITHOUT
+    * refitting: the index's centroids and codebook are FROZEN constants
+    * (the production pattern — refitting would re-encode the whole
+    * corpus and silently shift every stored code), so the new batch runs
+    * the same map-only assignCells + pqEncodeCodes pass and its code
+    * rows append. Query results over old vectors are bit-unchanged; new
+    * vectors rank by the same ADC geometry. Caller contract: batch ids
+    * are disjoint from the indexed corpus. Periodic refits (drifted
+    * data) are a rebuild, by design. */
+  def extendIvfPqIndex(index: IvfPqIndex, df: DataFrame,
+      idCol: String, vecCol: String): IvfPqIndex = {
+    val m = index.codebook.map(_._1).max + 1
+    val base = df.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val newCodes = pqEncodeCodes(assignCells(base, "v", index.centroids),
+        "v", index.codebook, m)
+      .select(col("nid"), col("cell"), posexplode(col("codes_arr")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+      .select(col("nid"), col("cell"), col("sub"), col("code"))
+    index.copy(codes = index.codes.unionByName(newCodes))
+  }
+
   /** Query a prebuilt [[IvfPqIndex]]: probe `nProbe` cells per query
     * against the centroid constants, gate candidates to probed cells,
     * rank by ADC against the code table. Touches only the index — the

@@ -53,6 +53,25 @@ object TextSearch {
       if (st.isNullAt(1)) 0L else st.getLong(1), postings)
   }
 
+  /** Merge a new document batch into a standing [[Bm25Index]] WITHOUT
+    * re-tokenizing the indexed corpus — the incremental-ingest path (the
+    * BM25 sibling of [[TextDedup.nearDupAgainstIndex]]'s standing-index
+    * contract): the batch's postings append and the two corpus scalars
+    * add. Answering from the merged index is bit-IDENTICAL to rebuilding
+    * from scratch (ExtOpsSpec pins equality) because every BM25 input —
+    * df(t), per-doc length, N, total tokens — is an exact integer
+    * aggregate that unions additively. Caller contract: batch doc ids
+    * are disjoint from the indexed corpus (re-ingesting a doc would
+    * double-count it, as in any append-only inverted index — run the
+    * dedup family first). */
+  def mergeBm25Index(index: Bm25Index, df: DataFrame, idCol: String,
+      textCol: String): Bm25Index = {
+    val add = buildBm25Index(df, idCol, textCol)
+    Bm25Index(index.nDocs + add.nDocs,
+      index.totalTokens + add.totalTokens,
+      index.postings.unionByName(add.postings))
+  }
+
   /** BM25 top-`k` from a prebuilt [[Bm25Index]]: prune the postings to
     * the query terms scan-locally (`isin` — with `postings` bucketed by
     * token, a standing deployment prunes at the file level too), then

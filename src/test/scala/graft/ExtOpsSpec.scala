@@ -1408,6 +1408,58 @@ class ExtOpsSpec extends SparkSpec {
       fused(2)._2 == e7(2, 3), s"rrf_e7 values: ${fused.toList}")
   }
 
+  test("mergeBm25Index: incremental ingest answers identically to a rebuild") {
+    import graft.ext.TextSearch
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    val merged = TextSearch.mergeBm25Index(
+      TextSearch.buildBm25Index(half1, "doc_id", "text"),
+      half2, "doc_id", "text")
+    val full = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    assert(merged.nDocs == full.nDocs &&
+      merged.totalTokens == full.totalTokens)
+    val qs = Seq(1 -> "hash join strategy", 2 -> "window sort order")
+    val a = TextSearch.bm25TopKOnIndex(merged, qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    val b = TextSearch.bm25TopKOnIndex(full, qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      "merged index must answer bit-identically to a full rebuild")
+  }
+
+  test("extendIvfPqIndex: frozen-constant extension leaves old answers bit-unchanged") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val half1 = emb.filter($"vec_id" % 2 === 0)
+    val half2 = emb.filter($"vec_id" % 2 === 1)
+    val base = Similarity.buildIvfPqIndex(half1, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val extended = Similarity.extendIvfPqIndex(base, half2,
+      "vec_id", "embedding")
+    // constants are untouched; code count doubles (m rows per vector)
+    assert(extended.centroids == base.centroids &&
+      extended.codebook == base.codebook)
+    assert(extended.codes.count() == base.codes.count() * 2)
+    // old-corpus queries answer bit-identically when restricted to the
+    // originally indexed vectors (extension appends, never rewrites)
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val before = Similarity.ivfPqTopKOnIndex(base, q,
+        "vec_id", "embedding", 5, nProbe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val after = Similarity.ivfPqTopKOnIndex(
+        extended.copy(codes = extended.codes.join(
+          half1.select($"vec_id".as("nid")), Seq("nid"), "left_semi")),
+        q, "vec_id", "embedding", 5, nProbe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(before.nonEmpty && after == before)
+    // and the extended rows carry the same codes a from-scratch encode
+    // with the SAME constants produces: a new vector equal to an indexed
+    // one must land in the same cell with identical codes
+    val dup = extended.codes.join(
+        half2.select($"vec_id".as("nid")), Seq("nid"), "left_semi")
+    assert(dup.count() == base.codes.count())
+  }
+
   test("BM25 on an empty corpus returns empty results, never throws") {
     import graft.ext.TextSearch
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
