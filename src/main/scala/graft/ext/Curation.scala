@@ -385,6 +385,49 @@ object Curation {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_ratio"))
   }
 
+  /** Two-sample distribution-drift audit (binned Kolmogorov–Smirnov):
+    * per stratum, the maximum CDF gap between two snapshots' quality
+    * distributions — "did this source's data shift between crawls", the
+    * monitor a pipeline runs before trusting yesterday's mix weights on
+    * today's crawl. The quality signal is the distinct-token ratio
+    * binned to `bins` integer buckets via exact integer division, so
+    * binning is engine-portable; the gap maximand
+    * `|cumA·totB − cumB·totA|` stays in exact integers and only the
+    * final normalization divides (RAW division — IEEE-identical across
+    * engines; deliberately never round()-on-double, see x59). The max
+    * needs checking only at OCCUPIED bins (the CDF gap is constant
+    * across empty ones).
+    *
+    * Scale shape: one partial-agg shuffle to (stratum, snapshot, bin) —
+    * ≤ strata × 2 × bins rows regardless of corpus size — then windows
+    * over that tiny frame. Strata with an empty side report null ks. */
+  def distributionDrift(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, isSnapshotA: Column, bins: Int = 20): DataFrame = {
+    require(bins >= 2)
+    val binned = df.select(col(strataCol).as("stratum"),
+        when(isSnapshotA, lit(1L)).otherwise(lit(0L)).as("a"),
+        expr(s"($bins * size(array_distinct(split($textCol, ' '))))" +
+          s" div size(split($textCol, ' '))").as("rawbin"))
+      .select(col("stratum"), col("a"),
+        least(col("rawbin"), lit(bins - 1L)).as("bin"))
+      .groupBy(col("stratum"), col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("bin"))
+    val tw = Window.partitionBy(col("stratum"))
+    binned
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("tota", sum(col("ca")).over(tw))
+      .withColumn("totb", sum(col("cb")).over(tw))
+      .groupBy(col("stratum"), col("tota"), col("totb"))
+      .agg(max(abs(col("cuma") * col("totb") - col("cumb") * col("tota")))
+        .as("maxgap"))
+      .select(col("stratum"), col("tota").as("n_a"), col("totb").as("n_b"),
+        when(col("tota") > 0 && col("totb") > 0,
+          col("maxgap").cast("double") / (col("tota") * col("totb")))
+          .as("ks"))
+  }
+
   /** Domain-shift audit: per-stratum KL divergence to the corpus token
     * distribution, restricted to the corpus's `topN` most frequent
     * tokens (the head carries the signal; restricting the support also

@@ -1593,6 +1593,53 @@ object ExtQueries {
         |SELECT component, count(*) AS cluster_size FROM labels
         |GROUP BY component ORDER BY component""".stripMargin),
 
+    // Dedup-cluster size histogram: x16's components banded into
+    // power-of-2 size bins (integer CASE ladder — a float log2 would
+    // reintroduce ulp-dependent binning) with cluster count, doc mass,
+    // and removable dup mass (size − 1 per cluster) per bin — the
+    // "how concentrated is my duplication" report that decides whether
+    // dedup even pays at this corpus. Bins are a constant-size frame at
+    // any scale.
+    "x71_cluster_histogram" -> entry(
+      (s, dir) => {
+        val pairs = TextDedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", n = 1, threshold = 0.9)
+        TextDedup.connectedComponents(pairs)
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .select(
+            when(col("sz") <= 2, lit(1)).when(col("sz") <= 4, lit(2))
+              .when(col("sz") <= 8, lit(3)).when(col("sz") <= 16, lit(4))
+              .when(col("sz") <= 64, lit(5)).otherwise(lit(6))
+              .cast("long").as("size_band"),
+            col("sz"))
+          .groupBy(col("size_band"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1).as("dup_mass"))
+          .orderBy(col("size_band"))
+      },
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |      FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+        |labels AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+        |sizes AS (SELECT component, count(*) AS sz FROM labels GROUP BY component)
+        |SELECT CASE WHEN sz <= 2 THEN 1 WHEN sz <= 4 THEN 2
+        |    WHEN sz <= 8 THEN 3 WHEN sz <= 16 THEN 4
+        |    WHEN sz <= 64 THEN 5 ELSE 6 END AS size_band,
+        |  count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(sz - 1) AS BIGINT) AS dup_mass
+        |FROM sizes GROUP BY 1 ORDER BY size_band""".stripMargin),
+
     // Character-level Shannon entropy (compressibility proxy, a standard
     // pre-training quality signal): pure column expressions, scan-speed.
     // Float parity is ORDER-pinned: both engines fold p·log2(p) over the
@@ -1828,6 +1875,41 @@ object ExtQueries {
         |  CAST(max(pos) + 5 - min(pos) AS BIGINT) AS len_toks
         |FROM sp GROUP BY doc_id, span_idx
         |ORDER BY doc_id, start_tok""".stripMargin),
+
+    // Distribution-drift monitor (binned two-sample KS): per source, the
+    // max CDF gap between the even-id and odd-id snapshots' quality
+    // (distinct-token-ratio) distributions. Binning and the gap maximand
+    // are exact integers; only the final normalization divides (raw —
+    // never round()-on-double). ≤ sources × 2 × 20 aggregate rows at any
+    // corpus size.
+    "x70_distribution_drift" -> entry(
+      (s, dir) =>
+        Curation.distributionDrift(tbl(s, dir, "documents"),
+            "doc_id", "text", "source",
+            isSnapshotA = col("doc_id") % 2 === 0, bins = 20)
+          .orderBy(col("stratum")),
+      """WITH b AS (SELECT source AS stratum,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    least((20 * len(list_distinct(string_split(text, ' '))))
+        |      // len(string_split(text, ' ')), 19) AS bin
+        |  FROM documents),
+        |c AS (SELECT stratum, bin,
+        |    CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(1 - a) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT stratum, bin, ca, cb,
+        |    sum(ca) OVER (PARTITION BY stratum ORDER BY bin) AS cuma,
+        |    sum(cb) OVER (PARTITION BY stratum ORDER BY bin) AS cumb,
+        |    sum(ca) OVER (PARTITION BY stratum) AS tota,
+        |    sum(cb) OVER (PARTITION BY stratum) AS totb
+        |  FROM c)
+        |SELECT stratum, CAST(tota AS BIGINT) AS n_a,
+        |  CAST(totb AS BIGINT) AS n_b,
+        |  CASE WHEN tota > 0 AND totb > 0 THEN
+        |    CAST(max(abs(cuma * totb - cumb * tota)) AS DOUBLE)
+        |      / (tota * totb) END AS ks
+        |FROM cum GROUP BY stratum, tota, totb
+        |ORDER BY stratum""".stripMargin),
 
     // Epoch/repetition planning under a token budget (the Muennighoff
     // et al. 2023 "scaling data-constrained LMs" table): budget 2× the
