@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: the stock JDK ships `javax.imageio` codecs for
   * PNG/BMP/JPEG/GIF, so [[decodeImage]]/[[imageStats]] parse actual
   * image bytes (and [[encodeBmp]] writes them — pure header+pixel
-  * arithmetic, no library). Audio/video byte-level decode has no
-  * in-container codec and stays a clearly-marked deterministic STUB —
+  * arithmetic, no library). AUDIO decode is REAL for WAV/PCM16:
+  * [[decodeWav]] walks the RIFF chunk list and scans raw samples (and
+  * [[encodeWav]] writes them) — again pure header arithmetic. Video
+  * byte-level decode has no in-container codec and stays a
+  * clearly-marked deterministic STUB —
   * but the Spark-side plumbing is real: schema, batched per-partition
   * processing, and partitioning behavior are exactly what a production
   * decode (ffmpeg behind the same signature) would use. Heavy decode
@@ -169,6 +172,119 @@ object Multimodal {
       ((docId + 7L * x + 13L * y) % 256).toInt,
       ((3L * docId + 11L * x + y) % 256).toInt,
       ((x.toLong * y + docId) % 256).toInt))
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  /** Exact decoded-audio statistics: stream geometry plus the integer
+    * SUM of absolute sample amplitudes and the peak — integer outputs,
+    * so downstream aggregation is oracle-exact (the pixel-sum argument
+    * of [[ImageStats]] applied to PCM). `durationUs` is truncating
+    * integer division (`nFrames * 1e6 / sampleRate`). */
+  final case class AudioStats(
+      sampleRate: Int, channels: Int, nFrames: Long,
+      peakAbs: Int, sumAbs: Long) {
+    def durationUs: Long = nFrames * 1000000L / sampleRate
+  }
+
+  /** REAL WAV (RIFF / PCM16) decode — pure header+chunk arithmetic, no
+    * library: walks the RIFF chunk list (tolerating extra chunks like
+    * `LIST` and odd-size padding per the spec), validates PCM16 `fmt `,
+    * then scans the `data` payload as little-endian 16-bit samples.
+    * Returns None when the bytes do not parse as PCM16 WAV, so callers
+    * can fall back to the stub path; never throws on garbage. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x45564157)
+        return None // "RIFF" ... "WAVE" (little-endian fourccs)
+      var pos = 12
+      var sampleRate = 0; var channels = 0; var bits = 0; var pcm = false
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = bb.getInt(pos)
+        val sz = bb.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        if (id == 0x20746d66) { // "fmt "
+          if (sz < 16) return None
+          pcm = (bb.getShort(pos + 8) & 0xffff) == 1
+          channels = bb.getShort(pos + 10) & 0xffff
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22) & 0xffff
+        } else if (id == 0x61746164) { // "data"
+          dataOff = pos + 8; dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1) // RIFF chunks pad to even offsets
+      }
+      if (!pcm || bits != 16 || channels <= 0 || sampleRate <= 0 || dataOff < 0) None
+      else {
+        val nSamp = dataLen / 2
+        var i = 0; var sum = 0L; var peak = 0
+        while (i < nSamp) {
+          val a = math.abs(bb.getShort(dataOff + 2 * i).toInt)
+          sum += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        Some(AudioStats(sampleRate, channels, nSamp.toLong / channels, peak, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Pure-JVM PCM16 WAV encoder (canonical 44-byte RIFF header, LE
+    * interleaved samples — plain header arithmetic, no library). The
+    * audio WRITE path twin of [[encodeBmp]]: decode tests and fixture
+    * generation need no external assets. */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + dataSize).putInt(0x45564157) // RIFF/WAVE
+    bb.putInt(0x20746d66).putInt(16)                               // "fmt ", 16
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)                           // byte rate
+      .putShort((channels * 2).toShort).putShort(16)               // align, bits
+    bb.putInt(0x61746164).putInt(dataSize)                         // "data"
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    out
+  }
+
+  /** Deterministic synthetic audio: doc_id fully determines channel
+    * count, frame count, and every interleaved sample (plain modular
+    * arithmetic), so an oracle can recompute the expected amplitude
+    * sums WITHOUT decoding — the [[syntheticBmp]] trick for the
+    * encode→decode WAV round trip (the x72 query). 8 kHz keeps
+    * `durationUs` exact (1e6/8000 = 125). */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val nFrames = (64 + docId % 33).toInt
+    val samples = Array.tabulate(nFrames * channels)(i =>
+      ((docId * 31L + 17L * i) % 4096L - 2048L).toShort)
+    encodeWav(8000, channels, samples)
+  }
+
+  /** Real per-clip audio statistics over a media table: one decoded
+    * (id, sample_rate, channels, n_frames, duration_us, peak_abs,
+    * sum_abs) row per clip whose bytes parse as PCM16 WAV; garbage and
+    * non-audio rows are dropped (decode yield is the quality signal).
+    * Map-only inside mapPartitions — the same 100 TB shape as
+    * [[imageStats]]: codec amortized per partition, no shuffle. */
+  final case class AudioStatsRow(
+      id: Long, sample_rate: Long, channels: Long, n_frames: Long,
+      duration_us: Long, peak_abs: Long, sum_abs: Long)
+
+  def audioStats(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[AudioStatsRow]
+    media.mapPartitions { rows =>
+      rows.flatMap(r => decodeWav(r.media).map(st =>
+        AudioStatsRow(r.id, st.sampleRate.toLong, st.channels.toLong,
+          st.nFrames, st.durationUs, st.peakAbs.toLong, st.sumAbs)))
+    }.toDF()
   }
 
   /** Frame sampling plumbing for video-like media: emit `every`-th frame

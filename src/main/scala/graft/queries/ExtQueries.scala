@@ -2109,6 +2109,39 @@ object ExtQueries {
         |  CAST(sum((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
         |  CAST(sum((3 * doc_id + 11 * x + y) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((x * y + doc_id) % 256) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+
+    // REAL audio decode audit (the x66 argument applied to PCM): each
+    // doc_id deterministically synthesizes a PCM16 WAV (pure-JVM RIFF
+    // encoder), which the chunk-walking decoder parses back; output is
+    // exact integer amplitude stats. The ORACLE never decodes — it
+    // recomputes peak/sum straight from the sample formula, so a bug in
+    // either the RIFF writer or the chunk walker breaks the hash.
+    // Decode is map-only inside mapPartitions (codec amortized per
+    // partition) — the 100 TB shape for audio feature extraction.
+    "x72_audio_decode_audit" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkWav = udf((id: Long) => Multimodal.syntheticWav(id))
+        val media = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            lit("audio").as("format"), mkWav(col("doc_id")).as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.audioStats(media)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS c, 64 + doc_id % 33 AS nf
+        |           FROM documents),
+        |i AS (SELECT unnest(range(0, 194)) AS i),
+        |s AS (SELECT d.doc_id, d.c, d.nf,
+        |        (d.doc_id * 31 + 17 * i.i) % 4096 - 2048 AS v
+        |      FROM d JOIN i ON i.i < d.nf * d.c)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(c AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * 125 AS BIGINT) AS duration_us,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, c, nf ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1740,6 +1740,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
 
+  test("WAV encode → chunk-walking decode round-trips exact amplitude stats") {
+    import graft.ext.Multimodal
+    // stereo, hand-computable samples: frames (L,R) = (100,-200),(300,-400)
+    val bytes = Multimodal.encodeWav(8000, 2,
+      Array[Short](100, -200, 300, -400))
+    assert(bytes.length == 44 + 8)
+    val st = Multimodal.decodeWav(bytes).get
+    assert(st == Multimodal.AudioStats(8000, 2, 2, 400, 1000))
+    assert(st.durationUs == 250L) // 2 frames @ 8 kHz = 250 µs exact
+    // chunk walker tolerates an extra chunk between fmt and data, with
+    // RIFF odd-size padding: splice a 3-byte "LIST" chunk (padded to 4)
+    val (head, data) = bytes.splitAt(36) // 36 = end of fmt chunk
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = head ++ extra ++ data
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8) // fix RIFF size
+    assert(Multimodal.decodeWav(spliced).contains(st), "chunk walk + padding")
+    // refusal paths: garbage, truncated data chunk, non-PCM format tag
+    assert(Multimodal.decodeWav(
+      "not audio at all, just forty-plus bytes of plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(bytes.dropRight(2)).isEmpty, "truncated data")
+    val nonPcm = bytes.clone()
+    java.nio.ByteBuffer.wrap(nonPcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 3.toShort)
+    assert(Multimodal.decodeWav(nonPcm).isEmpty, "float WAV refused")
+  }
+
+  test("syntheticWav: decoded stats match the closed-form sample formula") {
+    import graft.ext.Multimodal
+    for (docId <- Seq(0L, 1L, 7L, 42L)) {
+      val st = Multimodal.decodeWav(Multimodal.syntheticWav(docId)).get
+      val c = (1 + docId % 2).toInt
+      val nf = (64 + docId % 33).toInt
+      val vs = (0 until nf * c).map(i =>
+        math.abs((docId * 31L + 17L * i) % 4096L - 2048L))
+      assert(st.sampleRate == 8000 && st.channels == c && st.nFrames == nf)
+      assert(st.peakAbs == vs.max && st.sumAbs == vs.sum, s"doc $docId")
+    }
+  }
+
+  test("audioStats: parse yield — WAV rows decode, garbage rows drop") {
+    import graft.ext.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "audio", Multimodal.syntheticWav(1L)),
+      Multimodal.MediaRecord(2L, "audio", "definitely not RIFF".getBytes),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.encodeWav(16000, 1, Array[Short](5, -5, 5, -5))))
+    val got = Multimodal.audioStats(spark.createDataset(rows))
+      .orderBy($"id").collect()
+    assert(got.map(_.getLong(0)).toList == List(1L, 3L), "garbage dropped")
+    val r3 = got(1)
+    assert(r3.getLong(1) == 16000L && r3.getLong(3) == 4L &&
+      r3.getLong(4) == 250L && r3.getLong(5) == 5L && r3.getLong(6) == 20L)
+  }
+
   test("decodeMeta: real image bytes report true dims, text bytes fall back") {
     import graft.ext.Multimodal
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
