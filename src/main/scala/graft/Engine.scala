@@ -631,7 +631,7 @@ object Engine {
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$workDir/cp/consume/$topicName")
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // one micro-batch feeds many actions (per model, per sideload,
         // quarantine, consumed events) — materialize it once
         val batch = batch0.persist()
@@ -655,8 +655,14 @@ object Engine {
         val kept = options.messageFilters.get(topicName) match {
           case Some(drop) =>
             val (ok, dropped) = ConsumerOps.messageFilter(transformed, drop)
-            dropped.coalesce(1).write.mode("append")
-              .parquet(s"$workDir/quarantine/$topicName")
+            // side outputs write to a BATCH-KEYED partition dir with
+            // overwrite: foreachBatch is at-least-once on restart (the
+            // offset commit races the batch's writes), so a replayed
+            // batch must land on the same path, not append a duplicate.
+            // `__batch=<id>` is partition-style so a plain read of the
+            // topic dir still works.
+            dropped.coalesce(1).write.mode("overwrite")
+              .parquet(s"$workDir/quarantine/$topicName/__batch=$batchId")
             ok
           case None => transformed
         }
@@ -670,13 +676,13 @@ object Engine {
           val stats = collectStats(b, t)
           t.models.foreach(
             mergeModel(registry, t, _, b, replicas, indexes, topicName,
-              consumedDir, options, stats))
+              consumedDir, options, stats, batchId))
         }
         // C17: poison batches park in the DLQ instead of failing the query
         try {
           if (options.deadLetter)
             ConsumerOps.withDeadLetter(kept,
-              s"$workDir/dlq/$topicName")(persist)
+              s"$workDir/dlq/$topicName", batchId)(persist)
           else persist(kept)
         } finally batch.unpersist()
         // storage maintenance on a batch cadence: a live deployment must
@@ -764,7 +770,8 @@ object Engine {
       topicName: String,
       consumedDir: Option[String],
       options: EngineOptions,
-      stats: Map[String, SliceStats]): Unit = {
+      stats: Map[String, SliceStats],
+      batchId: Long): Unit = {
     // a model with no rows in this micro-batch skips its whole merge path
     // (the common case on multi-model topics) — no empty-frame Spark jobs
     val slice = stats.getOrElse(m.name, SliceStats(0, 0, Map.empty))
@@ -800,7 +807,7 @@ object Engine {
     }
 
     mergeRecords(m, parsed, replicas(m.name), indexes.get(m.name), topicName,
-      consumedDir, options)
+      consumedDir, options, batchId)
 
     // C4 recursion: embedded sideload payloads persist as their own models
     // (only live parent payloads embed children — skip when none)
@@ -817,7 +824,7 @@ object Engine {
         .select(lit(EventType.Updated).as("event_type"), col("rec"),
           to_json(col("rec")).as("payload_json"))
       mergeRecords(child, childParsed, replicas(dep), indexes.get(dep),
-        topicName, consumedDir, options)
+        topicName, consumedDir, options, batchId)
 
       // C11: children of touched parents absent from the incoming id list
       // disassociate — needs the child replica to carry the FK attribute.
@@ -897,7 +904,8 @@ object Engine {
       index: Option[KeyIndex],
       topicName: String,
       consumedDir: Option[String],
-      options: EngineOptions): Unit = {
+      options: EngineOptions,
+      batchId: Long): Unit = {
     val linkCols = m.linkKinds.map { case (rel, kind) =>
       LinksFlattener.colName(rel, kind)
     }
@@ -956,9 +964,16 @@ object Engine {
           Persistor.localChanges(b, after, m.attributes.map(_.name))
         }
         // one file per micro-batch: repartition(1) keeps the upstream
-        // join parallel and funnels only the (small) output rows
+        // join parallel and funnels only the (small) output rows.
+        // Batch-keyed overwrite path (see the quarantine comment): a
+        // replayed micro-batch after restart overwrites its own
+        // partition instead of appending a duplicate consumed record —
+        // the REPLICA merge is idempotent by construction (LWW upsert),
+        // and this makes the C14 event bus match it. Keyed per
+        // (batch, model): models on one topic share the dir.
         ConsumerOps.consumedEvents(latest, topicName, m.name, localChanges)
-          .repartition(1).write.mode("append").parquet(dir)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$dir/__batch=$batchId-${m.name}")
       }
     }
   }

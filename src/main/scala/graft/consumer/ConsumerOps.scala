@@ -75,14 +75,23 @@ object ConsumerOps {
     * on failure, persist the poison batch and continue. Batch-level (not
     * row-level) because Spark transforms are all-or-nothing per task —
     * row-level isolation belongs in upstream message filters (C6). */
-  def withDeadLetter(batch: DataFrame, deadLetterDir: String)
+  def withDeadLetter(batch: DataFrame, deadLetterDir: String,
+      batchId: Long = -1L)
       (persist: DataFrame => Unit): Boolean =
     try { persist(batch); true }
     catch {
       case scala.util.control.NonFatal(_) =>
         // one parquet file per parked batch (micro-batches are bounded;
-        // un-coalesced this is a small-files generator on a flaky topic)
-        batch.coalesce(1).write.mode("append").parquet(deadLetterDir)
+        // un-coalesced this is a small-files generator on a flaky topic).
+        // With a batchId, park under a batch-keyed overwrite path so a
+        // replayed poison batch re-parks onto the same partition instead
+        // of duplicating (foreachBatch is at-least-once on restart);
+        // batchId -1 (direct callers) keeps the plain append contract.
+        if (batchId >= 0)
+          batch.coalesce(1).write.mode("overwrite")
+            .parquet(s"$deadLetterDir/__batch=$batchId")
+        else
+          batch.coalesce(1).write.mode("append").parquet(deadLetterDir)
         false
     }
 

@@ -824,4 +824,66 @@ object Curation {
       .select(col("id"), col("strata"), round(col("w"), 6).as("mix_w"),
         col("quota"))
   }
+
+  /** Bloom-prefiltered exact-text decontamination: corpus documents whose
+    * full text appears verbatim in the benchmark set. The OUTPUT is the
+    * plain exact semi-join (bloom false positives die in the verify
+    * stage, and a Bloom filter has no false negatives), so the result is
+    * oracle-exact while the PLAN is the 100 TB shape: the benchmark side
+    * folds into a fixed-size sketch in one bounded action, the sketch
+    * rides the corpus scan as a binary literal probed by the codegen'd
+    * native `might_contain` ([[graft.functions.Functions]] registers
+    * Catalyst's own runtime-filter expression, which the public registry
+    * omits), and only the ~matches + fpp·corpus survivors reach the
+    * verify join's exchange — the corpus itself never shuffles. This is
+    * Catalyst's InjectRuntimeFilter pattern made explicit as an operator.
+    *
+    * `expectedItems` sizes the sketch (default 2^17 ≈ 131 k benchmark
+    * docs at 1% fpp ≈ 160 KB of plan literal). An UNDERSIZED sketch only
+    * raises the false-positive rate — the verify stage keeps the output
+    * exact — so the parameter is a perf knob, never a correctness one. */
+  def bloomExactMatches(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      expectedItems: Long = 1L << 17, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    graft.functions.Functions.register(corpus.sparkSession)
+    val bench = benchmark.select(col(benchTextCol).as(textCol)).distinct()
+    // one bounded action: (count, fixed-size sketch bytes). numBits is
+    // the standard optimum -n·ln(p)/ln(2)^2 for the declared capacity.
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val st = bench
+      .agg(count(lit(1)),
+        call_function("bloom_filter_agg", xxhash64(col(textCol)),
+          lit(expectedItems), lit(numBits)))
+      .head()
+    if (st.getLong(0) == 0L)
+      return corpus.select(col(idCol)).limit(0)
+    val sketch = st.getAs[Array[Byte]](1)
+    corpus
+      .filter(call_function("might_contain", lit(sketch),
+        xxhash64(col(textCol))))
+      .join(bench, Seq(textCol), "left_semi")
+      .select(col(idCol))
+  }
+
+  /** Corpus snapshot diff — the data-versioning audit run between two
+    * ingestion runs: per document id, `added` / `removed` / `changed` /
+    * `unchanged` by content. Scale shape: each side reduces scan-local to
+    * (id, 8-byte content hash) before the single co-partitioned full
+    * outer join on the id — document text never reaches the exchange, so
+    * the shuffle is O(corpus) fixed-width rows on both sides regardless
+    * of document size. Content equality is `xxhash64` equality (the
+    * engine-wide collision-exactness argument of x21). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), xxhash64(col(textCol)).as("oh"))
+    val n = newDf.select(col(idCol).as("id"), xxhash64(col(textCol)).as("nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("oh").isNull, lit("added"))
+          .when(col("nh").isNull, lit("removed"))
+          .when(col("oh") === col("nh"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -101,7 +101,27 @@ object Functions {
     ("hashed_ngrams", classOf[HashedNgrams],
       arity("hashed_ngrams", 2)(e => HashedNgrams(e(0), e(1)))),
     ("hashed_ngrams_all", classOf[HashedNgramsAll],
-      arity("hashed_ngrams_all", 2)(e => HashedNgramsAll(e(0), e(1)))))
+      arity("hashed_ngrams_all", 2)(e => HashedNgramsAll(e(0), e(1)))),
+    // Catalyst ships BloomFilterMightContain for its own runtime join
+    // filters but does not expose it in the public FunctionRegistry
+    // (only `bloom_filter_agg` is registered). Registering it here gives
+    // the bloom-prefilter operators a codegen'd scan-local probe — the
+    // sketch rides the plan as a foldable binary literal, which is
+    // exactly the shape the expression's input check requires.
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      arity("might_contain", 2)(e =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          e(0), e(1)))),
+    // Catalyst registers bloom_filter_agg only in its INTERNAL registry
+    // (for InjectRuntimeFilter), so call_function can't resolve it;
+    // re-register the public class here. The analyzer wraps the bare
+    // AggregateFunction in a Complete AggregateExpression on resolution.
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      arity("bloom_filter_agg", 3)(e =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          e(0), e(1), e(2)))))
 
   private def arity(name: String, n: Int)(
       f: Seq[Expression] => Expression): Seq[Expression] => Expression =

@@ -2142,6 +2142,148 @@ object ExtQueries {
         |  CAST(nf * 125 AS BIGINT) AS duration_us,
         |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
-        |FROM s GROUP BY doc_id, c, nf ORDER BY doc_id""".stripMargin)
+        |FROM s GROUP BY doc_id, c, nf ORDER BY doc_id""".stripMargin),
+
+    // Bloom-prefiltered exact-text decontamination (docs whose text
+    // appears verbatim in the benchmark set — doc_id % 37 == 0 plays the
+    // benchmark). The OUTPUT is the plain exact semi-join, so it
+    // hash-checks against DuckDB's IN-subquery; the PLAN is the 100 TB
+    // shape — benchmark folds to a fixed-size sketch in one bounded
+    // action, the corpus scan probes it via the codegen'd native
+    // `might_contain` with the sketch as a plan literal, and only
+    // survivors (matches + ~1% fp) reach the verify join's exchange.
+    // Exact dupes of benchmark docs inside the corpus match too, which is
+    // what document-level decontamination wants.
+    "x73_bloom_decontaminate" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.bloomExactMatches(docs, "doc_id", "text",
+            docs.filter(col("doc_id") % 37 === 0), "text")
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id FROM documents
+        |WHERE text IN (SELECT text FROM documents WHERE doc_id % 37 = 0)
+        |ORDER BY doc_id""".stripMargin),
+
+    // SpaceSaving heavy-hitter sketch CONTRACT query (the x12 pattern
+    // applied to graft.functions.FreqSketch): for each language's exact
+    // top-5 tokens, the sketch must contain the token (coverage law:
+    // count > N/capacity ⇒ always present), estimate ≥ exact
+    // (overestimate-only law), and estimate − exact ≤ N div capacity
+    // (bounded-error law). All three laws are ORDER-INDEPENDENT — they
+    // hold for any partitioning/merge order — so the pinned 1s are
+    // robust to executor count, unlike the raw estimates, which stay out
+    // of the hash. At 100 TB the sketch replaces the per-token shuffle
+    // this audit's exact side runs; fixed `capacity`-sized buffers move.
+    "x74_heavy_hitter_bound" -> entry(
+      (s, dir) => {
+        val cap = 256
+        val toks = tbl(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .localCheckpoint(eager = false) // feeds sketch AND exact branches
+        val sk = toks.groupBy(col("lang"))
+          .agg(graft.functions.FreqSketch(col("tok"), cap).as("sk"),
+            count(lit(1)).as("n_toks"))
+        val top = toks.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("exact_cnt").desc, col("tok"))))
+          .filter(col("rk") <= 5)
+        val est = col("sk").getItem(col("tok"))
+        top.join(broadcast(sk), Seq("lang"))
+          .select(col("lang"), col("rk").cast("long").as("rk"), col("tok"),
+            col("exact_cnt"),
+            est.isNotNull.cast("long").as("in_sketch"),
+            (est >= col("exact_cnt")).cast("long").as("overest_ok"),
+            (est - col("exact_cnt") <= expr(s"n_toks div $cap"))
+              .cast("long").as("bound_ok"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |e AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, c,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY c DESC, tok) AS rk FROM e)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, tok,
+        |  CAST(c AS BIGINT) AS exact_cnt,
+        |  CAST(1 AS BIGINT) AS in_sketch,
+        |  CAST(1 AS BIGINT) AS overest_ok,
+        |  CAST(1 AS BIGINT) AS bound_ok
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+
+    // Corpus snapshot diff between two ingestion runs: v_old drops
+    // doc_id % 11 == 3, v_new drops doc_id % 17 == 5 and rewrites
+    // doc_id % 13 == 0. Per id: added / removed / changed / unchanged.
+    // Each side reduces scan-local to (id, xxhash64) before ONE
+    // co-partitioned full outer join — text never shuffles.
+    "x75_snapshot_diff" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val vOld = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), col("text"))
+        val vNew = docs.filter(col("doc_id") % 17 =!= 5)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 != 3),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+        |          AS text
+        |      FROM documents WHERE doc_id % 17 != 5)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin),
+
+    // Quantile-sketch CONTRACT query (x12/x74 pattern for
+    // approx_percentile): the GK summary's returned value must have RANK
+    // within ε·N of the target rank, ε = 1/accuracy — a DETERMINISTIC
+    // guarantee that holds for any insertion/merge order, so the pinned
+    // 1s are partitioning-robust while the raw approximate values (which
+    // ARE order-sensitive) stay out of the hash. Completes the sketch
+    // contract family: HLL (x12), SpaceSaving (x74), Bloom (x73 — exact
+    // by construction), GK quantiles (here). At 100 TB this replaces
+    // x19's exact per-group percentile sort with fixed-memory summaries.
+    "x76_quantile_sketch_bound" -> entry(
+      (s, dir) => {
+        val acc = 1000
+        val base = tbl(s, dir, "documents")
+          .select(col("source"), size(split(col("text"), " ")).as("n"))
+          .localCheckpoint(eager = false) // feeds sketch AND rank check
+        val ap = base.groupBy(col("source"))
+          .agg(percentile_approx(col("n"),
+              array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("qs"),
+            count(lit(1)).as("cnt"))
+        def ok(p: Double, q: Column): Column = {
+          // ε-rank law with ±1 integer slack: values strictly below q
+          // stay under target+εN, values ≤ q reach target−εN
+          val target = lit(p) * col("cnt")
+          val slack = col("cnt") / lit(acc.toDouble) + lit(1.0)
+          val lt = sum(when(col("n") < q, 1L).otherwise(0L))
+          val le = sum(when(col("n") <= q, 1L).otherwise(0L))
+          ((lt <= target + slack) && (le >= target - slack)).cast("long")
+        }
+        base.join(broadcast(ap), Seq("source"))
+          .groupBy(col("source"), col("cnt"))
+          .agg(ok(0.5, col("qs").getItem(0)).as("within_p50"),
+            ok(0.9, col("qs").getItem(1)).as("within_p90"),
+            ok(0.99, col("qs").getItem(2)).as("within_p99"))
+          .select(col("source"), col("cnt"), col("within_p50"),
+            col("within_p90"), col("within_p99"))
+          .orderBy(col("source"))
+      },
+      """SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(1 AS BIGINT) AS within_p50,
+        |  CAST(1 AS BIGINT) AS within_p90,
+        |  CAST(1 AS BIGINT) AS within_p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
   )
 }

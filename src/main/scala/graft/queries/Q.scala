@@ -26,16 +26,33 @@ object Q {
   def entry(fn: Fn, oracle: String): Entry = Entry(fn, Some(oracle))
   def rowsOnly(fn: Fn): Entry = Entry(fn, None)
 
-  /** Read a test table. `events.ts` is nanosecond parquet, which Spark 4
-    * cannot read as a timestamp — read it as a long (legacy conf) and
-    * truncate ns → µs with exact integer division (`div`, not fp), which
-    * matches DuckDB's `epoch_us` truncation of the same values. */
+  /** Read a test table, normalizing `events.ts` to a session-TZ
+    * TIMESTAMP whatever generation of testdata is on disk (the column's
+    * physical type has changed across driver regenerations). */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** `events.ts` has shipped as ns-int64 parquet (read as a long under the
+    * nanosAsLong conf) in earlier testdata generations and as a native µs
+    * timestamp (TIMESTAMP_NTZ on read) in later ones. Normalize both to
+    * the µs-precision session-TZ TIMESTAMP the queries consume:
+    *  - long ns → exact integer `div 1000` truncation (matches DuckDB's
+    *    `epoch_us` truncation of the same values — never fp division);
+    *  - NTZ → a bare cast, value-stable because every engine session runs
+    *    `spark.sql.session.timeZone=UTC`, so `unix_micros` returns the
+    *    stored micros exactly as DuckDB's `epoch_us` does. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+    }
   }
 }

@@ -34,12 +34,13 @@ object StreamingPipeline {
     * `maxFilesPerTrigger`). */
   def produce(spark: SparkSession, sourceDir: String, topicDir: String,
       checkpointDir: String): Unit = {
-    // events.ts is ns parquet: read as long, convert to µs timestamp
+    // events.ts physical type varies by testdata generation (ns-int64 vs
+    // native µs timestamp) — normalize by actual schema, not assumption
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(sourceDir).schema
     // file-source contract: sourceDir is a DIRECTORY of change files
-    val events = spark.readStream.schema(schema).parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.Q.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(sourceDir))
 
     // P2 classification needs the previous image; in true CDC the source
     // carries old/new images (Delta CDF / Debezium). The synthetic events

@@ -241,7 +241,7 @@ class EngineScaleSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
             lit(null).cast("timestamp").as("__old_canceled"),

@@ -1843,4 +1843,60 @@ class ExtOpsSpec extends SparkSpec {
       .select("nid").as[Long].collect().toSet
     assert(top == Set(1L, 4L), s"got $top")
   }
+
+  test("bloomExactMatches equals the exact semi-join; bloom fps die in verify") {
+    // benchmark = doc 1's text; docs 1 AND 4 (its exact dup) must match
+    val bench = docs.filter($"doc_id" === 1L).select($"text".as("btext"))
+    val got = Curation.bloomExactMatches(docs, "doc_id", "text",
+        bench, "btext")
+      .as[Long].collect().toSet
+    val exact = docs.join(bench.withColumnRenamed("btext", "text"),
+        Seq("text"), "left_semi")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == exact && got == Set(1L, 4L), s"got $got")
+    // disjoint benchmark: nothing survives the verify stage even if the
+    // bloom lets a false positive through
+    val none = Curation.bloomExactMatches(docs, "doc_id", "text",
+        Seq("text never in the corpus").toDF("btext"), "btext")
+      .count()
+    assert(none == 0L)
+    // empty benchmark: the bounded-action guard returns empty, not a throw
+    val empty = Curation.bloomExactMatches(docs, "doc_id", "text",
+        bench.filter(lit(false)), "btext")
+      .count()
+    assert(empty == 0L)
+  }
+
+  test("bloom prefilter is plan-local: corpus reaches the verify join pre-pruned") {
+    // a FILE-backed corpus: over a LocalRelation the optimizer
+    // constant-folds the probe away entirely (also fine, but nothing to
+    // pin); over a FileScan the Filter node must survive, scan-local,
+    // with the sketch as a plan literal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    docs.write.parquet(s"$tmp/corpus")
+    val corpus = spark.read.parquet(s"$tmp/corpus")
+    val bench = docs.filter($"doc_id" === 1L).select($"text".as("btext"))
+    val out = Curation.bloomExactMatches(corpus, "doc_id", "text", bench, "btext")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from plan:\n$plan")
+    // and the probe sits UNDER the verify join (no exchange between the
+    // scan and the filter): the first Exchange in the plan is the
+    // verify join's broadcast, not a corpus shuffle
+    val filterIdx = plan.indexOf("might_contain")
+    val scanIdx = plan.indexOf("Scan parquet")
+    assert(scanIdx > filterIdx,
+      s"probe is not between scan and join:\n$plan")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by content") {
+    val vOld = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val vNew = Seq((1L, "alpha"), (2L, "beta CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(vOld, vNew, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), s"got $got")
+  }
 }

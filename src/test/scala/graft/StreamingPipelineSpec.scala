@@ -151,7 +151,7 @@ class StreamingPipelineSpec extends SparkSpec {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(sourceDir).schema
       s.readStream.schema(schema).parquet(sourceDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(graft.queries.Q.normalizeEventTs)
     }
     def changes(s: org.apache.spark.sql.SparkSession, m: graft.registry.ModelDef) =
       base(s).filter($"event_type" === m.name)
@@ -499,7 +499,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -538,7 +538,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -577,7 +577,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -617,7 +617,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -668,7 +668,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -703,7 +703,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter($"event_type" === m.name)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
@@ -750,7 +750,7 @@ class StreamingPipelineSpec extends SparkSpec {
       def changes(s: org.apache.spark.sql.SparkSession, m: ModelDef) =
         s.readStream.schema(s.read.parquet(s"$src/f1").schema)
           .parquet(s"$src/*")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .select($"user_id".as("id"), $"value",
             lit("update").as("__op"),
             lit(null).cast("timestamp").as("__old_canceled"),

@@ -22,7 +22,7 @@ object EngineTime {
       def changes(s: SparkSession, m: graft.registry.ModelDef) = {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.readStream.schema(s.read.parquet(sourceDir).schema).parquet(sourceDir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .transform(graft.queries.Q.normalizeEventTs)
           .filter(col("event_type") === m.name)
           .select(col("user_id").as("id"), col("value"),
             lit("update").as("__op"),
