@@ -100,6 +100,27 @@ object TextAnalysis {
     concat(lit("https://"), urlHost(url),
       regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1))
 
+  /** Domain-blocklist match with SUBDOMAIN-SUFFIX semantics (the crawl
+    * filter rule set: `example.org` blocks `a.b.example.org` but never
+    * `notexample.org`): the first (lexicographically smallest) blocklist
+    * rule matching any label-boundary suffix of `host`, null when clean.
+    *
+    * 100 TB shape: ZERO shuffle and zero join. The label-suffix chain is
+    * bounded by the host's label count (~4–6), built scan-local with
+    * `transform`/`sequence`, and tested against the rule set as a plan
+    * LITERAL (`typedLit`) — the degenerate broadcast. This replaces the
+    * LIKE-cross-join (rules × corpus regex scan) a naive port would
+    * write; for rule sets too big for a literal, swap the `array_contains`
+    * for the x73 bloom probe + verify join without touching callers. */
+  def hostBlockRule(host: Column, rules: Seq[String]): Column = {
+    require(rules.nonEmpty, "empty blocklist")
+    val labels = split(host, "\\.")
+    val sufs = transform(sequence(lit(1), size(labels)),
+      i => concat_ws(".", slice(labels, i, size(labels))))
+    array_min(filter(sufs, s =>
+      array_contains(typedLit(rules.sorted), s)))
+  }
+
   /** Language-ID marker words (tiny per-language stopword profiles —
     * the classic n-gram/stopword heuristic at word granularity). */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -2284,6 +2284,41 @@ object ExtQueries {
         |  CAST(1 AS BIGINT) AS within_p50,
         |  CAST(1 AS BIGINT) AS within_p90,
         |  CAST(1 AS BIGINT) AS within_p99
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // Domain-blocklist filter with subdomain-suffix semantics (the crawl
+    // rule set: 'd5.com' blocks every subdomain of d5.com, never
+    // 'notd5.com'). Synthetic hosts from doc_id exercise all three rule
+    // shapes: bare domain, ads. subdomain, exact multi-label host.
+    // ZERO shuffle, zero join: the label-suffix chain (bounded by label
+    // count) is built scan-local and probed against the rule set as a
+    // plan literal — vs the rules×corpus LIKE cross-join a naive port
+    // writes. Rule sets beyond literal size swap in the x73 bloom probe.
+    "x77_host_blocklist" -> entry(
+      (s, dir) => {
+        val host = concat(lit("cdn"), (col("doc_id") % 3).cast("string"),
+          lit("."),
+          when(col("doc_id") % 4 === 0, lit("ads.")).otherwise(lit("")),
+          lit("d"), (col("doc_id") % 17).cast("string"), lit(".com"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), host.as("host"))
+          .withColumn("rule", TextAnalysis.hostBlockRule(col("host"),
+            Seq("ads.d8.com", "d5.com", "cdn1.ads.d11.com")))
+          .filter(col("rule").isNotNull)
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (SELECT doc_id,
+        |    'cdn' || (doc_id % 3) || '.' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'ads.' ELSE '' END) ||
+        |    'd' || (doc_id % 17) || '.com' AS host FROM documents),
+        |m AS (SELECT doc_id, host,
+        |    list_min(list_filter(
+        |      list_transform(range(1, len(string_split(host, '.')) + 1),
+        |        i -> array_to_string(string_split(host, '.')[i:], '.')),
+        |      s -> s IN ('ads.d8.com', 'd5.com', 'cdn1.ads.d11.com')))
+        |      AS rule
+        |  FROM h)
+        |SELECT doc_id, host, rule FROM m WHERE rule IS NOT NULL
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -1889,6 +1889,22 @@ class ExtOpsSpec extends SparkSpec {
       s"probe is not between scan and join:\n$plan")
   }
 
+  test("hostBlockRule: suffix semantics on label boundaries only") {
+    val rules = Seq("example.org", "ads.tracker.net")
+    val got = Seq(
+      "a.b.example.org",   // subdomain → example.org
+      "example.org",       // exact → example.org
+      "notexample.org",    // label boundary: NOT blocked
+      "x.ads.tracker.net", // deep subdomain → ads.tracker.net
+      "tracker.net",       // parent of a rule: NOT blocked
+      "clean.com")
+      .toDF("host")
+      .select(TextAnalysis.hostBlockRule($"host", rules).as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toList == List(Some("example.org"), Some("example.org"),
+      None, Some("ads.tracker.net"), None, None), s"got ${got.toList}")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged by content") {
     val vOld = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
       .toDF("doc_id", "text")
