@@ -886,4 +886,149 @@ object Curation {
           .when(col("oh") === col("nh"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Cheap near-dup cluster key: the document's first `words` tokens.
+    * Shared prefixes catch the templated/forked copies that exact
+    * full-text equality misses, at zero pairwise cost — the standard
+    * blocking key for split hygiene and canonicalization below. */
+  private def prefixKey(text: Column, words: Int): Column =
+    array_join(slice(split(text, " "), 1, words), " ")
+
+  /** The Knuth multiplicative residue in [0, p) — the engine's
+    * oracle-portable stand-in for `xxhash64` wherever a deterministic
+    * uniform-ish integer is derived from an id (x25/x47 convention).
+    * The id reduces mod p BEFORE the multiply so the product stays
+    * under 2^63 under ANSI overflow checking. */
+  private def idResidue(id: Column): Column = {
+    val p = 1000000007L
+    pmod(pmod(id, lit(p)) * lit(2654435761L), lit(p))
+  }
+
+  /** Leakage-safe train/val/test split: documents sharing a near-dup
+    * cluster key are assigned to the SAME split, so a test document can
+    * never have a templated twin in train — the assignment hygiene every
+    * eval pipeline needs before it can trust held-out numbers.
+    *
+    * The cluster is the [[prefixKey]] block; the representative is the
+    * cluster's min id; the split is decided by a deterministic residue
+    * of the REPRESENTATIVE (not the member), which is what makes every
+    * member land together. One hash shuffle on the 8-byte cluster key
+    * (window min — no join, no second pass); the decision replays
+    * identically across retries because nothing samples. At 100 TB the
+    * cluster key generalizes to a MinHash band or x16's resolved
+    * cluster id with the same split rule. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 90, valPct: Int = 5,
+      prefixWords: Int = 8): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100)
+    val w = Window.partitionBy(xxhash64(prefixKey(col(textCol), prefixWords)))
+    val rep = min(col(idCol)).over(w)
+    val r = pmod(idResidue(rep), lit(100))
+    df.select(col(idCol), rep.as("rep"),
+      when(r < trainPct, lit("train"))
+        .when(r < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Canonical-document selection: per multi-member near-dup cluster,
+    * keep the highest-quality member (tiebreak: lowest id) and report
+    * what dropping the rest reclaims. The "keep one per cluster" step
+    * that turns a dedup ANALYSIS into a dedup DECISION.
+    *
+    * One window shuffle on the cluster key; rank + cluster totals ride
+    * the same partition, so there is no groupBy+join back. */
+  def canonicalPerCluster(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, prefixWords: Int = 8): DataFrame = {
+    val key = xxhash64(prefixKey(col(textCol), prefixWords))
+    val wAll = Window.partitionBy(key)
+    val wRank = Window.partitionBy(key)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.select(col(idCol), col(qualityCol),
+        row_number().over(wRank).as("rk"),
+        count(lit(1)).over(wAll).as("n_members"),
+        sum(col(qualityCol)).over(wAll).as("__qt"))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col(idCol).as("keeper_id"), col("n_members"),
+        col("__qt").cast("long").as("chars_total"),
+        (col("__qt") - col(qualityCol)).cast("long").as("chars_saved"))
+  }
+
+  /** Pairwise source-overlap matrix: for every pair of sources, the
+    * exact count of shared near-dup cluster keys and the resulting
+    * Jaccard (as an integer basis-point ratio — float-free, so the
+    * result hashes identically in every engine). The audit that decides
+    * whether two crawls are worth ingesting separately.
+    *
+    * Scale shape: distinct (key, source) reduces the corpus scan-local
+    * to fixed-width rows; the per-key source set is bounded by the
+    * SOURCE COUNT (not the corpus), so the pair explosion inside each
+    * key is O(|sources|²) worst-case and typically tiny; both
+    * aggregations partial-combine before their single exchange. The
+    * size join at the end is sources² rows — broadcast by AQE. */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+      prefixWords: Int = 8): DataFrame = {
+    val hs = df.select(
+      xxhash64(prefixKey(col(textCol), prefixWords)).as("h"),
+      col(srcCol).as("src")).distinct()
+    val sizes = hs.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = hs.groupBy("h").agg(collect_set(col("src")).as("ss"))
+      .select(explode(expr(
+        "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
+          "b -> struct(a AS src_a, b AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .withColumn("un", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard_bp", expr("(10000 * inter) div un"))
+      .select("src_a", "src_b", "inter", "n_a", "n_b", "un", "jaccard_bp")
+  }
+
+  /** Deterministic weighted priority sample: top-`k` documents by the
+    * integer priority `residue(id) / weight` — the integer-exact
+    * stand-in for the Efraimidis–Spiliakopoulos exponential race
+    * (`-ln(u)/w`): both are monotone in u for fixed w, so heavier
+    * documents win proportionally more races, and the integer form
+    * orders identically in every engine (no libm, no float ties).
+    *
+    * Plans as one TakeOrdered (per-partition top-k, then a k-row merge
+    * on the driver) — no global sort, no shuffle of the corpus; replays
+    * and retries reproduce the same sample because nothing draws RNG
+    * state at runtime. */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    // residue < 1e9 and the 1e6 scale keep the product under 2^63 for
+    // any weight >= 1 (ANSI mode would fail the query on overflow).
+    df.withColumn("__h", idResidue(col(idCol)))
+      .withColumn("pri", expr(s"(__h * 1000000) div greatest($weightCol, 1)"))
+      .orderBy(col("pri"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("pri"))
+  }
+
+  /** One BPE merge iteration, distributed: adjacent character-pair
+    * counts over the corpus, weighted by word frequency — the top pair
+    * is the next merge a byte-pair-encoding tokenizer would learn.
+    * Real BPE trainers count over the WORD-FREQUENCY TABLE, not the
+    * corpus, and so does this: the first aggregation collapses the
+    * corpus to its vocabulary (heavy hitters partial-combine map-side),
+    * so the quadratic-ish pair explosion runs over distinct words only.
+    * Iterating = re-running with the learned pair contracted. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      top: Int = 20): DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    words
+      // sequence(a, b) DESCENDS when a > b — the length filter above
+      // guarantees 1 <= length(w) - 1, so the bounds are always ordered
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(top)
+  }
 }

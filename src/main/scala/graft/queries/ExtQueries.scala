@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
-import graft.ext.{Curation, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.ext.{Curation, Multimodal, Sharding, Similarity, TextAnalysis, TextDedup}
 
 /** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
   * similarity search, text analysis, multimodal columns — over the
@@ -2319,6 +2319,126 @@ object ExtQueries {
         |      AS rule
         |  FROM h)
         |SELECT doc_id, host, rule FROM m WHERE rule IS NOT NULL
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Leakage-safe train/val/test split: every member of a near-dup
+    // cluster (8-word-prefix block) lands in the SAME split, decided by
+    // a portable residue of the cluster representative — the assignment
+    // hygiene that keeps templated twins out of held-out sets. One hash
+    // shuffle (window min over the cluster key), no join, no RNG.
+    "x78_leakage_safe_split" -> entry(
+      (s, dir) =>
+        Curation.leakageSafeSplit(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      """WITH c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY
+        |      array_to_string(string_split(text, ' ')[1:8], ' ')) AS rep
+        |    FROM documents)
+        |SELECT doc_id, rep,
+        |  CASE WHEN r < 90 THEN 'train' WHEN r < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, rep,
+        |        ((rep % 1000000007) * 2654435761) % 1000000007 % 100 AS r
+        |      FROM c)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Deterministic weighted priority sample (A-ES integer form): top-k
+    // by residue(id)/weight — heavier docs win proportionally more
+    // races; integer-exact so every engine orders identically. Plans as
+    // one TakeOrdered: per-partition top-k, k-row driver merge, no
+    // corpus shuffle.
+    "x79_weighted_sample" -> entry(
+      (s, dir) =>
+        Curation.weightedPrioritySample(tbl(s, dir, "documents"),
+          "doc_id", "n_chars", k = 125),
+      """SELECT doc_id, n_chars, pri FROM (
+        |  SELECT doc_id, n_chars,
+        |    ((((doc_id % 1000000007) * 2654435761) % 1000000007)
+        |      * 1000000) // greatest(n_chars, 1) AS pri
+        |  FROM documents)
+        |ORDER BY pri, doc_id LIMIT 125""".stripMargin),
+
+    // One distributed BPE merge iteration: corpus → word-frequency
+    // table (map-side combine collapses heavy hitters), then adjacent
+    // char-pair counts over DISTINCT words weighted by frequency — the
+    // top pair is the tokenizer's next merge.
+    "x80_bpe_pair_counts" -> entry(
+      (s, dir) =>
+        Curation.bpePairCounts(tbl(s, dir, "documents"), "text", top = 20),
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |idx AS (SELECT w, wf, unnest(range(1, length(w))) AS i FROM words),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair,
+        |            sum(wf) AS cnt FROM idx GROUP BY 1)
+        |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pairs
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+
+    // Pairwise source-overlap matrix: exact shared-cluster counts and
+    // integer basis-point Jaccard per source pair. The per-key source
+    // set is bounded by |sources|, so the pair explosion never scales
+    // with the corpus; the sizes join is sources² rows (AQE broadcast).
+    "x81_source_overlap" -> entry(
+      (s, dir) =>
+        Curation.sourceOverlap(tbl(s, dir, "documents"), "text", "source")
+          .orderBy(col("src_a"), col("src_b")),
+      """WITH d AS (SELECT DISTINCT
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS k,
+        |    source FROM documents),
+        |s AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |        count(*) AS inter
+        |      FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  sa.n + sb.n - inter AS un,
+        |  (10000 * inter) // (sa.n + sb.n - inter) AS jaccard_bp
+        |FROM i JOIN s sa ON sa.source = src_a
+        |       JOIN s sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    // Snake-balanced export shards over a distributed global rank
+    // (range-partition + per-partition offsets — NOT the single-task
+    // `row_number() OVER (ORDER BY …)` window): docs dealt by
+    // descending token count boustrophedon-style into 8 shards of
+    // near-equal token totals.
+    "x82_shard_plan" -> entry(
+      (s, dir) =>
+        Sharding.shardPlan(tbl(s, dir, "documents"), "doc_id",
+          size(split(col("text"), " ")).cast("long"), shards = 8),
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS r0
+        |  FROM t)
+        |SELECT CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+        |            ELSE 7 - (r0 % 8) END AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    // Canonical-document selection: per multi-member near-dup cluster,
+    // keep the highest-quality member (tiebreak lowest id) and report
+    // the reclaimed characters — the decision step after x01/x16's
+    // dedup analysis. Rank and cluster totals ride one window shuffle.
+    "x83_canonical_selection" -> entry(
+      (s, dir) =>
+        Curation.canonicalPerCluster(tbl(s, dir, "documents"),
+            "doc_id", "text", "n_chars")
+          .orderBy(col("keeper_id")),
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY k
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY k) AS n_members,
+        |    sum(n_chars) OVER (PARTITION BY k) AS qt
+        |  FROM c)
+        |SELECT doc_id AS keeper_id, n_members,
+        |  CAST(qt AS BIGINT) AS chars_total,
+        |  CAST(qt - n_chars AS BIGINT) AS chars_saved
+        |FROM r WHERE rk = 1 AND n_members > 1
+        |ORDER BY keeper_id""".stripMargin)
   )
 }

@@ -1915,4 +1915,85 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"), s"got $got")
   }
+
+  test("leakageSafeSplit: cluster members never straddle splits") {
+    // docs 1/2/4 share an 8-word prefix → one cluster, one split
+    val got = Curation.leakageSafeSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) == byId(2L) && byId(1L) == byId(4L),
+      s"cluster straddles splits: $byId")
+    assert(byId(1L)._1 == 1L, "representative must be the cluster min id")
+    // singletons represent themselves
+    assert(byId(3L)._1 == 3L && byId(5L)._1 == 5L)
+    // decided from the rep: re-running over a reordered frame agrees
+    val again = Curation
+      .leakageSafeSplit(docs.orderBy($"doc_id".desc), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.map(t => t._1 -> t._3).toMap == again)
+  }
+
+  test("weightedPrioritySample: heavier docs win, order integer-exact") {
+    val df = (1L to 200L).map(i => (i, if (i % 50 == 0) 100000L else 10L))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedPrioritySample(df, "doc_id", "w", k = 10)
+      .collect()
+    assert(got.length == 10)
+    // the four heavy docs (w=100000) have priorities ~1e4× smaller than
+    // any light doc — all must be sampled
+    val ids = got.map(_.getLong(0)).toSet
+    assert(Set(50L, 100L, 150L, 200L).subsetOf(ids), s"got $ids")
+    // plans as TakeOrdered — no global sort, no exchange of the corpus
+    val plan = Curation.weightedPrioritySample(df, "doc_id", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("bpePairCounts: pair counts weight by word frequency") {
+    val df = Seq("aab aab ab", "aab xy").toDF("text")
+    // vocab: aab×3, ab×1, xy×1; pairs: aa←3, ab←3+1=4, xy←1
+    val got = Curation.bpePairCounts(df, "text", top = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(got == List("ab" -> 4L, "aa" -> 3L, "xy" -> 1L), s"got $got")
+  }
+
+  test("sourceOverlap: exact pairwise cluster Jaccard, a<b ordering") {
+    val got = Curation.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // source a: clusters {fox, different} (docs 1,2 share the prefix);
+    // source b: clusters {fox, unrelated}; shared: fox → inter=1, un=3
+    assert(got.toList == List(("a", "b", 1L, 2L, 2L, 3L, 3333L)),
+      s"got ${got.toList}")
+  }
+
+  test("globalRowNumber: dense global rank without a single-task window") {
+    import graft.ext.Sharding
+    val df = spark.range(1, 1001).toDF("id")
+      .withColumn("key", pmod($"id" * 7919, lit(1000)))
+    val got = Sharding.globalRowNumber(df, Seq($"key", $"id"))
+    val rows = got.select("key", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sorted.toList == (1L to 1000L).toList)
+    // rn order agrees with the declared total order
+    val inOrder = rows.sortBy(_._3).map(t => (t._1, t._2))
+    assert(inOrder.toList == rows.map(t => (t._1, t._2)).sortBy(identity).toList)
+    // and no stage collapses to one partition for the rank
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "global rank must not plan a window")
+  }
+
+  test("shardPlan: snake deal balances token totals across shards") {
+    val df = (1L to 100L).map(i => (i, "w " * ((i % 17).toInt + 1)))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Sharding
+      .shardPlan(df, "doc_id", size(split($"text", " ")).cast("long"), shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toList == List(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).sum == 100L)
+    val tokens = got.map(_._3)
+    // snake deal: spread bounded by one max document's tokens (18 here)
+    assert(tokens.max - tokens.min <= 18L,
+      s"unbalanced shards: ${tokens.toList}")
+  }
 }
