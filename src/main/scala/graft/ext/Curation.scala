@@ -1008,6 +1008,94 @@ object Curation {
       .select(col(idCol), col(weightCol), col("pri"))
   }
 
+  /** Content-defined chunking (CDC) dedup: chunk boundaries fall where a
+    * word's polynomial hash residue hits zero (FastCDC's idea at word
+    * granularity), so an insertion near the top of a forked document
+    * SHIFTS later chunk positions without CHANGING their content — the
+    * later chunks still dedup, which fixed-window tiling
+    * ([[chunkDedup]]) structurally cannot do (one inserted word
+    * misaligns every downstream tile).
+    *
+    * The whole chunker is scan-local array algebra (boundary positions →
+    * start/end spans → sliced chunk strings, all linear in the word
+    * count — no quadratic fold, no explode before chunking); the only
+    * exchange is the final partial-aggregated groupBy on the 8-byte
+    * chunk hash. The word hash is the [[TextAnalysis.fingerprint]]
+    * recipe, so the whole operator is oracle-portable. Expected chunk
+    * length = `divisor` words (geometric); no max-length cap — a
+    * boundary-free document is one chunk by design (cap-splitting would
+    * re-introduce the alignment fragility CDC exists to remove). */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 2)
+    val p = 1000000007L
+    val chunks = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
+      .withColumn("__h", expr(
+        s"""transform(__w, x -> aggregate(split(x, ''), 0L,
+           |  (a, c) -> (a * 31 + ascii(c)) % $p))""".stripMargin))
+      // boundary AFTER position i when hash(word i) % divisor == 0
+      .withColumn("__b", expr(
+        s"filter(sequence(1, size(__w)), i -> element_at(__h, i) % $divisor = 0)"))
+      .withColumn("__ss", expr("concat(array(1), transform(__b, b -> b + 1))"))
+      .withColumn("__ee", expr("concat(__b, array(size(__w)))"))
+      // a boundary on the last word leaves an empty trailing span — drop it
+      .withColumn("__ch", expr(
+        """filter(zip_with(__ss, __ee,
+          |  (s, e) -> array_join(slice(__w, s, e - s + 1), ' ')),
+          |  c -> c != '')""".stripMargin))
+      .select(col("doc_id"), posexplode(col("__ch")).as(Seq("cidx", "chunk")))
+    chunks
+      .withColumn("ch", graft.ext.TextAnalysis.fingerprint(col("chunk")))
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc"),
+        min(size(split(col("chunk"), " "))).cast("long").as("n_words"))
+      .filter(col("n_copies") > 1)
+      .select(col("ch").as("chunk_hash"), col("n_copies"), col("n_docs"),
+        col("rep_doc"), col("n_words"))
+  }
+
+  /** Behavior-sequence example construction: sessionize an event log
+    * (gap rule) and emit one training example per session — the ordered
+    * event-type trajectory, its duration, and its outcome (final
+    * event). The log-to-sequence step behind behavioral-cloning and
+    * next-action-prediction datasets.
+    *
+    * One exchange total: the session window hash-partitions on
+    * `user_id`, and the (user, session) aggregation reuses that
+    * partitioning (grouping keys ⊇ partition keys — no second
+    * shuffle). The trajectory is ordered by an explicit
+    * `array_sort(struct(ts, event_id, …))`, never by `collect_list`
+    * arrival order, so replays and retries produce identical strings. */
+  def sessionTrajectories(events: DataFrame, gapSeconds: Long = 1800L)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sessioned = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("__prev", lag(col("us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("us") - col("__prev") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long")
+          .as("duration_s"),
+        concat_ws(">", transform(
+          array_sort(collect_list(
+            struct(col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("traj"))
+      .withColumn("outcome",
+        element_at(split(col("traj"), ">"), -1))
+  }
+
   /** One BPE merge iteration, distributed: adjacent character-pair
     * counts over the corpus, weighted by word frequency — the top pair
     * is the next merge a byte-pair-encoding tokenizer would learn.

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy string matching for entity resolution: an EXACT edit-distance-1
+  * similarity self-join via deletion neighborhoods (the FastSS family —
+  * Bocek et al. 2007), the record-linkage step that finds typo'd /
+  * OCR-drifted twins of canonical entity names.
+  *
+  * Why not a blocked nested-loop: first-letter or length blocking leaves
+  * blocks that scale with the corpus (every `Customer#…` shares both),
+  * and the quadratic term inside a block is unbounded. The deletion
+  * neighborhood is the scale-correct shape: each string emits
+  * `length+1` fixed keys, and a bucket only collects strings whose
+  * ED-1 witness is that exact deletion — bucket sizes are bounded by
+  * the alphabet times positions, never by the corpus.
+  */
+object Fuzzy {
+
+  /** All unordered pairs of DISTINCT values of `strCol` at edit distance
+    * exactly 1, as `(name_a, name_b)` with `name_a < name_b`.
+    *
+    * Completeness: if ED(a,b)=1 then the neighborhoods
+    * `U(s) = {s} ∪ {single-char deletions of s}` intersect — a
+    * substitution at i gives `d_i(a) = d_i(b)`; an indel makes the
+    * shorter string itself a deletion of the longer. The join on the
+    * shared neighborhood member generates every true pair (plus a few
+    * ED-2 candidates), and the final `levenshtein = 1` verify keeps the
+    * result EXACTLY equal to the naive all-pairs join — the oracle runs
+    * that naive form and the outputs hash-match.
+    *
+    * Plan: one distinct, one self-equi-join on the variant key (both
+    * sides the same exchange → ReuseExchange), pair-distinct, then the
+    * verify filter over surviving candidates only. */
+  def editDistanceOnePairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= 1)
+      .distinct()
+    // sequence(a, b) DESCENDS when a > b — the length filter above
+    // keeps the bounds ordered for every row
+    val variants = names.select(col("s"), explode(expr(
+      """array_union(array(s),
+        | transform(sequence(1, length(s)),
+        |   i -> concat(substr(s, 1, i - 1), substr(s, i + 1))))"""
+        .stripMargin)).as("v"))
+    variants.as("a").join(variants.as("b"),
+        col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+  }
+}

@@ -2439,6 +2439,87 @@ object ExtQueries {
         |  CAST(qt AS BIGINT) AS chars_total,
         |  CAST(qt - n_chars AS BIGINT) AS chars_saved
         |FROM r WHERE rk = 1 AND n_members > 1
-        |ORDER BY keeper_id""".stripMargin)
+        |ORDER BY keeper_id""".stripMargin),
+
+    // Content-defined chunking dedup: boundaries where a word's
+    // portable polynomial hash residue hits zero, so insertions SHIFT
+    // later chunks without changing their content — they still dedup,
+    // which fixed tiling (x32) structurally cannot do. Chunking is
+    // scan-local array algebra (linear, no explode before chunking);
+    // the only exchange is the groupBy on the 8-byte chunk hash.
+    "x84_cdc_chunk_dedup" -> entry(
+      (s, dir) =>
+        Curation.cdcChunkDedup(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("rep_doc"), col("chunk_hash")),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id, w, list_transform(w, x -> list_reduce(
+        |        list_transform(string_split(x, ''),
+        |          c -> CAST(ascii(c) AS BIGINT)),
+        |        (a, y) -> (a * 31 + y) % 1000000007)) AS wh FROM d),
+        |b AS (SELECT doc_id, w, list_filter(range(1, len(w) + 1),
+        |        i -> wh[CAST(i AS INT)] % 16 = 0) AS bp FROM h),
+        |sp AS (SELECT doc_id, w,
+        |        list_prepend(1, list_transform(bp, x -> x + 1)) AS ss,
+        |        list_append(bp, len(w)) AS ee FROM b),
+        |cl AS (SELECT doc_id, list_filter(
+        |        list_transform(range(1, len(ss) + 1),
+        |          i -> array_to_string(
+        |            w[ss[CAST(i AS INT)]:ee[CAST(i AS INT)]], ' ')),
+        |        c -> c != '') AS cs FROM sp),
+        |ch AS (SELECT doc_id, unnest(cs) AS chunk FROM cl),
+        |hh AS (SELECT doc_id, list_reduce(
+        |        list_transform(string_split(chunk, ''),
+        |          c -> CAST(ascii(c) AS BIGINT)),
+        |        (a, y) -> (a * 31 + y) % 1000000007) AS chunk_hash,
+        |        chunk FROM ch)
+        |SELECT chunk_hash, count(*) AS n_copies,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc,
+        |  CAST(min(len(string_split(chunk, ' '))) AS BIGINT) AS n_words
+        |FROM hh GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY rep_doc, chunk_hash""".stripMargin),
+
+    // Exact ED-1 similarity self-join via deletion neighborhoods
+    // (FastSS): each name emits length+1 fixed keys; bucket sizes are
+    // bounded by alphabet×positions, never the corpus — while the
+    // oracle runs the NAIVE length-banded all-pairs join and the
+    // outputs hash-match (same semantics, scale-appropriate plan).
+    "x85_fuzzy_ed1_join" -> entry(
+      (s, dir) =>
+        graft.ext.Fuzzy
+          .editDistanceOnePairs(tbl(s, dir, "customer"), "c_name")
+          .orderBy(col("name_a"), col("name_b")),
+      """WITH n AS (SELECT DISTINCT c_name FROM customer)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM n a JOIN n b ON a.c_name < b.c_name
+        |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) = 1
+        |ORDER BY name_a, name_b""".stripMargin),
+
+    // Behavior-sequence example construction: one training example per
+    // (user, session) — ordered event-type trajectory, duration,
+    // outcome. ONE exchange: the session window partitions on user_id
+    // and the (user, sess) aggregation reuses that partitioning.
+    "x86_session_trajectories" -> entry(
+      (s, dir) =>
+        Curation.sessionTrajectories(tbl(s, dir, "events"))
+          .orderBy(col("user_id"), col("sess")),
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |sfl AS (SELECT *, CASE WHEN prev_us IS NULL
+        |      OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS nw
+        |  FROM (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev_us FROM e)),
+        |sess AS (SELECT user_id, event_id, event_type, us,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess FROM sfl)
+        |SELECT user_id, sess, n_events, duration_s, traj,
+        |  string_split(traj, '>')[-1] AS outcome
+        |FROM (SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |    count(*) AS n_events,
+        |    (max(us) - min(us)) // 1000000 AS duration_s,
+        |    string_agg(event_type, '>' ORDER BY us, event_id) AS traj
+        |  FROM sess GROUP BY 1, 2)
+        |ORDER BY user_id, sess""".stripMargin)
   )
 }

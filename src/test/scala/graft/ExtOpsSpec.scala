@@ -1983,6 +1983,37 @@ class ExtOpsSpec extends SparkSpec {
       "global rank must not plan a window")
   }
 
+  test("cdcChunkDedup: inserted word shifts chunks without changing them") {
+    // a forked copy with ONE word inserted at the front: content-defined
+    // boundaries re-synchronize, so every chunk after the first still
+    // dedups — the property fixed tiling loses by misaligning all tiles
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, "INSERTED " + base))
+      .toDF("doc_id", "text")
+    val dup = Curation.cdcChunkDedup(df, "doc_id", "text", divisor = 8)
+      .collect()
+    // chunk boundaries depend only on word content, so all of doc 1's
+    // chunks except (possibly) the first are byte-identical in doc 2
+    assert(dup.length >= 3, s"expected shared chunks, got ${dup.length}")
+    assert(dup.forall(r => r.getAs[Long]("n_docs") == 2L))
+    // fixed tiling at the same granularity shares nothing after the shift
+    val tiledShared = Curation.chunkDedup(df, "doc_id", "text", chunk = 8)
+      .agg(sum("n_dup_chunks")).collect()(0).getLong(0)
+    assert(tiledShared == 0L,
+      s"fixed tiling unexpectedly re-aligned: $tiledShared")
+  }
+
+  test("editDistanceOnePairs: deletion neighborhood equals brute force") {
+    val df = Seq("abc", "abd", "abcd", "xbc", "zzz", "abc")
+      .toDF("name")
+    val got = graft.ext.Fuzzy.editDistanceOnePairs(df, "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toList
+    // sub: abc~abd, abc~xbc; indel: abc~abcd, abcd~abd (delete the c;
+    // lexicographically "abcd" < "abd")
+    assert(got == List("abc" -> "abcd", "abc" -> "abd", "abc" -> "xbc",
+      "abcd" -> "abd"), s"got $got")
+  }
+
   test("shardPlan: snake deal balances token totals across shards") {
     val df = (1L to 100L).map(i => (i, "w " * ((i % 17).toInt + 1)))
       .toDF("doc_id", "text")

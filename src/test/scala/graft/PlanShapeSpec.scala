@@ -183,4 +183,15 @@ class PlanShapeSpec extends SparkSpec {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("l_returnflag"), readSchema)
   }
+
+  test("x86 trajectories: the (user, sess) aggregation reuses the " +
+    "session window's user_id partitioning — one data exchange") {
+    import graft.ext.Curation
+    val ev = graft.queries.Q.tbl(spark, sf(), "events")
+    val p = executedPlan(Curation.sessionTrajectories(ev))
+      .split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1,
+      s"wants 1 exchange (the user_id hash), got $exchanges:\n${p.take(2500)}")
+  }
 }
