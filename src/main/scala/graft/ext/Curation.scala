@@ -1096,6 +1096,75 @@ object Curation {
         element_at(split(col("traj"), ">"), -1))
   }
 
+  /** Multi-iteration BPE vocabulary learner: `merges` rounds of
+    * (count adjacent symbol pairs over the distributed word-frequency
+    * table → pick the argmax → contract it left-to-right in every
+    * word). Returns the learned merge table `(iter, left, right, cnt)`
+    * — the actual artifact a BPE tokenizer trains.
+    *
+    * Scale shape per round: one partial-combined pair count + a 1-row
+    * TakeOrdered action + one scan-local contraction over the CACHED
+    * vocab (which never leaves the cluster; only the single winning
+    * pair crosses to the driver). Production trainers amortize further
+    * with incremental pair-count deltas; recount-per-round keeps each
+    * round embarrassingly parallel and exactly reproducible. */
+  def bpeLearn(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    def contract(syms: Column, l: String, r: String): Column =
+      aggregate(syms,
+        struct(lit(Array.empty[String]).as("acc"),
+          lit(null).cast("string").as("pend")),
+        (a, s) => {
+          val acc = a.getField("acc"); val pend = a.getField("pend")
+          when(pend.isNull, struct(acc.as("acc"), s.as("pend")))
+            .when(pend === lit(l) && s === lit(r),
+              struct(concat(acc, array(concat(pend, s))).as("acc"),
+                lit(null).cast("string").as("pend")))
+            .otherwise(struct(concat(acc, array(pend)).as("acc"),
+              s.as("pend")))
+        },
+        a => when(a.getField("pend").isNull, a.getField("acc"))
+          .otherwise(concat(a.getField("acc"), array(a.getField("pend")))))
+    var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .select(split(col("w"), "").as("syms"), col("wf"))
+      .cache()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= merges && !done) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2) // sequence(a,b) descends if a > b
+        .select(col("wf"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS l,
+            |              element_at(syms, i + 1) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((it, l, r, c))
+        val next = vocab
+          .select(contract(col("syms"), l, r).as("syms"), col("wf"))
+          .cache()
+        next.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = next
+        it += 1
+      }
+    }
+    vocab.unpersist()
+    learned.result().toDF("iter", "left", "right", "cnt")
+  }
+
   /** One BPE merge iteration, distributed: adjacent character-pair
     * counts over the corpus, weighted by word frequency — the top pair
     * is the next merge a byte-pair-encoding tokenizer would learn.
@@ -1103,7 +1172,7 @@ object Curation {
     * corpus, and so does this: the first aggregation collapses the
     * corpus to its vocabulary (heavy hitters partial-combine map-side),
     * so the quadratic-ish pair explosion runs over distinct words only.
-    * Iterating = re-running with the learned pair contracted. */
+    * Iterating = [[bpeLearn]]. */
   def bpePairCounts(df: DataFrame, textCol: String,
       top: Int = 20): DataFrame = {
     val words = df.select(explode(split(col(textCol), " ")).as("w"))

@@ -32,10 +32,29 @@ object Sharding {
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
     val schema = sorted.schema.add("rn", LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** Dense stable id assignment for incremental ingest: every `incoming`
+    * row gets `max(existing id) + its global rank` under `order` — new
+    * ids are dense, deterministic, and disjoint from the standing
+    * corpus, so repeated ingest batches never collide and a replay
+    * assigns the same ids. The offset is ONE bounded aggregation action
+    * (a single long); ranking is the range-partitioned two-pass above —
+    * no single-task window, no sequence bottleneck (the classic
+    * auto-increment scale trap). */
+  def assignDenseIds(existing: DataFrame, idCol: String,
+      incoming: DataFrame, order: Seq[Column]): DataFrame = {
+    val offset = existing.agg(max(col(idCol))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    globalRowNumber(incoming, order)
+      .withColumn("new_id", col("rn") + lit(offset))
+      .drop("rn")
   }
 
   /** Snake-balanced shard plan: documents ordered by descending token

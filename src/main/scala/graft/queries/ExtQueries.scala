@@ -2520,6 +2520,36 @@ object ExtQueries {
         |    (max(us) - min(us)) // 1000000 AS duration_s,
         |    string_agg(event_type, '>' ORDER BY us, event_id) AS traj
         |  FROM sess GROUP BY 1, 2)
-        |ORDER BY user_id, sess""".stripMargin)
+        |ORDER BY user_id, sess""".stripMargin),
+
+    // Dense stable id assignment for incremental ingest: new docs get
+    // max(existing)+rank ids via the distributed two-pass rank — no
+    // single-task window, no auto-increment bottleneck; a replay
+    // assigns the same ids.
+    "x87_dense_id_assign" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Sharding.assignDenseIds(
+            docs.filter(col("doc_id") % 7 =!= 0), "doc_id",
+            docs.filter(col("doc_id") % 7 === 0)
+              .select(col("doc_id"), col("source")),
+            Seq(col("source"), col("doc_id")))
+          .orderBy(col("doc_id"))
+      },
+      """WITH ex AS (SELECT max(doc_id) AS m FROM documents
+        |            WHERE doc_id % 7 != 0),
+        |inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id, source,
+        |  m + row_number() OVER (ORDER BY source, doc_id) AS new_id
+        |FROM inc, ex ORDER BY doc_id""".stripMargin),
+
+    // Multi-iteration BPE learner: the merge table after 8 rounds over
+    // the distributed word-frequency table. Hash-checked against an
+    // INDEPENDENT local classic-BPE re-derivation (NaiveOracles) —
+    // iterative training is outside the DuckDB dialect.
+    "x88_bpe_learn" -> rowsOnly(
+      (s, dir) =>
+        Curation.bpeLearn(tbl(s, dir, "documents"), "text", merges = 8)
+          .orderBy(col("iter")))
   )
 }

@@ -57,7 +57,52 @@ object NaiveOracles {
     "x49_semantic_dedup_ivf" -> (x49 _),
     "x51_ann_pq" -> (x51 _),
     "x56_ann_ivfpq" -> (x56 _),
-    "x57_incremental_neardup" -> (x57 _))
+    "x57_incremental_neardup" -> (x57 _),
+    "x88_bpe_learn" -> (x88 _))
+
+  /** Naive x88: classic single-machine BPE (mutable left-to-right scan
+    * over a driver-collected vocabulary) — the textbook trainer,
+    * independent of the engine's distributed fold-contraction. Collecting
+    * the vocab is verification-only (sf0.01); the engine path never
+    * does. */
+  private def x88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = tbl(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab = words.map { case (w, f) => (w.split("").toVector, f) }
+    def contract(syms: Vector[String], l: String, r: String)
+        : Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= 8 && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((it, l, r, c))
+        vocab = vocab.map { case (sy, f) => (contract(sy, l, r), f) }
+        it += 1
+      }
+    }
+    out.result().toDF("iter", "left", "right", "cnt").orderBy(col("iter"))
+  }
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct
     * shingles, ALL document pairs enumerated, band agreement as eight

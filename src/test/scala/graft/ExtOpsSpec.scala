@@ -2014,6 +2014,29 @@ class ExtOpsSpec extends SparkSpec {
       "abcd" -> "abd"), s"got $got")
   }
 
+  test("bpeLearn: merges contract left-to-right and feed later rounds") {
+    // vocab: "aaab"×2, "ab"×1. round 1 pairs: aa←4 (two per "aaab"),
+    // ab←3. merge (a,a): aaab→[aa,a,b]. round 2: aa+a←2, a+b←3 →
+    // merge (a,b): aaab→[aa,a? no — ab now wins: [aa,ab]; ab→[ab].
+    val df = Seq("aaab aaab ab").toDF("text")
+    val got = Curation.bpeLearn(df, "text", merges = 3)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)), s"got $got")
+  }
+
+  test("assignDenseIds: ids dense after the standing max, replay-stable") {
+    import graft.ext.Sharding
+    val existing = Seq((10L, "x"), (40L, "y")).toDF("doc_id", "source")
+    val incoming = Seq((3L, "b"), (1L, "a"), (2L, "a"))
+      .toDF("doc_id", "source")
+    val got = Sharding.assignDenseIds(existing, "doc_id", incoming,
+        Seq($"source", $"doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("new_id")).toMap
+    assert(got == Map(1L -> 41L, 2L -> 42L, 3L -> 43L), s"got $got")
+  }
+
   test("shardPlan: snake deal balances token totals across shards") {
     val df = (1L to 100L).map(i => (i, "w " * ((i % 17).toInt + 1)))
       .toDF("doc_id", "text")
