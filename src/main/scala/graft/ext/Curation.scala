@@ -1096,6 +1096,35 @@ object Curation {
         element_at(split(col("traj"), ">"), -1))
   }
 
+  /** Robust per-stratum outlier gate (median/MAD): flag documents whose
+    * metric sits more than `nMads` median-absolute-deviations from the
+    * stratum median. Median+MAD survive the heavy-tailed length/quality
+    * distributions that mean+stddev gates are blown open by (one 10 MB
+    * document shifts a mean, not a median).
+    *
+    * Two grouped EXACT interpolated percentiles (portable: Spark
+    * `percentile` and DuckDB `median` share the definition), each a
+    * (stratum, value) shuffle, with the tiny per-stratum results
+    * broadcast back. At 100 TB swap `percentile` for
+    * `percentile_approx` under the x76 rank-error contract — the gate's
+    * decisions change only for docs within ε·N ranks of the cut. The
+    * only float operations are IEEE +,-,×,÷ on exact inputs — no libm,
+    * so the output hashes identically across engines. */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      strataCol: String, nMads: Int = 3): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(strataCol))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.join(broadcast(med), Seq(strataCol))
+    val mad = withMed.groupBy(col(strataCol))
+      .agg(percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), Seq(strataCol))
+      .select(col(idCol), col(strataCol), col(valueCol), col("med"),
+        col("mad"),
+        (abs(v - col("med")) > lit(nMads.toDouble) * col("mad"))
+          .as("is_outlier"))
+  }
+
   /** Multi-iteration BPE vocabulary learner: `merges` rounds of
     * (count adjacent symbol pairs over the distributed word-frequency
     * table → pick the argmax → contract it left-to-right in every

@@ -63,4 +63,31 @@ object Skew {
       explode(sequence(lit(0L), lit(salt - 1L))))
     f.join(b, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew audit — the measurement that DECIDES between a plain
+    * join, [[saltedJoin]], and AQE skew splitting, run before the big
+    * join instead of after it spills: per-key row counts reduced to the
+    * top-`k` heaviest keys, each annotated with the key's share of the
+    * table (basis points) and its skew factor over the mean key
+    * (`count × n_keys / total`, ×100 fixed-point) — both integer-exact
+    * ratios, no float hashing hazard.
+    *
+    * Shape: one partial-combined count per key (the count table is
+    * |keys| rows, never the corpus) and one 1-row global roll-up that
+    * broadcasts back; the top-k is a TakeOrdered. A skew factor ≥
+    * `salt×100` means a hot key occupies `salt` reducers' worth of the
+    * mean — the direct sizing input for [[saltedJoin]]'s salt count. */
+  def skewAudit(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    require(k > 0)
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("key"), col("n"), col("n_keys"), col("total"),
+        expr("(10000 * n) div total").as("share_bp"),
+        expr("(100 * n * n_keys) div total").as("skew_x100"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -2550,6 +2550,43 @@ object ExtQueries {
     "x88_bpe_learn" -> rowsOnly(
       (s, dir) =>
         Curation.bpeLearn(tbl(s, dir, "documents"), "text", merges = 8)
-          .orderBy(col("iter")))
+          .orderBy(col("iter"))),
+
+    // Robust per-source outlier gate: median/MAD on doc length — the
+    // heavy-tail-proof version of a mean/stddev cut. Exact interpolated
+    // percentiles (same definition both engines); only IEEE arithmetic
+    // downstream, so the doubles hash identically.
+    "x89_mad_outliers" -> entry(
+      (s, dir) =>
+        Curation.madOutliers(tbl(s, dir, "documents"),
+            "doc_id", "n_chars", "source")
+          .orderBy(col("doc_id")),
+      """WITH med AS (SELECT source, median(CAST(n_chars AS DOUBLE)) AS med
+        |             FROM documents GROUP BY 1),
+        |wm AS (SELECT d.doc_id, d.source, d.n_chars, m.med
+        |       FROM documents d JOIN med m USING (source)),
+        |mad AS (SELECT source,
+        |    median(abs(CAST(n_chars AS DOUBLE) - med)) AS mad
+        |  FROM wm GROUP BY 1)
+        |SELECT wm.doc_id, wm.source, wm.n_chars, wm.med, mad.mad,
+        |  abs(CAST(wm.n_chars AS DOUBLE) - wm.med) > 3.0 * mad.mad
+        |    AS is_outlier
+        |FROM wm JOIN mad USING (source)
+        |ORDER BY wm.doc_id""".stripMargin),
+
+    // Join-key skew audit over the hottest keys: share of table and
+    // skew factor over the mean key as integer fixed-point — the
+    // measurement that sizes ext.Skew.saltedJoin's salt count (or says
+    // a plain join is fine) BEFORE the shuffle spills.
+    "x90_skew_audit" -> entry(
+      (s, dir) =>
+        graft.ext.Skew.skewAudit(tbl(s, dir, "events"), "user_id", k = 5),
+      """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events
+        |           GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, sum(n) AS total FROM c)
+        |SELECT key, n, n_keys, CAST(total AS BIGINT) AS total,
+        |  (10000 * n) // total AS share_bp,
+        |  (100 * n * n_keys) // total AS skew_x100
+        |FROM c, s ORDER BY n DESC, key LIMIT 5""".stripMargin)
   )
 }

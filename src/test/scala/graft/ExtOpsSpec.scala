@@ -2037,6 +2037,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 41L, 2L -> 42L, 3L -> 43L), s"got $got")
   }
 
+  test("madOutliers: median/MAD gate, zero-MAD stratum flags any deviation") {
+    val df = Seq((1L, 10L, "s"), (2L, 10L, "s"), (3L, 10L, "s"),
+      (4L, 10L, "s"), (5L, 100L, "s"))
+      .toDF("doc_id", "n_chars", "source")
+    val got = Curation.madOutliers(df, "doc_id", "n_chars", "source")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    // med=10, MAD=0: only the 100 deviates (90 > 3*0)
+    assert(got == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true), s"got $got")
+  }
+
+  test("skewAudit: integer share and skew factor over the mean key") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = graft.ext.Skew.skewAudit(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        r.getLong(5))).toList
+    // a: 6/10 = 6000bp, skew = 100*6*3/10 = 180 (1.8x the mean key)
+    assert(got == List(("a", 6L, 6000L, 180L), ("b", 2L, 2000L, 60L)),
+      s"got $got")
+  }
+
   test("shardPlan: snake deal balances token totals across shards") {
     val df = (1L to 100L).map(i => (i, "w " * ((i % 17).toInt + 1)))
       .toDF("doc_id", "text")
