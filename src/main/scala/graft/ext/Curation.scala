@@ -1096,6 +1096,62 @@ object Curation {
         element_at(split(col("traj"), ">"), -1))
   }
 
+  /** Hashed linear-model inference at scan speed (the fastText-style
+    * quality-classifier shape): every token hashes into one of `dim`
+    * weight buckets, the document score is the mean bucket weight, and
+    * the label is its sign. No feature dictionary ships anywhere — the
+    * hashing trick IS the vocabulary — and inference is a pure
+    * scan-local fold: zero shuffle, zero UDF, codegen end to end. This
+    * is the plumbing real pipelines run trained fastText weights
+    * through; here the weight table is a deterministic seeded function
+    * of the bucket (portable to the oracle), and swapping in trained
+    * weights means broadcasting a `dim`-sized array and indexing it in
+    * the same fold.
+    *
+    * Token hash is the [[TextAnalysis.fingerprint]] polynomial; the
+    * bucket weight maps the Knuth residue into [-1, 1) with one IEEE
+    * division — no libm, so scores hash identically across engines.
+    * The fold runs in token order in both engines, pinning the float
+    * sum. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1 << 10, seed: Long = 97L): DataFrame = {
+    require(dim > 0)
+    val p = 1000000007L
+    df.select(col(idCol), split(col(textCol), " ").as("__t"))
+      .withColumn("score", expr(
+        // the weight term is parenthesized as ((h/p)*2 - 1) BEFORE the
+        // accumulator add — FP addition is not associative, and the
+        // oracle folds fully-formed weights
+        s"""aggregate(__t, 0.0D, (acc, w) ->
+           |  acc + ((CAST(((aggregate(split(w, ''), 0L,
+           |      (a, c) -> (a * 31 + ascii(c)) % $p) % $dim)
+           |      * 2654435761L + $seed) % $p AS DOUBLE) / $p) * 2.0D
+           |      - 1.0D),
+           |  acc -> acc / size(__t))""".stripMargin))
+      .select(col(idCol), col("score"), (col("score") > 0).as("keep"))
+  }
+
+  /** Dedup-adjusted corpus sizing: raw vs EFFECTIVE token counts per
+    * source, where effective keeps one copy per near-dup cluster (the
+    * representative's tokens) — the number that actually matters when a
+    * token budget meets a duplicated crawl, and the honest denominator
+    * for epoch planning (x69). One window shuffle on the cluster key,
+    * one partial-combined roll-up to |sources| rows. */
+  def effectiveTokens(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, prefixWords: Int = 8): DataFrame = {
+    val key = xxhash64(prefixKey(col(textCol), prefixWords))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    df.select(col(strataCol), col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__tok"),
+        row_number().over(w).as("__rk"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("__tok")).as("raw_tokens"),
+        sum(when(col("__rk") === 1, col("__tok")).otherwise(0L))
+          .as("effective_tokens"))
+      .withColumn("dup_overhead_bp", expr(
+        "(10000 * (raw_tokens - effective_tokens)) div raw_tokens"))
+  }
+
   /** Robust per-stratum outlier gate (median/MAD): flag documents whose
     * metric sits more than `nMads` median-absolute-deviations from the
     * stratum median. Median+MAD survive the heavy-tailed length/quality

@@ -2587,6 +2587,55 @@ object ExtQueries {
         |SELECT key, n, n_keys, CAST(total AS BIGINT) AS total,
         |  (10000 * n) // total AS share_bp,
         |  (100 * n * n_keys) // total AS skew_x100
-        |FROM c, s ORDER BY n DESC, key LIMIT 5""".stripMargin)
+        |FROM c, s ORDER BY n DESC, key LIMIT 5""".stripMargin),
+
+    // Hashed linear-model inference (the fastText classifier shape):
+    // tokens hash into weight buckets, score = mean bucket weight,
+    // label = sign — a pure scan-local codegen'd fold, zero shuffle,
+    // zero UDF; trained weights would broadcast into the same fold.
+    "x91_hashed_linear_score" -> entry(
+      (s, dir) =>
+        Curation.hashedLinearScore(tbl(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  list_reduce(list_transform(string_split(text, ' '), w ->
+        |    (CAST(((list_reduce(list_transform(string_split(w, ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |        (a, y) -> (a * 31 + y) % 1000000007) % 1024)
+        |      * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007)
+        |      * 2.0 - 1.0),
+        |    (acc, x) -> acc + x)
+        |    / len(string_split(text, ' ')) AS score,
+        |  list_reduce(list_transform(string_split(text, ' '), w ->
+        |    (CAST(((list_reduce(list_transform(string_split(w, ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |        (a, y) -> (a * 31 + y) % 1000000007) % 1024)
+        |      * 2654435761 + 97) % 1000000007 AS DOUBLE) / 1000000007)
+        |      * 2.0 - 1.0),
+        |    (acc, x) -> acc + x)
+        |    / len(string_split(text, ' ')) > 0 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Dedup-adjusted corpus sizing: raw vs effective (one copy per
+    // near-dup cluster) token counts per source — the honest
+    // denominator for token budgets and epoch planning over a
+    // duplicated crawl.
+    "x92_effective_tokens" -> entry(
+      (s, dir) =>
+        Curation.effectiveTokens(tbl(s, dir, "documents"),
+            "doc_id", "text", "source")
+          .orderBy(col("source")),
+      """WITH c AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY
+        |      array_to_string(string_split(text, ' ')[1:8], ' ')
+        |      ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, sum(tok) AS raw_tokens,
+        |  sum(CASE WHEN rk = 1 THEN tok ELSE 0 END) AS effective_tokens,
+        |  (10000 * (sum(tok) - sum(CASE WHEN rk = 1 THEN tok ELSE 0 END)))
+        |    // sum(tok) AS dup_overhead_bp
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin)
   )
 }

@@ -2059,6 +2059,34 @@ class ExtOpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("hashedLinearScore: scan-local fold, scores bounded by weights") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "zz")).toDF("doc_id", "text")
+    val out = Curation.hashedLinearScore(df, "doc_id", "text")
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // deterministic: identical text → identical score; mean of [-1,1)
+    // weights stays in [-1, 1)
+    assert(got(1L) == got(2L))
+    assert(got.values.forall(s => s >= -1.0 && s < 1.0), s"got $got")
+    // inference is scan-local — no exchange anywhere in the plan
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("effectiveTokens: cluster copies drop out of the effective count") {
+    // docs 1/2 share the 8-word prefix (one cluster); doc 3 is its own
+    val pre = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val df = Seq((1L, s"$pre tail one", "s"), (2L, s"$pre other", "s"),
+      (3L, "different prefix words here make their own cluster x", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.effectiveTokens(df, "doc_id", "text", "source")
+      .collect()(0)
+    // raw: 10 + 9 + 9 = 28; effective keeps doc 1 (10) + doc 3 (9)
+    assert(got.getAs[Long]("raw_tokens") == 28L, got.toString)
+    assert(got.getAs[Long]("effective_tokens") == 19L, got.toString)
+    assert(got.getAs[Long]("dup_overhead_bp") == 10000L * 9 / 28, got.toString)
+  }
+
   test("shardPlan: snake deal balances token totals across shards") {
     val df = (1L to 100L).map(i => (i, "w " * ((i % 17).toInt + 1)))
       .toDF("doc_id", "text")
