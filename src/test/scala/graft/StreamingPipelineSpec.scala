@@ -143,6 +143,43 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got.size >= want.size - 50, s"${got.size} vs ${want.size}")
   }
 
+  test("streaming session trajectories match batch, order state-safe") {
+    // x86's streaming twin: the trajectory string builds inside a
+    // session_window aggregation — collect_list arrival order is NOT
+    // trusted; the explicit array_sort(struct(ts, event_id, …)) pins
+    // the sequence no matter how micro-batches interleave
+    val tmp = Files.createTempDirectory("graft-straj").toString
+    val batchEvents = graft.queries.Q.tbl(spark, sf(), "events")
+      .select($"ts", $"user_id", $"event_id", $"event_type")
+    batchEvents.write.parquet(s"$tmp/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema)
+      // several micro-batches so sessions assemble across batches
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/in")
+    def traj(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(concat_ws(">", transform(
+          array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+          x => x.getField("event_type"))).as("traj"))
+        .select($"session_window.start".as("s"), $"user_id", $"traj")
+    val q = traj(in.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("straj_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("straj_out")
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .map { case (s, u, t) => (s.getTime, u) -> t }.toMap
+    val want = traj(batchEvents)
+      .as[(java.sql.Timestamp, Long, String)].collect()
+      .map { case (s, u, t) => (s.getTime, u) -> t }.toMap
+    assert(got.nonEmpty, "watermark must close and emit sessions")
+    got.foreach { case (k, t) => assert(want(k) == t, s"session $k") }
+    assert(got.size >= want.size - 50, s"${got.size} vs ${want.size}")
+  }
+
   /** Adapter binding the demo registry's "models" (event types) to the
     * synthetic events table: each event row is an upsert of the user
     * aggregate, 'error' rows soft-delete it. */
