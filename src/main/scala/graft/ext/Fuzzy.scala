@@ -39,10 +39,15 @@ object Fuzzy {
       .distinct()
     // sequence(a, b) DESCENDS when a > b — the length filter above
     // keeps the bounds ordered for every row
+    // join on the 8-byte hash of the variant, not the variant string:
+    // the exchange ships fixed-width keys and the join compares longs.
+    // A hash collision can only ADD a candidate pair, and every
+    // candidate passes the exact `levenshtein = 1` verify — the result
+    // is collision-proof.
     val variants = names.select(col("s"), explode(expr(
-      """array_union(array(s),
+      """array_union(array(xxhash64(s)),
         | transform(sequence(1, length(s)),
-        |   i -> concat(substr(s, 1, i - 1), substr(s, i + 1))))"""
+        |   i -> xxhash64(concat(substr(s, 1, i - 1), substr(s, i + 1)))))"""
         .stripMargin)).as("v"))
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.s") < col("b.s"))

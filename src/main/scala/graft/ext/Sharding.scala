@@ -82,4 +82,63 @@ object Sharding {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
       .orderBy("shard")
   }
+
+  /** Column-encoding advisor: per-column storage statistics — exact
+    * distinct ratio, average value width, and run count under the
+    * table's natural sort key — mapped to a parquet encoding
+    * recommendation (DICT / RLE / PLAIN_ZSTD / PLAIN). At 100 TB the
+    * difference between a dictionary-encoded and a plain 18-char column
+    * is the difference between a 4 TB and a 40 TB scan, and this is the
+    * one-pass audit that catches it BEFORE the write.
+    *
+    * `cols` are (name, string-valued expression) pairs — cast to string
+    * by the caller so the width statistic is the serialized width.
+    * Runs are counted within each `groupKey` partition under `orderKey`
+    * (a run "starts" on the partition's first row or any value change):
+    * the window partitions on the group key, never globally — no
+    * single-task sort at any scale.
+    *
+    * Plan: one unpivot (`stack` — scan-local row expansion), one
+    * window shuffle on (col_name, group), one partial-combined
+    * aggregation with an exact distinct expansion. All ratio outputs
+    * are exact scaled integers (see tools/README on round() bans). */
+  def encodingAdvisor(df: DataFrame, groupKey: Column, orderKey: Column,
+      cols: Seq[(String, Column)], dictBp: Long = 100L,
+      rleBp: Long = 2500L, wideLenX100: Long = 3200L): DataFrame = {
+    require(cols.nonEmpty)
+    val base = df.select(
+      (Seq(groupKey.as("__g"), orderKey.as("__o")) ++
+        cols.map { case (n, c) => c.cast("string").as(n) }): _*)
+    val stackArgs = cols.map { case (n, _) => s"'$n', $n" }
+      .mkString(s"stack(${cols.size}, ", ", ", ") as (col_name, val)")
+    val stacked = base.select(col("__g"), col("__o"), expr(stackArgs))
+    // (group, order) need not be unique in arbitrary inputs — `val` as
+    // the final tiebreak makes the run count deterministic (equal
+    // values sort adjacent, so ties can never split or merge a run
+    // differently across engines/retries)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"), col("__g"))
+      .orderBy(col("__o"), col("val"))
+    stacked
+      .withColumn("__rs",
+        when(lag(col("val"), 1).over(w).isNull ||
+          lag(col("val"), 1).over(w) =!= col("val"), 1L).otherwise(0L))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("val")).as("n_distinct"),
+        sum(length(col("val"))).cast("long").as("total_chars"),
+        sum(col("__rs")).as("runs"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("runs"),
+        expr("(20000 * n_distinct + n_rows) div (2 * n_rows)")
+          .as("distinct_bp"),
+        expr("(200 * total_chars + n_rows) div (2 * n_rows)")
+          .as("avg_len_x100"),
+        expr("(20000 * runs + n_rows) div (2 * n_rows)").as("runs_bp"))
+      .withColumn("advice",
+        when(col("distinct_bp") <= dictBp, lit("DICT"))
+          .when(col("runs_bp") <= rleBp, lit("RLE"))
+          .when(col("avg_len_x100") >= wideLenX100, lit("PLAIN_ZSTD"))
+          .otherwise(lit("PLAIN")))
+  }
 }

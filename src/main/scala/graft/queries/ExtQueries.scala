@@ -2636,6 +2636,76 @@ object ExtQueries {
         |  sum(CASE WHEN rk = 1 THEN tok ELSE 0 END) AS effective_tokens,
         |  (10000 * (sum(tok) - sum(CASE WHEN rk = 1 THEN tok ELSE 0 END)))
         |    // sum(tok) AS dup_overhead_bp
-        |FROM c GROUP BY 1 ORDER BY source""".stripMargin)
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // BPE ENCODE: apply the x88-learned merge table to the corpus and
+    // report per-doc token counts under the real tokenizer — the
+    // sequence-length budgeter. Learn is the bounded x88 loop; encode is
+    // ONE scan-local nested fold per word (merge table is a driver-side
+    // constant — production vocabs ship broadcast, never a join). Hash-
+    // checked against an independent classic-BPE local re-derivation
+    // (NaiveOracles x93: its OWN merges from the textbook trainer + a
+    // mutable left-to-right encoder) — iterative merge application is
+    // outside the DuckDB dialect.
+    "x93_bpe_encode" -> rowsOnly(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val merges = Curation.bpeLearn(docs, "text", merges = 8)
+          .orderBy(col("iter")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Curation.bpeEncodeCounts(docs, "doc_id", "text", merges)
+          .orderBy(col("doc_id"))
+      }),
+
+    // Column-encoding advisor: exact distinct ratio / width / run-count
+    // profile per column → parquet encoding recommendation. The storage
+    // audit a 100 TB export runs before the write; runs counted within
+    // each orderkey group (no global sort), ratios as exact scaled
+    // integers.
+    "x94_encoding_advisor" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        Sharding.encodingAdvisor(li,
+            col("l_orderkey"), col("l_linenumber"),
+            Seq(
+              "l_returnflag" -> col("l_returnflag"),
+              "l_linestatus" -> col("l_linestatus"),
+              "l_suppkey" -> col("l_suppkey"),
+              "l_partkey" -> col("l_partkey"),
+              "l_shipdate" -> col("l_shipdate")))
+          .orderBy(col("col_name"))
+      },
+      """WITH s AS (
+        |  SELECT 'l_returnflag' AS col_name, l_orderkey AS g,
+        |    l_linenumber AS o, CAST(l_returnflag AS VARCHAR) AS val
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_linestatus', l_orderkey, l_linenumber,
+        |    CAST(l_linestatus AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_orderkey, l_linenumber,
+        |    CAST(l_suppkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_orderkey, l_linenumber,
+        |    CAST(l_partkey AS VARCHAR) FROM lineitem
+        |  UNION ALL SELECT 'l_shipdate', l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS VARCHAR) FROM lineitem),
+        |r AS (SELECT col_name, val,
+        |    CASE WHEN lag(val) OVER (PARTITION BY col_name, g
+        |        ORDER BY o, val)
+        |      IS DISTINCT FROM val THEN 1 ELSE 0 END AS rs FROM s),
+        |a AS (SELECT col_name, count(*) AS n_rows,
+        |    count(DISTINCT val) AS n_distinct,
+        |    CAST(sum(length(val)) AS BIGINT) AS total_chars,
+        |    CAST(sum(rs) AS BIGINT) AS runs
+        |  FROM r GROUP BY 1)
+        |SELECT col_name, n_rows, n_distinct, runs,
+        |  (20000 * n_distinct + n_rows) // (2 * n_rows) AS distinct_bp,
+        |  (200 * total_chars + n_rows) // (2 * n_rows) AS avg_len_x100,
+        |  (20000 * runs + n_rows) // (2 * n_rows) AS runs_bp,
+        |  CASE WHEN (20000 * n_distinct + n_rows) // (2 * n_rows) <= 100
+        |      THEN 'DICT'
+        |    WHEN (20000 * runs + n_rows) // (2 * n_rows) <= 2500 THEN 'RLE'
+        |    WHEN (200 * total_chars + n_rows) // (2 * n_rows) >= 3200
+        |      THEN 'PLAIN_ZSTD'
+        |    ELSE 'PLAIN' END AS advice
+        |FROM a ORDER BY col_name""".stripMargin)
   )
 }

@@ -58,7 +58,8 @@ object NaiveOracles {
     "x51_ann_pq" -> (x51 _),
     "x56_ann_ivfpq" -> (x56 _),
     "x57_incremental_neardup" -> (x57 _),
-    "x88_bpe_learn" -> (x88 _))
+    "x88_bpe_learn" -> (x88 _),
+    "x93_bpe_encode" -> (x93 _))
 
   /** Naive x88: classic single-machine BPE (mutable left-to-right scan
     * over a driver-collected vocabulary) — the textbook trainer,
@@ -67,23 +68,34 @@ object NaiveOracles {
     * does. */
   private def x88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    classicBpe(s, dir).toDF("iter", "left", "right", "cnt")
+      .orderBy(col("iter"))
+  }
+
+  /** The textbook trainer's replace step: one left-to-right
+    * non-overlapping contraction of (l, r) in a symbol sequence. */
+  private def contractLocal(syms: Vector[String], l: String, r: String)
+      : Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Classic single-machine BPE over a driver-collected vocabulary —
+    * the shared x88/x93 reference trainer. */
+  private def classicBpe(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] = {
     val words = tbl(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("wf"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab = words.map { case (w, f) => (w.split("").toVector, f) }
-    def contract(syms: Vector[String], l: String, r: String)
-        : Vector[String] = {
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          b += (l + r); i += 2
-        } else { b += syms(i); i += 1 }
-      }
-      b.result()
-    }
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var done = false
@@ -97,11 +109,38 @@ object NaiveOracles {
         val ((l, r), c) = counts.toSeq
           .minBy { case ((l, r), c) => (-c, l, r) }
         out += ((it, l, r, c))
-        vocab = vocab.map { case (sy, f) => (contract(sy, l, r), f) }
+        vocab = vocab.map { case (sy, f) =>
+          (contractLocal(sy, l, r), f)
+        }
         it += 1
       }
     }
-    out.result().toDF("iter", "left", "right", "cnt").orderBy(col("iter"))
+    out.result()
+  }
+
+  /** Naive x93: classic local BPE encode — trains its OWN merge table
+    * with [[classicBpe]] (independent of the engine's distributed
+    * learner), collects the documents, and applies the merges with the
+    * mutable left-to-right encoder word by word. Agreement therefore
+    * re-proves BOTH the merge table and the engine's nested-fold encode.
+    * Driver-collecting the corpus is verification-only (sf0.01). */
+  private def x93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = classicBpe(s, dir).map { case (_, l, r, _) => (l, r) }
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val nBpe = ws.map { w =>
+        merges.foldLeft(w.split("").toVector) { case (sy, (l, r)) =>
+          contractLocal(sy, l, r)
+        }.length.toLong
+      }.sum
+      (id, ws.length.toLong, text.length.toLong, nBpe)
+    }
+    rows.toSeq.toDF("doc_id", "n_words", "n_chars_ws", "n_bpe_tokens")
+      .orderBy(col("doc_id"))
   }
 
   /** Naive x02: HOF-remixed minhash signatures over HOF-hashed distinct

@@ -2100,4 +2100,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(tokens.max - tokens.min <= 18L,
       s"unbalanced shards: ${tokens.toList}")
   }
+
+  test("bpeEncodeCounts: nested-fold encode equals the local encoder") {
+    // merges learned elsewhere; apply (a,a) then (aa,b): "aaab" →
+    // [aa,ab]? no — rank order: (a,a): [aa,a,b]; (aa,b) no adjacency
+    // (a between) → 3 tokens. "aab" → (a,a): [aa,b]; (aa,b): [aab] →
+    // 1 token. "ba" untouched → 2 tokens.
+    val df = Seq((1L, "aaab aab ba")).toDF("doc_id", "text")
+    val got = Curation.bpeEncodeCounts(df, "doc_id", "text",
+        Seq("a" -> "a", "aa" -> "b"))
+      .collect()(0)
+    assert(got.getAs[Long]("n_words") == 3L, got.toString)
+    assert(got.getAs[Long]("n_chars_ws") == 11L, got.toString)
+    assert(got.getAs[Long]("n_bpe_tokens") == (3L + 1L + 2L), got.toString)
+  }
+
+  test("encodingAdvisor: distinct/run/width stats drive the advice") {
+    import graft.ext.Sharding
+    // 4 groups × 3 rows: flag has 2 distinct values constant within a
+    // group (4 runs), id is unique per row, note is one constant
+    val rows = for (g <- 1L to 4L; i <- 1L to 3L) yield
+      (g, i, if (g <= 2) "A" else "B", g * 3 + i, "x" * 40)
+    val df = rows.toDF("g", "o", "flag", "id", "note")
+    val got = Sharding.encodingAdvisor(df, $"g", $"o",
+        Seq("flag" -> $"flag", "id" -> $"id", "note" -> $"note"),
+        dictBp = 2000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("runs"),
+          r.getString(7))).toMap
+    // flag: distinct_bp = floor((2e4·2+12)/24) = 1667 ≤ 2000 → DICT
+    assert(got("flag") == ((2L, 4L, "DICT")), got.toString)
+    // id: all-distinct, run-per-row, avg width 1.5 chars → PLAIN
+    assert(got("id") == ((12L, 12L, "PLAIN")), got.toString)
+    // note: 1 distinct → DICT wins before the width rule sees it
+    assert(got("note")._1 == 1L, got.toString)
+    assert(got("note")._3 == "DICT", got.toString)
+  }
 }
