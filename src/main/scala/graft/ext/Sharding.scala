@@ -141,4 +141,36 @@ object Sharding {
           .when(col("avg_len_x100") >= wideLenX100, lit("PLAIN_ZSTD"))
           .otherwise(lit("PLAIN")))
   }
+
+  /** Range-partition planner: quantile boundaries over `valueCol` plus
+    * the bucket histogram the split would produce — the audit to run
+    * BEFORE a global sort / range-partitioned write, where one
+    * overweight bucket is one straggler executor. Spark's own
+    * `RangePartitioner` does exactly this with a reservoir sample;
+    * `exact = true` (the verification mode) computes exact interpolated
+    * percentiles instead so the plan is engine-portable and
+    * deterministic — flip to false at 100 TB for one sampled pass
+    * (`approx_percentile`, accuracy 10k) with the identical output
+    * shape.
+    *
+    * Bucket membership: `bucket = #{boundaries strictly below value}` —
+    * a scan-local HOF count against the broadcast boundary array; one
+    * aggregation shuffle down to `buckets` rows. */
+  def rangePartitionPlan(df: DataFrame, valueCol: Column, buckets: Int,
+      exact: Boolean = true): DataFrame = {
+    require(buckets >= 2)
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val qsLit = array(qs.map(lit): _*)
+    val pct =
+      if (exact) percentile(valueCol, qsLit)
+      else percentile_approx(valueCol, qsLit, lit(10000))
+    val bounds = df.agg(pct.cast("array<double>").as("bounds"))
+    df.select(valueCol.cast("double").as("__v"))
+      .crossJoin(broadcast(bounds))
+      .select(size(filter(col("bounds"), b => col("__v") > b))
+        .cast("long").as("bucket"), col("__v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
 }

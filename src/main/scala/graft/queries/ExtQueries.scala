@@ -2706,6 +2706,58 @@ object ExtQueries {
         |    WHEN (200 * total_chars + n_rows) // (2 * n_rows) >= 3200
         |      THEN 'PLAIN_ZSTD'
         |    ELSE 'PLAIN' END AS advice
-        |FROM a ORDER BY col_name""".stripMargin)
+        |FROM a ORDER BY col_name""".stripMargin),
+
+    // Ingest-boundary JSONL parse with corrupt-record quarantine: a
+    // deterministic JSONL rendering of `documents` with every 13th line
+    // truncated mid-string; the PERMISSIVE parse null-fills the bad
+    // lines and `ok` routes them to quarantine. The engine derives
+    // EVERYTHING from the parse result; the oracle recomputes the
+    // expectation from the construction rule — ground truth by design.
+    // Scan-local (the parse adds no exchange; only the output sort).
+    "x95_jsonl_ingest" -> entry(
+      (s, dir) => {
+        val raw = tbl(s, dir, "documents")
+          .withColumn("j", concat(
+            lit("{\"id\": "), col("doc_id"),
+            lit(", \"lang\": \""), col("lang"),
+            lit("\", \"text\": \""), col("text"), lit("\"}")))
+          .withColumn("j",
+            when(col("doc_id") % 13 === 0,
+              expr("substring(j, 1, length(j) - 5)")).otherwise(col("j")))
+        graft.sources.TableIO
+          .parseJsonl(raw, "j", "id BIGINT, lang STRING, text STRING", "id")
+          .select(col("doc_id"), col("ok"),
+            col("parsed.id").as("id_parsed"),
+            col("parsed.lang").as("lang_parsed"),
+            length(col("parsed.text")).cast("long").as("n_text_chars"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, doc_id % 13 != 0 AS ok,
+        |  CASE WHEN doc_id % 13 != 0 THEN doc_id END AS id_parsed,
+        |  CASE WHEN doc_id % 13 != 0 THEN lang END AS lang_parsed,
+        |  CASE WHEN doc_id % 13 != 0
+        |    THEN CAST(length(text) AS BIGINT) END AS n_text_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Range-partition planner: exact interpolated quantile boundaries
+    // (identical definition both engines — the x89 precedent) over doc
+    // length, plus the bucket histogram the split would produce. The
+    // pre-flight audit for any range-partitioned write; the production
+    // path swaps in the sampled approx percentile with the same shape.
+    "x96_range_partition_plan" -> entry(
+      (s, dir) =>
+        Sharding.rangePartitionPlan(tbl(s, dir, "documents"),
+            col("n_chars"), buckets = 8)
+          .orderBy(col("bucket")),
+      """WITH b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+        |  FROM documents)
+        |SELECT CAST(len(list_filter(b.bounds,
+        |    x -> CAST(d.n_chars AS DOUBLE) > x)) AS BIGINT) AS bucket,
+        |  count(*) AS n_rows,
+        |  min(CAST(d.n_chars AS DOUBLE)) AS min_v,
+        |  max(CAST(d.n_chars AS DOUBLE)) AS max_v
+        |FROM documents d, b GROUP BY 1 ORDER BY bucket""".stripMargin)
   )
 }

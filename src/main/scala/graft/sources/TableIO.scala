@@ -42,6 +42,25 @@ object TableIO {
     def read(spark: SparkSession): DataFrame = spark.read.orc(path)
   }
 
+  /** Robust JSONL field extraction with corrupt-record quarantine — the
+    * ingest-boundary operator for raw crawl dumps, where some fraction
+    * of lines is always truncated or malformed. `from_json` in its
+    * default PERMISSIVE mode null-fills the struct on a malformed line;
+    * a record is quarantined when the required `idField` is null after
+    * parsing (never by re-validating the raw string — the parser IS the
+    * contract). Scan-local, zero shuffle: safe to run on the raw text
+    * scan of a 100 TB ingest before anything else touches the data.
+    *
+    * Returns the input plus `parsed` (struct of `schema`) and `ok`;
+    * callers route `!ok` rows to a quarantine sink and continue with
+    * `parsed.*`. */
+  def parseJsonl(df: DataFrame, jsonCol: String, schema: String,
+      idField: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    df.withColumn("parsed", from_json(col(jsonCol), StructType.fromDDL(schema)))
+      .withColumn("ok", col(s"parsed.$idField").isNotNull)
+  }
+
   /** JDBC source with explicit parallelism bounds — a boundless JDBC read
     * is one task regardless of cluster size. Untestable in this container
     * (no database), exercised through the shared interface contract. */

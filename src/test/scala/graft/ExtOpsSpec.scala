@@ -2136,4 +2136,38 @@ class ExtOpsSpec extends SparkSpec {
     assert(got("note")._1 == 1L, got.toString)
     assert(got("note")._3 == "DICT", got.toString)
   }
+
+  test("parseJsonl: malformed lines quarantine, good lines parse fully") {
+    val df = Seq(
+      """{"id": 1, "lang": "en", "text": "hello"}""",
+      """{"id": 2, "lang": "fr", "text": "bonj""", // truncated mid-string
+      """not json at all""",
+      """{"lang": "de", "text": "ok but no id"}""" // parses, id missing
+    ).toDF("j")
+    val got = graft.sources.TableIO
+      .parseJsonl(df, "j", "id BIGINT, lang STRING, text STRING", "id")
+      .select($"ok", $"parsed.id", $"parsed.lang").collect()
+    assert(got.map(_.getBoolean(0)).toList ==
+      List(true, false, false, false))
+    assert(got(0).getLong(1) == 1L && got(0).getString(2) == "en")
+    // the no-id line parsed its other fields — quarantine is the id
+    // contract, not json validity
+    assert(got(3).getString(2) == "de")
+  }
+
+  test("rangePartitionPlan: buckets partition the domain, counts total") {
+    import graft.ext.Sharding
+    val df = (1L to 80L).map(v => Tuple1(v)).toDF("v")
+    val got = Sharding.rangePartitionPlan(df, $"v", buckets = 4)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toList == List(0L, 1L, 2L, 3L), got.toList.toString)
+    assert(got.map(_._2).sum == 80L)
+    // buckets are contiguous, non-overlapping ranges
+    for (i <- 1 until got.length)
+      assert(got(i - 1)._4 < got(i)._3, got.toList.toString)
+    // uniform input → equal-ish buckets (quantile boundaries)
+    assert(got.map(_._2).max - got.map(_._2).min <= 1L, got.toList.toString)
+  }
 }
