@@ -49,10 +49,16 @@ object Fuzzy {
         | transform(sequence(1, length(s)),
         |   i -> xxhash64(concat(substr(s, 1, i - 1), substr(s, i + 1)))))"""
         .stripMargin)).as("v"))
+    // verify BEFORE the pair-distinct: levenshtein is codegen'd and
+    // runs scan-local on the join output, so the distinct's exchange
+    // only ever carries TRUE pairs (each duplicated at most once per
+    // shared variant) instead of the full candidate set — repeated-char
+    // strings generate many ED-2 candidates that would otherwise ride
+    // the shuffle just to be filtered afterwards
     variants.as("a").join(variants.as("b"),
         col("a.v") === col("b.v") && col("a.s") < col("b.s"))
       .select(col("a.s").as("name_a"), col("b.s").as("name_b"))
-      .distinct()
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .distinct()
   }
 }

@@ -2758,6 +2758,127 @@ object ExtQueries {
         |  count(*) AS n_rows,
         |  min(CAST(d.n_chars AS DOUBLE)) AS min_v,
         |  max(CAST(d.n_chars AS DOUBLE)) AS max_v
-        |FROM documents d, b GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |FROM documents d, b GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // Link-graph PageRank over the deterministic citation graph — the
+    // host-authority signal web curation ranks on (Common Crawl drops
+    // bottom-percentile link-spam neighborhoods by it). Integer
+    // fixed-point mass (scale 1e12) so partial-agg `sum()` stays
+    // order-free and both engines agree bit-for-bit — a float PageRank
+    // would need an order-pinned fold per round. 5 synchronous rounds,
+    // each ONE edges⋈mass join + ONE partial-agg shuffle (the Pregel
+    // round in relational form); vertex state never broadcasts.
+    "x97_pagerank" -> entry(
+      (s, dir) =>
+        graft.ext.Graphs.pageRankInt(
+            graft.ext.Graphs.syntheticEdges(
+              tbl(s, dir, "documents"), "doc_id"), iters = 5)
+          .orderBy(col("id")),
+      pageRankSql(5)),
+
+    // Connected components via bounded-round min-label propagation on
+    // the undirected closure: integer labels, plain min() partials.
+    // Output is the component-membership histogram after 5 rounds — a
+    // deterministic intermediate-state contract whatever the diameter.
+    "x98_components_lp" -> entry(
+      (s, dir) =>
+        graft.ext.Graphs.labelPropagation(
+            graft.ext.Graphs.syntheticEdges(
+              tbl(s, dir, "documents"), "doc_id"), iters = 5)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vertices"), min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"))
+          .orderBy(col("label")),
+      labelPropSql(5)),
+
+    // Exact triangle counting with degree orientation (Suri &
+    // Vassilvitskii WWW'11): wedges only form at each edge's
+    // lower-(degree,id) endpoint, bounding wedge fan-out by O(√m) — the
+    // naive wedge join the oracle runs is quadratic at hubs and exists
+    // only as the sf-small truth. Integer counts, fully portable.
+    "x99_triangle_count" -> entry(
+      (s, dir) =>
+        graft.ext.Graphs.triangleCounts(
+            graft.ext.Graphs.ringEdges(
+              tbl(s, dir, "documents"), "doc_id"))
+          .orderBy(col("id")),
+      """WITH c AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS c
+        |           FROM documents),
+        |e0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+        |    CAST((doc_id+1) % c.c AS BIGINT) AS dst FROM documents, c
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+        |    CAST((doc_id+2) % c.c AS BIGINT) FROM documents, c
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+        |    CAST((doc_id*31+7) % c.c AS BIGINT) FROM documents, c),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |      FROM e0 WHERE src != dst),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS cc
+        |      FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT id, count(*) AS n_triangles FROM (
+        |  SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        |  UNION ALL SELECT cc FROM t)
+        |GROUP BY id ORDER BY id""".stripMargin)
   )
+
+  /** Unrolled-iteration DuckDB twin of [[graft.ext.Graphs.pageRankInt]]
+    * over [[graft.ext.Graphs.syntheticEdges]] on `documents` — all
+    * non-negative BIGINT floor division (`//` ≡ Spark `div`). */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""m$i AS (SELECT m.id,
+         |    m.base + (85 * COALESCE(f.inflow, 0)) // 100 AS mass, m.base
+         |  FROM $prev m LEFT JOIN (
+         |    SELECT e.dst AS id, sum(m.mass // od.outdeg) AS inflow
+         |    FROM e JOIN od USING (src) JOIN $prev m ON m.id = e.src
+         |    GROUP BY e.dst) f USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS c
+       |           FROM documents),
+       |e AS (SELECT CAST(doc_id AS BIGINT) AS src,
+       |    unnest([(doc_id*31+7) % c.c, (doc_id*57+13) % c.c,
+       |            (doc_id*97+29) % c.c]) AS dst
+       |  FROM documents, c),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |vs AS (SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |nv AS (SELECT count(*) AS n FROM vs),
+       |m0 AS (SELECT id, 1000000000000 // n AS mass,
+       |    (15 * (1000000000000 // n)) // 100 AS base FROM vs, nv),
+       |$rounds
+       |SELECT id, mass FROM m$iters ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled-iteration DuckDB twin of
+    * [[graft.ext.Graphs.labelPropagation]] + the component histogram. */
+  private def labelPropSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS (SELECT l.id,
+         |    least(l.label, COALESCE(f.nmin, l.label)) AS label
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT u.dst AS id, min(l.label) AS nmin
+         |    FROM und u JOIN $prev l ON l.id = u.src
+         |    GROUP BY u.dst) f USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS c
+       |           FROM documents),
+       |e0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+       |    CAST((doc_id*31+7) % c.c AS BIGINT) AS dst FROM documents, c
+       |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+       |    CAST((doc_id*57+13) % c.c AS BIGINT) FROM documents, c
+       |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+       |    CAST((doc_id*97+29) % c.c AS BIGINT) FROM documents, c),
+       |und AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 WHERE src != dst
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst FROM e0 WHERE src != dst)),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM (
+       |    SELECT src FROM und UNION ALL SELECT dst FROM und)),
+       |$rounds
+       |SELECT label, count(*) AS n_vertices, min(id) AS min_id,
+       |  max(id) AS max_id
+       |FROM l$iters GROUP BY label ORDER BY label""".stripMargin
+  }
 }
