@@ -1229,6 +1229,10 @@ object Curation {
     import spark.implicits._
     def contract(syms: Column, l: String, r: String): Column =
       contractPair(syms, l, r)
+    // NOT widened (cf. Par.widen): measured at sf0.1, the per-round
+    // pair-explosion over the coalesced single-partition vocab beats
+    // the 32-way version — each round's work is too small to amortize
+    // task scheduling, and `merges` rounds multiply that overhead
     var vocab = df.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("wf"))

@@ -34,9 +34,24 @@ object Fuzzy {
     * sides the same exchange → ReuseExchange), pair-distinct, then the
     * verify filter over surviving candidates only. */
   def editDistanceOnePairs(df: DataFrame, strCol: String): DataFrame = {
+    // ROUND-ROBIN numbered repartition after the distinct: its
+    // post-shuffle bytes are tiny (strings only), so AQE coalesces the
+    // distinct's exchange to one partition — but everything downstream
+    // is row-heavy, not byte-heavy (length+1 variant expansions, hash
+    // probes, levenshtein on ~1M candidates), and a byte-sized plan
+    // serializes ALL of that onto a single task (measured 11 s
+    // single-task vs 5.5 s wide at sf0.1). It must be round-robin:
+    // a hash repartition on `s` is satisfied by the distinct's own
+    // hashpartitioning(s) and collapses into that (coalescible)
+    // exchange; RoundRobinPartitioning/REPARTITION_BY_NUM survives,
+    // is AQE-coalesce-exempt, and one exchange feeds BOTH join sides
+    // (ReuseExchange).
+    val shufflePartitions =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val names = df.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= 1)
       .distinct()
+      .repartition(shufflePartitions)
     // sequence(a, b) DESCENDS when a > b — the length filter above
     // keeps the bounds ordered for every row
     // join on the 8-byte hash of the variant, not the variant string:

@@ -1,0 +1,25 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism-shape helpers. */
+object Par {
+
+  /** Widen a byte-small dataset for a CPU-bound stage. A single-file
+    * scan of a few hundred KB is ONE task, and AQE's byte-based
+    * coalescing keeps every later exchange at one partition too — so
+    * work whose cost is per-row CPU (deep BPE folds, per-word hashing,
+    * levenshtein over candidate pairs) serializes onto a single core
+    * however many the cluster has. Round-robin REPARTITION_BY_NUM is
+    * exempt from AQE coalescing (and, unlike a hash repartition on an
+    * upstream grouping key, can never be collapsed into an existing
+    * coalescible exchange); the partition-count guard keeps this a
+    * no-op whenever the source is already at least shuffle-width
+    * parallel — the 100 TB case, where an unconditional repartition
+    * would ship the whole corpus through an exchange for nothing. */
+  def widen(df: DataFrame): DataFrame = {
+    val target =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

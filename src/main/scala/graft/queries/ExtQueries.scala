@@ -2653,7 +2653,9 @@ object ExtQueries {
         val merges = Curation.bpeLearn(docs, "text", merges = 8)
           .orderBy(col("iter")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        Curation.bpeEncodeCounts(docs, "doc_id", "text", merges)
+        // wide(): the 8-deep per-word contraction fold is pure CPU over
+        // a byte-small scan — unwidened it runs as ONE task (Q.wide)
+        Curation.bpeEncodeCounts(wide(docs), "doc_id", "text", merges)
           .orderBy(col("doc_id"))
       }),
 

@@ -35,6 +35,12 @@ object Q {
     if (name == "events") normalizeEventTs(df) else df
   }
 
+  /** Widen a byte-small input for a CPU-bound map stage — see
+    * [[graft.ext.Par.widen]] for the full rationale (AQE's byte-based
+    * coalescing serializes row-heavy work over small files onto one
+    * task; the guard makes this a no-op at real scale). */
+  def wide(df: DataFrame): DataFrame = graft.ext.Par.widen(df)
+
   /** `events.ts` has shipped as ns-int64 parquet (read as a long under the
     * nanosAsLong conf) in earlier testdata generations and as a native µs
     * timestamp (TIMESTAMP_NTZ on read) in later ones. Normalize both to
