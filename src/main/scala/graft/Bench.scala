@@ -44,13 +44,19 @@ object Bench {
           return -1.0
       }
       val t = (System.nanoTime() - t0) / 1e9
-      // drop checkpointed intermediates so they can't accumulate across
-      // the query sweep and skew later timings via GC pressure
+      // drop checkpointed intermediates AND DataFrame cache entries
+      // (iterative ops persist() loop-invariant edge tables) so neither
+      // blocks nor CacheManager plan entries accumulate across the
+      // sweep — each pass re-materializes its own caches
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       t
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args restrict the sweep (local iteration; the driver
+    // always runs argless = full sweep)
+    val names = (if (args.nonEmpty) SparkEntry.queries.keys.filter(args.toSet)
+                 else SparkEntry.queries.keys).toSeq.sorted
     val cold = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
     val warm1 = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
     val warm2 = names.map(n => n -> timeOnce(n, SparkEntry.queries(n))).toMap
@@ -86,8 +92,9 @@ object Bench {
         s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
         s""""value":${fmt(total)}}"""
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-        (line + "\n").getBytes("UTF-8"))
+      if (args.isEmpty) // restricted local runs must not clobber the artifact
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+          (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is the contract
     println(line)
     spark.stop()

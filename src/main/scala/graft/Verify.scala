@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // iterative ops persist() loop-invariant tables; drop blocks and
+      // cache entries so the sweep's footprint stays per-query bounded
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // Spark-naive oracle artifacts (x02/x03/x13): dump the independent
     // brute-force reference next to the query result and register a

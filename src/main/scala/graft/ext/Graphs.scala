@@ -83,6 +83,12 @@ object Graphs {
     val vertices = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // deliberately NOT persist()ed: the per-round subtrees are
+    // IDENTICAL, so ReuseExchange computes the (edge ⋈ outdeg) shuffle
+    // once for the whole plan already — measured at sf0.1, caching it
+    // instead REGRESSED every graph op (x97 1.4→1.6 s, x98 6→27 s,
+    // x99 1.6→2.3 s: InMemoryRelation scans replace reused exchange
+    // files and break whole-stage codegen around the join)
     val e = edges.join(outdeg, "src")
     val nV = vertices.agg(count(lit(1)).as("__n"))
     // `div` everywhere, never `/`+cast: long `/` is DOUBLE division in
@@ -125,6 +131,9 @@ object Graphs {
   def labelPropagation(edges: DataFrame, iters: Int,
       checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1 && checkpointEvery >= 1)
+    // NOT persist()ed — ReuseExchange already computes the closure's
+    // distinct once for all rounds; see the pageRankInt note (caching
+    // measured 4.5× SLOWER here)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
@@ -175,6 +184,9 @@ object Graphs {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("b"))
+      // NOT persist()ed: the three consumers below are identical
+      // subtrees ReuseExchange serves from one computation (caching
+      // measured slower — see the pageRankInt note)
     // wedges centered at a: (b, c) pairs of oriented out-neighbors,
     // pinned b < c so each wedge is generated once
     val w1 = oriented.select(col("a"), col("b"))

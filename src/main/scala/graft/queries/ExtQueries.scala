@@ -2820,7 +2820,41 @@ object ExtQueries {
         |SELECT id, count(*) AS n_triangles FROM (
         |  SELECT a AS id FROM t UNION ALL SELECT b FROM t
         |  UNION ALL SELECT cc FROM t)
-        |GROUP BY id ORDER BY id""".stripMargin)
+        |GROUP BY id ORDER BY id""".stripMargin),
+
+    // Time-travel reconstruction over the event log: per-user state at
+    // four weekly cutoffs — the latest event at or before each instant —
+    // rolled up to composition counts + exact DECIMAL value totals.
+    // All cutoffs resolve in ONE corpus pass: a single per-user window
+    // derives each event's validity interval [ts, next_ts), then a
+    // broadcast join against the 4-row cutoff list keeps exactly the
+    // state-defining rows (vs the naive k-replay: k scans, k shuffles).
+    "x100_asof_states" -> entry(
+      (s, dir) => {
+        val cutoffs = Seq(1704672000L, 1705276800L, 1705881600L,
+          1706486400L).map(_ * 1000000L) // Jan 8/15/22/29 2024 00:00 UTC
+        graft.ext.Temporal.asOfStates(tbl(s, dir, "events"), "user_id",
+            unix_micros(col("ts")), col("event_id"), cutoffs,
+            Seq("state_type" -> col("event_type"),
+              "state_value" -> col("value")))
+          .groupBy(col("cutoff_us"), col("state_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("state_value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
+          .orderBy(col("cutoff_us"), col("state_type"))
+      },
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS us FROM events),
+        |iv AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) AS next_us FROM e),
+        |cuts AS (SELECT unnest([1704672000000000, 1705276800000000,
+        |    1705881600000000, 1706486400000000]) AS cutoff_us)
+        |SELECT cutoff_us, event_type AS state_type, count(*) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM iv JOIN cuts ON iv.us <= cuts.cutoff_us
+        |  AND (iv.next_us IS NULL OR iv.next_us > cuts.cutoff_us)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
   )
 
   /** Unrolled-iteration DuckDB twin of [[graft.ext.Graphs.pageRankInt]]
