@@ -173,4 +173,56 @@ object Sharding {
       .agg(count(lit(1)).as("n_rows"),
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
   }
+
+  /** Z-order (Morton) clustering key over `dims.size` non-negative
+    * integer dimensions, `bits` low bits each: bit i of dimension j
+    * lands at output bit `i * dims.size + j`. Sorting/range-bucketing
+    * by this key co-locates rows that are close in EVERY dimension —
+    * the multi-column data-layout key (a `ZORDER BY` in lakehouse
+    * engines) that lets min/max file statistics prune on all dims at
+    * once, where a lexicographic sort key prunes only its leading
+    * column.
+    *
+    * Pure scan-local bit algebra (shifts/AND/integer sum of disjoint
+    * bits ≡ OR), codegen-friendly, portable to any ANSI engine. Caller
+    * maps dims into [0, 2^bits) first — typically `value % 2^bits` for
+    * dense ids or a rank/quantile for arbitrary distributions. */
+  def zOrderKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty && bits >= 1 && dims.size * bits <= 63,
+      s"${dims.size} dims x $bits bits must fit in a positive long")
+    val parts = for {
+      (d, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(d.cast("long"), i).bitwiseAND(lit(1L)),
+      i * dims.size + j)
+    parts.reduce(_ + _)
+  }
+
+  /** Small-file compaction plan: next-fit bin packing of an ordered
+    * file manifest into target-size output files. `binFor(f) =
+    * floor(cumulative bytes before f / targetBytes)` — files stay in
+    * manifest order (preserving any existing sort/cluster order, the
+    * reason compaction uses next-fit rather than best-fit), every bin
+    * except the last holds at least `targetBytes` minus one file of
+    * slack, and the whole plan is one prefix-sum window over the
+    * manifest — which is FILE-count sized, not row-count sized, so the
+    * single-partition running-sum window is driver-cheap even for a
+    * 100 TB table (a million files is a million rows).
+    *
+    * Returns the manifest with `bin` appended. */
+  def compactionPlan(manifest: DataFrame, orderCol: Column,
+      sizeCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // `div`, not `/`+floor-cast: long `/` is double division in Spark
+    // and the mantissa-rounded quotient can floor one off (same rule as
+    // Graphs.pageRankInt)
+    manifest.withColumn("__cum", coalesce(sum(sizeCol).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum div ${targetBytes}L"))
+      .drop("__cum")
+  }
 }

@@ -2854,8 +2854,112 @@ object ExtQueries {
         |FROM iv JOIN cuts ON iv.us <= cuts.cutoff_us
         |  AND (iv.next_us IS NULL OR iv.next_us > cuts.cutoff_us)
         |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // Z-order (Morton) layout audit: interleave 8 bits of two lineitem
+    // dims into one clustering key, cut it into 64 range buckets, and
+    // report each bucket's per-dimension min/max span — every bucket
+    // covers a 32x32 tile of the (part, supp) plane, the property that
+    // lets file-level min/max stats prune on BOTH columns at once
+    // (a lexicographic sort key prunes only its leading column). The
+    // key is pure scan-local bit algebra; one aggregation shuffle.
+    "x101_zorder_layout" -> entry(
+      (s, dir) => {
+        tbl(s, dir, "lineitem").select(
+            pmod(col("l_partkey"), lit(256L)).cast("long").as("p8"),
+            pmod(col("l_suppkey"), lit(256L)).cast("long").as("s8"))
+          .withColumn("z", Sharding.zOrderKey(
+            Seq(col("p8"), col("s8")), bits = 8))
+          .withColumn("bucket", expr("z div 1024"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("p8")).as("min_p"), max(col("p8")).as("max_p"),
+            min(col("s8")).as("min_s"), max(col("s8")).as("max_s"))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH b AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS p8,
+        |    CAST(l_suppkey % 256 AS BIGINT) AS s8 FROM lineitem),
+        |z AS (SELECT p8, s8, ${zOrderSql("p8", "s8", 8)} AS z FROM b)
+        |SELECT z // 1024 AS bucket, count(*) AS n_rows,
+        |  min(p8) AS min_p, max(p8) AS max_p,
+        |  min(s8) AS min_s, max(s8) AS max_s
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Small-file compaction plan: next-fit bin packing of an ordered
+    // file manifest into ~16 KB output files — files keep manifest
+    // order (preserving the table's existing cluster order), bin =
+    // prefix-bytes div target. The window runs over the FILE manifest
+    // (corpus-size / file-size rows), never the corpus.
+    "x102_compaction_plan" -> entry(
+      (s, dir) => {
+        val manifest = tbl(s, dir, "documents")
+          .groupBy(expr("doc_id div 20").as("file_id"))
+          .agg(sum(length(col("text"))).cast("long").as("bytes"))
+        Sharding.compactionPlan(manifest, col("file_id"), col("bytes"),
+            targetBytes = 16384L)
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("bytes")).as("total_bytes"),
+            min(col("file_id")).as("first_file"),
+            max(col("file_id")).as("last_file"))
+          .orderBy(col("bin"))
+      },
+      """WITH m AS (SELECT doc_id // 20 AS file_id,
+        |    sum(length(text)) AS bytes FROM documents GROUP BY 1),
+        |c AS (SELECT file_id, bytes, COALESCE(sum(bytes) OVER (
+        |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS cum FROM m)
+        |SELECT cum // 16384 AS bin, count(*) AS n_files,
+        |  sum(bytes) AS total_bytes, min(file_id) AS first_file,
+        |  max(file_id) AS last_file
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Mergeable per-shard stats manifest: (count, sum, sumsq, min, max)
+    // per shard — a monoid, so shard manifests combine into exact
+    // global stats WITHOUT rescanning the corpus (the incremental-
+    // ingest contract: each new shard appends one manifest row; global
+    // refresh is manifest-sized). The shard=-1 row IS that merge,
+    // re-derived from the partials, not the corpus.
+    "x103_stats_manifest" -> entry(
+      (s, dir) => {
+        val parts = tbl(s, dir, "documents")
+          .select(expr("doc_id div 100").as("shard"),
+            length(col("text")).cast("long").as("len"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).as("sum_chars"),
+            sum(col("len") * col("len")).as("sumsq_chars"),
+            min(col("len")).as("min_chars"),
+            max(col("len")).as("max_chars"))
+        val merged = parts.agg(
+          lit(-1L).as("shard"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          sum(col("sumsq_chars")).as("sumsq_chars"),
+          min(col("min_chars")).as("min_chars"),
+          max(col("max_chars")).as("max_chars"))
+        parts.unionByName(merged).orderBy(col("shard"))
+      },
+      """WITH p AS (SELECT doc_id // 100 AS shard, count(*) AS n_docs,
+        |    sum(length(text)) AS sum_chars,
+        |    sum(length(text) * length(text)) AS sumsq_chars,
+        |    min(length(text)) AS min_chars,
+        |    max(length(text)) AS max_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT * FROM p
+        |UNION ALL
+        |SELECT -1 AS shard, sum(n_docs), sum(sum_chars), sum(sumsq_chars),
+        |  min(min_chars), max(max_chars) FROM p
+        |ORDER BY shard""".stripMargin)
   )
+
+  /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
+    * bit i of `x` lands at 2i, of `y` at 2i+1 — integer sum of
+    * disjoint bits ≡ OR, identical in both engines. */
+  private def zOrderSql(x: String, y: String, bits: Int): String =
+    ((0 until bits).map(i => s"((($x >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
+      .mkString("(", " + ", ")")
 
   /** Unrolled-iteration DuckDB twin of [[graft.ext.Graphs.pageRankInt]]
     * over [[graft.ext.Graphs.syntheticEdges]] on `documents` — all

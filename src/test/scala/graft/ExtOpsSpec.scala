@@ -2170,4 +2170,50 @@ class ExtOpsSpec extends SparkSpec {
     // uniform input → equal-ish buckets (quantile boundaries)
     assert(got.map(_._2).max - got.map(_._2).min <= 1L, got.toList.toString)
   }
+
+  test("zOrderKey: bit interleave matches the local Morton reference") {
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val df = (for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y))
+      .toDF("x", "y")
+    val got = df.withColumn("z",
+        graft.ext.Sharding.zOrderKey(Seq($"x", $"y"), bits = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == morton(x, y, 4), s"($x,$y) -> $z") }
+    // bijective on the 16x16 grid
+    assert(got.map(_._3).distinct.length == 256)
+  }
+
+  test("zOrderKey: range buckets bound every dimension's span") {
+    val df = (for (x <- 0L to 63L; y <- 0L to 63L) yield (x, y))
+      .toDF("x", "y")
+    val spans = df.withColumn("z",
+        graft.ext.Sharding.zOrderKey(Seq($"x", $"y"), bits = 6))
+      .withColumn("bucket", expr("z div 64")) // drop 3 bits per dim
+      .groupBy($"bucket")
+      .agg((max($"x") - min($"x")).as("sx"), (max($"y") - min($"y")).as("sy"))
+      .collect()
+    assert(spans.length == 64)
+    // each bucket is one 8x8 tile — both dims pruned at once
+    spans.foreach(r => assert(
+      r.getAs[Long]("sx") <= 7L && r.getAs[Long]("sy") <= 7L, r.toString))
+  }
+
+  test("compactionPlan: next-fit keeps manifest order and fills bins") {
+    val m = Seq((1L, 30L), (2L, 50L), (3L, 40L), (4L, 10L), (5L, 100L),
+      (6L, 5L)).toDF("file_id", "bytes")
+    val got = graft.ext.Sharding
+      .compactionPlan(m, $"file_id", $"bytes", targetBytes = 100L)
+      .orderBy($"file_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bin")))
+    // cum before: 0,30,80,120,130,230 -> bins 0,0,0,1,1,2
+    assert(got.toList == List((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L),
+      (5L, 1L), (6L, 2L)), got.toList.toString)
+    // bins are contiguous runs of the manifest order
+    val byBin = got.groupBy(_._2).view.mapValues(_.map(_._1))
+    byBin.foreach { case (_, fs) =>
+      assert(fs.max - fs.min + 1 == fs.length, fs.toList.toString) }
+  }
 }
