@@ -194,4 +194,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1,
       s"wants 1 exchange (the user_id hash), got $exchanges:\n${p.take(2500)}")
   }
+
+  test("x100 as-of states: one window exchange, cutoffs broadcast") {
+    val p = executedPlan(query("x100_asof_states"))
+      .split("== Initial Plan ==").head
+    // the cutoff list must ride a broadcast join, never shuffle the log
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2500))
+    // data exchanges: the user_id window + the final agg/sort pair —
+    // the corpus is never re-scanned or re-shuffled per cutoff (the
+    // cutoff list's BroadcastExchange is the intended non-shuffle)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") &&
+        !l.contains("BroadcastExchange"))
+    assert(exchanges <= 3, s"got $exchanges:\n${p.take(2500)}")
+  }
+
+  test("x101 z-order key is scan-local — only the bucket agg exchanges") {
+    val p = executedPlan(query("x101_zorder_layout"))
+      .split("== Initial Plan ==").head
+    // bit interleave must not introduce joins/windows: one partial-agg
+    // exchange (bucket groupBy) + the output sort
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"got $exchanges:\n${p.take(2500)}")
+  }
 }
