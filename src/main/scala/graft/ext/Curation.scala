@@ -1324,4 +1324,37 @@ object Curation {
       length(col(textCol)).cast("long").as("n_chars_ws"),
       encodedLen.as("n_bpe_tokens"))
   }
+
+  /** Largest-remainder (Hamilton) integer quota allocation: split a
+    * global sample budget of `total` rows across strata proportionally
+    * to their counts, with EXACT integer quotas summing to exactly
+    * `total` — floor quotas first, then the `total - Σfloor` leftover
+    * units go to the strata with the largest remainders (ties broken by
+    * stratum order). Pure integer arithmetic (`total·n div C`,
+    * `total·n mod C`), so the allocation is bit-portable and
+    * replay-stable — no float shares that could round to `total ± 1`.
+    *
+    * The eval-set construction primitive: x23's residue sampler then
+    * draws `quota` rows per stratum. One count shuffle; the
+    * remainder-ranking window runs over the STRATA table (strata-count
+    * rows, not the corpus), where a single-partition window is free. */
+  def largestRemainderQuotas(df: DataFrame, stratum: Column,
+      total: Long): DataFrame = {
+    require(total >= 0)
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("__c"))
+    val based = counts.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"),
+        expr(s"(${total}L * n_docs) div __c").as("__base"),
+        expr(s"(${total}L * n_docs) % __c").as("__rem"))
+    val deficit = based.agg((lit(total) - sum(col("__base"))).as("__d"))
+    val w = Window.orderBy(col("__rem").desc, col("stratum"))
+    based.crossJoin(broadcast(deficit))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("stratum"), col("n_docs"),
+        (col("__base") +
+          when(col("__rk") <= col("__d"), lit(1L)).otherwise(lit(0L)))
+          .as("quota"))
+  }
 }

@@ -225,4 +225,47 @@ object Sharding {
       .withColumn("bin", expr(s"__cum div ${targetBytes}L"))
       .drop("__cum")
   }
+
+  /** Highest-random-weight (rendezvous) shard assignment: shard(key) =
+    * argmax over s < `shards` of a per-(key, shard) weight. Growing the
+    * fleet k → k+1 moves ONLY the keys whose new shard wins their old
+    * maximum — an expected 1/(k+1) of keys, every one of them moving TO
+    * the new shard — where modulo sharding (`key % k`) reshuffles
+    * (k-1)/k of the corpus. The stability contract that makes online
+    * re-sharding of a 100 TB keyed store an incremental copy instead of
+    * a full rewrite.
+    *
+    * The weight is portable integer arithmetic (no engine-specific hash):
+    * `w(key, s) = ((key + 1) mod P) * A_s mod P`, `P = 1e9+7`,
+    * `A_s = 2654435761 * (s + 1) mod P` — products stay under 2^60, so
+    * Spark and any ANSI engine agree bit-for-bit (a native xxhash64
+    * would be stronger but is not oracle-portable; swap it in when both
+    * sides are Spark). Scan-local: an array of `shards` weight
+    * expressions and one argmax, no join, no shuffle. */
+  def hrwShard(key: Column, shards: Int): Column = {
+    require(shards >= 1 && shards <= 1024)
+    val P = 1000000007L
+    val weights = array((0 until shards).map { s =>
+      val a = (2654435761L * (s + 1)) % P
+      pmod(key.cast("long") + 1, lit(P)) * lit(a) % lit(P)
+    }: _*)
+    // array_position is 1-based; first max wins ties (deterministic)
+    (array_position(weights, array_max(weights)) - 1).cast("long")
+  }
+
+  /** DuckDB twin of [[hrwShard]] (same weights, same first-max tie
+    * rule) for oracle SQL: greatest() + a first-match CASE. */
+  def hrwShardSql(keyExpr: String, shards: Int): String = {
+    val P = 1000000007L
+    val ws = (0 until shards).map { s =>
+      val a = (2654435761L * (s + 1)) % P
+      s"(((($keyExpr) + 1) % $P) * $a) % $P"
+    }
+    val g = ws.mkString("greatest(", ", ", ")")
+    // nested CASE checks s = 0 outermost → lowest shard wins ties,
+    // matching array_position's first-occurrence rule
+    ws.zipWithIndex.reverse.foldLeft("NULL") { case (acc, (w, s)) =>
+      s"CASE WHEN $w = $g THEN $s ELSE $acc END"
+    }
+  }
 }

@@ -2950,7 +2950,51 @@ object ExtQueries {
         |UNION ALL
         |SELECT -1 AS shard, sum(n_docs), sum(sum_chars), sum(sumsq_chars),
         |  min(min_chars), max(max_chars) FROM p
-        |ORDER BY shard""".stripMargin)
+        |ORDER BY shard""".stripMargin),
+
+    // Rendezvous (HRW) re-sharding stability: assign every doc a shard
+    // under 8 and under 9 shards, tabulate the transition matrix. The
+    // contract: off-diagonal mass lands ONLY in new_shard = 8 (keys
+    // move only TO the added shard, ~1/9 of the corpus), where modulo
+    // sharding would move 8/9 of it — the difference between an
+    // incremental copy and a full rewrite when a 100 TB keyed store
+    // grows its fleet. Scan-local weight argmax, one count shuffle.
+    "x104_hrw_resharding" -> entry(
+      (s, dir) =>
+        tbl(s, dir, "documents").select(
+            Sharding.hrwShard(col("doc_id"), 8).as("old_shard"),
+            Sharding.hrwShard(col("doc_id"), 9).as("new_shard"))
+          .groupBy(col("old_shard"), col("new_shard"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("old_shard"), col("new_shard")),
+      s"""WITH a AS (SELECT
+        |    ${Sharding.hrwShardSql("doc_id", 8)} AS old_shard,
+        |    ${Sharding.hrwShardSql("doc_id", 9)} AS new_shard
+        |  FROM documents)
+        |SELECT old_shard, new_shard, count(*) AS n_docs FROM a
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Largest-remainder eval-set quotas: split a 1000-row sample budget
+    // across sources proportionally with EXACT integer quotas that sum
+    // to exactly 1000 — floor shares + leftover units to the largest
+    // remainders. No float shares (which round to total ± 1), no
+    // ingestion-order bias; the window runs over the strata table.
+    "x105_sample_quotas" -> entry(
+      (s, dir) =>
+        Curation.largestRemainderQuotas(
+            tbl(s, dir, "documents"), col("source"), total = 1000L)
+          .orderBy(col("stratum")),
+      """WITH c AS (SELECT source AS stratum, count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS c FROM c),
+        |b AS (SELECT stratum, n_docs, (1000 * n_docs) // t.c AS base,
+        |    (1000 * n_docs) % t.c AS rem FROM c, t),
+        |d AS (SELECT 1000 - sum(base) AS d FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
+        |    AS rk FROM b)
+        |SELECT stratum, n_docs,
+        |  base + CASE WHEN rk <= d.d THEN 1 ELSE 0 END AS quota
+        |FROM r, d ORDER BY stratum""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -2216,4 +2216,32 @@ class ExtOpsSpec extends SparkSpec {
     byBin.foreach { case (_, fs) =>
       assert(fs.max - fs.min + 1 == fs.length, fs.toList.toString) }
   }
+
+  test("hrwShard: growing k by one moves keys ONLY to the new shard") {
+    val df = (0L until 2000L).toDF("k")
+    val moves = df.select(
+        graft.ext.Sharding.hrwShard($"k", 8).as("old"),
+        graft.ext.Sharding.hrwShard($"k", 9).as("nw"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val moved = moves.filter { case (o, n) => o != n }
+    moved.foreach { case (_, n) => assert(n == 8L, moved.toList.take(5)) }
+    // expected 1/9 ≈ 222; the portable weight is weaker than a real
+    // hash, so allow a wide band — the CONTRACT is the target, not the
+    // fraction
+    assert(moved.length > 50 && moved.length < 700, moved.length)
+    // every shard under k=8 is actually populated
+    assert(moves.map(_._1).distinct.length == 8)
+  }
+
+  test("largestRemainderQuotas: quotas are integers summing exactly to total") {
+    val df = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(1)("d")
+    val rows = graft.ext.Curation
+      .largestRemainderQuotas(df.toDF("s"), $"s", total = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // shares: a=4.375, b=3.125, c=1.875, d=0.625 → floors 4,3,1,0 (=8),
+    // remainders .375/.125/.875/.625 → c and d get the 2 leftovers
+    assert(rows == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L), rows)
+    assert(rows.values.sum == 10L)
+  }
 }
