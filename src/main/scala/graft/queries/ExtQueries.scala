@@ -2994,7 +2994,131 @@ object ExtQueries {
         |    AS rk FROM b)
         |SELECT stratum, n_docs,
         |  base + CASE WHEN rk <= d.d THEN 1 ELSE 0 END AS quota
-        |FROM r, d ORDER BY stratum""".stripMargin)
+        |FROM r, d ORDER BY stratum""".stripMargin),
+
+    // File-skipping audit: the quantitative case for x101's layout.
+    // Both layouts cut the same 64-file budget; per file, min/max
+    // column stats decide whether a 2-dim box predicate can skip it.
+    // The p8-sorted layout prunes its leading column only (every file
+    // spans all of s8), the z-order tiles bound BOTH dims — so the
+    // same predicate scans ~4x fewer files. Everything is scan-local
+    // bit algebra + one agg per layout.
+    "x106_skipping_audit" -> entry(
+      (s, dir) => {
+        val b = tbl(s, dir, "lineitem").select(
+          pmod(col("l_partkey"), lit(256L)).cast("long").as("p8"),
+          pmod(col("l_suppkey"), lit(256L)).cast("long").as("s8"))
+        val inBox = col("p8").between(50, 81) && col("s8").between(50, 81)
+        def audit(layout: String, fileCol: Column) = b
+          .withColumn("f", fileCol)
+          .groupBy(col("f"))
+          .agg(min(col("p8")).as("mnp"), max(col("p8")).as("mxp"),
+            min(col("s8")).as("mns"), max(col("s8")).as("mxs"),
+            sum(when(inBox, 1L).otherwise(0L)).as("rows_in_box"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col("mnp") <= 81 && col("mxp") >= 50 &&
+              col("mns") <= 81 && col("mxs") >= 50, 1L).otherwise(0L))
+              .as("files_scanned"),
+            sum(col("rows_in_box")).as("rows_matching"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("files_scanned"), col("rows_matching"))
+        audit("lex_p8", shiftright(col("p8"), 2))
+          .unionByName(audit("zorder", shiftright(
+            Sharding.zOrderKey(Seq(col("p8"), col("s8")), bits = 8), 10)))
+          .orderBy(col("layout"))
+      },
+      s"""WITH b AS (SELECT CAST(l_partkey % 256 AS BIGINT) AS p8,
+        |    CAST(l_suppkey % 256 AS BIGINT) AS s8 FROM lineitem),
+        |lex AS (SELECT p8 >> 2 AS f, min(p8) AS mnp, max(p8) AS mxp,
+        |    min(s8) AS mns, max(s8) AS mxs,
+        |    sum(CASE WHEN p8 BETWEEN 50 AND 81 AND s8 BETWEEN 50 AND 81
+        |      THEN 1 ELSE 0 END) AS rows_in_box
+        |  FROM b GROUP BY 1),
+        |zf AS (SELECT ${zOrderSql("p8", "s8", 8)} >> 10 AS f,
+        |    min(p8) AS mnp, max(p8) AS mxp, min(s8) AS mns,
+        |    max(s8) AS mxs,
+        |    sum(CASE WHEN p8 BETWEEN 50 AND 81 AND s8 BETWEEN 50 AND 81
+        |      THEN 1 ELSE 0 END) AS rows_in_box
+        |  FROM b GROUP BY 1)
+        |SELECT 'lex_p8' AS layout, count(*) AS n_files,
+        |  sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
+        |    AND mxs >= 50 THEN 1 ELSE 0 END) AS files_scanned,
+        |  sum(rows_in_box) AS rows_matching FROM lex
+        |UNION ALL
+        |SELECT 'zorder', count(*),
+        |  sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
+        |    AND mxs >= 50 THEN 1 ELSE 0 END),
+        |  sum(rows_in_box) FROM zf
+        |ORDER BY layout""".stripMargin),
+
+    // Strict-order funnel: per (user, day), first view, first click
+    // AFTER that view, first purchase AFTER that click — order
+    // enforced, not mere presence. Each stage is a co-partitioned
+    // (user, day) join + min-agg on the same key, so the three stages
+    // ride one partitioning; daily conversion counts out.
+    "x107_funnel" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          to_date(col("ts")).as("d"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("v_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id", "d")).filter(col("us") > col("v_us"))
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("c_us"))
+        val pch = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id", "d")).filter(col("us") > col("c_us"))
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("p_us"))
+        v.join(c, Seq("user_id", "d"), "left")
+          .join(pch, Seq("user_id", "d"), "left")
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("users_view"),
+            count(col("c_us")).as("users_click"),
+            count(col("p_us")).as("users_purchase"))
+          .orderBy(col("d"))
+      },
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, d, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT e.user_id, e.d, min(e.us) AS c_us FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.d = v.d
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, e.d, min(e.us) AS p_us FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.d = c.d
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |      GROUP BY 1, 2)
+        |SELECT v.d, count(*) AS users_view, count(c.c_us) AS users_click,
+        |  count(p.p_us) AS users_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.d = c.d
+        |  LEFT JOIN p ON v.user_id = p.user_id AND v.d = p.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Weekly cohort retention: users bucketed by first-seen week,
+    // counted in each later week they were active — the engagement
+    // matrix every event-log warehouse serves. Integer week ids from
+    // exact epoch-day division; two key-compatible shuffles
+    // (per-user first week, then the cohort matrix).
+    "x108_cohort_retention" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        val uw = ev.distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("c0").as("cohort_week"),
+            (col("wk") - col("c0")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS c0 FROM uw GROUP BY 1)
+        |SELECT c.c0 AS cohort_week, uw.wk - c.c0 AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
