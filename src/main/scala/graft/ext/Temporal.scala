@@ -54,4 +54,40 @@ object Temporal {
         case (n, c) => c.as(n)
       }: _*)
   }
+
+  /** Event-time disorder audit: how late do events arrive relative to
+    * the newest event time already seen on their key? `lateness(e) =
+    * max(event time over earlier arrivals of the key) - event time of
+    * e`, arrival order given by `arrivalCol` (a monotone ingest id /
+    * offset). The log2-bucketed histogram of positive lateness is
+    * exactly the distribution a streaming deployment reads to size its
+    * watermark delay (`withWatermark`): the bucket covering the p99.9
+    * tail is the delay that loses 0.1% of events to lateness.
+    *
+    * Per-KEY disorder is the deliberate measurement: keyed state
+    * (dedup, sessionization, `mapGroupsWithState`) evicts on the key's
+    * own timeline, and a per-key running max needs only one hash
+    * window — a GLOBAL running max would be a single-task window (the
+    * anti-pattern; at 100 TB, global disorder is bounded by per-key
+    * disorder + partition skew, both separately observable).
+    *
+    * Output: `lateness_bucket` (-1 = in-order, else floor(log2(lateness
+    * seconds + 1))), `n_events`. */
+  def latenessHistogram(events: DataFrame, keyCol: String, usCol: Column,
+      arrivalCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(arrivalCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // floor(log2(n)) as INTEGER bit length (length(bin(n)) - 1) — libm
+    // log2 on doubles is not bit-portable across engines at bucket
+    // boundaries; bin() is exact in both Spark and DuckDB
+    events
+      .withColumn("__late_us",
+        coalesce(max(usCol).over(w) - usCol, lit(Long.MinValue)))
+      .select(when(col("__late_us") <= 0L, lit(-1L))
+        .otherwise(length(bin(expr("__late_us div 1000000L") + lit(1L))) -
+          lit(1))
+        .cast("long").as("lateness_bucket"))
+      .groupBy(col("lateness_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+  }
 }

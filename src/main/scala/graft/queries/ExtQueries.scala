@@ -3118,7 +3118,32 @@ object ExtQueries {
         |SELECT c.c0 AS cohort_week, uw.wk - c.c0 AS week_offset,
         |  count(*) AS n_users
         |FROM uw JOIN c ON uw.user_id = c.user_id
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Watermark-sizing audit: log2-bucketed histogram of per-user
+    // event-time lateness under a (deterministically) shuffled arrival
+    // order — the distribution that picks `withWatermark`'s delay (the
+    // bucket covering the tail = the delay that bounds loss). Per-KEY
+    // running max, ONE hash window — never a global single-task window;
+    // buckets via integer bit length, not libm log2 (not bit-portable).
+    "x109_lateness_audit" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("(event_id * 2654435761L) % 1000000007L").as("arr"))
+        graft.ext.Temporal
+          .latenessHistogram(ev, "user_id", col("us"), col("arr"))
+          .orderBy(col("lateness_bucket"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |    (event_id * 2654435761) % 1000000007 AS arr FROM events),
+        |l AS (SELECT COALESCE(max(us) OVER (PARTITION BY user_id
+        |        ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) - us, -1) AS late_us FROM e)
+        |SELECT CASE WHEN late_us <= 0 THEN -1
+        |    ELSE length(bin((late_us // 1000000) + 1)) - 1
+        |  END AS lateness_bucket, count(*) AS n_events
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -44,4 +44,17 @@ class TemporalSpec extends SparkSpec {
     // (keys 0..4 all have an event by us=5)
     assert(out.count() == 15)
   }
+
+  test("latenessHistogram: buckets per-key lateness by integer log2 seconds") {
+    // key 1 arrivals (arr order): us = 10 s, 5 s (5 s late -> bucket 2),
+    // 30 s (in order), 29 s (1 s late -> floor(log2(1+1)) = bucket 1),
+    // key 2: single event (no prior max -> in-order)
+    val M = 1000000L
+    val df = Seq(
+      (1L, 10L * M, 1L), (1L, 5L * M, 2L), (1L, 30L * M, 3L),
+      (1L, 29L * M, 4L), (2L, 7L * M, 5L)).toDF("k", "us", "arr")
+    val got = Temporal.latenessHistogram(df, "k", col("us"), col("arr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(-1L -> 3L, 1L -> 1L, 2L -> 1L), got)
+  }
 }
