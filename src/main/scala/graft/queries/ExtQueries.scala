@@ -3143,7 +3143,94 @@ object ExtQueries {
         |SELECT CASE WHEN late_us <= 0 THEN -1
         |    ELSE length(bin((late_us // 1000000) + 1)) - 1
         |  END AS lateness_bucket, count(*) AS n_events
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // CDC net-effect minimization: collapse each key's op run to the
+    // single change a downstream consumer must apply — insert+…+delete
+    // cancels to nothing, insert+updates re-emits one insert with the
+    // final value, updates+delete is one delete. The log-offset
+    // (event_id) IS the CDC order; first/last ride min_by/max_by in ONE
+    // per-key aggregation — no sort, no window, no self-join. The
+    // between-checkpoints compaction that turns an O(ops) replay into
+    // O(keys).
+    "x110_cdc_minimize" -> entry(
+      (s, dir) => {
+        val ops = tbl(s, dir, "events").select(col("user_id"),
+          col("event_id"), col("value"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "error", "D")
+            .otherwise("U").as("op"))
+        ops.groupBy(col("user_id"))
+          .agg(min_by(col("op"), col("event_id")).as("first_op"),
+            max_by(col("op"), col("event_id")).as("last_op"),
+            max_by(col("value"), col("event_id")).as("last_value"),
+            count(lit(1)).as("n_ops"))
+          .select(col("user_id"),
+            when(col("first_op") === "I" && col("last_op") === "D", "none")
+              .when(col("first_op") === "I", "insert")
+              .when(col("last_op") === "D", "delete")
+              .otherwise("update").as("net_op"),
+            when(col("last_op") === "D", lit(null).cast("double"))
+              .otherwise(col("last_value")).as("net_value"),
+            col("n_ops"))
+          .orderBy(col("user_id"))
+      },
+      """WITH o AS (SELECT user_id, event_id, value,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS op FROM events),
+        |a AS (SELECT user_id, arg_min(op, event_id) AS first_op,
+        |    arg_max(op, event_id) AS last_op,
+        |    arg_max(value, event_id) AS last_value,
+        |    count(*) AS n_ops FROM o GROUP BY 1)
+        |SELECT user_id,
+        |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'none'
+        |       WHEN first_op = 'I' THEN 'insert'
+        |       WHEN last_op = 'D' THEN 'delete'
+        |       ELSE 'update' END AS net_op,
+        |  CASE WHEN last_op = 'D' THEN NULL ELSE last_value END
+        |    AS net_value,
+        |  n_ops
+        |FROM a ORDER BY user_id""".stripMargin),
+
+    // Dedup saturation curve: as the corpus grows (id-order prefix
+    // buckets), what fraction of each new slice is an exact duplicate
+    // of anything earlier — the curve that says when further crawling
+    // stops adding novel data. First-occurrence via a min-over-
+    // fingerprint window (32-byte hashes shuffle, text never does);
+    // the cumulative sum runs over the BUCKET table.
+    "x111_dedup_saturation" -> entry(
+      (s, dir) => {
+        // 8-token-prefix fingerprint, not whole-text: the synthetic
+        // corpus has no verbatim dups, but shared boilerplate openings
+        // exist at every scale — and prefix dedup is the production
+        // form for template/boilerplate saturation
+        val d = tbl(s, dir, "documents").select(col("doc_id"),
+          expr("doc_id div 100").as("bucket"),
+          sha2(concat_ws(" ", slice(split(col("text"), " "), 1, 8)), 256)
+            .as("fp"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+        val perBucket = d
+          .withColumn("is_dup",
+            (min(col("doc_id")).over(w) < col("doc_id")).cast("long"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+        val cw = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        perBucket // bucket-count rows: the running sum is driver-cheap
+          .withColumn("cum_dups", sum(col("n_dups")).over(cw))
+          .orderBy(col("bucket"))
+      },
+      """WITH d AS (SELECT doc_id, doc_id // 100 AS bucket,
+        |    sha256(array_to_string((string_split(text, ' '))[1:8], ' '))
+        |      AS fp FROM documents),
+        |f AS (SELECT bucket, CASE WHEN min(doc_id) OVER (PARTITION BY fp)
+        |      < doc_id THEN 1 ELSE 0 END AS is_dup FROM d),
+        |b AS (SELECT bucket, count(*) AS n_docs, sum(is_dup) AS n_dups
+        |      FROM f GROUP BY 1)
+        |SELECT bucket, n_docs, n_dups,
+        |  sum(n_dups) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS cum_dups
+        |FROM b ORDER BY bucket""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
