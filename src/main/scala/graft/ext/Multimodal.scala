@@ -287,6 +287,130 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL multi-frame decode via the JDK's GIF codec (`javax.imageio`
+    * reads animated GIF frame-by-frame with random access): the
+    * video-shaped media path executed against an actual temporal
+    * format, not a stub. Only every `stride`-th frame is decoded —
+    * `ImageReader.read(i)` is random-access, so frame sampling skips
+    * the decode cost of unsampled frames, which is the point of frame
+    * sampling at 100 TB. Returns (frameNo, width, height, luma sum)
+    * per sampled frame; None when the bytes are not a GIF. */
+  private[graft] def decodeGifFrames(bytes: Array[Byte],
+      stride: Int): Option[Seq[(Int, Int, Int, Long)]] = {
+    if (bytes == null || bytes.length < 6) return None
+    // full "GIF87a"/"GIF89a" magic — cheap reject before codec setup
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') ||
+      bytes(5) != 'a') return None
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) return None
+    val reader = it.next()
+    try {
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None // magic matched but no decodable frame
+      Some((0 until n by stride).map { i =>
+        val img = reader.read(i)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff // r == g == b here
+            x += 1
+          }
+          y += 1
+        }
+        (i, img.getWidth, img.getHeight, sum)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally reader.dispose()
+  }
+
+  /** Multi-frame GIF encoder via the JDK's sequence writer. Frames are
+    * written as INDEXED images over an explicit identity 256-gray
+    * palette (`palette[v] = gray v`), so the encode is LOSSLESS BY
+    * CONSTRUCTION — handing the writer RGB frames instead lets it
+    * derive a palette by sampling, which quantizes degenerate tiny
+    * frames (observed: a 3×2 frame's second row collapsed). Bit-exact
+    * round trip, formula-oracle-checkable like
+    * [[encodeBmp]]/[[encodeWav]]. */
+  def encodeGif(width: Int, height: Int, frames: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0)
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      for (f <- 0 until frames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        for (y <- 0 until height; x <- 0 until width)
+          raster.setSample(x, y, 0, px(x, y, f) & 0xff)
+        // interlace OFF via image metadata: the JDK writer interlaces
+        // by default and mis-encodes frames shorter than the interlace
+        // pass spacing (observed: height ≤ 4 rows come back permuted/
+        // zeroed) — progressive row order round-trips every size
+        val p = w.getDefaultWriteParam
+        val md = w.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), p)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+        var c = tree.getFirstChild
+        while (c != null) {
+          if (c.getNodeName == "ImageDescriptor")
+            c.asInstanceOf[org.w3c.dom.Element]
+              .setAttribute("interlaceFlag", "FALSE")
+          c = c.getNextSibling
+        }
+        md.setFromTree(fmt, tree)
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic animation: doc_id fully determines dims,
+    * frame count and every pixel (`(id + 7x + 13y + 53f) % 256`), so
+    * the oracle recomputes sampled-frame luma sums from the formula
+    * WITHOUT decoding — a bug in either the sequence writer or the
+    * frame-sampling reader breaks the hash (the x66/x72 argument on a
+    * temporal axis). */
+  def syntheticGif(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 9).toInt
+    val h = (8 + docId % 7).toInt
+    val frames = (2 + docId % 4).toInt
+    encodeGif(w, h, frames,
+      (x, y, f) => ((docId + 7L * x + 13L * y + 53L * f) % 256L).toInt)
+  }
+
+  /** Sampled-frame statistics over a media table: one (id, frame_no,
+    * width, height, luma_sum) row per DECODED frame, decoding only
+    * every `stride`-th frame of each clip. Map-only inside
+    * mapPartitions (codec amortized per partition, no shuffle) — the
+    * 100 TB video-feature shape: stride-sampling bounds decode cost,
+    * rows with undecodable bytes drop out as the yield signal. */
+  final case class FrameStatsRow(
+      id: Long, frame_no: Long, width: Long, height: Long, luma_sum: Long)
+
+  def videoFrameStats(media: Dataset[MediaRecord],
+      stride: Int = 2): DataFrame = {
+    implicit val enc = Encoders.product[FrameStatsRow]
+    media.mapPartitions { rows =>
+      rows.flatMap(r => decodeGifFrames(r.media, stride)
+        .getOrElse(Seq.empty)
+        .map { case (f, w, h, s) =>
+          FrameStatsRow(r.id, f.toLong, w.toLong, h.toLong, s) })
+    }.toDF()
+  }
+
   /** Frame sampling plumbing for video-like media: emit `every`-th frame
     * index as (id, frame_no) — a real impl would also slice the bytes. */
   def sampleFrames(meta: Dataset[MediaMeta], every: Int): DataFrame =

@@ -3230,7 +3230,42 @@ object ExtQueries {
         |SELECT bucket, n_docs, n_dups,
         |  sum(n_dups) OVER (ORDER BY bucket
         |    ROWS UNBOUNDED PRECEDING) AS cum_dups
-        |FROM b ORDER BY bucket""".stripMargin)
+        |FROM b ORDER BY bucket""".stripMargin),
+
+    // REAL video-shaped decode (the x66/x72 argument on a temporal
+    // axis): each doc_id synthesizes a multi-frame animated GIF via the
+    // JDK's sequence writer; the frame-sampling reader decodes ONLY
+    // every 2nd frame (random-access reads — unsampled frames never
+    // decode, the 100 TB frame-sampling shape) and emits exact integer
+    // luma sums. The ORACLE never decodes — it recomputes each sampled
+    // frame's sum from the pixel formula, so a bug in either codec
+    // direction breaks the hash. Map-only inside mapPartitions.
+    "x112_video_frame_audit" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkGif = udf((id: Long) => Multimodal.syntheticGif(id))
+        val media = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            lit("video").as("format"), mkGif(col("doc_id")).as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.videoFrameStats(media, stride = 2)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("frame_no"))
+      },
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |           2 + doc_id % 4 AS nf FROM documents),
+        |fs AS (SELECT unnest(range(0, 6, 2)) AS f),
+        |xs AS (SELECT unnest(range(0, 16)) AS x),
+        |ys AS (SELECT unnest(range(0, 14)) AS y),
+        |px AS (SELECT d.doc_id, d.w, d.h, fs.f, xs.x, ys.y FROM d
+        |       JOIN fs ON fs.f < d.nf JOIN xs ON xs.x < d.w
+        |       JOIN ys ON ys.y < d.h)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id + 7 * x + 13 * y + 53 * f) % 256) AS BIGINT)
+        |    AS luma_sum
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_no""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -1781,6 +1781,36 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("GIF sequence encode → stride-sampled decode is frame-exact") {
+    import graft.ext.Multimodal
+    // 4 frames, luma = (x + 2y + 10f) % 256 — hand-checkable sums
+    val bytes = Multimodal.encodeGif(3, 2, 4,
+      (x, y, f) => (x + 2 * y + 10 * f) % 256)
+    def lumaSum(f: Int) =
+      (for (y <- 0 until 2; x <- 0 until 3) yield (x + 2 * y + 10 * f) % 256).sum
+    // stride 2 decodes frames 0 and 2 ONLY
+    val got = Multimodal.decodeGifFrames(bytes, stride = 2).get
+    assert(got == Seq((0, 3, 2, lumaSum(0).toLong), (2, 3, 2, lumaSum(2).toLong)),
+      got.toString)
+    // stride 1 sees all four
+    assert(Multimodal.decodeGifFrames(bytes, 1).get.map(_._1) == Seq(0, 1, 2, 3))
+    // refusal: non-GIF bytes
+    assert(Multimodal.decodeGifFrames("GIF-shaped but not".getBytes, 1).isEmpty)
+    assert(Multimodal.decodeGifFrames("plain text".getBytes, 1).isEmpty)
+  }
+
+  test("videoFrameStats: sampled frames decode, garbage rows drop") {
+    import graft.ext.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "video", Multimodal.syntheticGif(1L)),
+      Multimodal.MediaRecord(2L, "video", "not a gif".getBytes)).toDS()
+    val got = Multimodal.videoFrameStats(rows, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: nf = 2 + 1 % 4 = 3 frames -> sampled 0, 2; doc 2 drops
+    assert(got.toSet == Set((1L, 0L), (1L, 2L)), got.toList.toString)
+  }
+
   test("audioStats: parse yield — WAV rows decode, garbage rows drop") {
     import graft.ext.Multimodal
     implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
