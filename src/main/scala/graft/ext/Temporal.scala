@@ -90,4 +90,64 @@ object Temporal {
       .groupBy(col("lateness_bucket"))
       .agg(count(lit(1)).as("n_events"))
   }
+
+  /** One CDC op as a typed stream record: `offset` is the log position
+    * (the CDC order), `op` ∈ {I, U, D}. */
+  final case class CdcOp(key: Long, offset: Long, op: String, value: Double)
+
+  /** The net change for a key (x110's output shape). */
+  final case class CdcNet(key: Long, net_op: String,
+      net_value: Option[Double], n_ops: Long)
+
+  private[ext] final case class CdcState(firstOp: String, firstOff: Long,
+      lastOp: String, lastOff: Long, lastValue: Double, n: Long)
+
+  /** Streaming twin of the x110 batch minimizer: per-key
+    * `flatMapGroupsWithState` keeps only (first op, last op, last
+    * value, count) — 40 bytes of state per live key, independent of
+    * how many ops the key has seen — and re-emits the key's current
+    * net change each micro-batch it appears in (Update mode; the sink
+    * upserts by key). First/last resolve by OFFSET comparison, so
+    * out-of-order arrival WITHIN and ACROSS micro-batches converges to
+    * exactly the batch operator's min_by/max_by answer
+    * (TemporalSpec pins equality against a shuffled replay). */
+  def cdcMinimizeStreaming(ds: org.apache.spark.sql.Dataset[CdcOp])
+      : org.apache.spark.sql.Dataset[CdcNet] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    implicit val netEnc = Encoders.product[CdcNet]
+    implicit val stEnc = Encoders.product[CdcState]
+    implicit val keyEnc = Encoders.scalaLong
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[CdcOp], state: GroupState[CdcState]) => {
+          var st = state.getOption.orNull
+          rows.foreach { r =>
+            st =
+              if (st == null)
+                CdcState(r.op, r.offset, r.op, r.offset, r.value, 1L)
+              else {
+                val (fo, ff) =
+                  if (r.offset < st.firstOff) (r.op, r.offset)
+                  else (st.firstOp, st.firstOff)
+                val (lo, lf, lv) =
+                  if (r.offset > st.lastOff) (r.op, r.offset, r.value)
+                  else (st.lastOp, st.lastOff, st.lastValue)
+                CdcState(fo, ff, lo, lf, lv, st.n + 1L)
+              }
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            val netOp =
+              if (st.firstOp == "I" && st.lastOp == "D") "none"
+              else if (st.firstOp == "I") "insert"
+              else if (st.lastOp == "D") "delete"
+              else "update"
+            Iterator.single(CdcNet(key, netOp,
+              if (st.lastOp == "D") None else Some(st.lastValue), st.n))
+          }
+        })
+  }
 }

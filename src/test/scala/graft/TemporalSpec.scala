@@ -57,4 +57,40 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(-1L -> 3L, 1L -> 1L, 2L -> 1L), got)
   }
+
+  test("cdcMinimizeStreaming: shuffled multi-batch replay converges to the batch net") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import Temporal.{CdcOp, CdcNet}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdcmin").toString
+    // key 1: I@0, U@1, U@2 -> insert with value of offset 2
+    // key 2: U@0, D@5     -> delete (value null)
+    // key 3: I@0, D@9     -> none
+    // key 4: U@3, U@7     -> update with value of offset 7
+    // delivered out of order ACROSS two micro-batches: the LAST offsets
+    // land in batch 1, earlier ones in batch 2
+    Seq(CdcOp(1L, 2L, "U", 12.0), CdcOp(2L, 5L, "D", 0.0),
+      CdcOp(3L, 9L, "D", 0.0), CdcOp(4L, 7L, "U", 47.0))
+      .toDF().write.parquet(s"$tmp/in/f1")
+    Seq(CdcOp(1L, 0L, "I", 10.0), CdcOp(1L, 1L, "U", 11.0),
+      CdcOp(2L, 0L, "U", 20.0), CdcOp(3L, 0L, "I", 30.0),
+      CdcOp(4L, 3L, "U", 43.0))
+      .toDF().write.parquet(s"$tmp/in/f2")
+    val schema = spark.read.parquet(s"$tmp/in/f1").schema
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = Temporal.cdcMinimizeStreaming(in.as[CdcOp])
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("cdcmin_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update mode re-emits per batch — the LAST emission per key is the
+    // converged net; pick it via max n_ops
+    val finalNet = spark.table("cdcmin_out").as[CdcNet].collect()
+      .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.n_ops) }
+    assert(finalNet(1L) == CdcNet(1L, "insert", Some(12.0), 3L), finalNet(1L))
+    assert(finalNet(2L) == CdcNet(2L, "delete", None, 2L), finalNet(2L))
+    assert(finalNet(3L) == CdcNet(3L, "none", None, 2L), finalNet(3L))
+    assert(finalNet(4L) == CdcNet(4L, "update", Some(47.0), 2L), finalNet(4L))
+  }
 }
