@@ -3265,7 +3265,55 @@ object ExtQueries {
         |  CAST(sum((doc_id + 7 * x + 13 * y + 53 * f) % 256) AS BIGINT)
         |    AS luma_sum
         |FROM px GROUP BY doc_id, f, w, h
-        |ORDER BY doc_id, frame_no""".stripMargin)
+        |ORDER BY doc_id, frame_no""".stripMargin),
+
+    // Collocation mining (lift over the head vocabulary): which head
+    // tokens co-occur in documents far above chance — integer-exact
+    // lift in basis points, `10000·C·n_ab div (n_a·n_b)`, no float PMI
+    // logs. The quadratic term is bounded by the HEAD VOCAB (≤ 64
+    // tokens/doc enter the self-join), never the corpus vocabulary;
+    // the head list is one TakeOrdered. At 1e10+ docs the lift product
+    // needs DECIMAL(38,0) — noted at the site.
+    "x113_collocation_lift" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val tokd = docs.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val top = tokd.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(64)
+        val filtered = tokd.join(broadcast(top.select(col("tok"))), "tok")
+        val na = filtered.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val cTot = docs.agg(count(lit(1)).as("__c"))
+        filtered.as("x").join(filtered.as("y"), "doc_id")
+          .filter(col("x.tok") < col("y.tok"))
+          .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .join(broadcast(na.select(col("tok").as("a"), col("n").as("n_a"))),
+            "a")
+          .join(broadcast(na.select(col("tok").as("b"), col("n").as("n_b"))),
+            "b")
+          .crossJoin(broadcast(cTot))
+          // BIGINT-safe to ~1e7 docs; DECIMAL(38,0) at crawl scale
+          .select(col("a"), col("b"), col("n_ab"),
+            expr("(10000L * __c * n_ab) div (n_a * n_b)").as("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      """WITH td AS (SELECT doc_id, unnest(list_distinct(
+        |      string_split(text, ' '))) AS tok FROM documents),
+        |top AS (SELECT tok, count(*) AS c FROM td GROUP BY 1
+        |        ORDER BY c DESC, tok LIMIT 64),
+        |f AS (SELECT td.doc_id, td.tok FROM td JOIN top USING (tok)),
+        |na AS (SELECT tok, count(*) AS n FROM f GROUP BY 1),
+        |ct AS (SELECT count(*) AS c FROM documents),
+        |p AS (SELECT x.tok AS a, y.tok AS b, count(*) AS n_ab
+        |      FROM f x JOIN f y ON x.doc_id = y.doc_id AND x.tok < y.tok
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, n_ab,
+        |  (10000 * ct.c * n_ab) // (xa.n * xb.n) AS lift_bp
+        |FROM p JOIN na xa ON p.a = xa.tok JOIN na xb ON p.b = xb.tok, ct
+        |ORDER BY lift_bp DESC, a, b LIMIT 30""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -2247,6 +2247,22 @@ class ExtOpsSpec extends SparkSpec {
       assert(fs.max - fs.min + 1 == fs.length, fs.toList.toString) }
   }
 
+  test("compactionPlan: appending files never re-bins the existing manifest") {
+    // the incrementality contract: next-fit bins depend only on the
+    // PREFIX byte sum, so appended files can extend the last bin or
+    // open new ones but can never move an earlier file — an incremental
+    // compactor re-plans only from the last bin forward
+    val v1 = Seq((1L, 60L), (2L, 60L), (3L, 30L)).toDF("file_id", "bytes")
+    val v2 = v1.unionByName(
+      Seq((4L, 70L), (5L, 90L)).toDF("file_id", "bytes"))
+    def plan(m: org.apache.spark.sql.DataFrame) = graft.ext.Sharding
+      .compactionPlan(m, $"file_id", $"bytes", targetBytes = 100L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("bin"))).toMap
+    val (p1, p2) = (plan(v1), plan(v2))
+    p1.foreach { case (f, b) => assert(p2(f) == b, s"file $f moved") }
+    assert(p2(4L) >= p1.values.max) // appends land at or after the tail
+  }
+
   test("hrwShard: growing k by one moves keys ONLY to the new shard") {
     val df = (0L until 2000L).toDF("k")
     val moves = df.select(
