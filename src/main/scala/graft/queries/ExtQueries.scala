@@ -3313,7 +3313,30 @@ object ExtQueries {
         |SELECT a, b, n_ab,
         |  (10000 * ct.c * n_ab) // (xa.n * xb.n) AS lift_bp
         |FROM p JOIN na xa ON p.a = xa.tok JOIN na xb ON p.b = xb.tok, ct
-        |ORDER BY lift_bp DESC, a, b LIMIT 30""".stripMargin)
+        |ORDER BY lift_bp DESC, a, b LIMIT 30""".stripMargin),
+
+    // ANN approximation-quality audit: recall@5 of a deliberately
+    // under-probed IVF (nProbe=2 of 16 cells) against exact brute
+    // force, per query — the measurement that TUNES nProbe (x13's
+    // naive check proves the IVF implements its spec; this measures
+    // how good the spec's approximation is). n_hits is an integer, so
+    // the audit hash-checks against the independent HOF-arithmetic
+    // naive (x114_naive), no float tolerance.
+    "x114_ann_recall_audit" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 100 === 0)
+        val brute = Similarity.bruteForceTopK(emb, qs,
+            "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("nid"))
+        val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+            k = 5, nCentroids = 16, nProbe = 2)
+          .select(col("qid"), col("nid")).withColumn("hit", lit(1L))
+        brute.join(ivf, Seq("qid", "nid"), "left")
+          .groupBy(col("qid"))
+          .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+          .orderBy(col("qid"))
+      })
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -54,6 +54,7 @@ object NaiveOracles {
     "x02_dedup_minhash_lsh" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
     "x13_ann_ivf" -> (x13 _),
+    "x114_ann_recall_audit" -> (x114 _),
     "x49_semantic_dedup_ivf" -> (x49 _),
     "x51_ann_pq" -> (x51 _),
     "x56_ann_ivfpq" -> (x56 _),
@@ -341,7 +342,11 @@ object NaiveOracles {
     * argmin, probe ranking, scoring and top-k all re-derived with HOF
     * arithmetic — no predict UDF, no broadcast probe join. Mirrors
     * ivfTopK(k=5, nCentroids=16, nProbe=4) over the %100 query sample. */
-  private def x13(s: SparkSession, dir: String): DataFrame = {
+  private def x13(s: SparkSession, dir: String): DataFrame =
+    naiveIvf(s, dir, nProbe = 4)
+
+  private def naiveIvf(s: SparkSession, dir: String,
+      nProbe: Int): DataFrame = {
     val emb = tbl(s, dir, "embeddings")
     val cents = graft.ext.Similarity.ivfCentroids(
       emb, "vec_id", "embedding", nCentroids = 16, seed = 42L)
@@ -368,7 +373,7 @@ object NaiveOracles {
       .withColumn("d2", d2(col("qv"), col("c.cvec")))
     val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
     val probes = queryExp.withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= 4)
+      .filter(col("pr") <= nProbe)
       .select(col("qid"), col("qv"), col("c.cell").as("cell"))
       .withColumn("qn", sqrt(dotH(col("qv"), col("qv"))))
     val scored = assigned.join(probes, "cell")
@@ -378,6 +383,36 @@ object NaiveOracles {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
+  }
+
+  /** Naive x114: recall@5 of the nProbe=2 IVF against exact brute
+    * force, both re-derived with HOF arithmetic (fold dot products,
+    * exploded-literal centroid argmin) — independent of the engine's
+    * native `vector_dot` + broadcast probe join. n_hits is an integer,
+    * so the audit is hash-exact as long as both sides resolve the same
+    * float ordering — which they do, because `vector_dot` documents the
+    * identical left-to-right fold [[dotH]] replays. */
+  private def x114(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val c = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.crossJoin(q)
+      .withColumn("cn", sqrt(dotH(col("cv"), col("cv"))))
+      .withColumn("qn", sqrt(dotH(col("qv"), col("qv"))))
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dotH(col("cv"), col("qv")) / (col("cn") * col("qn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val brute = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("qid"), col("nid"))
+    val ivf = naiveIvf(s, dir, nProbe = 2).select(col("qid"), col("nid"))
+      .withColumn("hit", lit(1L))
+    brute.join(ivf, Seq("qid", "nid"), "left")
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .orderBy(col("qid"))
   }
 
   /** Naive x56: both constants are PUBLISHED seeded artifacts
