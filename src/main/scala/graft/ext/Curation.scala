@@ -1357,4 +1357,23 @@ object Curation {
           when(col("__rk") <= col("__d"), lit(1L)).otherwise(lit(0L)))
           .as("quota"))
   }
+
+  /** The end-to-end eval-set sampler: [[largestRemainderQuotas]]' exact
+    * per-stratum quotas drawn via [[domainCap]]'s portable hash rank —
+    * EXACTLY `total` rows out, proportionally stratified, replay-stable
+    * (same corpus → same sample, no RNG, no ingestion-order bias).
+    * The quota table is strata-sized and broadcasts; the corpus pays
+    * one per-stratum rank window. */
+  def quotaSample(df: DataFrame, idCol: String,
+      strataCol: String, total: Long): DataFrame = {
+    val quotas = largestRemainderQuotas(df, col(strataCol), total)
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol), lit(p)) * lit(2654435761L), lit(p))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas
+        .select(col("stratum").as(strataCol), col("quota"))), strataCol)
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk", "quota")
+  }
 }

@@ -3336,7 +3336,85 @@ object ExtQueries {
           .groupBy(col("qid"))
           .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
           .orderBy(col("qid"))
-      })
+      }),
+
+    // End-to-end eval-set construction: x105's exact quotas drawn by
+    // x25's portable hash rank — EXACTLY 1000 docs out, proportionally
+    // stratified, replay-stable. The sample summary proves both halves
+    // at once: per-source counts equal the quota table, total is
+    // exactly the budget.
+    "x115_quota_sample" -> entry(
+      (s, dir) =>
+        Curation.quotaSample(tbl(s, dir, "documents"),
+            "doc_id", "source", total = 1000L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("min_id"),
+            // order-free integer content check on WHICH docs were drawn
+            sum(col("doc_id")).as("sum_ids"))
+          .orderBy(col("source")),
+      """WITH c AS (SELECT source AS stratum, count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS c FROM c),
+        |b AS (SELECT stratum, n_docs, (1000 * n_docs) // t.c AS base,
+        |    (1000 * n_docs) % t.c AS rem FROM c, t),
+        |d AS (SELECT 1000 - sum(base) AS d FROM b),
+        |q AS (SELECT stratum, base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, stratum) <= d.d
+        |      THEN 1 ELSE 0 END AS quota FROM b, d),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
+        |    AS rk FROM documents)
+        |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id,
+        |  sum(doc_id) AS sum_ids
+        |FROM r JOIN q ON r.source = q.stratum
+        |WHERE rk <= quota GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Conversion-lag percentiles: x107's strict funnel extended with
+    // HOW LONG conversion takes — exact interpolated p50/p90 of the
+    // first-view → first-purchase lag per day (the portable percentile
+    // definition both engines share; inputs are exact integer µs).
+    "x116_conversion_lag" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          to_date(col("ts")).as("d"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("v_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id", "d")).filter(col("us") > col("v_us"))
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("c_us"))
+        val pch = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id", "d")).filter(col("us") > col("c_us"))
+          .groupBy(col("user_id"), col("d")).agg(min(col("us")).as("p_us"))
+        pch.join(v, Seq("user_id", "d"))
+          .select(col("d"), (col("p_us") - col("v_us")).as("lag_us"))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_conversions"),
+            percentile(col("lag_us"), array(lit(0.5), lit(0.9))).as("qs"))
+          .select(col("d"), col("n_conversions"),
+            col("qs").getItem(0).as("lag_p50_us"),
+            col("qs").getItem(1).as("lag_p90_us"))
+          .orderBy(col("d"))
+      },
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, d, min(us) AS v_us FROM e
+        |      WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT e.user_id, e.d, min(e.us) AS c_us FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.d = v.d
+        |      WHERE e.event_type = 'click' AND e.us > v.v_us
+        |      GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, e.d, min(e.us) AS p_us FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.d = c.d
+        |      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        |      GROUP BY 1, 2)
+        |SELECT p.d, count(*) AS n_conversions,
+        |  quantile_cont(p.p_us - v.v_us, 0.5) AS lag_p50_us,
+        |  quantile_cont(p.p_us - v.v_us, 0.9) AS lag_p90_us
+        |FROM p JOIN v ON p.user_id = v.user_id AND p.d = v.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
