@@ -1311,18 +1311,31 @@ object Curation {
     * only shuffle. At 100 TB the encode cost is a single corpus pass. */
   def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val encodedLen: Column = {
-      val perWord: Column => Column = w =>
-        size(merges.foldLeft(split(w, "")) { case (syms, (l, r)) =>
-          contractPair(syms, l, r)
-        })
-      aggregate(transform(split(col(textCol), " "), perWord),
-        lit(0L), (a, n) => a + n)
-    }
+    graft.functions.Functions.register(df.sparkSession)
+    // native codegen'd scan: the HOF form ([[bpeEncodeLenHof]], kept for
+    // the parity spec) interprets a struct-building lambda per symbol
+    // per merge — ~50 closures/word at 8 merges — and was the most
+    // CPU-bound stage on the bench (x93)
+    val encodedLen = call_function("bpe_encode_len", col(textCol),
+      array(merges.map(m => lit(m._1)): _*),
+      array(merges.map(m => lit(m._2)): _*))
     df.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_words"),
       length(col(textCol)).cast("long").as("n_chars_ws"),
       encodedLen.as("n_bpe_tokens"))
+  }
+
+  /** The higher-order-function twin of `bpe_encode_len` — the original
+    * encode fold, retained as the independent parity reference
+    * (ExtOpsSpec pins equality on adversarial inputs). */
+  def bpeEncodeLenHof(textCol: Column,
+      merges: Seq[(String, String)]): Column = {
+    val perWord: Column => Column = w =>
+      size(merges.foldLeft(split(w, "")) { case (syms, (l, r)) =>
+        contractPair(syms, l, r)
+      })
+    aggregate(transform(split(textCol, " "), perWord),
+      lit(0L), (a, n) => a + n)
   }
 
   /** Largest-remainder (Hamilton) integer quota allocation: split a

@@ -102,6 +102,8 @@ object Functions {
       arity("hashed_ngrams", 2)(e => HashedNgrams(e(0), e(1)))),
     ("hashed_ngrams_all", classOf[HashedNgramsAll],
       arity("hashed_ngrams_all", 2)(e => HashedNgramsAll(e(0), e(1)))),
+    ("bpe_encode_len", classOf[BpeEncodeLen],
+      arity("bpe_encode_len", 3)(e => BpeEncodeLen(e(0), e(1), e(2)))),
     // Catalyst ships BloomFilterMightContain for its own runtime join
     // filters but does not expose it in the public FunctionRegistry
     // (only `bloom_filter_agg` is registered). Registering it here gives

@@ -2263,6 +2263,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(p2(4L) >= p1.values.max) // appends land at or after the tail
   }
 
+  test("bpe_encode_len: native scan equals the HOF fold on adversarial inputs") {
+    graft.functions.Functions.register(spark)
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "d"))
+    val texts = Seq(
+      "aaab aab ba", "aaaa", "cdcd ccdd", "", " ", "a  b", "trailing ",
+      " leading", "nomerge words here", "aabaab", "ab" * 20,
+      "unicode héllo åå") ++
+      (1 to 50).map(i => Seq.fill(i % 7 + 1)(
+        ("abcd" * (i % 5 + 1)).drop(i % 3)).mkString(" "))
+    val df = texts.toDF("t")
+    val cmp = df.select(
+      call_function("bpe_encode_len", $"t",
+        array(merges.map(m => lit(m._1)): _*),
+        array(merges.map(m => lit(m._2)): _*)).as("native"),
+      graft.ext.Curation.bpeEncodeLenHof($"t", merges).as("hof"),
+      $"t")
+    cmp.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"mismatch on '${r.getString(2)}': native=${r.get(0)} hof=${r.get(1)}")
+    }
+  }
+
   test("hrwShard: growing k by one moves keys ONLY to the new shard") {
     val df = (0L until 2000L).toDF("k")
     val moves = df.select(
