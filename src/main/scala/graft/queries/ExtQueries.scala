@@ -3414,7 +3414,37 @@ object ExtQueries {
         |  quantile_cont(p.p_us - v.v_us, 0.5) AS lag_p50_us,
         |  quantile_cont(p.p_us - v.v_us, 0.9) AS lag_p90_us
         |FROM p JOIN v ON p.user_id = v.user_id AND p.d = v.d
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // CSV quarantine ingest (x95's sibling for the second wire format):
+    // schema'd PERMISSIVE from_csv; truncated lines surface as ok=false
+    // with null fields — quarantined, never silently dropped, never
+    // failing the batch. The ok gate checks field COUNT too: a
+    // truncated line whose id still parses is caught.
+    "x117_csv_ingest" -> entry(
+      (s, dir) => {
+        val raw = tbl(s, dir, "documents")
+          .withColumn("line",
+            when(col("doc_id") % 13 === 0, // truncated: last field lost
+              concat(col("doc_id"), lit(","), col("lang")))
+              .otherwise(concat(col("doc_id"), lit(","), col("lang"),
+                lit(","), length(col("text")))))
+        graft.sources.TableIO
+          .parseCsv(raw, "line", "id BIGINT, lang STRING, n BIGINT", "id")
+          // quarantined rows expose the RAW line only — PERMISSIVE's
+          // half-parsed fields (id intact, tail null) must not leak as
+          // if they were data
+          .select(col("doc_id"), col("ok"),
+            when(col("ok"), col("parsed.id")).as("id_parsed"),
+            when(col("ok"), col("parsed.lang")).as("lang_parsed"),
+            when(col("ok"), col("parsed.n")).as("n_parsed"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id, doc_id % 13 != 0 AS ok,
+        |  CASE WHEN doc_id % 13 != 0 THEN doc_id END AS id_parsed,
+        |  CASE WHEN doc_id % 13 != 0 THEN lang END AS lang_parsed,
+        |  CASE WHEN doc_id % 13 != 0 THEN length(text) END AS n_parsed
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:

@@ -61,6 +61,23 @@ object TableIO {
       .withColumn("ok", col(s"parsed.$idField").isNotNull)
   }
 
+  /** CSV sibling of [[parseJsonl]]: schema'd `from_csv` in PERMISSIVE
+    * mode — malformed lines surface as `ok = false` with null fields
+    * (quarantine-able), never dropped silently or failing the batch.
+    * `ok` requires BOTH the id field present AND the raw line to have
+    * exactly the schema's column count (PERMISSIVE pads missing
+    * trailing columns with nulls, which id-presence alone can't see
+    * when the id parses but later fields are truncated). */
+  def parseCsv(df: DataFrame, csvCol: String, schema: String,
+      idField: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv, lit, size, split}
+    val st = StructType.fromDDL(schema)
+    df.withColumn("parsed",
+        from_csv(col(csvCol), st, Map("mode" -> "PERMISSIVE")))
+      .withColumn("ok", col(s"parsed.$idField").isNotNull &&
+        size(split(col(csvCol), ",", -1)) === lit(st.size))
+  }
+
   /** JDBC source with explicit parallelism bounds — a boundless JDBC read
     * is one task regardless of cluster size. Untestable in this container
     * (no database), exercised through the shared interface contract. */
