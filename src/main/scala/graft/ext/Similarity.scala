@@ -56,6 +56,51 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rnk"), col("sim"))
   }
 
+  /** Two-stage matryoshka retrieval — the production deployment shape
+    * for prefix-truncatable (MRL-trained) embeddings: stage 1 ranks the
+    * corpus by the cheap `prefixDim`-dim prefix cosine and keeps a
+    * `shortlist`; stage 2 fetches FULL vectors for the shortlist only
+    * and reranks exactly. At scale the prefix rides a separate stored
+    * column (prefixDim/dim of the scan bytes — 16/256 = 16× less memory
+    * bandwidth in stage 1), and full vectors are only ever read for
+    * `shortlist × queries` rows — which is why the stage-1 output
+    * carries ids alone and stage 2 joins the corpus back by id.
+    * x42/x46 audit what truncation loses; this is the operator that
+    * exploits it. */
+  def twoStageTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, prefixDim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    graft.functions.Functions.register(corpus.sparkSession)
+    val cp = corpus.select(col(idCol).as("nid"),
+        slice(col(vecCol).cast("array<double>"), 1, prefixDim).as("cp"))
+      .withColumn("cpn", norm(col("cp")))
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qp", slice(col("qv"), 1, prefixDim))
+      .withColumn("qpn", norm(col("qp")))
+      .withColumn("qn", norm(col("qv")))
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("nid"))
+    val short = cp.crossJoin(broadcast(q))
+      .withColumn("psim", when(col("cpn") * col("qpn") > 0,
+        dot(col("cp"), col("qp")) / (col("cpn") * col("qpn"))))
+      .withColumn("prnk", row_number().over(w1))
+      .filter(col("prnk") <= shortlist)
+      .select(col("qid"), col("nid"), col("qv"), col("qn"))
+    // full vectors fetched for the shortlist ONLY
+    val full = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    short.join(full, "nid")
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("sim", when(col("cn") * col("qn") > 0,
+        dot(col("cv"), col("qv")) / (col("cn") * col("qn"))))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("sim"))
+  }
+
   /** Random-hyperplane LSH signature: bit_p = sign(v · plane_p), planes
     * drawn from a seeded Gaussian. Delegates to the native
     * [[graft.functions.HyperplaneSig]] expression: the plan carries three

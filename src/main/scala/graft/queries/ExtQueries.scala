@@ -3444,7 +3444,37 @@ object ExtQueries {
         |  CASE WHEN doc_id % 13 != 0 THEN doc_id END AS id_parsed,
         |  CASE WHEN doc_id % 13 != 0 THEN lang END AS lang_parsed,
         |  CASE WHEN doc_id % 13 != 0 THEN length(text) END AS n_parsed
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Two-stage matryoshka retrieval: shortlist-50 by the 16-dim prefix
+    // cosine (16x less scan bandwidth with a stored prefix column),
+    // exact full-dim rerank over the shortlist only — the operator that
+    // EXPLOITS the truncation x42/x46 audit. Full vectors are read for
+    // shortlist x queries rows, never the corpus.
+    "x118_twostage_retrieval" -> entry(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.twoStageTopK(emb,
+            emb.filter(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", prefixDim = 16, shortlist = 50, k = 10)
+          .select(col("qid"), col("rnk"), col("nid"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |    (CAST(embedding AS DOUBLE[]))[1:16] AS qp
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
+        |    (CAST(embedding AS DOUBLE[]))[1:16] AS cp FROM embeddings),
+        |s1 AS (SELECT qid, nid, cv, qv, row_number() OVER (
+        |    PARTITION BY qid ORDER BY list_cosine_similarity(cp, qp)
+        |      DESC, nid) AS prnk FROM c, q)
+        |SELECT qid, rnk, nid, round(sim, 4) AS sim FROM (
+        |  SELECT qid, nid, list_cosine_similarity(cv, qv) AS sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS rnk
+        |  FROM s1 WHERE prnk <= 50)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
