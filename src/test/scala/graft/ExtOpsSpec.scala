@@ -2301,6 +2301,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(moves.map(_._1).distinct.length == 8)
   }
 
+  test("hrwShard: the move-only-to-new-shard contract holds for every fleet size") {
+    val df = (0L until 600L).toDF("k")
+    val cols = (1 to 12).map(k =>
+      graft.ext.Sharding.hrwShard($"k", k).as(s"s$k"))
+    val rows = df.select(cols: _*).collect()
+    for (k <- 1 until 12) {
+      val moved = rows.filter(r => r.getLong(k - 1) != r.getLong(k))
+      moved.foreach(r => assert(r.getLong(k) == k.toLong,
+        s"k=$k -> ${k + 1}: mover landed on ${r.getLong(k)}"))
+    }
+  }
+
   test("largestRemainderQuotas: quotas are integers summing exactly to total") {
     val df = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
       Seq.fill(1)("d")

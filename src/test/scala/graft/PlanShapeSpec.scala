@@ -210,6 +210,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"got $exchanges:\n${p.take(2500)}")
   }
 
+  test("x104 HRW re-sharding is scan-local — no joins, one count agg") {
+    val p = executedPlan(query("x104_hrw_resharding"))
+      .split("== Initial Plan ==").head
+    // both shard argmaxes are pure column algebra over one scan
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2500))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"got $exchanges:\n${p.take(2500)}")
+  }
+
+  test("x115 quota sample: quota table broadcasts, corpus pays one rank window") {
+    val p = executedPlan(query("x115_quota_sample"))
+      .split("== Initial Plan ==").head
+    // the quota join must be broadcast — the corpus must NOT shuffle to
+    // meet a strata-sized table
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
