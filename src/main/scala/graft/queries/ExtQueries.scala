@@ -3474,7 +3474,42 @@ object ExtQueries {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY list_cosine_similarity(cv, qv) DESC, nid) AS rnk
         |  FROM s1 WHERE prnk <= 50)
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+
+    // Per-DIMENSION int8 quantization error: x40 grades per-vector
+    // fidelity; this finds WHICH dimensions drive the error — the input
+    // to a mixed-precision layout (keep hot dims fp16, quantize the
+    // rest). Same portable round-half-up code as x40; per-dim MAX of
+    // identical IEEE doubles is order-free, so no output rounding is
+    // needed. Scan-local posexplode + one dim-keyed aggregation.
+    "x119_dim_quant_audit" -> entry(
+      (s, dir) => {
+        val b = tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("mx", array_max(transform(col("v"),
+            x => abs(x))))
+          .filter(col("mx") > 0)
+          .withColumn("err", expr(
+            """transform(v, (x, i) ->
+              |  abs(floor(x * 127 / mx + 0.5d) * mx / 127 - x))"""
+              .stripMargin))
+        b.select(posexplode(col("err")).as(Seq("dim", "e")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n_vecs"), max(col("e")).as("max_abs_err"))
+          .orderBy(col("dim"))
+      },
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM b
+        |  WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |e AS (SELECT unnest(list_transform(range(1, len(v) + 1),
+        |      i -> abs(floor(v[i] * 127 / mx + 0.5) * mx / 127 - v[i])))
+        |      AS e,
+        |    unnest(range(0, len(v))) AS dim FROM q)
+        |SELECT dim, count(*) AS n_vecs, max(e) AS max_abs_err
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
