@@ -3509,6 +3509,45 @@ object ExtQueries {
         |      AS e,
         |    unnest(range(0, len(v))) AS dim FROM q)
         |SELECT dim, count(*) AS n_vecs, max(e) AS max_abs_err
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Experiment readout: users deterministically bucketed by the x25
+    // portable hash (NOT user_id parity — sequential ids correlate with
+    // signup cohorts), per-variant conversion and exact DECIMAL value;
+    // integer basis-point rates, no float division in outputs. The
+    // hash-bucket assignment is the same replay-stable primitive the
+    // samplers use — an experiment framework needs nothing more from
+    // the engine.
+    "x120_ab_readout" -> entry(
+      (s, dir) => {
+        val p = 1000000007L
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          col("event_type"), col("value"),
+          (pmod(pmod(col("user_id"), lit(p)) * lit(2654435761L), lit(p)) % 2)
+            .as("variant"))
+        ev.groupBy(col("variant"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("event_type") === "purchase",
+              col("user_id"))).as("n_converted"),
+            sum(when(col("event_type") === "purchase",
+              col("value").cast("decimal(18,2)"))).cast("double")
+              .as("purchase_value"))
+          .select(col("variant"), col("n_users"), col("n_converted"),
+            expr("(10000 * n_converted) div n_users").as("conversion_bp"),
+            col("purchase_value"))
+          .orderBy(col("variant"))
+      },
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    ((user_id % 1000000007) * 2654435761) % 1000000007 % 2
+        |      AS variant FROM events)
+        |SELECT variant, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN event_type = 'purchase'
+        |    THEN user_id END) AS n_converted,
+        |  (10000 * count(DISTINCT CASE WHEN event_type = 'purchase'
+        |    THEN user_id END)) // count(DISTINCT user_id) AS conversion_bp,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS purchase_value
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
