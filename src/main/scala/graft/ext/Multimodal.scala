@@ -85,8 +85,11 @@ object Multimodal {
   private[graft] def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
     if (bytes == null || bytes.length == 0) return None
     try {
+      // memory-cached stream — ImageIO.read(InputStream) would write a
+      // disk cache file per image (see decodeGifFrames)
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)): javax.imageio.stream.ImageInputStream)
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -306,7 +309,10 @@ object Multimodal {
     if (!it.hasNext) return None
     val reader = it.next()
     try {
-      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      // memory-cached stream, NOT ImageIO.createImageInputStream: the
+      // factory default writes a disk cache file per clip (the classic
+      // ImageIO throughput trap — measured dominating the x112 scan)
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes)))
       val n = reader.getNumImages(true)
       if (n <= 0) return None // magic matched but no decodable frame
@@ -342,34 +348,40 @@ object Multimodal {
     val grays = Array.tabulate(256)(_.toByte)
     val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    // memory-cached, not the disk-cache-file factory default (see
+    // decodeGifFrames)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       w.setOutput(ios)
       w.prepareWriteSequence(null)
+      // interlace OFF via image metadata: the JDK writer interlaces by
+      // default and mis-encodes frames shorter than the interlace pass
+      // spacing (observed: height ≤ 4 rows come back permuted/zeroed) —
+      // progressive row order round-trips every size. Metadata depends
+      // only on the image TYPE, so the DOM edit runs once per clip, not
+      // per frame (it dominated encode cost on the bench).
+      val p = w.getDefaultWriteParam
+      val proto = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val md = w.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(proto), p)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt)
+      var c = tree.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == "ImageDescriptor")
+          c.asInstanceOf[org.w3c.dom.Element]
+            .setAttribute("interlaceFlag", "FALSE")
+        c = c.getNextSibling
+      }
+      md.setFromTree(fmt, tree)
       for (f <- 0 until frames) {
         val img = new java.awt.image.BufferedImage(width, height,
           java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
         val raster = img.getRaster
         for (y <- 0 until height; x <- 0 until width)
           raster.setSample(x, y, 0, px(x, y, f) & 0xff)
-        // interlace OFF via image metadata: the JDK writer interlaces
-        // by default and mis-encodes frames shorter than the interlace
-        // pass spacing (observed: height ≤ 4 rows come back permuted/
-        // zeroed) — progressive row order round-trips every size
-        val p = w.getDefaultWriteParam
-        val md = w.getDefaultImageMetadata(
-          new javax.imageio.ImageTypeSpecifier(img), p)
-        val fmt = "javax_imageio_gif_image_1.0"
-        val tree = md.getAsTree(fmt)
-        var c = tree.getFirstChild
-        while (c != null) {
-          if (c.getNodeName == "ImageDescriptor")
-            c.asInstanceOf[org.w3c.dom.Element]
-              .setAttribute("interlaceFlag", "FALSE")
-          c = c.getNextSibling
-        }
-        md.setFromTree(fmt, tree)
         w.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
       }
       w.endWriteSequence()
