@@ -1028,32 +1028,20 @@ object Curation {
   def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
       divisor: Int = 16): DataFrame = {
     require(divisor >= 2)
-    val p = 1000000007L
-    // Single O(n) fold per document: hash each word ONCE as it streams
-    // by and close the running chunk when the residue hits zero. The
-    // earlier index-based form (`filter(sequence(1, n), i ->
-    // element_at(__h, i) % d = 0)` over a separately-projected hash
-    // array) re-evaluated the full per-word hash transform for every
-    // boundary probe once the optimizer inlined `__h` into the lambda —
-    // O(n²·wordlen) per doc, 54 s for this one query at sf0.1. The fold
-    // keeps hashing, boundary detection, and chunk assembly in one
-    // scan-local pass (9× faster, bit-identical output).
+    // History: the index-based form (`filter(sequence(1, n), ...)`) was
+    // O(n²·wordlen) per doc — 54 s at sf0.1; the HOF fold fixed the
+    // complexity (one streaming pass, ~2.5 s); the native `cdc_chunks`
+    // scan removes the interpreter (the fold evaluated each word's char
+    // hash once per struct BRANCH) — sub-second, bit-identical at every
+    // step (parity spec + unchanged oracle).
+    graft.functions.Functions.register(df.sparkSession)
+    // native scan (one rolling hash per word); the interpreted HOF twin
+    // lives in [[cdcChunksHof]] for the parity spec — it re-evaluated
+    // the per-word char hash once per struct BRANCH through the
+    // interpreter and cost ~2.5 s at sf0.1 vs sub-second native
     val chunks = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__w"))
-      .withColumn("__ch", expr(
-        s"""aggregate(__w,
-           |  named_struct('chs', cast(array() as array<string>), 'cur', ''),
-           |  (st, w) -> named_struct(
-           |    'chs', if(aggregate(split(w, ''), 0L,
-           |         (a, c) -> (a * 31 + ascii(c)) % $p) % $divisor = 0,
-           |       concat(st.chs, array(
-           |         if(st.cur = '', w, concat(st.cur, ' ', w)))),
-           |       st.chs),
-           |    'cur', if(aggregate(split(w, ''), 0L,
-           |         (a, c) -> (a * 31 + ascii(c)) % $p) % $divisor = 0,
-           |       '', if(st.cur = '', w, concat(st.cur, ' ', w)))),
-           |  st -> if(st.cur = '', st.chs, concat(st.chs, array(st.cur))))
-           |""".stripMargin))
+      .select(col(idCol).as("doc_id"),
+        call_function("cdc_chunks", col(textCol), lit(divisor)).as("__ch"))
       .select(col("doc_id"), posexplode(col("__ch")).as(Seq("cidx", "chunk")))
     chunks
       .withColumn("ch", graft.ext.TextAnalysis.fingerprint(col("chunk")))
@@ -1323,6 +1311,28 @@ object Curation {
       size(split(col(textCol), " ")).cast("long").as("n_words"),
       length(col(textCol)).cast("long").as("n_chars_ws"),
       encodedLen.as("n_bpe_tokens"))
+  }
+
+  /** The higher-order-function twin of `cdc_chunks` — the original
+    * chunking fold, retained as the independent parity reference
+    * (ExtOpsSpec pins equality on adversarial inputs). Takes the text
+    * COLUMN NAME (the fold is an `expr` string). */
+  def cdcChunksHof(textColName: String, divisor: Int): Column = {
+    val p = 1000000007L
+    expr(
+      s"""aggregate(split($textColName, ' '),
+         |  named_struct('chs', cast(array() as array<string>), 'cur', ''),
+         |  (st, w) -> named_struct(
+         |    'chs', if(aggregate(split(w, ''), 0L,
+         |         (a, c) -> (a * 31 + ascii(c)) % $p) % $divisor = 0,
+         |       concat(st.chs, array(
+         |         if(st.cur = '', w, concat(st.cur, ' ', w)))),
+         |       st.chs),
+         |    'cur', if(aggregate(split(w, ''), 0L,
+         |         (a, c) -> (a * 31 + ascii(c)) % $p) % $divisor = 0,
+         |       '', if(st.cur = '', w, concat(st.cur, ' ', w)))),
+         |  st -> if(st.cur = '', st.chs, concat(st.chs, array(st.cur))))
+         |""".stripMargin)
   }
 
   /** The higher-order-function twin of `bpe_encode_len` — the original

@@ -104,6 +104,8 @@ object Functions {
       arity("hashed_ngrams_all", 2)(e => HashedNgramsAll(e(0), e(1)))),
     ("bpe_encode_len", classOf[BpeEncodeLen],
       arity("bpe_encode_len", 3)(e => BpeEncodeLen(e(0), e(1), e(2)))),
+    ("cdc_chunks", classOf[CdcChunks],
+      arity("cdc_chunks", 2)(e => CdcChunks(e(0), e(1)))),
     // Catalyst ships BloomFilterMightContain for its own runtime join
     // filters but does not expose it in the public FunctionRegistry
     // (only `bloom_filter_agg` is registered). Registering it here gives

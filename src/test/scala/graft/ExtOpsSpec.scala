@@ -2301,6 +2301,27 @@ class ExtOpsSpec extends SparkSpec {
     assert(moves.map(_._1).distinct.length == 8)
   }
 
+  test("cdc_chunks: native scan equals the HOF fold on adversarial inputs") {
+    graft.functions.Functions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running",
+      "", " ", "a", "a  b", "trailing ", " leading", "unicode héllo åå",
+      "x " * 40) ++
+      (1 to 60).map(i => (1 to (i % 25 + 1)).map(j =>
+        s"w${(i * j) % 13}").mkString(" "))
+    val df = texts.toDF("t")
+    for (d <- Seq(2, 4, 16)) {
+      val cmp = df.select(
+        call_function("cdc_chunks", $"t", lit(d)).as("native"),
+        graft.ext.Curation.cdcChunksHof("t", d).as("hof"), $"t")
+      cmp.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"d=$d mismatch on '${r.getString(2)}': " +
+            s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("hrwShard: the move-only-to-new-shard contract holds for every fleet size") {
     val df = (0L until 600L).toDF("k")
     val cols = (1 to 12).map(k =>
