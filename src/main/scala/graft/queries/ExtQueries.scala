@@ -2784,9 +2784,16 @@ object ExtQueries {
     // deterministic intermediate-state contract whatever the diameter.
     "x98_components_lp" -> entry(
       (s, dir) =>
+        // checkpointEvery=1: LP's round subtree (undirected-closure
+        // union+distinct) is heavy enough that truncating lineage every
+        // round beats re-analysis (measured ~2.9 s vs ~4.8 s at cp=2,
+        // 5.5 s never) — PageRank's lighter round is the opposite and
+        // keeps the default. Cost: one vertex-state checkpoint per
+        // round held in executor storage for the query's lifetime.
         graft.ext.Graphs.labelPropagation(
             graft.ext.Graphs.syntheticEdges(
-              tbl(s, dir, "documents"), "doc_id"), iters = 5)
+              tbl(s, dir, "documents"), "doc_id"), iters = 5,
+            checkpointEvery = 1)
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_vertices"), min(col("id")).as("min_id"),
             max(col("id")).as("max_id"))
