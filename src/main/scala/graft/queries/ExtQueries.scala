@@ -3555,7 +3555,49 @@ object ExtQueries {
         |  CAST(sum(CASE WHEN event_type = 'purchase'
         |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
         |    AS purchase_value
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Dedup threshold sweep: how many near-dup pairs would each Jaccard
+    // threshold remove — the tuning curve for θ, from ONE pass over the
+    // blocked pairs (x04's block shape; the 100 TB form swaps in x02's
+    // LSH candidates). Bands are EXACT integer deciles of the rational
+    // Jaccard — `(10·|∩|) div |∪|` — so no float threshold comparison
+    // anywhere; the cumulative runs over the 11-row band table.
+    "x121_dedup_threshold_sweep" -> entry(
+      (s, dir) => {
+        graft.functions.Functions.register(s)
+        val t = tbl(s, dir, "documents").select(col("doc_id"),
+          col("source"),
+          array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+        val inter = call_function("sorted_intersect_size",
+          col("a.toks"), col("b.toks"))
+        val pairs = t.as("a").join(t.as("b"),
+            col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(inter.as("i"),
+            (size(col("a.toks")) + size(col("b.toks"))).cast("long").as("ss"))
+          .filter(col("i") > 0)
+          .select(expr("(10L * i) div (ss - i)").as("band"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("band").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        pairs.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+          .withColumn("cum_at_or_above", sum(col("n_pairs")).over(w))
+          .orderBy(col("band"))
+      },
+      """WITH t AS (SELECT doc_id, source,
+        |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT len(list_intersect(a.toks, b.toks)) AS i,
+        |    len(a.toks) + len(b.toks) AS ss
+        |  FROM t a JOIN t b ON a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) > 0),
+        |b AS (SELECT (10 * i) // (ss - i) AS band, count(*) AS n_pairs
+        |      FROM p GROUP BY 1)
+        |SELECT band, n_pairs, sum(n_pairs) OVER (ORDER BY band DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
+        |FROM b ORDER BY band""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
