@@ -103,6 +103,7 @@ object TextSearch {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
     val toks = df.select(col(idCol).as("nid"),
       split(col(textCol), " ").as("tk"))
     // exact integer count/sum — the derived avgdl is deterministic and
@@ -115,14 +116,29 @@ object TextSearch {
     if (st.getLong(0) == 0) return emptyResult(toks)
     val (nDocs, totalTokens) = (st.getLong(0), st.getLong(1))
     // the query-term set is driver-side data — prune scan-locally, no
-    // join: an arrays_overlap prefilter skips whole non-matching docs
-    // before the explode, an isin keeps only matching postings after.
-    // dl rides along as a grouping column (constant per nid), so scoring
-    // needs no corpus join either.
+    // join: a prefilter skips whole non-matching docs before the
+    // explode, an isin keeps only matching postings after. The
+    // prefilter is a MERGE WALK (`sorted_intersect_size` over the
+    // sorted doc tokens and the sorted term literal), not
+    // `arrays_overlap`: overlap is a nested loop — terms × tokens
+    // compares per document (~190M string compares at sf0.1 for x68's
+    // 250-term batch) — where the walk is linear in tokens + terms.
+    // Wall-clock at sf0.1 is UNCHANGED (the prefilter was never the
+    // bottleneck there; A/B'd both ways) — this is a complexity fix
+    // for large standing term sets, where the nested loop grows with
+    // terms and the walk does not. dl rides along as a grouping
+    // column (constant per nid), so scoring needs no corpus join.
     val qterms = queries.flatMap(_._2.split(" ")).distinct
+    // sorted by UTF8String BINARY order (the walk's contract), which
+    // differs from Java's UTF-16 String order beyond ASCII. Doc-side
+    // DUPLICATE tokens are fine here: the walk's dedup contract
+    // affects exact counts, never first-match existence (> 0)
+    val qtermsSorted = qterms.sortWith((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     val tf = toks
-      .filter(arrays_overlap(col("tk"),
-        array(qterms.map(lit).toIndexedSeq: _*)))
+      .filter(call_function("sorted_intersect_size", sort_array(col("tk")),
+        array(qtermsSorted.map(lit).toIndexedSeq: _*)) > 0)
       .select(col("nid"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))
       .filter(col("tok").isin(qterms: _*))
