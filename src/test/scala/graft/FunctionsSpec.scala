@@ -225,6 +225,11 @@ class FunctionsSpec extends SparkSpec {
       Literal(1), Literal(2), Literal(3), Literal(4L))
     assert(reg.lookupFunction(FunctionIdentifier("hyperplane_sig"), args4)
       .isInstanceOf[graft.functions.HyperplaneSig])
+    val args3 = args4.take(3)
+    assert(reg.lookupFunction(FunctionIdentifier("bpe_encode_len"), args3)
+      .isInstanceOf[graft.functions.BpeEncodeLen])
+    assert(reg.lookupFunction(FunctionIdentifier("cdc_chunks"), args)
+      .isInstanceOf[graft.functions.CdcChunks])
     // wrong arity reports a usable error, not IndexOutOfBoundsException
     val err = intercept[Exception] {
       reg.lookupFunction(FunctionIdentifier("hyperplane_sig"), args)
