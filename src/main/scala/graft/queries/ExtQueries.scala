@@ -3597,7 +3597,92 @@ object ExtQueries {
         |      FROM p GROUP BY 1)
         |SELECT band, n_pairs, sum(n_pairs) OVER (ORDER BY band DESC
         |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
-        |FROM b ORDER BY band""".stripMargin)
+        |FROM b ORDER BY band""".stripMargin),
+
+    // Join-size estimation WITHOUT running the join: |A ⋈ B on k| =
+    // Σ_k n_A(k)·n_B(k), computable exactly from the per-key COUNT
+    // tables — one row per distinct key instead of the join's output
+    // rows. Here the self-join shape (Σ n²) that sizes per-user pair
+    // work before x86-style sessionization; top contributors are the
+    // keys x90's skew audit would salt. The count table is the ONLY
+    // thing that shuffles.
+    "x122_join_size_estimate" -> entry(
+      (s, dir) => {
+        val counts = tbl(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+          .withColumn("pairs", col("n_rows") * col("n_rows"))
+        val tot = counts.agg(sum(col("pairs")).as("__t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pairs").desc, col("user_id"))
+        counts.crossJoin(broadcast(tot))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("rnk").cast("long").as("rnk"), col("user_id"),
+            col("n_rows"), col("pairs"),
+            expr("(10000 * pairs) div __t").as("share_bp"),
+            col("__t").as("total_join_rows"))
+          .orderBy(col("rnk"))
+      },
+      """WITH c AS (SELECT user_id, count(*) AS n_rows,
+        |    count(*) * count(*) AS pairs FROM events GROUP BY 1),
+        |t AS (SELECT sum(pairs) AS t FROM c)
+        |SELECT rnk, user_id, n_rows, pairs,
+        |  (10000 * pairs) // t.t AS share_bp, t.t AS total_join_rows
+        |FROM (SELECT *, row_number() OVER (ORDER BY pairs DESC, user_id)
+        |      AS rnk FROM c) r, t
+        |WHERE rnk <= 5 ORDER BY rnk""".stripMargin),
+
+    // Trailing-window robust anomaly flags on a daily metric: each
+    // day's purchase total vs the median/MAD of the PRIOR 7 days —
+    // x89's heavy-tail-proof gate on a rolling axis (one bad day
+    // can't poison the baseline that judges the next). The corpus
+    // aggregates to the DAILY table first; the trailing window runs
+    // over day-count rows, where a single-partition frame is free.
+    // Medians from exact DECIMAL-derived doubles; halving and abs are
+    // IEEE-exact, so no output rounding.
+    "x123_daily_anomaly" -> entry(
+      (s, dir) => {
+        val daily = tbl(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("v"))
+        def med(l: String) =
+          s"""CASE WHEN size($l) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+             |  (element_at(array_sort($l),
+             |     CAST((size($l) + 1) div 2 AS INT)) +
+             |   element_at(array_sort($l),
+             |     CAST(size($l) div 2 + 1 AS INT))) / 2
+             |END""".stripMargin
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+          .rowsBetween(-7, -1)
+        daily.withColumn("L", collect_list(col("v")).over(w))
+          .withColumn("med", expr(med("L")))
+          .withColumn("mad",
+            expr(med("transform(L, x -> abs(x - med))")))
+          .select(col("d"), col("v"), col("med"), col("mad"),
+            (col("mad") > 0 &&
+              abs(col("v") - col("med")) > lit(3.0) * col("mad"))
+              .as("flag"))
+          .orderBy(col("d"))
+      },
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |win AS (SELECT d, v, list(v) OVER (ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS L FROM daily),
+        |m AS (SELECT d, v, L, CASE WHEN len(L) = 0 THEN NULL ELSE
+        |    (list_sort(L)[(len(L) + 1) // 2] +
+        |     list_sort(L)[len(L) // 2 + 1]) / 2 END AS med FROM win),
+        |mm AS (SELECT d, v, med,
+        |    CASE WHEN len(L) = 0 THEN NULL ELSE
+        |      (list_sort(list_transform(L, x -> abs(x - med)))
+        |         [(len(L) + 1) // 2] +
+        |       list_sort(list_transform(L, x -> abs(x - med)))
+        |         [len(L) // 2 + 1]) / 2 END AS mad FROM m)
+        |SELECT d, v, med, mad,
+        |  (mad > 0 AND abs(v - med) > 3 * mad) AS flag
+        |FROM mm ORDER BY d""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
