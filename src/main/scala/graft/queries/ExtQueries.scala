@@ -3682,7 +3682,55 @@ object ExtQueries {
         |         [len(L) // 2 + 1]) / 2 END AS mad FROM m)
         |SELECT d, v, med, mad,
         |  (mad > 0 AND abs(v - med) > 3 * mad) AS flag
-        |FROM mm ORDER BY d""".stripMargin)
+        |FROM mm ORDER BY d""".stripMargin),
+
+    // Vocabulary coverage curve: corpus token mass covered by the top
+    // 2^k vocabulary entries, per k — the plot that picks a tokenizer
+    // vocab size. Frequency rank comes from the DISTRIBUTED global
+    // rank (range-partition + zipWithIndex — x82's primitive), never a
+    // single-task window over the vocabulary (millions of rows at
+    // crawl scale); power-of-two buckets via integer bit length; the
+    // cumulative runs over the ~20 bucket rows.
+    "x124_vocab_coverage" -> entry(
+      (s, dir) => {
+        val tf = tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) >= 1)
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val ranked = Sharding.globalRowNumber(tf,
+          Seq(col("cnt").desc, col("tok")))
+        val buckets = ranked
+          .select((length(bin(col("rn"))) - 1).cast("long").as("k"),
+            col("cnt"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("mass"))
+        val tot = buckets.agg(sum(col("mass")).as("__t"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        buckets.crossJoin(broadcast(tot))
+          .withColumn("cum_mass", sum(col("mass")).over(w))
+          .select(col("k"), expr("CAST(pow(2, k + 1) - 1 AS BIGINT)")
+              .as("vocab_size"),
+            col("n_tokens"), col("mass"), col("cum_mass"),
+            expr("(10000 * cum_mass) div __t").as("coverage_bp"))
+          .orderBy(col("k"))
+      },
+      """WITH tf AS (SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE length(tok) >= 1 GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+        |      AS rn FROM tf),
+        |b AS (SELECT length(bin(rn)) - 1 AS k, count(*) AS n_tokens,
+        |      sum(cnt) AS mass FROM r GROUP BY 1),
+        |t AS (SELECT sum(mass) AS t FROM b)
+        |SELECT k, CAST(pow(2, k + 1) - 1 AS BIGINT) AS vocab_size,
+        |  n_tokens, mass,
+        |  sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |    AS cum_mass,
+        |  (10000 * sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING))
+        |    // t.t AS coverage_bp
+        |FROM b, t ORDER BY k""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
