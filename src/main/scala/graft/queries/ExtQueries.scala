@@ -3730,8 +3730,77 @@ object ExtQueries {
         |    AS cum_mass,
         |  (10000 * sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING))
         |    // t.t AS coverage_bp
-        |FROM b, t ORDER BY k""".stripMargin)
+        |FROM b, t ORDER BY k""".stripMargin),
+
+    // Code-switching detector: language-ID each HALF of a document and
+    // flag mismatches — the mixed-language signal whole-doc ID (x08)
+    // structurally misses, because one half's markers win the vote for
+    // the whole. Every 10th doc additionally concatenates its
+    // successor (successor via an equi-join on doc_id + 1 — no global
+    // window) to exercise the doc-boundary-straddling case. On this
+    // synthetic corpus (English-ish text under every label) the
+    // off-diagonal mass is en↔und half disagreement — the same
+    // asymmetric-marker-density signal that flags true cross-language
+    // halves on real data. Output: (first-half, second-half) matrix.
+    "x125_code_switching" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("next_text"))
+        val mixed = docs.join(nxt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0 && col("next_text").isNotNull,
+              concat(col("text"), lit(" "), col("next_text")))
+              .otherwise(col("text")).as("mx"))
+          .withColumn("tk", split(col("mx"), " "))
+          .withColumn("h1", concat_ws(" ",
+            expr("slice(tk, 1, CAST(size(tk) div 2 AS INT))")))
+          .withColumn("h2", concat_ws(" ",
+            expr("slice(tk, CAST(size(tk) div 2 + 1 AS INT), " +
+              "CAST(size(tk) - size(tk) div 2 AS INT))")))
+        mixed.select(
+            TextAnalysis.langId(col("h1")).as("lang_a"),
+            TextAnalysis.langId(col("h2")).as("lang_b"))
+          .groupBy(col("lang_a"), col("lang_b"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang_a"), col("lang_b"))
+      },
+      s"""WITH nx AS (SELECT doc_id - 1 AS doc_id, text AS next_text
+        |            FROM documents),
+        |m AS (SELECT d.doc_id, CASE WHEN d.doc_id % 10 = 0
+        |        AND nx.next_text IS NOT NULL
+        |      THEN d.text || ' ' || nx.next_text ELSE d.text END AS mx
+        |  FROM documents d LEFT JOIN nx ON d.doc_id = nx.doc_id),
+        |h AS (SELECT doc_id, string_split(mx, ' ') AS tk FROM m),
+        |l AS (SELECT doc_id,
+        |    ${langCaseSql("(tk[1 : CAST(len(tk) // 2 AS BIGINT)])")} AS lang_a,
+        |    ${langCaseSql("(tk[CAST(len(tk) // 2 + 1 AS BIGINT) : len(tk)])")}
+        |      AS lang_b
+        |  FROM h)
+        |SELECT lang_a, lang_b, count(*) AS n_docs FROM l
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
+
+  /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
+    * expression (x08's CASE, shared by the half-doc forms): the CASE
+    * order mirrors the struct desc sort's tie rule (score desc, then
+    * lang desc). */
+  private def langCaseSql(tk: String): String = {
+    def f(ws: Seq[String]) =
+      s"len(list_filter($tk, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    val en = f(Seq("the", "and", "of", "is", "a"))
+    val de = f(Seq("der", "die", "das", "und", "ist"))
+    val fr = f(Seq("le", "la", "et", "est", "les"))
+    val es = f(Seq("el", "la", "y", "es", "los"))
+    val zh = f(Seq("de", "shi", "le", "zai", "he"))
+    val g = s"greatest($en, $de, $fr, $es, $zh)"
+    s"""CASE WHEN $g = 0 THEN 'und'
+       | WHEN $zh = $g THEN 'zh'
+       | WHEN $fr = $g THEN 'fr'
+       | WHEN $es = $g THEN 'es'
+       | WHEN $en = $g THEN 'en'
+       | ELSE 'de' END""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ext.Sharding.zOrderKey]] for two dims:
     * bit i of `x` lands at 2i, of `y` at 2i+1 — integer sum of
