@@ -3778,7 +3778,56 @@ object ExtQueries {
         |      AS lang_b
         |  FROM h)
         |SELECT lang_a, lang_b, count(*) AS n_docs FROM l
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Last-touch attribution with a 7-day window: each purchase credits
+    // the LATEST view at or before it within 7 days. ONE per-user
+    // running-max window over the interleaved view/purchase stream —
+    // views sort before purchases at equal timestamps, so a
+    // same-instant view attributes — instead of the purchases×views
+    // range join whose fan-out is unbounded at 100 TB. Revenue by
+    // attribution day, exact DECIMAL; 'none' = outside every window.
+    "x126_last_touch_attribution" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"),
+            when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us"), col("kind"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        ev.withColumn("lv_us",
+            max(when(col("kind") === 0, col("us"))).over(w))
+          .filter(col("kind") === 1)
+          .select(
+            when(col("lv_us").isNotNull &&
+              col("us") - col("lv_us") <= 7L * 86400000000L,
+              expr("CAST(to_date(timestamp_micros(lv_us)) AS STRING)"))
+              .otherwise("none").as("attr_day"),
+            col("value"))
+          .groupBy(col("attr_day"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+          .orderBy(col("attr_day"))
+      },
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |r AS (SELECT *, max(CASE WHEN kind = 0 THEN us END) OVER (
+        |    PARTITION BY user_id ORDER BY us, kind, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS lv_us FROM e)
+        |SELECT CASE WHEN lv_us IS NOT NULL
+        |    AND us - lv_us <= 7 * 86400000000
+        |  THEN CAST(CAST(make_timestamp(lv_us) AS DATE) AS VARCHAR)
+        |  ELSE 'none' END AS attr_day,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM r WHERE kind = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
