@@ -3827,7 +3827,91 @@ object ExtQueries {
         |  count(*) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM r WHERE kind = 1
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Referential-integrity audit across the TPC-H relationship chain:
+    // orphan rate per FK edge (child rows whose parent key is missing)
+    // via LEFT ANTI joins — the data-quality gate before any join-based
+    // pipeline trusts its keys. Each edge is one anti join on its key;
+    // integer basis-point rates. (The synthetic data is clean — zero
+    // orphans IS the assertion; a real lake run flags rot here first.)
+    "x127_fk_integrity" -> entry(
+      (s, dir) => {
+        def edge(name: String,
+            child: org.apache.spark.sql.DataFrame, childKey: String,
+            parent: org.apache.spark.sql.DataFrame,
+            parentKey: String) = {
+          val n = child.count()
+          val orphans = child
+            .join(parent.select(col(parentKey).as(childKey)).distinct(),
+              Seq(childKey), "left_anti").count()
+          (name, n, orphans)
+        }
+        val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
+        val n4 = tbl(s, dir, "nation")
+        val rows = Seq(
+          edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+          edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+          edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+          edge("customer->nation", c, "c_nationkey", n4, "n_nationkey"),
+          edge("supplier->nation", su, "s_nationkey", n4, "n_nationkey"))
+        import s.implicits._
+        rows.toDF("edge", "n_children", "n_orphans")
+          .withColumn("orphan_bp",
+            expr("(10000 * n_orphans) div n_children"))
+          .orderBy(col("edge"))
+      },
+      """WITH u AS (
+        |  SELECT 'lineitem->orders' AS edge, count(*) AS n_children,
+        |    count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', count(*),
+        |    count(*) FILTER (WHERE s_suppkey IS NULL)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders->customer', count(*),
+        |    count(*) FILTER (WHERE c_custkey IS NULL)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'customer->nation', count(*),
+        |    count(*) FILTER (WHERE n_nationkey IS NULL)
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier->nation', count(*),
+        |    count(*) FILTER (WHERE n_nationkey IS NULL)
+        |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT edge, n_children, n_orphans,
+        |  (10000 * n_orphans) // n_children AS orphan_bp
+        |FROM u ORDER BY edge""".stripMargin),
+
+    // SCD2 version table from the append-only log: each event opens a
+    // version valid [ts, next_ts) per key — x100's interval derivation
+    // MATERIALIZED as the warehouse's slowly-changing-dimension build.
+    // One per-key window; the open (current) version carries a null
+    // valid_to. Sampled to every 20th user for a bounded output.
+    "x128_scd2_versions" -> entry(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        tbl(s, dir, "events").filter(col("user_id") % 20 === 0)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("ver", row_number().over(w).cast("long"))
+          .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+          .select(col("user_id"), col("ver"), col("event_type"),
+            col("us").as("valid_from_us"), col("valid_to_us"))
+          .orderBy(col("user_id"), col("ver"))
+      },
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS ver, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us
+        |FROM events WHERE user_id % 20 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ver""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
