@@ -3911,7 +3911,83 @@ object ExtQueries {
         |  lead(epoch_us(ts)) OVER w AS valid_to_us
         |FROM events WHERE user_id % 20 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |ORDER BY user_id, ver""".stripMargin)
+        |ORDER BY user_id, ver""".stripMargin),
+
+    // Time-to-conversion curve: days from a user's first signup to
+    // their first purchase AFTER it, with never-converted users kept
+    // as the censored row (offset -1) — dropping them (the classic
+    // survival-analysis mistake) would overstate conversion speed.
+    // Two per-user min-aggregations on one key; exact integer day
+    // offsets.
+    "x129_time_to_convert" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id").filter(col("us") >= col("s_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+        su.join(fp, Seq("user_id"), "left")
+          .select(coalesce(
+            expr("(p_us - s_us) div 86400000000L"), lit(-1L))
+            .as("offset_days"))
+          .groupBy(col("offset_days"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("offset_days"))
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |s AS (SELECT user_id, min(us) AS s_us FROM e
+        |      WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS p_us FROM e
+        |      JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'purchase' AND e.us >= s.s_us
+        |      GROUP BY 1)
+        |SELECT COALESCE((p.p_us - s.s_us) // 86400000000, -1)
+        |    AS offset_days, count(*) AS n_users
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Market-basket pair mining over TPC-H orders: parts bought
+    // together, with exact integer lift in basis points (x113's
+    // collocation algebra on baskets). The pair fan-out is bounded by
+    // BASKET size (~7 lineitems), never the catalog; support floor
+    // before the lift join.
+    "x130_basket_pairs" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val np = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        val nOrders = tbl(s, dir, "orders")
+          .agg(countDistinct(col("o_orderkey")).as("__c"))
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 3)
+          .join(broadcast(np.select(col("pk").as("p1"), col("n").as("n1"))),
+            "p1")
+          .join(broadcast(np.select(col("pk").as("p2"), col("n").as("n2"))),
+            "p2")
+          .crossJoin(broadcast(nOrders))
+          .select(col("p1"), col("p2"), col("n_both"),
+            expr("(10000L * __c * n_both) div (n1 * n2)").as("lift_bp"))
+          .orderBy(col("lift_bp").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |np AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+        |c AS (SELECT count(DISTINCT o_orderkey) AS c FROM orders),
+        |p AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p1, p2, n_both,
+        |  (10000 * c.c * n_both) // (x1.n * x2.n) AS lift_bp
+        |FROM p JOIN np x1 ON p.p1 = x1.pk JOIN np x2 ON p.p2 = x2.pk, c
+        |ORDER BY lift_bp DESC, p1, p2 LIMIT 20""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
