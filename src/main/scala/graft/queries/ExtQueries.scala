@@ -3987,7 +3987,78 @@ object ExtQueries {
         |SELECT p1, p2, n_both,
         |  (10000 * c.c * n_both) // (x1.n * x2.n) AS lift_bp
         |FROM p JOIN np x1 ON p.p1 = x1.pk JOIN np x2 ON p.p2 = x2.pk, c
-        |ORDER BY lift_bp DESC, p1, p2 LIMIT 20""".stripMargin)
+        |ORDER BY lift_bp DESC, p1, p2 LIMIT 20""".stripMargin),
+
+    // Behavior-flow transition matrix: consecutive event-type pairs per
+    // user (the Sankey-diagram edge list, and a first-order Markov
+    // model of the event stream). One per-user lag window; 'START'
+    // marks each user's entry edge so row sums reconstruct user counts.
+    "x131_event_transitions" -> entry(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev",
+            coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+          .groupBy(col("prev").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      """WITH t AS (SELECT COALESCE(lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+        |      'START') AS from_type, event_type AS to_type FROM events)
+        |SELECT from_type, to_type, count(*) AS n_transitions
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Spearman rank correlation with EXACT integer rank arithmetic:
+    // is event value confounded with time of day, per event type? Ties
+    // take average ranks kept integer by the ×2 trick
+    // (2·min_rank + ties − 1); Σ(2d)² is an exact BIGINT, and ρ =
+    // 1 − 3·Σ(2d)² / (2n(n²−1)) converts to double ONLY at the end —
+    // int→double is exact below 2^53 (audit-sized partitions; at
+    // larger n ship the two integers and divide downstream). No
+    // negative integer division anywhere (Spark `div` truncates where
+    // DuckDB `//` floors — they diverge on negatives).
+    "x132_spearman_confounds" -> entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = tbl(s, dir, "events").select(col("event_type"),
+          col("value"), expr("unix_micros(ts) % 86400000000L").as("tod"))
+        def r2(c: String) =
+          (rank().over(Window.partitionBy(col("event_type"))
+            .orderBy(col(c))) * 2 +
+            count(lit(1)).over(Window.partitionBy(col("event_type"),
+              col(c))) - 1).cast("long")
+        ev.withColumn("rx", r2("value")).withColumn("ry", r2("tod"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
+              .as("d2x4"))
+          .select(col("event_type"), col("n"), col("d2x4"),
+            (lit(1.0) - (col("d2x4") * 3).cast("double") /
+              (col("n") * (col("n") * col("n") - 1) * 2).cast("double"))
+              .as("rho"))
+          .orderBy(col("event_type"))
+      },
+      """WITH r AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |      + count(*) OVER (PARTITION BY event_type, value) - 1
+        |      AS rx,
+        |    2 * rank() OVER (PARTITION BY event_type
+        |        ORDER BY epoch_us(ts) % 86400000000)
+        |      + count(*) OVER (PARTITION BY event_type,
+        |        epoch_us(ts) % 86400000000) - 1 AS ry
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n,
+        |      sum((rx - ry) * (rx - ry)) AS d2x4 FROM r GROUP BY 1)
+        |SELECT event_type, n, d2x4,
+        |  1.0 - CAST(d2x4 * 3 AS DOUBLE)
+        |    / CAST(n * (n * n - 1) * 2 AS DOUBLE) AS rho
+        |FROM a ORDER BY event_type""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
