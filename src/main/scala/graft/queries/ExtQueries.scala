@@ -4058,7 +4058,77 @@ object ExtQueries {
         |SELECT event_type, n, d2x4,
         |  1.0 - CAST(d2x4 * 3 AS DOUBLE)
         |    / CAST(n * (n * n - 1) * 2 AS DOUBLE) AS rho
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin),
+
+    // RFM segmentation: users quartiled on Recency (last purchase),
+    // Frequency (purchase count) and Monetary (exact DECIMAL total) —
+    // ntile over a TOTAL order (user_id tiebreak; ntile without one is
+    // nondeterministic under ties and would break replay) — rolled up
+    // to segment sizes. The user table is corpus-reduced before any
+    // window.
+    "x133_rfm_segments" -> entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = tbl(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(col("value").cast("decimal(18,2)")).as("mon"))
+        def q(c: String) = ntile(4).over(
+          Window.orderBy(col(c), col("user_id"))).cast("long")
+        u.withColumn("r_q", q("last_us")).withColumn("f_q", q("freq"))
+          .withColumn("m_q", q("mon"))
+          .groupBy(col("r_q"), col("f_q"), col("m_q"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      """WITH u AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    count(*) AS freq,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |t AS (SELECT
+        |    ntile(4) OVER (ORDER BY last_us, user_id) AS r_q,
+        |    ntile(4) OVER (ORDER BY freq, user_id) AS f_q,
+        |    ntile(4) OVER (ORDER BY mon, user_id) AS m_q FROM u)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users FROM t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // Degree distribution of the synthetic citation graph, log2-binned
+    // (integer bit length, the x109 bucket rule) — the first sanity
+    // plot of any graph pipeline and the skew signal that sizes x99's
+    // orientation threshold. Undirected-closure degrees, one count
+    // shuffle + bucket agg.
+    "x134_degree_distribution" -> entry(
+      (s, dir) => {
+        val e = graft.ext.Graphs.syntheticEdges(
+          tbl(s, dir, "documents"), "doc_id")
+        val und = e.select(col("src"), col("dst"))
+          .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .select((length(bin(col("deg"))) - 1).cast("long").as("k"),
+            col("deg"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_vertices"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+          .orderBy(col("k"))
+      },
+      """WITH c AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS c
+        |           FROM documents),
+        |e0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+        |    CAST((doc_id*31+7) % c.c AS BIGINT) AS dst FROM documents, c
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+        |    CAST((doc_id*57+13) % c.c AS BIGINT) FROM documents, c
+        |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+        |    CAST((doc_id*97+29) % c.c AS BIGINT) FROM documents, c),
+        |und AS (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM e0 UNION ALL
+        |    SELECT dst, src FROM e0) WHERE src != dst),
+        |d AS (SELECT src, count(*) AS deg FROM und GROUP BY 1)
+        |SELECT length(bin(deg)) - 1 AS k, count(*) AS n_vertices,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
