@@ -153,6 +153,37 @@ object Graphs {
     labels
   }
 
+  /** Bounded-round k-core peeling: `rounds` synchronous iterations of
+    * "drop every vertex whose degree among SURVIVING vertices is < k".
+    * The fixpoint is the k-core (the densest-cohesion subgraph family —
+    * spam/mirror rings and template farms surface as high-core
+    * neighborhoods); a fixed round count makes each intermediate state
+    * oracle-verifiable exactly like [[labelPropagation]]. Returns one
+    * row per round: (round, n_alive) — round 0 is the full vertex set.
+    *
+    * Scale shape per round: two semi joins of the edge table against
+    * the alive set (hash-partitioned on the vertex id) + one count
+    * aggregation; the alive table only shrinks. */
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    var alive = und.select(col("src").as("v"))
+      .union(und.select(col("dst").as("v"))).distinct()
+    var out = alive.agg(lit(0L).as("round"), count(lit(1)).as("n_alive"))
+    for (i <- 1 to rounds) {
+      val live = und
+        .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      alive = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("v"))
+      out = out.unionByName(
+        alive.agg(lit(i.toLong).as("round"), count(lit(1)).as("n_alive")))
+    }
+    out
+  }
+
   /** Exact triangle counting with degree orientation (the MapReduce
     * classic — Suri & Vassilvitskii "Counting Triangles and the Curse of
     * the Last Reducer", WWW'11): orient each undirected edge from its

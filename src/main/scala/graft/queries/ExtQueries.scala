@@ -4128,8 +4128,51 @@ object ExtQueries {
         |d AS (SELECT src, count(*) AS deg FROM und GROUP BY 1)
         |SELECT length(bin(deg)) - 1 AS k, count(*) AS n_vertices,
         |  min(deg) AS min_deg, max(deg) AS max_deg
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Bounded-round k-core peeling (k=6, 3 rounds): per-round survivor
+    // counts as the graph sheds low-cohesion vertices — the dense-
+    // neighborhood signal (spam/mirror rings) at a fixed round count so
+    // every intermediate state is oracle-verifiable (the x98 argument).
+    "x135_kcore_rounds" -> entry(
+      (s, dir) =>
+        graft.ext.Graphs.kCoreRounds(
+            graft.ext.Graphs.syntheticEdges(
+              tbl(s, dir, "documents"), "doc_id"), k = 6, rounds = 3)
+          .orderBy(col("round")),
+      kCoreSql(k = 6, rounds = 3))
   )
+
+  /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]
+    * over [[graft.ext.Graphs.syntheticEdges]] on `documents`. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val rcte = (1 to rounds).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""a$i AS (SELECT src AS v FROM (
+         |    SELECT e.src, count(*) AS deg FROM und e
+         |    JOIN $prev x ON e.src = x.v JOIN $prev y ON e.dst = y.v
+         |    GROUP BY 1) WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to rounds).map(i =>
+      s"SELECT $i AS round, count(*) AS n_alive FROM a$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS c
+       |           FROM documents),
+       |e0 AS (SELECT CAST(doc_id AS BIGINT) AS src,
+       |    CAST((doc_id*31+7) % c.c AS BIGINT) AS dst FROM documents, c
+       |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+       |    CAST((doc_id*57+13) % c.c AS BIGINT) FROM documents, c
+       |  UNION ALL SELECT CAST(doc_id AS BIGINT),
+       |    CAST((doc_id*97+29) % c.c AS BIGINT) FROM documents, c),
+       |und AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL
+       |    SELECT dst, src FROM e0) WHERE src != dst),
+       |a0 AS (SELECT DISTINCT src AS v FROM (
+       |    SELECT src FROM und UNION ALL SELECT dst FROM und)),
+       |$rcte
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.ext.TextAnalysis.langId]] over a token-LIST
     * expression (x08's CASE, shared by the half-doc forms): the CASE
