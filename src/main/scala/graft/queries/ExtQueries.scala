@@ -4134,6 +4134,34 @@ object ExtQueries {
     // counts as the graph sheds low-cohesion vertices — the dense-
     // neighborhood signal (spam/mirror rings) at a fixed round count so
     // every intermediate state is oracle-verifiable (the x98 argument).
+    // Backlog aging: open orders by age bucket (days since order date,
+    // measured against the corpus watermark = max order date, so the
+    // audit is replay-stable without wall-clock), per status — counts
+    // and exact DECIMAL value at risk. One broadcast scalar + one agg.
+    "x136_backlog_aging" -> entry(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val wm = o.agg(max(unix_micros(col("o_orderdate").cast("timestamp"))).as("__wm"))
+        o.crossJoin(broadcast(wm))
+          .select(col("o_orderstatus").as("status"),
+            expr("(__wm - unix_micros(CAST(o_orderdate AS TIMESTAMP))) div (7 * 86400000000L)")
+              .as("age_weeks"),
+            col("o_totalprice"))
+          .groupBy(col("status"), col("age_weeks"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("value_at_risk"))
+          .orderBy(col("status"), col("age_weeks"))
+      },
+      """WITH wm AS (SELECT max(epoch_us(o_orderdate)) AS wm FROM orders)
+        |SELECT o_orderstatus AS status,
+        |  (wm.wm - epoch_us(o_orderdate)) // (7 * 86400000000)
+        |    AS age_weeks,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS value_at_risk
+        |FROM orders, wm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "x135_kcore_rounds" -> entry(
       (s, dir) =>
         graft.ext.Graphs.kCoreRounds(
