@@ -4162,6 +4162,73 @@ object ExtQueries {
         |    AS value_at_risk
         |FROM orders, wm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // Trending detector with INTEGER exponential decay: a part's score
+    // halves per week of age (count >> weeks_ago) — bit-shift decay is
+    // exact, partial-agg-safe, and portable where a float 0.5^age is
+    // none of those. The cold-start recommendation baseline; top-15 by
+    // decayed score with the undecayed count alongside to show the
+    // re-ranking decay causes.
+    "x137_trending_decay" -> entry(
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .join(tbl(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("pk"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+        val wm = li.agg(max(expr("us div (7 * 86400000000L)")).as("__w"))
+        li.crossJoin(broadcast(wm))
+          .select(col("pk"),
+            expr("__w - (us div (7 * 86400000000L))").as("age"))
+          .filter(col("age") < 8) // shifts beyond the horizon are zero
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("1L << CAST(7 - age AS INT)")).as("score"))
+          .orderBy(col("score").desc, col("pk"))
+          .limit(15)
+      },
+      """WITH li AS (SELECT l_partkey AS pk, epoch_us(o_orderdate) AS us
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |wm AS (SELECT max(us // (7 * 86400000000)) AS w FROM li),
+        |a AS (SELECT pk, wm.w - (us // (7 * 86400000000)) AS age
+        |      FROM li, wm WHERE wm.w - (us // (7 * 86400000000)) < 8)
+        |SELECT pk, count(*) AS n_orders,
+        |  sum(1 << (7 - age)) AS score
+        |FROM a GROUP BY 1 ORDER BY score DESC, pk LIMIT 15""".stripMargin),
+
+    // Column completeness/cardinality profile — the first thing any
+    // data-quality tool computes on an unfamiliar table: per column,
+    // null count and EXACT distinct cardinality (swap
+    // approx_count_distinct under x12's bound at 100 TB). One unioned
+    // aggregate pass per column; exact integers only.
+    "x138_column_profile" -> entry(
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        def prof(cname: String) = ev.agg(
+          lit(cname).as("column_name"), count(lit(1)).as("n_rows"),
+          sum(when(col(cname).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(cname)).as("n_distinct"))
+        Seq("event_id", "user_id", "event_type", "value", "props")
+          .map(prof).reduce(_.unionByName(_))
+          .orderBy(col("column_name"))
+      },
+      """WITH u AS (
+        |  SELECT 'event_id' AS column_name, count(*) AS n_rows,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct FROM events
+        |  UNION ALL SELECT 'user_id', count(*),
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT user_id) FROM events
+        |  UNION ALL SELECT 'event_type', count(*),
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT event_type) FROM events
+        |  UNION ALL SELECT 'value', count(*),
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT value) FROM events
+        |  UNION ALL SELECT 'props', count(*),
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT props) FROM events)
+        |SELECT * FROM u ORDER BY column_name""".stripMargin),
+
     "x135_kcore_rounds" -> entry(
       (s, dir) =>
         graft.ext.Graphs.kCoreRounds(
