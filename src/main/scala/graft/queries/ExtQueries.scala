@@ -4229,6 +4229,65 @@ object ExtQueries {
         |    count(DISTINCT props) FROM events)
         |SELECT * FROM u ORDER BY column_name""".stripMargin),
 
+    // The end-to-end curation funnel in ONE verified query: ingest →
+    // quality gate → prefix-fingerprint dedup (keep-first) → exact
+    // 500-doc quota sample — each stage one of the engine's families
+    // (x27 funnel accounting, x111 fingerprints, x105/x115 quotas),
+    // composed and hash-checked as a whole. Per-source stage counts;
+    // the numbers ARE the pipeline's audit trail.
+    "x139_curation_funnel" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val q = docs.filter(col("n_chars").between(100, 5000))
+        val fpw = org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(concat_ws(" ",
+            slice(split(col("text"), " "), 1, 8)), 256))
+        val uniq = q.withColumn("__keep",
+            col("doc_id") === min(col("doc_id")).over(fpw))
+          .filter(col("__keep")).drop("__keep")
+        val sampled = Curation.quotaSample(uniq, "doc_id", "source", 500L)
+        def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy(col("source")).agg(count(lit(1)).as(name))
+        cnt(docs, "n_ingested")
+          .join(cnt(q, "n_quality"), Seq("source"), "left")
+          .join(cnt(uniq, "n_unique"), Seq("source"), "left")
+          .join(cnt(sampled, "n_sampled"), Seq("source"), "left")
+          .na.fill(0L)
+          .orderBy(col("source"))
+      },
+      """WITH q AS (SELECT * FROM documents
+        |           WHERE n_chars BETWEEN 100 AND 5000),
+        |u AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY
+        |      sha256(array_to_string((string_split(text, ' '))[1:8], ' ')))
+        |      AS m FROM q) WHERE doc_id = m),
+        |c AS (SELECT source AS stratum, count(*) AS n FROM u GROUP BY 1),
+        |t AS (SELECT sum(n) AS c FROM c),
+        |b AS (SELECT stratum, n, (500 * n) // t.c AS base,
+        |    (500 * n) % t.c AS rem FROM c, t),
+        |d AS (SELECT 500 - sum(base) AS d FROM b),
+        |qt AS (SELECT stratum, base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, stratum) <= d.d
+        |      THEN 1 ELSE 0 END AS quota FROM b, d),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
+        |    AS rk FROM u),
+        |sm AS (SELECT r.source, count(*) AS n_sampled FROM r
+        |       JOIN qt ON r.source = qt.stratum
+        |       WHERE rk <= quota GROUP BY 1)
+        |SELECT i.source, i.n_ingested,
+        |  COALESCE(qq.n_quality, 0) AS n_quality,
+        |  COALESCE(uu.n_unique, 0) AS n_unique,
+        |  COALESCE(sm.n_sampled, 0) AS n_sampled
+        |FROM (SELECT source, count(*) AS n_ingested FROM documents
+        |      GROUP BY 1) i
+        |LEFT JOIN (SELECT source, count(*) AS n_quality FROM q
+        |           GROUP BY 1) qq ON i.source = qq.source
+        |LEFT JOIN (SELECT source, count(*) AS n_unique FROM u
+        |           GROUP BY 1) uu ON i.source = uu.source
+        |LEFT JOIN sm ON i.source = sm.source
+        |ORDER BY i.source""".stripMargin),
+
     "x135_kcore_rounds" -> entry(
       (s, dir) =>
         graft.ext.Graphs.kCoreRounds(
