@@ -229,6 +229,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("x110 CDC minimize: ONE aggregation — no sort, no window, no join") {
+    val p = executedPlan(query("x110_cdc_minimize"))
+      .split("== Initial Plan ==").head
+    // min_by/max_by ride the same hash aggregate; the log's op order
+    // must never cost a sort or self-join
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(2500))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate")
+      || p.contains("SortAggregate"), p.take(2500))
+  }
+
+  test("x126 attribution: one per-user window, no purchases×views join") {
+    val p = executedPlan(query("x126_last_touch_attribution"))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), p.take(2500))
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows == 1, s"wants 1 window, got $windows:\n${p.take(2500)}")
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
