@@ -2585,8 +2585,8 @@ object ExtQueries {
         |           GROUP BY 1),
         |s AS (SELECT count(*) AS n_keys, sum(n) AS total FROM c)
         |SELECT key, n, n_keys, CAST(total AS BIGINT) AS total,
-        |  (10000 * n) // total AS share_bp,
-        |  (100 * n * n_keys) // total AS skew_x100
+        |  CAST((10000 * n) // total AS BIGINT) AS share_bp,
+        |  CAST((100 * n * n_keys) // total AS BIGINT) AS skew_x100
         |FROM c, s ORDER BY n DESC, key LIMIT 5""".stripMargin),
 
     // Hashed linear-model inference (the fastText classifier shape):
@@ -2632,10 +2632,12 @@ object ExtQueries {
         |      array_to_string(string_split(text, ' ')[1:8], ' ')
         |      ORDER BY doc_id) AS rk
         |  FROM documents)
-        |SELECT source, sum(tok) AS raw_tokens,
-        |  sum(CASE WHEN rk = 1 THEN tok ELSE 0 END) AS effective_tokens,
-        |  (10000 * (sum(tok) - sum(CASE WHEN rk = 1 THEN tok ELSE 0 END)))
-        |    // sum(tok) AS dup_overhead_bp
+        |SELECT source, CAST(sum(tok) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN rk = 1 THEN tok ELSE 0 END) AS BIGINT)
+        |    AS effective_tokens,
+        |  CAST((10000 * (sum(tok)
+        |      - sum(CASE WHEN rk = 1 THEN tok ELSE 0 END)))
+        |    // sum(tok) AS BIGINT) AS dup_overhead_bp
         |FROM c GROUP BY 1 ORDER BY source""".stripMargin),
 
     // BPE ENCODE: apply the x88-learned merge table to the corpus and
@@ -2916,8 +2918,9 @@ object ExtQueries {
         |c AS (SELECT file_id, bytes, COALESCE(sum(bytes) OVER (
         |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND 1 PRECEDING), 0) AS cum FROM m)
-        |SELECT cum // 16384 AS bin, count(*) AS n_files,
-        |  sum(bytes) AS total_bytes, min(file_id) AS first_file,
+        |SELECT CAST(cum // 16384 AS BIGINT) AS bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(file_id) AS first_file,
         |  max(file_id) AS last_file
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -2948,14 +2951,17 @@ object ExtQueries {
         parts.unionByName(merged).orderBy(col("shard"))
       },
       """WITH p AS (SELECT doc_id // 100 AS shard, count(*) AS n_docs,
-        |    sum(length(text)) AS sum_chars,
-        |    sum(length(text) * length(text)) AS sumsq_chars,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    CAST(sum(length(text) * length(text)) AS BIGINT)
+        |      AS sumsq_chars,
         |    min(length(text)) AS min_chars,
         |    max(length(text)) AS max_chars
         |  FROM documents GROUP BY 1)
         |SELECT * FROM p
         |UNION ALL
-        |SELECT -1 AS shard, sum(n_docs), sum(sum_chars), sum(sumsq_chars),
+        |SELECT -1 AS shard, CAST(sum(n_docs) AS BIGINT),
+        |  CAST(sum(sum_chars) AS BIGINT),
+        |  CAST(sum(sumsq_chars) AS BIGINT),
         |  min(min_chars), max(max_chars) FROM p
         |ORDER BY shard""".stripMargin),
 
@@ -3000,7 +3006,8 @@ object ExtQueries {
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum)
         |    AS rk FROM b)
         |SELECT stratum, n_docs,
-        |  base + CASE WHEN rk <= d.d THEN 1 ELSE 0 END AS quota
+        |  CAST(base + CASE WHEN rk <= d.d THEN 1 ELSE 0 END AS BIGINT)
+        |    AS quota
         |FROM r, d ORDER BY stratum""".stripMargin),
 
     // File-skipping audit: the quantitative case for x101's layout.
@@ -3048,14 +3055,14 @@ object ExtQueries {
         |      THEN 1 ELSE 0 END) AS rows_in_box
         |  FROM b GROUP BY 1)
         |SELECT 'lex_p8' AS layout, count(*) AS n_files,
-        |  sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
-        |    AND mxs >= 50 THEN 1 ELSE 0 END) AS files_scanned,
-        |  sum(rows_in_box) AS rows_matching FROM lex
+        |  CAST(sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
+        |    AND mxs >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(sum(rows_in_box) AS BIGINT) AS rows_matching FROM lex
         |UNION ALL
         |SELECT 'zorder', count(*),
-        |  sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
-        |    AND mxs >= 50 THEN 1 ELSE 0 END),
-        |  sum(rows_in_box) FROM zf
+        |  CAST(sum(CASE WHEN mnp <= 81 AND mxp >= 50 AND mns <= 81
+        |    AND mxs >= 50 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(rows_in_box) AS BIGINT) FROM zf
         |ORDER BY layout""".stripMargin),
 
     // Strict-order funnel: per (user, day), first view, first click
@@ -3232,11 +3239,12 @@ object ExtQueries {
         |      AS fp FROM documents),
         |f AS (SELECT bucket, CASE WHEN min(doc_id) OVER (PARTITION BY fp)
         |      < doc_id THEN 1 ELSE 0 END AS is_dup FROM d),
-        |b AS (SELECT bucket, count(*) AS n_docs, sum(is_dup) AS n_dups
+        |b AS (SELECT bucket, count(*) AS n_docs,
+        |      CAST(sum(is_dup) AS BIGINT) AS n_dups
         |      FROM f GROUP BY 1)
         |SELECT bucket, n_docs, n_dups,
-        |  sum(n_dups) OVER (ORDER BY bucket
-        |    ROWS UNBOUNDED PRECEDING) AS cum_dups
+        |  CAST(sum(n_dups) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dups
         |FROM b ORDER BY bucket""".stripMargin),
 
     // REAL video-shaped decode (the x66/x72 argument on a temporal
@@ -3374,7 +3382,7 @@ object ExtQueries {
         |      ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
         |    AS rk FROM documents)
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id,
-        |  sum(doc_id) AS sum_ids
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r JOIN q ON r.source = q.stratum
         |WHERE rk <= quota GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -3595,8 +3603,8 @@ object ExtQueries {
         |  WHERE len(list_intersect(a.toks, b.toks)) > 0),
         |b AS (SELECT (10 * i) // (ss - i) AS band, count(*) AS n_pairs
         |      FROM p GROUP BY 1)
-        |SELECT band, n_pairs, sum(n_pairs) OVER (ORDER BY band DESC
-        |    ROWS UNBOUNDED PRECEDING) AS cum_at_or_above
+        |SELECT band, n_pairs, CAST(sum(n_pairs) OVER (ORDER BY band DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_at_or_above
         |FROM b ORDER BY band""".stripMargin),
 
     // Join-size estimation WITHOUT running the join: |A ⋈ B on k| =
@@ -3627,7 +3635,8 @@ object ExtQueries {
         |    count(*) * count(*) AS pairs FROM events GROUP BY 1),
         |t AS (SELECT sum(pairs) AS t FROM c)
         |SELECT rnk, user_id, n_rows, pairs,
-        |  (10000 * pairs) // t.t AS share_bp, t.t AS total_join_rows
+        |  CAST((10000 * pairs) // t.t AS BIGINT) AS share_bp,
+        |  CAST(t.t AS BIGINT) AS total_join_rows
         |FROM (SELECT *, row_number() OVER (ORDER BY pairs DESC, user_id)
         |      AS rnk FROM c) r, t
         |WHERE rnk <= 5 ORDER BY rnk""".stripMargin),
@@ -3725,11 +3734,12 @@ object ExtQueries {
         |      sum(cnt) AS mass FROM r GROUP BY 1),
         |t AS (SELECT sum(mass) AS t FROM b)
         |SELECT k, CAST(pow(2, k + 1) - 1 AS BIGINT) AS vocab_size,
-        |  n_tokens, mass,
-        |  sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
-        |    AS cum_mass,
-        |  (10000 * sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING))
-        |    // t.t AS coverage_bp
+        |  n_tokens, CAST(mass AS BIGINT) AS mass,
+        |  CAST(sum(mass) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_mass,
+        |  CAST((10000 * sum(mass) OVER (ORDER BY k
+        |      ROWS UNBOUNDED PRECEDING))
+        |    // t.t AS BIGINT) AS coverage_bp
         |FROM b, t ORDER BY k""".stripMargin),
 
     // Code-switching detector: language-ID each HALF of a document and
@@ -4033,15 +4043,20 @@ object ExtQueries {
             .orderBy(col(c))) * 2 +
             count(lit(1)).over(Window.partitionBy(col("event_type"),
               col(c))) - 1).cast("long")
+        // rho as an EXACT scaled integer (the r7/r8 portability rule:
+        // no float, no HUGEINT on the contract): rho_x10000 =
+        // 10000 − floor(30000·d2x4 / (2n(n²−1))), all-BIGINT since the
+        // floored term is non-negative. 30000·d2x4 ≤ 1.2e5·n³ fits a
+        // Long through sf0.1 (n≈2e4 → ~1e18); a 100 TB corpus swaps
+        // the multiply into DECIMAL(38,0) on both engines.
         ev.withColumn("rx", r2("value")).withColumn("ry", r2("tod"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
               .as("d2x4"))
           .select(col("event_type"), col("n"), col("d2x4"),
-            (lit(1.0) - (col("d2x4") * 3).cast("double") /
-              (col("n") * (col("n") * col("n") - 1) * 2).cast("double"))
-              .as("rho"))
+            expr("10000L - (30000L * d2x4) div (2L * n * (n * n - 1))")
+              .as("rho_x10000"))
           .orderBy(col("event_type"))
       },
       """WITH r AS (SELECT event_type,
@@ -4054,10 +4069,11 @@ object ExtQueries {
         |        epoch_us(ts) % 86400000000) - 1 AS ry
         |  FROM events),
         |a AS (SELECT event_type, count(*) AS n,
-        |      sum((rx - ry) * (rx - ry)) AS d2x4 FROM r GROUP BY 1)
+        |      CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2x4
+        |      FROM r GROUP BY 1)
         |SELECT event_type, n, d2x4,
-        |  1.0 - CAST(d2x4 * 3 AS DOUBLE)
-        |    / CAST(n * (n * n - 1) * 2 AS DOUBLE) AS rho
+        |  CAST(10000 - (30000 * d2x4) // (2 * n * (n * n - 1)) AS BIGINT)
+        |    AS rho_x10000
         |FROM a ORDER BY event_type""".stripMargin),
 
     // RFM segmentation: users quartiled on Recency (last purchase),
@@ -4192,7 +4208,7 @@ object ExtQueries {
         |a AS (SELECT pk, wm.w - (us // (7 * 86400000000)) AS age
         |      FROM li, wm WHERE wm.w - (us // (7 * 86400000000)) < 8)
         |SELECT pk, count(*) AS n_orders,
-        |  sum(1 << (7 - age)) AS score
+        |  CAST(sum(1 << (7 - age)) AS BIGINT) AS score
         |FROM a GROUP BY 1 ORDER BY score DESC, pk LIMIT 15""".stripMargin),
 
     // Column completeness/cardinality profile — the first thing any
@@ -4213,19 +4229,24 @@ object ExtQueries {
       },
       """WITH u AS (
         |  SELECT 'event_id' AS column_name, count(*) AS n_rows,
-        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
         |    count(DISTINCT event_id) AS n_distinct FROM events
         |  UNION ALL SELECT 'user_id', count(*),
-        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT user_id) FROM events
         |  UNION ALL SELECT 'event_type', count(*),
-        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT event_type) FROM events
         |  UNION ALL SELECT 'value', count(*),
-        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT value) FROM events
         |  UNION ALL SELECT 'props', count(*),
-        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+        |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
         |    count(DISTINCT props) FROM events)
         |SELECT * FROM u ORDER BY column_name""".stripMargin),
 
@@ -4364,9 +4385,11 @@ object ExtQueries {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "m0" else s"m${i - 1}"
       s"""m$i AS (SELECT m.id,
-         |    m.base + (85 * COALESCE(f.inflow, 0)) // 100 AS mass, m.base
+         |    CAST(m.base + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT)
+         |      AS mass, m.base
          |  FROM $prev m LEFT JOIN (
-         |    SELECT e.dst AS id, sum(m.mass // od.outdeg) AS inflow
+         |    SELECT e.dst AS id,
+         |      CAST(sum(m.mass // od.outdeg) AS BIGINT) AS inflow
          |    FROM e JOIN od USING (src) JOIN $prev m ON m.id = e.src
          |    GROUP BY e.dst) f USING (id))""".stripMargin
     }.mkString(",\n")
@@ -4383,7 +4406,8 @@ object ExtQueries {
        |m0 AS (SELECT id, 1000000000000 // n AS mass,
        |    (15 * (1000000000000 // n)) // 100 AS base FROM vs, nv),
        |$rounds
-       |SELECT id, mass FROM m$iters ORDER BY id""".stripMargin
+       |SELECT id, CAST(mass AS BIGINT) AS mass FROM m$iters
+       |ORDER BY id""".stripMargin
   }
 
   /** Unrolled-iteration DuckDB twin of

@@ -60,6 +60,17 @@ def main():
             n_pass += 1
             print(f"PASS {q} ({len(got)} rows)")
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    # Result-TYPE lint is part of the gate: a HUGEINT output column can
+    # be bit-exact here yet hash-FAIL the driver's newer DuckDB (r8: 15
+    # queries). Value comparison cannot catch that class; DESCRIBE can.
+    import subprocess
+    lint = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "lint_oracle_types.py"),
+         sf_dir, os.path.join(out_dir, "oracle_sql.json"), *sorted(only)])
+    if lint.returncode:
+        n_fail += 1
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
