@@ -254,12 +254,16 @@ object Sharding {
   }
 
   /** DuckDB twin of [[hrwShard]] (same weights, same first-max tie
-    * rule) for oracle SQL: greatest() + a first-match CASE. */
+    * rule) for oracle SQL: greatest() + a first-match CASE. The inner
+    * mod is emitted in positive form — `((x % P) + P) % P` — because
+    * DuckDB's `%` follows the dividend's sign while the Spark side
+    * uses `pmod`; plain `%` would diverge for negative keys. */
   def hrwShardSql(keyExpr: String, shards: Int): String = {
+    if (shards == 1) return "0" // degenerate fleet: greatest() needs >1 arg
     val P = 1000000007L
     val ws = (0 until shards).map { s =>
       val a = (2654435761L * (s + 1)) % P
-      s"(((($keyExpr) + 1) % $P) * $a) % $P"
+      s"((((($keyExpr) + 1) % $P) + $P) % $P * $a) % $P"
     }
     val g = ws.mkString("greatest(", ", ", ")")
     // nested CASE checks s = 0 outermost → lowest shard wins ties,

@@ -607,6 +607,61 @@ object TextDedup {
       .distinct()
   }
 
+  /** Crawl-scale dedup threshold sweep: the x121 tuning curve computed
+    * over the LSH CANDIDATE pairs instead of all pairs — how many
+    * near-dup pairs each Jaccard threshold would remove, from one pass
+    * over the banded bucket join. Bands are exact integer deciles of
+    * the rational Jaccard on hashed shingles — `(10·|∩|) div |∪|` —
+    * so no float comparison anywhere; the cumulative runs over the
+    * ≤11-row band table. Returns (band, n_pairs, cum_at_or_above).
+    *
+    * Scale shape: NOTHING here is quadratic in a source block — the
+    * only pair-producing join is the band-bucket equi-join, exactly
+    * x02's candidate stage (PlanShapeSpec pins the absence of a
+    * cartesian). A candidate that agrees on several bands must count
+    * ONCE, and a `distinct()` over the (unthresholded) candidate set
+    * would be the sweep's biggest shuffle — instead both sides carry
+    * their band-hash array and a pair survives only on its FIRST
+    * agreeing band (the [[nearDupAgainstIndexStreaming]] trick), so
+    * dedup is structural and shuffle-free. The sweep sees only pairs
+    * the banding surfaces (θ below the LSH S-curve knee is
+    * under-counted — that is the documented contract of sweeping a
+    * candidate set; x121 remains the sf-small all-pairs truth). */
+  def lshBandSweep(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, shingleN: Int = 2): DataFrame = {
+    graft.functions.Functions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"),
+        sort_array(hashedShingles(col(textCol), shingleN)).as("toks"))
+      .withColumn("sig", call_function("minhash_sigs", col("toks"), lit(k)))
+      .withColumn("bhs",
+        array(bandKeyExprs(col("sig"), k, bands).map(_.getField("bh")): _*))
+      .localCheckpoint(eager = false) // feeds both join sides once
+    val side = base.select(col("id"), size(col("toks")).as("sz"),
+      col("toks"), col("bhs"),
+      posexplode(col("bhs")).as(Seq("band", "bh")))
+    def sfx(s: String) = side.columns.foldLeft(side)((d, c) =>
+      d.withColumnRenamed(c, if (c == "band" || c == "bh") c else s"${c}_$s"))
+    val firstAgree = array_position(
+      zip_with(col("bhs_a"), col("bhs_b"), (a: Column, b: Column) => a === b),
+      true)
+    val inter = call_function("sorted_intersect_size",
+      col("toks_a"), col("toks_b"))
+    val pairBands = sfx("a").join(sfx("b"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("band") === firstAgree - 1) // structural pair dedup
+      .select(inter.as("i"),
+        (col("sz_a") + col("sz_b")).cast("long").as("ss"))
+      .filter(col("i") > 0)
+      .select(expr("(10L * i) div (ss - i)").as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    pairBands.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy(col("band"))
+  }
+
   /** Near-dup cluster resolution: connected components over a pair list by
     * min-label propagation with pointer jumping — each round a node adopts
     * the smallest label in its closed neighborhood, then shortcuts to its

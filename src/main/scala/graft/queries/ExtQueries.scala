@@ -3567,10 +3567,13 @@ object ExtQueries {
 
     // Dedup threshold sweep: how many near-dup pairs would each Jaccard
     // threshold remove — the tuning curve for θ, from ONE pass over the
-    // blocked pairs (x04's block shape; the 100 TB form swaps in x02's
-    // LSH candidates). Bands are EXACT integer deciles of the rational
-    // Jaccard — `(10·|∩|) div |∪|` — so no float threshold comparison
-    // anywhere; the cumulative runs over the 11-row band table.
+    // blocked pairs (x04's block shape). This is the sf-small all-pairs
+    // TRUTH; the declared crawl-scale sibling is x140_dedup_sweep_lsh,
+    // which sweeps the SAME histogram over x02's banded LSH candidates
+    // with zero quadratic joins. Bands are EXACT integer deciles of the
+    // rational Jaccard — `(10·|∩|) div |∪|` — so no float threshold
+    // comparison anywhere; the cumulative runs over the 11-row band
+    // table.
     "x121_dedup_threshold_sweep" -> entry(
       (s, dir) => {
         graft.functions.Functions.register(s)
@@ -4315,7 +4318,23 @@ object ExtQueries {
             graft.ext.Graphs.syntheticEdges(
               tbl(s, dir, "documents"), "doc_id"), k = 6, rounds = 3)
           .orderBy(col("round")),
-      kCoreSql(k = 6, rounds = 3))
+      kCoreSql(k = 6, rounds = 3)),
+
+    // The crawl-scale dedup threshold sweep — x121's declared 100 TB
+    // sibling: the identical band histogram swept over x02's banded LSH
+    // candidate pairs instead of the quadratic per-source all-pairs
+    // join. Multi-band duplicate candidates dedup STRUCTURALLY (first-
+    // agreeing-band filter, no distinct); the only pair-producing join
+    // is the band-bucket equi-join (PlanShapeSpec pins no cartesian).
+    // Bands the LSH S-curve rarely surfaces (θ ≲ 0.3 at these k/bands)
+    // under-count by design — that is what sweeping a candidate set
+    // means; x121 IS the sf-small truth for the full curve. Hash-
+    // checked against an independent all-pairs naive (NaiveOracles
+    // x140) since the xxhash64 band family is not DuckDB-expressible.
+    "x140_dedup_sweep_lsh" -> rowsOnly(
+      (s, dir) =>
+        graft.ext.TextDedup.lshBandSweep(
+          tbl(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

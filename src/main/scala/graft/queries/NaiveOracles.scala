@@ -60,7 +60,8 @@ object NaiveOracles {
     "x56_ann_ivfpq" -> (x56 _),
     "x57_incremental_neardup" -> (x57 _),
     "x88_bpe_learn" -> (x88 _),
-    "x93_bpe_encode" -> (x93 _))
+    "x93_bpe_encode" -> (x93 _),
+    "x140_dedup_sweep_lsh" -> (x140 _))
 
   /** Naive x88: classic single-machine BPE (mutable left-to-right scan
     * over a driver-collected vocabulary) — the textbook trainer,
@@ -193,6 +194,50 @@ object NaiveOracles {
         inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
+  }
+
+  /** Naive x140: the LSH-candidate band sweep from ALL document pairs —
+    * crossJoin enumeration, band agreement as eight explicit signature-
+    * slice comparisons, pair membership = "shares ≥ 1 band" (the
+    * candidate-set definition; no estimate floor, no threshold — a
+    * sweep keeps every band), exact rational Jaccard deciles via
+    * array_intersect, then the same ≤11-row histogram + cumulative.
+    * Mirrors TextDedup.lshBandSweep(k=16, bands=8, shingleN=2). */
+  private def x140(s: SparkSession, dir: String): DataFrame = {
+    val k = 16; val bands = 8; val rowsPerBand = k / bands
+    val docs = tbl(s, dir, "documents")
+    val toks = transform(graft.ext.TextDedup.shingles(col("text"), 2),
+      (g: Column) => xxhash64(g))
+    val sigCols = (0 until k).map(i =>
+      array_min(transform(col("toks"), (h: Column) => mixCol(h, i))).as(s"s$i"))
+    val sigged = docs
+      .select(col("doc_id").as("id"), toks.as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .select(Seq(col("id"), col("toks"), col("sz")) ++ sigCols: _*)
+    val bandCols = (0 until bands).map { bd =>
+      val elems = (bd * rowsPerBand until (bd + 1) * rowsPerBand)
+        .map(i => col(s"s$i"))
+      xxhash64(elems: _*).as(s"bh$bd")
+    }
+    val base = sigged.select(
+      Seq(col("id"), col("toks"), col("sz")) ++ bandCols: _*)
+    def side(sfx: String) = base.select(base.columns.map(c =>
+      col(c).as(s"${c}_$sfx")): _*)
+    val shareBand = (0 until bands)
+      .map(bd => col(s"bh${bd}_a") === col(s"bh${bd}_b")).reduce(_ || _)
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val pairs = side("a").crossJoin(side("b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(shareBand)
+      .select(inter.cast("long").as("i"),
+        (col("sz_a") + col("sz_b")).cast("long").as("ss"))
+      .filter(col("i") > 0)
+      .select(expr("(10L * i) div (ss - i)").as("band"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pairs.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy(col("band"))
   }
 
   /** Naive x57: the one-corpus naive pair machinery over the SAME

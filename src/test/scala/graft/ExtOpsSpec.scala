@@ -2334,6 +2334,22 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("hrwShardSql: SQL twin matches hrwShard for negative keys too") {
+    // Spark's % follows the dividend's sign exactly like DuckDB's, so
+    // evaluating the emitted SQL through expr() exercises the same
+    // sign semantics the oracle engine would — the positive-mod form
+    // must agree with the Spark side's pmod on signed keys
+    val df = ((-500L until 500L) ++ Seq(Long.MinValue / 4, -1L)).toDF("k")
+    for (shards <- Seq(1, 5, 9)) {
+      val bad = df.select(
+          graft.ext.Sharding.hrwShard($"k", shards).as("a"),
+          expr(graft.ext.Sharding.hrwShardSql("k", shards))
+            .cast("long").as("b"))
+        .filter($"a" =!= $"b").count()
+      assert(bad == 0L, s"shards=$shards: $bad diverging keys")
+    }
+  }
+
   test("largestRemainderQuotas: quotas are integers summing exactly to total") {
     val df = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
       Seq.fill(1)("d")

@@ -247,6 +247,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows == 1, s"wants 1 window, got $windows:\n${p.take(2500)}")
   }
 
+  test("x140 LSH band sweep: candidate pairs come from an equi-join — " +
+      "no all-pairs shape, no distinct over candidates") {
+    val p = executedPlan(query("x140_dedup_sweep_lsh"))
+      .split("== Initial Plan ==").head
+    // the crawl-scale contract vs x121: the ONLY pair-producing join is
+    // the band-bucket equi-join — never a cartesian / nested-loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(3000))
+    // multi-band duplicate candidates dedup via the first-agreeing-band
+    // filter, not a distinct over the (unthresholded) candidate set —
+    // the aggregates here are the ≤11-row histogram, none keyed on ids
+    assert(!p.contains("id_a#") ||
+      !p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("keys=[id_a")), p.take(3000))
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
