@@ -16,7 +16,15 @@ object Par {
     * coalescible exchange); the partition-count guard keeps this a
     * no-op whenever the source is already at least shuffle-width
     * parallel — the 100 TB case, where an unconditional repartition
-    * would ship the whole corpus through an exchange for nothing. */
+    * would ship the whole corpus through an exchange for nothing.
+    *
+    * SCAN-ONLY BY CONTRACT: the guard reads `df.rdd.getNumPartitions`,
+    * which forces physical planning and — under AQE — can eagerly
+    * materialize upstream shuffle stages at construction time. That is
+    * free for this helper's intended inputs (a bare file scan, where
+    * planning is metadata-only) and a trap for anything downstream of
+    * an exchange; widen the SCAN, not the aggregated result. Every
+    * call site in this repo (Q.wide) wraps a `tbl()` read directly. */
   def widen(df: DataFrame): DataFrame = {
     val target =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt

@@ -549,7 +549,7 @@ object Similarity {
     * — the codebook fit of [[pqTopK]], where the input is a bounded
     * sample by contract and distributed KMeans was measured to be pure
     * scheduling overhead. */
-  private def localLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+  private[graft] def localLloyd(pts: Array[Array[Double]], k: Int, iters: Int,
       seed: Long): Array[Array[Double]] = {
     require(pts.nonEmpty)
     val rnd = new scala.util.Random(seed)

@@ -115,8 +115,13 @@ object TextDedup {
     * band buckets', and the `expireAfter`/`maxPerBucket` bounds hold for
     * the WHOLE query (an earlier form aggregated the vote in update
     * mode, whose per-id state grew with every document ever seen).
-    * Returns an APPEND-mode stream of (id, dup_of, kept), one row per
-    * document arrival. */
+    * Returns an APPEND-mode stream of (id, dup_of, kept,
+    * bucket_overflow), one row per document arrival. `bucket_overflow`
+    * is the recall-loss signal `maxPerBucket` would otherwise hide:
+    * true means at least one of the document's band buckets was already
+    * full, so the document was NOT retained there and a future
+    * near-duplicate of it may go unflagged — monitor the rate and raise
+    * the cap (or shorten `expireAfter`) when it is nonzero. */
   def nearDupStreaming(stream: DataFrame, idCol: String, textCol: String,
       tsCol: String, maxHamming: Int = 3, bands: Int = 4,
       expireAfter: Option[java.time.Duration] = None,
@@ -152,7 +157,7 @@ object TextDedup {
     val expireMicros = expireAfter.map(_.toMillis * 1000L)
     val flagged = banded
       .groupByKey { case (_, _, _, band, bbits, _) => (band, bbits) }
-      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long)](
+      .flatMapGroupsWithState[Seq[(Long, Long, Long)], (Long, Long, Boolean)](
         OutputMode.Append, timeoutConf) {
         case (_, rows, state) =>
           if (state.hasTimedOut) {
@@ -174,9 +179,11 @@ object TextDedup {
                   .filter(s => java.lang.Long.bitCount(s._3 ^ sig) <= maxHamming)
                   .map(_._2).minOption
                 // count-and-drop overflow: a full bucket still flags
-                // against its retained priors but stops growing
-                if (seen.size < maxPerBucket) seen = seen :+ ((tsu, id, sig))
-                (id, dupOf.getOrElse(-1L))
+                // against its retained priors but stops growing — and
+                // REPORTS the drop, so lost future recall is observable
+                val full = seen.size >= maxPerBucket
+                if (!full) seen = seen :+ ((tsu, id, sig))
+                (id, dupOf.getOrElse(-1L), full)
             }
             if (seen.isEmpty) state.remove()
             else {
@@ -199,14 +206,15 @@ object TextDedup {
     // nothing (state.update is never called; the store stays empty).
     flagged
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Int, (Long, Option[Long], Long)](
+      .flatMapGroupsWithState[Int, (Long, Option[Long], Long, Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (id, rows, _) =>
-          val flags = rows.collect { case (_, f) if f >= 0 => f }
-          val dupOf = flags.minOption
-          Iterator.single((id, dupOf, if (dupOf.isEmpty) 1L else 0L))
+          val rs = rows.toSeq
+          val dupOf = rs.collect { case (_, f, _) if f >= 0 => f }.minOption
+          Iterator.single((id, dupOf, if (dupOf.isEmpty) 1L else 0L,
+            rs.exists(_._3)))
       }
-      .toDF("id", "dup_of", "kept")
+      .toDF("id", "dup_of", "kept", "bucket_overflow")
   }
 
   /** Exact Jaccard similarity of two token arrays (|∩| / |∪|), computed

@@ -3174,10 +3174,18 @@ object ExtQueries {
           when(col("event_type") === "signup", "I")
             .when(col("event_type") === "error", "D")
             .otherwise("U").as("op"))
+        // last_value via a sentinel COALESCE/NULLIF round-trip: DuckDB's
+        // arg_max SKIPS rows whose value argument is NULL while Spark's
+        // max_by returns the (possibly NULL) value at the max key — a
+        // NULL value in the log would silently diverge the two engines.
+        // With the sentinel neither aggregate ever sees a NULL value, so
+        // both pick the true max-event_id row (sf0.01 has no NULL values
+        // today; this pins the semantics against a regeneration that does).
         ops.groupBy(col("user_id"))
           .agg(min_by(col("op"), col("event_id")).as("first_op"),
             max_by(col("op"), col("event_id")).as("last_op"),
-            max_by(col("value"), col("event_id")).as("last_value"),
+            nullif(max_by(coalesce(col("value"), lit(-1e308)),
+              col("event_id")), lit(-1e308)).as("last_value"),
             count(lit(1)).as("n_ops"))
           .select(col("user_id"),
             when(col("first_op") === "I" && col("last_op") === "D", "none")
@@ -3195,7 +3203,8 @@ object ExtQueries {
         |         ELSE 'U' END AS op FROM events),
         |a AS (SELECT user_id, arg_min(op, event_id) AS first_op,
         |    arg_max(op, event_id) AS last_op,
-        |    arg_max(value, event_id) AS last_value,
+        |    NULLIF(arg_max(COALESCE(value, -1e308), event_id), -1e308)
+        |      AS last_value,
         |    count(*) AS n_ops FROM o GROUP BY 1)
         |SELECT user_id,
         |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'none'
@@ -4149,10 +4158,6 @@ object ExtQueries {
         |  min(deg) AS min_deg, max(deg) AS max_deg
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // Bounded-round k-core peeling (k=6, 3 rounds): per-round survivor
-    // counts as the graph sheds low-cohesion vertices — the dense-
-    // neighborhood signal (spam/mirror rings) at a fixed round count so
-    // every intermediate state is oracle-verifiable (the x98 argument).
     // Backlog aging: open orders by age bucket (days since order date,
     // measured against the corpus watermark = max order date, so the
     // audit is replay-stable without wall-clock), per status — counts
@@ -4312,6 +4317,10 @@ object ExtQueries {
         |LEFT JOIN sm ON i.source = sm.source
         |ORDER BY i.source""".stripMargin),
 
+    // Bounded-round k-core peeling (k=6, 3 rounds): per-round survivor
+    // counts as the graph sheds low-cohesion vertices — the dense-
+    // neighborhood signal (spam/mirror rings) at a fixed round count so
+    // every intermediate state is oracle-verifiable (the x98 argument).
     "x135_kcore_rounds" -> entry(
       (s, dir) =>
         graft.ext.Graphs.kCoreRounds(

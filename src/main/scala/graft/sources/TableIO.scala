@@ -64,18 +64,25 @@ object TableIO {
   /** CSV sibling of [[parseJsonl]]: schema'd `from_csv` in PERMISSIVE
     * mode — malformed lines surface as `ok = false` with null fields
     * (quarantine-able), never dropped silently or failing the batch.
-    * `ok` requires BOTH the id field present AND the raw line to have
-    * exactly the schema's column count (PERMISSIVE pads missing
-    * trailing columns with nulls, which id-presence alone can't see
-    * when the id parses but later fields are truncated). */
+    * `ok` requires BOTH the id field present AND the parser itself to
+    * report the line well-formed, via the `columnNameOfCorruptRecord`
+    * channel: PERMISSIVE pads short rows with nulls (which id-presence
+    * alone can't see when the id parses but later fields are truncated)
+    * but records the raw line in the corrupt column when the token
+    * count disagrees with the schema. The PARSER is the judge — a raw
+    * comma count would wrongly quarantine well-formed quoted fields
+    * containing commas that `from_csv` parses fine. */
   def parseCsv(df: DataFrame, csvCol: String, schema: String,
       idField: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, from_csv, lit, size, split}
+    import org.apache.spark.sql.functions.{col, from_csv}
     val st = StructType.fromDDL(schema)
-    df.withColumn("parsed",
-        from_csv(col(csvCol), st, Map("mode" -> "PERMISSIVE")))
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    df.withColumn("parsed", from_csv(col(csvCol), st,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
       .withColumn("ok", col(s"parsed.$idField").isNotNull &&
-        size(split(col(csvCol), ",", -1)) === lit(st.size))
+        col("parsed._corrupt_record").isNull)
+      .withColumn("parsed", col("parsed").dropFields("_corrupt_record"))
   }
 
   /** JDBC source with explicit parallelism bounds — a boundless JDBC read

@@ -148,14 +148,23 @@ class ExtOpsSpec extends SparkSpec {
       .option("checkpointLocation", s"$tmp/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val got = spark.table("ndcap_out").select($"id", $"dup_of", $"kept")
-      .as[(Long, Option[Long], Long)].collect()
-      .map { case (i, d, k) => i -> ((d, k)) }.toMap
-    assert(got(1L) == ((None, 1L)), s"first arrival is the original: ${got(1L)}")
+    val got = spark.table("ndcap_out")
+      .select($"id", $"dup_of", $"kept", $"bucket_overflow")
+      .as[(Long, Option[Long], Long, Boolean)].collect()
+      .map { case (i, d, k, o) => i -> ((d, k, o)) }.toMap
+    assert(got(1L) == ((None, 1L, false)),
+      s"first arrival is the original: ${got(1L)}")
     // every later copy is flagged against doc 1 — including arrivals far
     // past the cap and in the second batch (retained priors keep working)
     for (i <- 2L to 60L)
-      assert(got(i) == ((Some(1L), 0L)), s"copy $i: ${got(i)}")
+      assert((got(i)._1, got(i)._2) == ((Some(1L), 0L)), s"copy $i: ${got(i)}")
+    // the recall-loss signal: docs 1..8 fill every bucket un-overflowed;
+    // every arrival after the cap reports bucket_overflow (it was NOT
+    // retained — a future near-dup of IT could go unflagged)
+    for (i <- 1L to 8L)
+      assert(!got(i)._3, s"doc $i arrived below the cap: ${got(i)}")
+    for (i <- 9L to 60L)
+      assert(got(i)._3, s"doc $i must report overflow: ${got(i)}")
     // state bound: identical docs share all 4 band buckets, each capped
     // at 8 entries -> ≤ 32 state rows in the band stage; the vote stage
     // stores nothing. (Progress metrics sum both stateful operators.)
@@ -2185,6 +2194,25 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(3).getString(2) == "de")
   }
 
+  test("parseCsv: quoted commas pass, truncated rows quarantine") {
+    val df = Seq(
+      """1,en,hello world""",
+      """2,fr,"bonjour, monde"""", // quoted comma — well-formed
+      """3,de""",                  // truncated: text column missing
+      """,en,no id here""",        // id absent
+      """4,en,"a","extra"""        // too many columns
+    ).toDF("c")
+    val got = graft.sources.TableIO
+      .parseCsv(df, "c", "id BIGINT, lang STRING, text STRING", "id")
+      .select($"ok", $"parsed.id", $"parsed.text").collect()
+    assert(got.map(_.getBoolean(0)).toList ==
+      List(true, true, false, false, false), got.toList.toString)
+    // the quoted comma parsed as ONE field, not two
+    assert(got(1).getString(2) == "bonjour, monde")
+    // quarantined rows still expose what did parse (id for row 3)
+    assert(got(2).getLong(1) == 3L)
+  }
+
   test("rangePartitionPlan: buckets partition the domain, counts total") {
     import graft.ext.Sharding
     val df = (1L to 80L).map(v => Tuple1(v)).toDF("v")
@@ -2332,6 +2360,27 @@ class ExtOpsSpec extends SparkSpec {
       moved.foreach(r => assert(r.getLong(k) == k.toLong,
         s"k=$k -> ${k + 1}: mover landed on ${r.getLong(k)}"))
     }
+  }
+
+  test("localLloyd seeding: D2 draws never pick an already-covered point") {
+    // the k-means++ property the fallback fix protects: a D²-weighted
+    // draw has zero mass on already-chosen points, so with n = k
+    // distinct inputs the seeded centers must be a PERMUTATION of the
+    // inputs for every seed — the old fallback (index 0 on float
+    // residue) could duplicate the first point and drop another.
+    // iters = 0 exposes the raw seeding (Lloyd rounds would re-center).
+    val pts = Array(Array(0.0, 0.0), Array(1.0, 0.0),
+      Array(0.0, 1.0), Array(7.0, 7.0))
+    for (seed <- 0L until 300L) {
+      val c = graft.ext.Similarity.localLloyd(pts, k = 4, iters = 0,
+        seed = seed).map(_.toList).sortBy(_.toString).toSeq
+      assert(c == pts.map(_.toList).sortBy(_.toString).toSeq,
+        s"seed=$seed picked a covered point: $c")
+    }
+    // fewer distinct points than k: repeats are the documented contract
+    val dup = Array(Array(1.0), Array(1.0))
+    val c2 = graft.ext.Similarity.localLloyd(dup, k = 3, iters = 0, seed = 1L)
+    assert(c2.forall(_.sameElements(Array(1.0))))
   }
 
   test("hrwShardSql: SQL twin matches hrwShard for negative keys too") {
