@@ -275,7 +275,7 @@ object TextDedup {
       .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
         greatest(col("sz_a"), col("sz_b")) * threshold - 1e-6)
       .withColumn("jac",
-        inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
+        opq(inter.cast("double") / (col("sz_a") + col("sz_b") - inter)))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -408,6 +408,16 @@ object TextDedup {
     * shared by the one-corpus pair join and the incremental
     * batch-vs-index join (identical banding is what makes the persisted
     * index reusable). */
+  /** [[graft.functions.Opaque]] barrier: derived-column filters like
+    * `jac >= θ` must NOT push down into the verification join's
+    * condition, where Catalyst re-evaluates the O(|toks|) merge walk
+    * 2–4× per candidate (once-to-twice in the condition, again in the
+    * projection — no CSE spans the two). Wrapping the WHOLE derived
+    * expression keeps it computed exactly once, in its projection
+    * (within-projection CSE still applies), and the threshold filter
+    * evaluates the finished column. */
+  private def opq(c: Column): Column = call_function("opaque", c)
+
   private def bandKeyExprs(sig: Column, k: Int, bands: Int): Seq[Column] = {
     val rowsPerBand = k / bands
     (0 until bands).map { bd =>
@@ -477,7 +487,8 @@ object TextDedup {
       .join(idx.select(col("id").as("dup_of"), col("toks").as("toks_b")),
         "dup_of")
       .withColumn("jac",
-        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
+        opq(inter.cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - inter)))
       .filter(col("jac") >= threshold)
       .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
       .distinct()
@@ -540,7 +551,7 @@ object TextDedup {
       .withColumn("est_jac", eqCount.cast("double") / k)
       .filter(col("est_jac") >= estFloor)
       .withColumn("jac",
-        inter.cast("double") / (col("sz") + col("sz_b") - inter))
+        opq(inter.cast("double") / (col("sz") + col("sz_b") - inter)))
       .filter(col("jac") >= threshold)
       .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
   }
@@ -609,7 +620,8 @@ object TextDedup {
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("jac",
-        inter.cast("double") / (size(col("toks_a")) + size(col("toks_b")) - inter))
+        opq(inter.cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - inter)))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jac"), col("jac"))
       .distinct()
@@ -657,7 +669,7 @@ object TextDedup {
     val pairBands = sfx("a").join(sfx("b"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("band") === firstAgree - 1) // structural pair dedup
-      .select(inter.as("i"),
+      .select(opq(inter).as("i"),
         (col("sz_a") + col("sz_b")).cast("long").as("ss"))
       .filter(col("i") > 0)
       .select(expr("(10L * i) div (ss - i)").as("band"))

@@ -106,6 +106,8 @@ object Functions {
       arity("bpe_encode_len", 3)(e => BpeEncodeLen(e(0), e(1), e(2)))),
     ("cdc_chunks", classOf[CdcChunks],
       arity("cdc_chunks", 2)(e => CdcChunks(e(0), e(1)))),
+    ("opaque", classOf[Opaque],
+      arity("opaque", 1)(e => Opaque(e(0)))),
     // Catalyst ships BloomFilterMightContain for its own runtime join
     // filters but does not expose it in the public FunctionRegistry
     // (only `bloom_filter_agg` is registered). Registering it here gives

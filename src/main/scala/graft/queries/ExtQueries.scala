@@ -3591,13 +3591,36 @@ object ExtQueries {
           array_sort(array_distinct(split(col("text"), " "))).as("toks"))
         val inter = call_function("sorted_intersect_size",
           col("a.toks"), col("b.toks"))
-        val pairs = t.as("a").join(t.as("b"),
+        // wide(): the corpus is one byte-small file = one scan task, and
+        // the broadcast-join probe loop (where every merge walk runs)
+        // inherits that width — widen the PROBE side so the quadratic
+        // CPU spreads across cores (the x85/x93 Par.widen rationale).
+        // At a scale where the build side outgrows broadcast this query
+        // is the wrong tool by declaration — x140 is the crawl-scale
+        // sweep; a shuffle-join form here would also need bucket-pair
+        // replication (20 source keys = 20 busy tasks otherwise).
+        val right = wide(t)
+        // the i > 0 gate goes through a TYPED boundary, not a column
+        // filter: Catalyst pushes a column predicate down into the join
+        // condition, where it (a) re-evaluates the O(|toks|) merge walk
+        // per pair (once in the condition, again in the projection) and
+        // (b) sits AHEAD of the cheap doc_id< conjunct, so every
+        // unordered candidate pays it twice. The object boundary keeps
+        // the join condition equi+< only and the intersect computed
+        // exactly once per surviving pair; with the widen, 6.7 → 1.2 s
+        // at sf0.1 on the regenerated r9 corpus. The serialized rows
+        // are two longs, nothing else crosses.
+        val joined = t.as("a").join(right.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(inter.as("i"),
+          .select(inter.cast("long").as("i"),
             (size(col("a.toks")) + size(col("b.toks"))).cast("long").as("ss"))
-          .filter(col("i") > 0)
-          .select(expr("(10L * i) div (ss - i)").as("band"))
+        import s.implicits._
+        val pairs = joined.as[(Long, Long)]
+          .filter(_._1 > 0)
+          // non-negative operands: Scala / == Spark div == DuckDB //
+          .map { case (i, ss) => (10L * i) / (ss - i) }
+          .toDF("band")
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("band").desc)
           .rowsBetween(org.apache.spark.sql.expressions.Window

@@ -265,6 +265,25 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("keys=[id_a")), p.take(3000))
   }
 
+  test("verification intersect computes once — never inside a join condition") {
+    // the Opaque barrier's contract: the O(|toks|) merge walk must live
+    // in a Project, where within-projection CSE runs it once per pair —
+    // never re-inlined into the verification join's condition (where the
+    // pre-fix plans evaluated it 2–4x per candidate and AHEAD of the
+    // cheap id< conjunct; x121 measured 6.7 -> 1.2 s at sf0.1)
+    for (name <- Seq("x02_dedup_minhash_lsh", "x04_dedup_ngram_jaccard",
+        "x121_dedup_threshold_sweep", "x140_dedup_sweep_lsh")) {
+      val p = executedPlan(query(name)).split("== Initial Plan ==").head
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("sorted_intersect_size")).toList
+      assert(bad.isEmpty,
+        s"$name evaluates the merge walk inside a join condition:\n" +
+          bad.mkString("\n").take(1500))
+      assert(p.contains("sorted_intersect_size"),
+        s"$name lost the native merge walk entirely:\n${p.take(1500)}")
+    }
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
