@@ -156,7 +156,13 @@ object Similarity {
       // same-chunk bucket sees both orientations: keep the triangle half.
       // Cross-chunk buckets see each pair once in arbitrary orientation.
       .filter(col("pk.lo") =!= col("pk.hi") || col("id_l") < col("id_r"))
-      .withColumn("sim", dot(col("vl"), col("vr")) / (col("nl") * col("nr")))
+      // opaque(): keep the O(dim) dot in THIS projection — a pushed-down
+      // sim >= θ re-evaluates it in the join condition and again here
+      // (see graft.functions.Opaque). Project + filter still pipeline
+      // inside the join's codegen stage, so only surviving pairs reach
+      // any downstream exchange.
+      .withColumn("sim", call_function("opaque",
+        dot(col("vl"), col("vr")) / (col("nl") * col("nr"))))
       .filter(col("sim") >= threshold)
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("sim"))
@@ -191,9 +197,13 @@ object Similarity {
     banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       // score INSIDE the join stage: only above-threshold pairs reach the
-      // dedup shuffle (pairs sharing several bands dedup on identical sims)
-      .withColumn("sim",
-        dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
+      // dedup shuffle (pairs sharing several bands dedup on identical
+      // sims). opaque() keeps the O(dim) dot computed ONCE in this
+      // projection instead of re-inlined into the join condition; the
+      // project + filter still pipeline within the join's codegen stage,
+      // so the shuffle-reduction property is unchanged.
+      .withColumn("sim", call_function("opaque",
+        dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))))
       .filter(col("sim") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
       .distinct()

@@ -282,6 +282,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("sorted_intersect_size"),
         s"$name lost the native merge walk entirely:\n${p.take(1500)}")
     }
+    // same contract for the O(dim) vector dot in the embedding pair ops
+    for (name <- Seq("x17_embedding_neardup", "x18_embedding_neardup_lsh")) {
+      val p = executedPlan(query(name)).split("== Initial Plan ==").head
+      val bad = p.linesIterator.filter(l =>
+        l.contains("Join") && l.contains("vector_dot")).toList
+      assert(bad.isEmpty,
+        s"$name evaluates vector_dot inside a join condition:\n" +
+          bad.mkString("\n").take(1500))
+    }
   }
 
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
