@@ -479,7 +479,7 @@ object TextDedup {
       .filter(least(col("x.sz"), col("y.sz")).cast("double") >=
         greatest(col("x.sz"), col("y.sz")) * threshold - 1e-6)
       .select(col("x.id").as("id"), col("y.id").as("dup_of"),
-        (eqCount.cast("double") / k).as("est_jac"))
+        opq(eqCount.cast("double") / k).as("est_jac"))
       .filter(col("est_jac") >= estFloor)
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     cands
@@ -548,7 +548,7 @@ object TextDedup {
       .filter(col("band") === firstAgree - 1)
       .filter(least(col("sz"), col("sz_b")).cast("double") >=
         greatest(col("sz"), col("sz_b")) * threshold - 1e-6)
-      .withColumn("est_jac", eqCount.cast("double") / k)
+      .withColumn("est_jac", opq(eqCount.cast("double") / k))
       .filter(col("est_jac") >= estFloor)
       .withColumn("jac",
         opq(inter.cast("double") / (col("sz") + col("sz_b") - inter)))
@@ -603,7 +603,7 @@ object TextDedup {
       .filter(least(col("x.sz"), col("y.sz")).cast("double") >=
         greatest(col("x.sz"), col("y.sz")) * threshold - 1e-6)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (eqCount.cast("double") / k).as("est_jac"))
+        opq(eqCount.cast("double") / k).as("est_jac"))
       .filter(col("est_jac") >= estFloor)
     // verify on HASHED shingles: sorted long arrays are ~2× smaller to
     // move and ~2× faster to merge-walk than the raw strings; 64-bit

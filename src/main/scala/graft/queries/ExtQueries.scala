@@ -3882,27 +3882,32 @@ object ExtQueries {
     // orphans IS the assertion; a real lake run flags rot here first.)
     "x127_fk_integrity" -> entry(
       (s, dir) => {
+        // one aggregate per edge, all five unioned into ONE job: the
+        // former shape ran 2 driver actions per edge (a count + an
+        // anti-join count) — 10 sequential jobs whose scheduling gaps
+        // dominated the audit. A left join against the distinct parent
+        // keys + a null-count aggregate gives both numbers in one pass
+        // per edge, and the union lets Spark run all five concurrently.
         def edge(name: String,
             child: org.apache.spark.sql.DataFrame, childKey: String,
             parent: org.apache.spark.sql.DataFrame,
-            parentKey: String) = {
-          val n = child.count()
-          val orphans = child
-            .join(parent.select(col(parentKey).as(childKey)).distinct(),
-              Seq(childKey), "left_anti").count()
-          (name, n, orphans)
-        }
+            parentKey: String) =
+          child.select(col(childKey))
+            .join(parent.select(col(parentKey).as(childKey)).distinct()
+                .withColumn("__hit", lit(1)), Seq(childKey), "left")
+            .agg(lit(name).as("edge"), count(lit(1)).as("n_children"),
+              sum(when(col("__hit").isNull, 1L).otherwise(0L))
+                .as("n_orphans"))
         val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
         val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
         val n4 = tbl(s, dir, "nation")
-        val rows = Seq(
+        Seq(
           edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
           edge("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
           edge("orders->customer", o, "o_custkey", c, "c_custkey"),
           edge("customer->nation", c, "c_nationkey", n4, "n_nationkey"),
           edge("supplier->nation", su, "s_nationkey", n4, "n_nationkey"))
-        import s.implicits._
-        rows.toDF("edge", "n_children", "n_orphans")
+          .reduce(_.unionByName(_))
           .withColumn("orphan_bp",
             expr("(10000 * n_orphans) div n_children"))
           .orderBy(col("edge"))
