@@ -400,14 +400,6 @@ object TextDedup {
         (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
   }
 
-  /** MinHash+LSH candidate pairs: split the k-wide signature into `bands`
-    * bands of k/bands rows each, bucket-join on (band index, band hash),
-    * then verify candidates with exact Jaccard. Returns
-    * (id_a, id_b, est_jac, jac) with jac >= threshold. */
-  /** The (band index, band hash) keys of a k-wide signature column —
-    * shared by the one-corpus pair join and the incremental
-    * batch-vs-index join (identical banding is what makes the persisted
-    * index reusable). */
   /** [[graft.functions.Opaque]] barrier: derived-column filters like
     * `jac >= θ` must NOT push down into the verification join's
     * condition, where Catalyst re-evaluates the O(|toks|) merge walk
@@ -418,6 +410,10 @@ object TextDedup {
     * evaluates the finished column. */
   private def opq(c: Column): Column = call_function("opaque", c)
 
+  /** The (band index, band hash) keys of a k-wide signature column —
+    * shared by the one-corpus pair join and the incremental
+    * batch-vs-index join (identical banding is what makes the persisted
+    * index reusable). */
   private def bandKeyExprs(sig: Column, k: Int, bands: Int): Seq[Column] = {
     val rowsPerBand = k / bands
     (0 until bands).map { bd =>
@@ -556,6 +552,10 @@ object TextDedup {
       .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
   }
 
+  /** MinHash+LSH candidate pairs: split the k-wide signature into `bands`
+    * bands of k/bands rows each, bucket-join on (band index, band hash),
+    * then verify candidates with exact Jaccard. Returns
+    * (id_a, id_b, est_jac, jac) with jac >= threshold. */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 8, shingleN: Int = 2,

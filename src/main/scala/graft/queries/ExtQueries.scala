@@ -3600,27 +3600,25 @@ object ExtQueries {
         // sweep; a shuffle-join form here would also need bucket-pair
         // replication (20 source keys = 20 busy tasks otherwise).
         val right = wide(t)
-        // the i > 0 gate goes through a TYPED boundary, not a column
-        // filter: Catalyst pushes a column predicate down into the join
-        // condition, where it (a) re-evaluates the O(|toks|) merge walk
-        // per pair (once in the condition, again in the projection) and
-        // (b) sits AHEAD of the cheap doc_id< conjunct, so every
-        // unordered candidate pays it twice. The object boundary keeps
-        // the join condition equi+< only and the intersect computed
-        // exactly once per surviving pair; with the widen, 6.7 → 1.2 s
-        // at sf0.1 on the regenerated r9 corpus. The serialized rows
-        // are two longs, nothing else crosses.
-        val joined = t.as("a").join(right.as("b"),
+        // the i > 0 gate reads an opaque()-wrapped column (the
+        // graft.functions.Opaque barrier): a plain column filter pushes
+        // down into the join condition, where it (a) re-evaluates the
+        // O(|toks|) merge walk per pair (once in the condition, again
+        // in the projection) and (b) sits AHEAD of the cheap doc_id<
+        // conjunct, so every unordered candidate pays it twice. The
+        // barrier keeps the join condition equi+< only and the
+        // intersect computed once per pair; with the widen, 6.7 → 1.2 s
+        // at sf0.1 on the regenerated r9 corpus. (A typed
+        // .as[(Long, Long)] boundary works too but crashes on NULL-text
+        // rows — a NULL `i` cannot deserialize into a primitive Long —
+        // where this filter just drops them, like the pre-r9 form.)
+        val pairs = t.as("a").join(right.as("b"),
             col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(inter.cast("long").as("i"),
+          .select(call_function("opaque", inter).cast("long").as("i"),
             (size(col("a.toks")) + size(col("b.toks"))).cast("long").as("ss"))
-        import s.implicits._
-        val pairs = joined.as[(Long, Long)]
-          .filter(_._1 > 0)
-          // non-negative operands: Scala / == Spark div == DuckDB //
-          .map { case (i, ss) => (10L * i) / (ss - i) }
-          .toDF("band")
+          .filter(col("i") > 0)
+          .select(expr("(10L * i) div (ss - i)").as("band"))
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("band").desc)
           .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -3895,9 +3893,11 @@ object ExtQueries {
           child.select(col(childKey))
             .join(parent.select(col(parentKey).as(childKey)).distinct()
                 .withColumn("__hit", lit(1)), Seq(childKey), "left")
+            // coalesce: sum over ZERO rows is NULL, but an empty child
+            // table has 0 orphans (the oracle's count FILTER agrees)
             .agg(lit(name).as("edge"), count(lit(1)).as("n_children"),
-              sum(when(col("__hit").isNull, 1L).otherwise(0L))
-                .as("n_orphans"))
+              coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+                lit(0L)).as("n_orphans"))
         val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
         val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
         val n4 = tbl(s, dir, "nation")
@@ -3908,8 +3908,12 @@ object ExtQueries {
           edge("customer->nation", c, "c_nationkey", n4, "n_nationkey"),
           edge("supplier->nation", su, "s_nationkey", n4, "n_nationkey"))
           .reduce(_.unionByName(_))
+          // n_children > 0 guard: ANSI `div` throws on an empty child
+          // table where DuckDB `//` yields NULL — emit NULL on both
           .withColumn("orphan_bp",
-            expr("(10000 * n_orphans) div n_children"))
+            expr("CASE WHEN n_children > 0 THEN " +
+              "(10000 * n_orphans) div n_children " +
+              "ELSE CAST(NULL AS BIGINT) END"))
           .orderBy(col("edge"))
       },
       """WITH u AS (
@@ -3933,7 +3937,9 @@ object ExtQueries {
         |    count(*) FILTER (WHERE n_nationkey IS NULL)
         |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
         |SELECT edge, n_children, n_orphans,
-        |  (10000 * n_orphans) // n_children AS orphan_bp
+        |  CAST(CASE WHEN n_children > 0 THEN
+        |      (10000 * n_orphans) // n_children
+        |    ELSE NULL END AS BIGINT) AS orphan_bp
         |FROM u ORDER BY edge""".stripMargin),
 
     // SCD2 version table from the append-only log: each event opens a
@@ -4095,7 +4101,13 @@ object ExtQueries {
             sum((col("rx") - col("ry")) * (col("rx") - col("ry")))
               .as("d2x4"))
           .select(col("event_type"), col("n"), col("d2x4"),
-            expr("10000L - (30000L * d2x4) div (2L * n * (n * n - 1))")
+            // n > 1 guard: the denominator 2n(n²−1) is 0 for a
+            // single-row group, where Spark's ANSI `div` would throw
+            // DIVIDE_BY_ZERO while DuckDB's `//` quietly yields NULL —
+            // make both engines emit NULL (rho is undefined at n = 1)
+            expr("CASE WHEN n > 1 THEN " +
+              "10000L - (30000L * d2x4) div (2L * n * (n * n - 1)) " +
+              "ELSE CAST(NULL AS BIGINT) END")
               .as("rho_x10000"))
           .orderBy(col("event_type"))
       },
@@ -4112,8 +4124,9 @@ object ExtQueries {
         |      CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2x4
         |      FROM r GROUP BY 1)
         |SELECT event_type, n, d2x4,
-        |  CAST(10000 - (30000 * d2x4) // (2 * n * (n * n - 1)) AS BIGINT)
-        |    AS rho_x10000
+        |  CAST(CASE WHEN n > 1 THEN
+        |      10000 - (30000 * d2x4) // (2 * n * (n * n - 1))
+        |    ELSE NULL END AS BIGINT) AS rho_x10000
         |FROM a ORDER BY event_type""".stripMargin),
 
     // RFM segmentation: users quartiled on Recency (last purchase),

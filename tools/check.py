@@ -59,10 +59,11 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {q} ({len(got)} rows)")
-    print(f"== {n_pass} pass / {n_fail} fail ==")
     # Result-TYPE lint is part of the gate: a HUGEINT output column can
     # be bit-exact here yet hash-FAIL the driver's newer DuckDB (r8: 15
     # queries). Value comparison cannot catch that class; DESCRIBE can.
+    # It runs BEFORE the summary line so a lint-only failure can never
+    # hide behind an all-green "N pass / 0 fail".
     import subprocess
     lint = subprocess.run(
         [sys.executable,
@@ -71,6 +72,8 @@ def main():
          sf_dir, os.path.join(out_dir, "oracle_sql.json"), *sorted(only)])
     if lint.returncode:
         n_fail += 1
+        print("FAIL <type-lint>: see lint output above")
+    print(f"== {n_pass} pass / {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
