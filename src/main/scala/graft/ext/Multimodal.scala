@@ -129,6 +129,67 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Perceptual average-hash (aHash) over the REAL decoded image: the
+    * top-left 8×8 crop's per-pixel gray sums (r+g+b — a SUM, not a
+    * float luma, so the oracle can recompute it with integer
+    * arithmetic), each pixel voting brighter-than-average via the
+    * division-free comparison `64·gray > Σgray`. The 64 bits pack into
+    * TWO 32-bit halves carried as non-negative longs — packing all 64
+    * into one long would put bit 0 on the sign bit, which DuckDB's
+    * `<<` overflow check rejects; two halves keep every value
+    * engine-portable. Bit (y·8+x) sits at position 31−i (i<32, hi) /
+    * 63−i (lo): MSB-first raster order.
+    *
+    * This is the multimodal×dedup crossover: near-identical images
+    * (re-encodes, brightness shifts — a global +c moves pixels and
+    * mean together, flipping almost no votes) land within a few bits,
+    * so the simhash banding machinery applies unchanged. Crop-based by
+    * contract (images here are ≥8×8 by construction); a production
+    * variant average-pools to 8×8 first — same downstream shape.
+    * Undecodable rows and images smaller than the crop are dropped. */
+  final case class AHashRow(id: Long, hash_hi: Long, hash_lo: Long)
+
+  def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[AHashRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img =
+          try {
+            Option(javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(
+                  if (r.media == null) Array.emptyByteArray else r.media))
+                : javax.imageio.stream.ImageInputStream))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        img.filter(i => i.getWidth >= 8 && i.getHeight >= 8).map { i =>
+          val gray = new Array[Int](64)
+          var total = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val rgb = i.getRGB(x, y)
+              val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              gray(y * 8 + x) = g
+              total += g
+              x += 1
+            }
+            y += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var j = 0
+          while (j < 64) {
+            val bit = if (64L * gray(j) > total) 1L else 0L
+            if (j < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+            j += 1
+          }
+          AHashRow(r.id, hi, lo)
+        }
+      }
+    }.toDF()
+  }
+
   /** Pure-JVM 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up rows,
     * BGR byte order, 4-byte row padding — plain header+pixel arithmetic,
     * no library). `px(x, y)` returns (r, g, b), each masked to 0–255.

@@ -4384,7 +4384,73 @@ object ExtQueries {
     "x140_dedup_sweep_lsh" -> rowsOnly(
       (s, dir) =>
         graft.ext.TextDedup.lshBandSweep(
-          tbl(s, dir, "documents"), "doc_id", "text"))
+          tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // Perceptual image near-dup — the multimodal×dedup crossover: each
+    // doc_id synthesizes a real BMP, the ENGINE decodes actual bytes
+    // (javax.imageio) and computes the 8×8-crop average-hash
+    // (division-free 64·gray > Σgray votes, packed into two 32-bit
+    // halves), then the simhash band machinery finds hamming ≤ 3 pairs
+    // (4×16-bit bands — pigeonhole-complete at ≤ 3). The ORACLE never
+    // decodes: it recomputes the hash from the pixel formula, so a bug
+    // in the BMP writer, the decoder, the vote, the bit packing, or
+    // the banding breaks the hash. Near-dup structure is real: ids
+    // congruent mod 256 render identical crops; adjacent ids are
+    // global brightness shifts that flip almost no votes.
+    "x141_image_ahash_neardup" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkBmp = udf((id: Long) => Multimodal.syntheticBmp(id))
+        val media = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            lit("image").as("format"), mkBmp(col("doc_id")).as("media"))
+        // wide(): the decode+hash is per-row CPU over a byte-small scan
+        val h = Multimodal.imageAHash(
+            wide(media).as[Multimodal.MediaRecord])
+          .localCheckpoint(eager = false) // feeds both join sides
+        val banded = h.select(col("id"), col("hash_hi"), col("hash_lo"),
+          posexplode(array(
+            shiftrightunsigned(col("hash_hi"), 16),
+            col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+            shiftrightunsigned(col("hash_lo"), 16),
+            col("hash_lo").bitwiseAND(lit(0xFFFFL))))
+            .as(Seq("band", "bits")))
+        def side(sfx: String) = banded.columns.foldLeft(banded)((d, c) =>
+          d.withColumnRenamed(c,
+            if (c == "band" || c == "bits") c else s"${c}_$sfx"))
+        val ham = (expr("bit_count(hash_hi_a ^ hash_hi_b)") +
+          expr("bit_count(hash_lo_a ^ hash_lo_b)")).cast("long")
+        side("a").join(side("b"), Seq("band", "bits"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), ham.as("hamming"))
+          .filter(col("hamming") <= 3) // cheap popcount — no barrier needed
+          .distinct() // multi-band duplicate candidates, tiny post-filter
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH xs AS (SELECT unnest(range(0, 8)) AS x),
+        |ys AS (SELECT unnest(range(0, 8)) AS y),
+        |g AS (SELECT doc_id, y * 8 + x AS i,
+        |    (doc_id + 7 * x + 13 * y) % 256
+        |      + (3 * doc_id + 11 * x + y) % 256
+        |      + (x * y + doc_id) % 256 AS gray
+        |  FROM documents, xs, ys),
+        |t AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS total
+        |      FROM g GROUP BY 1),
+        |h AS (SELECT g.doc_id,
+        |    CAST(sum(CASE WHEN i < 32 AND 64 * gray > t.total
+        |        THEN CAST(1 AS BIGINT) << (31 - i) ELSE 0 END)
+        |      AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN i >= 32 AND 64 * gray > t.total
+        |        THEN CAST(1 AS BIGINT) << (63 - i) ELSE 0 END)
+        |      AS BIGINT) AS hash_lo
+        |  FROM g JOIN t USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+        |     + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -2362,6 +2362,40 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: decoded-crop hash matches the pixel formula and is " +
+      "brightness-shift tolerant") {
+    import graft.ext.Multimodal
+    def local(id: Long): (Long, Long) = {
+      val gray = (0 until 64).map { i =>
+        val (x, y) = (i % 8, i / 8)
+        ((id + 7L * x + 13L * y) % 256 + (3L * id + 11L * x + y) % 256 +
+          (x.toLong * y + id) % 256).toInt
+      }
+      val total = gray.map(_.toLong).sum
+      val bits = gray.map(g => if (64L * g > total) 1L else 0L)
+      (bits.take(32).foldLeft(0L)((a, b) => (a << 1) | b),
+        bits.drop(32).foldLeft(0L)((a, b) => (a << 1) | b))
+    }
+    val ids = Seq(0L, 1L, 7L, 255L, 256L, 257L, 300L, 511L)
+    val media = ids.map(i =>
+      Multimodal.MediaRecord(i, "image", Multimodal.syntheticBmp(i))).toDS()
+    val got = Multimodal.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // real decode == formula, for every probe id
+    ids.foreach(i => assert(got(i) == local(i), s"id=$i"))
+    // ids congruent mod 256 render identical crops -> identical hashes
+    assert(got(0L) == got(256L) && got(1L) == got(257L))
+    // adjacent ids are near-global brightness shifts -> tiny hamming
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(got(0L), got(1L)) <= 6, ham(got(0L), got(1L)).toString)
+    // garbage bytes and sub-crop images drop, never throw
+    val junk = Seq(Multimodal.MediaRecord(9L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRecord(10L, "image",
+        Multimodal.encodeBmp(4, 4, (_, _) => (1, 2, 3)))).toDS()
+    assert(Multimodal.imageAHash(junk).count() == 0L)
+  }
+
   test("localLloyd seeding: D2 draws never pick an already-covered point") {
     // the k-means++ property the fallback fix protects: a D²-weighted
     // draw has zero mass on already-chosen points, so with n = k
