@@ -351,6 +351,79 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Content fingerprint of a REAL decoded clip: the interleaved
+    * samples split into 32 integer-boundary windows
+    * (`window(i) = (32·i) div nSamples` — division-free per-window
+    * boundaries an oracle replicates exactly), per-window absolute
+    * energy sums, and one TREND bit per adjacent window pair
+    * (`e_w > e_{w−1}`, w = 1..31) packed MSB-first into a non-negative
+    * 31-bit long. Energy TRENDS survive re-encoding and uniform gain
+    * where raw samples do not — the Chromaprint idea reduced to its
+    * integer-exact core. Clips shorter than 32 samples (and anything
+    * that fails the PCM16 walk) drop. One scan, no shuffle. */
+  final case class AudioFpRow(id: Long, fp: Long)
+
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    implicit val enc = Encoders.product[AudioFpRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavWindows(r.media, 32).map { e =>
+          var fp = 0L
+          var w = 1
+          while (w < 32) {
+            if (e(w) > e(w - 1)) fp |= 1L << (31 - w)
+            w += 1
+          }
+          AudioFpRow(r.id, fp)
+        }
+      }
+    }.toDF()
+  }
+
+  /** The [[decodeWav]] chunk walk, aggregating per-window absolute
+    * energy instead of global stats. None on parse failure or when the
+    * clip has fewer samples than windows. */
+  private[graft] def decodeWavWindows(bytes: Array[Byte],
+      windows: Int): Option[Array[Long]] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try {
+      if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x45564157)
+        return None
+      var pos = 12
+      var bits = 0; var pcm = false; var channels = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= bytes.length) {
+        val id = bb.getInt(pos)
+        val sz = bb.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        if (id == 0x20746d66) { // "fmt "
+          if (sz < 16) return None
+          pcm = (bb.getShort(pos + 8) & 0xffff) == 1
+          channels = bb.getShort(pos + 10) & 0xffff
+          bits = bb.getShort(pos + 22) & 0xffff
+        } else if (id == 0x61746164) { // "data"
+          dataOff = pos + 8; dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      val nSamp = dataLen / 2
+      if (!pcm || bits != 16 || channels <= 0 || dataOff < 0 ||
+        nSamp < windows) None
+      else {
+        val e = new Array[Long](windows)
+        var i = 0
+        while (i < nSamp) {
+          e(((windows.toLong * i) / nSamp).toInt) +=
+            math.abs(bb.getShort(dataOff + 2 * i).toInt)
+          i += 1
+        }
+        Some(e)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL multi-frame decode via the JDK's GIF codec (`javax.imageio`
     * reads animated GIF frame-by-frame with random access): the
     * video-shaped media path executed against an actual temporal

@@ -4450,7 +4450,64 @@ object ExtQueries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash_hi, b.hash_hi))
         |    + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Audio content-duplicate detection through the REAL codec: every
+    // 50th doc plants a re-encoded twin clip (new id, same audio), and
+    // the energy-trend fingerprint (Multimodal.audioFingerprint — 32
+    // integer-boundary windows, 31 adjacent-trend bits) collides the
+    // twins into n_clips=2 groups while singletons stay apart. The
+    // ORACLE never decodes — it rebuilds each fingerprint from the
+    // sample formula, so the WAV writer, the chunk-walking decoder,
+    // the window boundaries, and the bit packing are all hash-pinned.
+    // Trend bits (not raw samples) are what survive re-encoding and
+    // uniform gain on real audio.
+    "x142_audio_fingerprint_dedup" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkWav = udf((seed: Long) => Multimodal.syntheticWav(seed))
+        val docs = tbl(s, dir, "documents")
+        val base = docs.select(col("doc_id").cast("long").as("id"),
+          col("doc_id").cast("long").as("seed"))
+        val planted = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("id"),
+            col("doc_id").cast("long").as("seed"))
+        val media = base.unionByName(planted)
+          .select(col("id"), lit("audio").as("format"),
+            mkWav(col("seed")).as("media"))
+          .as[Multimodal.MediaRecord]
+        Multimodal.audioFingerprint(wide(media.toDF())
+            .as[Multimodal.MediaRecord])
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_clips"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+          .orderBy(col("n_clips").desc, col("fp"))
+          .limit(20)
+      },
+      """WITH d AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |geo AS (SELECT doc_id, seed,
+        |    (1 + seed % 2) * (64 + seed % 33) AS n FROM d),
+        |i AS (SELECT unnest(range(0, 194)) AS i),
+        |s AS (SELECT geo.doc_id, (32 * i.i) // geo.n AS w,
+        |    abs((geo.seed * 31 + 17 * i.i) % 4096 - 2048) AS a
+        |  FROM geo JOIN i ON i.i < geo.n),
+        |e AS (SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS e
+        |      FROM s GROUP BY 1, 2),
+        |b AS (SELECT doc_id, w,
+        |    CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY w)
+        |      THEN 1 ELSE 0 END AS bit FROM e),
+        |f AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN w >= 1 AND bit = 1
+        |        THEN CAST(1 AS BIGINT) << (31 - w) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM b GROUP BY 1)
+        |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -2396,6 +2396,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.imageAHash(junk).count() == 0L)
   }
 
+  test("audioFingerprint: decoded trend bits match the sample formula; " +
+      "re-encoded twins collide") {
+    import graft.ext.Multimodal
+    def local(seed: Long): Long = {
+      val c = (1 + seed % 2).toInt
+      val nf = (64 + seed % 33).toInt
+      val n = c * nf
+      val e = new Array[Long](32)
+      (0 until n).foreach(i =>
+        e(32 * i / n) += math.abs((seed * 31L + 17L * i) % 4096L - 2048L))
+      (1 until 32).foldLeft(0L)((fp, w) =>
+        if (e(w) > e(w - 1)) fp | (1L << (31 - w)) else fp)
+    }
+    val ids = Seq(0L, 1L, 33L, 64L, 100L, 511L)
+    val media = ids.map(i =>
+      Multimodal.MediaRecord(i, "audio", Multimodal.syntheticWav(i))).toDS()
+    val got = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(got(i) == local(i), s"seed=$i"))
+    // a re-encoded copy of the same samples fingerprints identically
+    val twin = Multimodal.audioFingerprint(Seq(Multimodal.MediaRecord(
+      999L, "audio", Multimodal.syntheticWav(100L))).toDS()).head()
+    assert(twin.getLong(1) == got(100L))
+    // garbage and clips shorter than the window count drop, never throw
+    val junk = Seq(
+      Multimodal.MediaRecord(1L, "audio", Array[Byte](82, 73)),
+      Multimodal.MediaRecord(2L, "audio",
+        Multimodal.encodeWav(8000, 1, Array[Short](1, -1, 2)))).toDS()
+    assert(Multimodal.audioFingerprint(junk).count() == 0L)
+  }
+
   test("localLloyd seeding: D2 draws never pick an already-covered point") {
     // the k-means++ property the fallback fix protects: a D²-weighted
     // draw has zero mass on already-chosen points, so with n = k
