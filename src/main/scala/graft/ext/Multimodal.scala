@@ -152,43 +152,57 @@ object Multimodal {
   def imageAHash(media: Dataset[MediaRecord]): DataFrame = {
     implicit val enc = Encoders.product[AHashRow]
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val img =
-          try {
-            Option(javax.imageio.ImageIO.read(
-              new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(
-                  if (r.media == null) Array.emptyByteArray else r.media))
-                : javax.imageio.stream.ImageInputStream))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        img.filter(i => i.getWidth >= 8 && i.getHeight >= 8).map { i =>
-          val gray = new Array[Int](64)
-          var total = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              val rgb = i.getRGB(x, y)
-              val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              gray(y * 8 + x) = g
-              total += g
-              x += 1
-            }
-            y += 1
-          }
-          var hi = 0L
-          var lo = 0L
-          var j = 0
-          while (j < 64) {
-            val bit = if (64L * gray(j) > total) 1L else 0L
-            if (j < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
-            j += 1
-          }
-          AHashRow(r.id, hi, lo)
-        }
-      }
+      rows.flatMap(r => aHashHalves(r.media).map { case (hi, lo) =>
+        AHashRow(r.id, hi, lo) })
     }.toDF()
   }
+
+  /** Executor-side bytes → (hash_hi, hash_lo); None when the bytes do
+    * not decode or the image is smaller than the 8×8 crop. Shared by
+    * [[imageAHash]] and callers that need the hash as a plain UDF
+    * (e.g. a streaming frame feeding
+    * [[TextDedup.nearDupStreamingSig]]). */
+  private[graft] def aHashHalves(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(
+              if (bytes == null) Array.emptyByteArray else bytes))
+            : javax.imageio.stream.ImageInputStream))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    img.filter(i => i.getWidth >= 8 && i.getHeight >= 8).map { i =>
+      val gray = new Array[Int](64)
+      var total = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = i.getRGB(x, y)
+          val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          gray(y * 8 + x) = g
+          total += g
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < 64) {
+        val bit = if (64L * gray(j) > total) 1L else 0L
+        if (j < 32) hi = (hi << 1) | bit else lo = (lo << 1) | bit
+        j += 1
+      }
+      (hi, lo)
+    }
+  }
+
+  /** The two aHash halves packed into ONE 64-bit signature
+    * (`hi << 32 | lo`) — the form [[TextDedup.nearDupStreamingSig]]'s
+    * hamming band machinery consumes. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    aHashHalves(bytes).map { case (hi, lo) => (hi << 32) | lo }
 
   /** Pure-JVM 24-bit BMP encoder (BITMAPINFOHEADER, bottom-up rows,
     * BGR byte order, 4-byte row padding — plain header+pixel arithmetic,

@@ -126,9 +126,27 @@ object TextDedup {
       tsCol: String, maxHamming: Int = 3, bands: Int = 4,
       expireAfter: Option[java.time.Duration] = None,
       maxPerBucket: Int = Int.MaxValue): DataFrame = {
+    graft.functions.Functions.register(stream.sparkSession)
+    nearDupStreamingSig(
+      stream.withColumn("__sig", simhash(col(textCol))),
+      idCol, "__sig", tsCol, maxHamming, bands, expireAfter, maxPerBucket)
+  }
+
+  /** [[nearDupStreaming]] generalized to ANY precomputed 64-bit
+    * locality-sensitive signature column — the streaming dedup state
+    * machine is signature-agnostic (band split, pigeonhole recall,
+    * bounded per-bucket state, stateless vote), so the same operator
+    * suppresses near-duplicate TEXT (simhash — the [[nearDupStreaming]]
+    * wrapper), IMAGES ([[Multimodal.imageAHash]]'s two halves packed
+    * `hi << 32 | lo`), or any other modality with a hamming-meaningful
+    * 64-bit sketch. Same semantics, bounds, and output contract as the
+    * text form. */
+  def nearDupStreamingSig(stream: DataFrame, idCol: String, sigCol: String,
+      tsCol: String, maxHamming: Int = 3, bands: Int = 4,
+      expireAfter: Option[java.time.Duration] = None,
+      maxPerBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > maxHamming && 64 % bands == 0,
       "pigeonhole recall needs bands > maxHamming and bands | 64")
-    graft.functions.Functions.register(stream.sparkSession)
     val session = stream.sparkSession
     import session.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -142,7 +160,7 @@ object TextDedup {
     val banded = watermarked
       .select(col(idCol).cast("long").as("id"),
         unix_micros(col(tsCol)).as("tsu"),
-        simhash(col(textCol)).as("sig"),
+        col(sigCol).cast("long").as("sig"),
         col(tsCol).as("evt"))
       .select(col("id"), col("tsu"), col("sig"),
         explode(array((0 until bands).map(b =>

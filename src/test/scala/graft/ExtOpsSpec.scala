@@ -2396,6 +2396,55 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.imageAHash(junk).count() == 0L)
   }
 
+  test("streaming near-dup over image aHash signatures: cross-batch " +
+      "duplicate images flagged, fresh images kept") {
+    import graft.ext.{Multimodal, TextDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndimg").toString
+    // batch 1: three STRUCTURALLY distinct patterns (gradient, checker,
+    // half-plane — far apart in vote space; the syntheticBmp formula
+    // family is all near-identical by design and unusable here);
+    // batch 2: a re-encode of the gradient + a fresh inverse checker
+    def mono(v: Int) = (v, v, v)
+    val gradient = Multimodal.encodeBmp(8, 8, (x, _) => mono(x * 30))
+    val checker = Multimodal.encodeBmp(8, 8,
+      (x, y) => mono(if ((x + y) % 2 == 0) 255 else 0))
+    val halfPlane = Multimodal.encodeBmp(8, 8,
+      (_, y) => mono(if (y < 4) 255 else 0))
+    val invChecker = Multimodal.encodeBmp(8, 8,
+      (x, y) => mono(if ((x + y) % 2 == 1) 255 else 0))
+    def write(f: String, rows: Seq[(Long, Array[Byte], String)]): Unit =
+      rows.toDF("doc_id", "media", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq((1L, gradient, "2026-01-01 10:00:00"),
+      (2L, checker, "2026-01-01 10:00:01"),
+      (3L, halfPlane, "2026-01-01 10:00:02")))
+    write("f2", Seq((4L, gradient, "2026-01-01 10:00:03"),
+      (5L, invChecker, "2026-01-01 10:00:04")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    // signature column: the aHash halves packed into ONE 64-bit long —
+    // the same executor-side decode the batch operator uses, as a UDF
+    val ah = udf((bytes: Array[Byte]) => Multimodal.aHash64(bytes))
+    val sigged = in.withColumn("sig", ah($"media"))
+    val q = TextDedup.nearDupStreamingSig(sigged, "doc_id", "sig", "ts",
+        maxHamming = 3, bands = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndimg_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndimg_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got(1L) == ((None, 1L)) && got(2L) == ((None, 1L)) &&
+      got(3L) == ((None, 1L)), got.toString)
+    assert(got(4L) == ((Some(1L), 0L)),
+      s"cross-batch image dup must flag against image 1: ${got(4L)}")
+    assert(got(5L)._2 == 1L, s"fresh image must be kept: ${got(5L)}")
+  }
+
   test("audioFingerprint: decoded trend bits match the sample formula; " +
       "re-encoded twins collide") {
     import graft.ext.Multimodal
