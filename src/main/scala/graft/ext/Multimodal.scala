@@ -482,6 +482,74 @@ object Multimodal {
     finally reader.dispose()
   }
 
+  /** Spatiotemporal content fingerprint of a REAL decoded clip — the
+    * [[audioFingerprint]] trend trick on the (frame, row) axis: the
+    * sampled frames' per-ROW luma sums form one ordered sequence,
+    * 32 integer-boundary windows aggregate it, and 31 adjacent-trend
+    * bits pack MSB-first into a non-negative long. Row sums (not whole-
+    * frame sums) keep spatial structure in the signal; trends (not raw
+    * values) survive re-encoding and uniform brightness shifts. Clips
+    * that fail the GIF decode drop. One scan, no shuffle. */
+  final case class VideoFpRow(id: Long, fp: Long)
+
+  def videoFingerprint(media: Dataset[MediaRecord],
+      stride: Int = 1): DataFrame = {
+    implicit val enc = Encoders.product[VideoFpRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeGifRowSums(r.media, stride).map { v =>
+          val k = v.length
+          val e = new Array[Long](32)
+          var i = 0
+          while (i < k) { e(((32L * i) / k).toInt) += v(i); i += 1 }
+          var fp = 0L
+          var w = 1
+          while (w < 32) {
+            if (e(w) > e(w - 1)) fp |= 1L << (31 - w)
+            w += 1
+          }
+          VideoFpRow(r.id, fp)
+        }
+      }
+    }.toDF()
+  }
+
+  /** The [[decodeGifFrames]] walk, emitting the per-row luma sums of
+    * every sampled frame as one (frame-major, row-minor) sequence. */
+  private[graft] def decodeGifRowSums(bytes: Array[Byte],
+      stride: Int): Option[Array[Long]] = {
+    if (bytes == null || bytes.length < 6) return None
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != '8' || (bytes(4) != '7' && bytes(4) != '9') ||
+      bytes(5) != 'a') return None
+    val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!it.hasNext) return None
+    val reader = it.next()
+    try {
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (0 until n by stride).foreach { i =>
+        val img = reader.read(i)
+        var y = 0
+        while (y < img.getHeight) {
+          var sum = 0L
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff // r == g == b here
+            x += 1
+          }
+          out += sum
+          y += 1
+        }
+      }
+      Some(out.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally reader.dispose()
+  }
+
   /** Multi-frame GIF encoder via the JDK's sequence writer. Frames are
     * written as INDEXED images over an explicit identity 256-gray
     * palette (`palette[v] = gray v`), so the encode is LOSSLESS BY

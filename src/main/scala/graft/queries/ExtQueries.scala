@@ -4507,6 +4507,70 @@ object ExtQueries {
         |  FROM b GROUP BY 1)
         |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
+        |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin),
+
+    // Video content-duplicate detection through the REAL codec — the
+    // x142 trend trick on the (frame, row) axis: planted re-encoded
+    // twin clips collide on the spatiotemporal fingerprint (per-row
+    // luma sums of every decoded frame → 32 windows → 31 trend bits).
+    // The ORACLE recomputes fingerprints from the GIF pixel formula
+    // without decoding, pinning the sequence writer, the frame reader,
+    // the row-sum order, the window boundaries, and the bit packing.
+    "x143_video_fingerprint_dedup" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkGif = udf((seed: Long) => Multimodal.syntheticGif(seed))
+        val docs = tbl(s, dir, "documents")
+        val base = docs.select(col("doc_id").cast("long").as("id"),
+          col("doc_id").cast("long").as("seed"))
+        val planted = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("id"),
+            col("doc_id").cast("long").as("seed"))
+        val media = base.unionByName(planted)
+          .select(col("id"), lit("video").as("format"),
+            mkGif(col("seed")).as("media"))
+        Multimodal.videoFingerprint(wide(media)
+            .as[Multimodal.MediaRecord], stride = 1)
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_clips"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+          .orderBy(col("n_clips").desc, col("fp"))
+          .limit(20)
+      },
+      """WITH d AS (
+        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |geo AS (SELECT doc_id, seed, 8 + seed % 9 AS w, 8 + seed % 7 AS h,
+        |        2 + seed % 4 AS nf FROM d),
+        |fs AS (SELECT unnest(range(0, 5)) AS f),
+        |ys AS (SELECT unnest(range(0, 14)) AS y),
+        |xs AS (SELECT unnest(range(0, 17)) AS x),
+        |rs AS (SELECT geo.doc_id, geo.h, geo.nf, fs.f, ys.y,
+        |    CAST(sum((geo.seed + 7 * xs.x + 13 * ys.y + 53 * fs.f) % 256)
+        |      AS BIGINT) AS rowsum
+        |  FROM geo JOIN fs ON fs.f < geo.nf JOIN ys ON ys.y < geo.h
+        |    JOIN xs ON xs.x < geo.w
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |e0 AS (SELECT doc_id,
+        |    (32 * (f * h + y)) // (nf * h) AS wdw,
+        |    CAST(sum(rowsum) AS BIGINT) AS e
+        |  FROM rs GROUP BY 1, 2),
+        |wd AS (SELECT unnest(range(0, 32)) AS wdw),
+        |e AS (SELECT d.doc_id, wd.wdw, COALESCE(e0.e, 0) AS e
+        |      FROM d CROSS JOIN wd
+        |      LEFT JOIN e0 ON e0.doc_id = d.doc_id AND e0.wdw = wd.wdw),
+        |b AS (SELECT doc_id, wdw,
+        |    CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY wdw)
+        |      THEN 1 ELSE 0 END AS bit FROM e),
+        |f AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN wdw >= 1 AND bit = 1
+        |        THEN CAST(1 AS BIGINT) << (31 - wdw) ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM b GROUP BY 1)
+        |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
         |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin)
   )
 

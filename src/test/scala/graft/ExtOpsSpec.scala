@@ -2476,6 +2476,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint(junk).count() == 0L)
   }
 
+  test("videoFingerprint: decoded row-sum trends match the pixel formula " +
+      "including sparse-window clips") {
+    import graft.ext.Multimodal
+    def local(seed: Long): Long = {
+      val w = (8 + seed % 9).toInt
+      val h = (8 + seed % 7).toInt
+      val nf = (2 + seed % 4).toInt
+      val k = nf * h
+      val e = new Array[Long](32)
+      for (f <- 0 until nf; y <- 0 until h) {
+        val row = (0 until w).map(x =>
+          (seed + 7L * x + 13L * y + 53L * f) % 256).sum
+        e((32 * (f * h + y) / k).toInt) += row
+      }
+      (1 until 32).foldLeft(0L)((fp, wd) =>
+        if (e(wd) > e(wd - 1)) fp | (1L << (31 - wd)) else fp)
+    }
+    // seed 0: nf=2, h=8 -> K=16 < 32 windows (the sparse-window path);
+    // larger seeds exercise dense windows
+    val ids = Seq(0L, 1L, 5L, 100L, 251L)
+    val media = ids.map(i =>
+      Multimodal.MediaRecord(i, "video", Multimodal.syntheticGif(i))).toDS()
+    val got = Multimodal.videoFingerprint(media, stride = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(got(i) == local(i), s"seed=$i"))
+    // a re-encoded copy fingerprints identically; garbage drops
+    val twin = Multimodal.videoFingerprint(Seq(Multimodal.MediaRecord(
+      9L, "video", Multimodal.syntheticGif(100L))).toDS(), 1).head()
+    assert(twin.getLong(1) == got(100L))
+    assert(Multimodal.videoFingerprint(Seq(Multimodal.MediaRecord(
+      8L, "video", Array[Byte](71, 73, 70))).toDS(), 1).count() == 0L)
+  }
+
   test("localLloyd seeding: D2 draws never pick an already-covered point") {
     // the k-means++ property the fallback fix protects: a D²-weighted
     // draw has zero mass on already-chosen points, so with n = k
