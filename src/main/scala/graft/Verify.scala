@@ -17,6 +17,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full sweep OWNS outDir: remove stale artifacts first (a reused
+    // outDir would otherwise surface leftover dirs from earlier runs —
+    // e.g. a renamed query's old dump — as oracle-less query rows in
+    // the driver's checker). Restricted local runs leave siblings be.
+    if (only.isEmpty) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val root = new java.io.File(outDir)
+      if (root.exists()) root.listFiles().foreach(rm)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -32,20 +44,25 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // Spark-naive oracle artifacts (x02/x03/x13): dump the independent
-    // brute-force reference next to the query result and register a
-    // read_parquet oracle for it — the checker then hash-compares the
-    // two artifacts exactly like a DuckDB oracle. A failed naive dump
-    // degrades that query to its former rows-only state (no SQL entry)
-    // rather than guaranteeing a checker failure.
-    val outAbs = new java.io.File(outDir).getAbsolutePath
+    // brute-force reference and register a read_parquet oracle for it —
+    // the checker then hash-compares the two artifacts exactly like a
+    // DuckDB oracle. A failed naive dump degrades that query to its
+    // former rows-only state (no SQL entry) rather than guaranteeing a
+    // checker failure. The dumps live in a SIBLING directory
+    // (`${outDir}_naive`), not outDir itself: the driver enumerates
+    // outDir's subdirectories as declared queries, so an in-tree
+    // `${name}_naive` artifact would surface as a query with no oracle
+    // (an err:"no_oracle" row indistinguishable from breakage).
+    val naiveDir = s"${outDir.stripSuffix("/")}_naive"
+    val naiveAbs = new java.io.File(naiveDir).getAbsolutePath
     val naiveSql = SparkEntry.naiveOracle
       .filter { case (name, _) => only.isEmpty || only(name) }
       .flatMap { case (name, fn) =>
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/${name}_naive")
+            .parquet(s"$naiveDir/$name")
           Some(name ->
-            s"SELECT * FROM read_parquet('$outAbs/${name}_naive/*.parquet')")
+            s"SELECT * FROM read_parquet('$naiveAbs/$name/*.parquet')")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] naive oracle $name failed: ${e.getMessage}")
           None

@@ -18,14 +18,20 @@ object Par {
     * parallel — the 100 TB case, where an unconditional repartition
     * would ship the whole corpus through an exchange for nothing.
     *
-    * SCAN-ONLY BY CONTRACT: the guard reads `df.rdd.getNumPartitions`,
-    * which forces physical planning and — under AQE — can eagerly
-    * materialize upstream shuffle stages at construction time. That is
-    * free for this helper's intended inputs (a bare file scan, where
-    * planning is metadata-only) and a trap for anything downstream of
-    * an exchange; widen the SCAN, not the aggregated result. Every
-    * call site in this repo (Q.wide) wraps a `tbl()` read directly. */
+    * SCAN-ROOTED BY CONTRACT (enforced): the guard reads
+    * `df.rdd.getNumPartitions`, which forces physical planning and —
+    * under AQE — can eagerly materialize upstream shuffle stages at
+    * construction time. That is free for this helper's intended inputs
+    * (a scan-rooted projection — leaf file scans under Project/Filter/
+    * Union only, where planning is metadata-only) and a trap for
+    * anything downstream of an exchange; widen the SCAN, not the
+    * aggregated result. Call sites in this repo (Q.wide) wrap `tbl()`
+    * reads, projections over them (x121's tokenized projection, the
+    * x141–x143 media columns), and unions of such projections (x142) —
+    * all scan-rooted. [[graft.plans.PlanLint.assertScanRooted]] makes
+    * the contract fail fast instead of silently eager-materializing. */
   def widen(df: DataFrame): DataFrame = {
+    graft.plans.PlanLint.assertScanRooted(df)
     val target =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

@@ -140,7 +140,12 @@ object TextDedup {
     * wrapper), IMAGES ([[Multimodal.imageAHash]]'s two halves packed
     * `hi << 32 | lo`), or any other modality with a hamming-meaningful
     * 64-bit sketch. Same semantics, bounds, and output contract as the
-    * text form. */
+    * text form. Rows with a NULL signature, id, or timestamp are DROPPED
+    * before the typed boundary — the media hashers return null for
+    * undecodable bytes ([[Multimodal.aHash64]] on a corrupt payload), and
+    * the batch operators' contract is that undecodable rows drop; without
+    * the filter one garbage record would NPE the whole streaming query at
+    * the Dataset[(Long,…)] deserializer. */
   def nearDupStreamingSig(stream: DataFrame, idCol: String, sigCol: String,
       tsCol: String, maxHamming: Int = 3, bands: Int = 4,
       expireAfter: Option[java.time.Duration] = None,
@@ -158,6 +163,8 @@ object TextDedup {
     // timeout requires the event-time attribute to reach the stateful
     // operator's input (a derived long would shed the watermark tag)
     val banded = watermarked
+      .filter(col(sigCol).isNotNull && col(idCol).isNotNull &&
+        col(tsCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         unix_micros(col(tsCol)).as("tsu"),
         col(sigCol).cast("long").as("sig"),

@@ -8,8 +8,7 @@ import graft.ext.{Curation, Multimodal, Sharding, Similarity, TextAnalysis, Text
 
 /** LLM-data-pipeline operators (BASELINE.json north star): deduplication,
   * similarity search, text analysis, multimodal columns — over the
-  * `documents` and `embeddings` tables. One query remains rows-only —
-  * x12 (HLL sketch: estimates are engine-specific by construction).
+  * `documents` and `embeddings` tables.
   * x02/x03/x13 (xxhash64 hash families, the KMeans quantizer) hash-check
   * against independent Spark-naive references instead
   * ([[NaiveOracles]], dumped by Verify as read_parquet oracles).
@@ -1503,25 +1502,17 @@ object ExtQueries {
         |             (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Approximate distinct via HLL++ sketches (rows-only: sketch estimates
-    // are engine-specific). At 100 TB this replaces exact distinct wherever
-    // a ±2% answer is acceptable — mergeable, single-pass, fixed memory.
-    // The estimate's CONTRACT is oracle-checked by the _bound companion
-    // below; this row stays rows-only by design.
-    "x12_approx_distinct" -> rowsOnly(
-      (s, dir) =>
-        tbl(s, dir, "events")
-          .groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-            countDistinct(col("user_id")).as("exact_users"))
-          .orderBy(col("event_type"))),
-
-    // x12's explicit error contract, as a HASH-CHECKED query: the HLL++
-    // estimate must sit within 3 standard errors (3·rsd) of the exact
-    // distinct count. The oracle recomputes exact_users and pins
-    // within_bound = 1 — a sketch drifting out of its documented bound
-    // breaks the hash, so the approx row above no longer rides on an
-    // unverified "trust the sketch".
+    // Approximate distinct via HLL++ sketches. At 100 TB this replaces
+    // exact distinct wherever a ±2% answer is acceptable — mergeable,
+    // single-pass, fixed memory. Sketch ESTIMATES are engine-specific
+    // (Spark's HLL++ vs DuckDB's HLL disagree by construction), so the
+    // declared query is the CONTRACT form below: the estimate must sit
+    // within 3 standard errors (3·rsd) of the exact distinct count. The
+    // oracle recomputes exact_users and pins within_bound = 1 — a sketch
+    // drifting out of its documented bound breaks the hash. (A raw
+    // rows-only "dump the estimates" form existed through round 9; it
+    // added nothing the contract query doesn't compute, and its
+    // oracle-less row polluted the driver artifact — removed round 10.)
     "x12_approx_distinct_bound" -> entry(
       (s, dir) =>
         tbl(s, dir, "events")
@@ -4453,28 +4444,33 @@ object ExtQueries {
         |ORDER BY id_a, id_b""".stripMargin),
 
     // Audio content-duplicate detection through the REAL codec: every
-    // 50th doc plants a re-encoded twin clip (new id, same audio), and
-    // the energy-trend fingerprint (Multimodal.audioFingerprint — 32
-    // integer-boundary windows, 31 adjacent-trend bits) collides the
-    // twins into n_clips=2 groups while singletons stay apart. The
-    // ORACLE never decodes — it rebuilds each fingerprint from the
-    // sample formula, so the WAV writer, the chunk-walking decoder,
-    // the window boundaries, and the bit packing are all hash-pinned.
-    // Trend bits (not raw samples) are what survive re-encoding and
-    // uniform gain on real audio.
+    // 50th doc plants a GENUINELY PERTURBED twin clip — the same audio
+    // re-encoded at 3x gain (new id, every sample byte different, no
+    // clipping since |sample| ≤ 2047·3) — and the energy-trend
+    // fingerprint (Multimodal.audioFingerprint — 32 integer-boundary
+    // windows, 31 adjacent-trend bits) collides each pair into an
+    // n_clips=2 group while singletons stay apart: trend bits are
+    // EXACTLY gain-invariant (e'(w) = 3·e(w) preserves every adjacent
+    // comparison), so the headline robustness property — survive
+    // re-encoding and uniform gain — is what the hash pins, not just
+    // byte-identical decode. The ORACLE never decodes — it rebuilds
+    // each fingerprint from the sample formula (gain included), so the
+    // WAV writer, the chunk-walking decoder, the window boundaries,
+    // and the bit packing are all hash-pinned too.
     "x142_audio_fingerprint_dedup" -> entry(
       (s, dir) => {
         import s.implicits._
-        val mkWav = udf((seed: Long) => Multimodal.syntheticWav(seed))
+        val mkWav = udf((seed: Long, gain: Int) =>
+          Multimodal.syntheticWavGain(seed, gain))
         val docs = tbl(s, dir, "documents")
         val base = docs.select(col("doc_id").cast("long").as("id"),
-          col("doc_id").cast("long").as("seed"))
+          col("doc_id").cast("long").as("seed"), lit(1).as("gain"))
         val planted = docs.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 2000000L).as("id"),
-            col("doc_id").cast("long").as("seed"))
+            col("doc_id").cast("long").as("seed"), lit(3).as("gain"))
         val media = base.unionByName(planted)
           .select(col("id"), lit("audio").as("format"),
-            mkWav(col("seed")).as("media"))
+            mkWav(col("seed"), col("gain")).as("media"))
           .as[Multimodal.MediaRecord]
         Multimodal.audioFingerprint(wide(media.toDF())
             .as[Multimodal.MediaRecord])
@@ -4485,15 +4481,15 @@ object ExtQueries {
           .limit(20)
       },
       """WITH d AS (
-        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  SELECT doc_id, doc_id AS seed, 1 AS gain FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  SELECT doc_id + 2000000, doc_id, 3 FROM documents
         |  WHERE doc_id % 50 = 0),
-        |geo AS (SELECT doc_id, seed,
+        |geo AS (SELECT doc_id, seed, gain,
         |    (1 + seed % 2) * (64 + seed % 33) AS n FROM d),
         |i AS (SELECT unnest(range(0, 194)) AS i),
         |s AS (SELECT geo.doc_id, (32 * i.i) // geo.n AS w,
-        |    abs((geo.seed * 31 + 17 * i.i) % 4096 - 2048) AS a
+        |    abs(((geo.seed * 31 + 17 * i.i) % 4096 - 2048) * geo.gain) AS a
         |  FROM geo JOIN i ON i.i < geo.n),
         |e AS (SELECT doc_id, w, CAST(sum(a) AS BIGINT) AS e
         |      FROM s GROUP BY 1, 2),
@@ -4510,25 +4506,37 @@ object ExtQueries {
         |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin),
 
     // Video content-duplicate detection through the REAL codec — the
-    // x142 trend trick on the (frame, row) axis: planted re-encoded
-    // twin clips collide on the spatiotemporal fingerprint (per-row
-    // luma sums of every decoded frame → 32 windows → 31 trend bits).
-    // The ORACLE recomputes fingerprints from the GIF pixel formula
-    // without decoding, pinning the sequence writer, the frame reader,
-    // the row-sum order, the window boundaries, and the bit packing.
+    // x142 trend trick on the (frame, row) axis. Every 50th doc plants
+    // a PAIR of clips: a window-aligned base (4 frames × 8 rows = one
+    // row sum per trend window, pixels 0..199) and its GENUINELY
+    // PERTURBED twin — the same clip re-encoded with a uniform +40
+    // brightness shift (every pixel byte different, no clamping). With
+    // aligned windows the shift adds the same constant to every window
+    // sum, so the spatiotemporal fingerprint (per-row luma sums of
+    // every decoded frame → 32 windows → 31 trend bits) collides each
+    // pair EXACTLY — the brightness-robustness headline is the pinned
+    // property, not just byte-identical decode. The ORACLE recomputes
+    // fingerprints from the GIF pixel formula (shift included) without
+    // decoding, pinning the sequence writer, the frame reader, the
+    // row-sum order, the window boundaries, and the bit packing.
     "x143_video_fingerprint_dedup" -> entry(
       (s, dir) => {
         import s.implicits._
-        val mkGif = udf((seed: Long) => Multimodal.syntheticGif(seed))
+        val mkGif = udf((seed: Long, shift: Int) =>
+          if (shift < 0) Multimodal.syntheticGif(seed)
+          else Multimodal.syntheticGifShift(seed, shift))
         val docs = tbl(s, dir, "documents")
         val base = docs.select(col("doc_id").cast("long").as("id"),
-          col("doc_id").cast("long").as("seed"))
-        val planted = docs.filter(col("doc_id") % 50 === 0)
+          col("doc_id").cast("long").as("seed"), lit(-1).as("shift"))
+        val plantedBase = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("id"),
+            col("doc_id").cast("long").as("seed"), lit(0).as("shift"))
+        val plantedTwin = docs.filter(col("doc_id") % 50 === 0)
           .select((col("doc_id") + 2000000L).as("id"),
-            col("doc_id").cast("long").as("seed"))
-        val media = base.unionByName(planted)
+            col("doc_id").cast("long").as("seed"), lit(40).as("shift"))
+        val media = base.unionByName(plantedBase).unionByName(plantedTwin)
           .select(col("id"), lit("video").as("format"),
-            mkGif(col("seed")).as("media"))
+            mkGif(col("seed"), col("shift")).as("media"))
         Multimodal.videoFingerprint(wide(media)
             .as[Multimodal.MediaRecord], stride = 1)
           .groupBy(col("fp"))
@@ -4538,17 +4546,25 @@ object ExtQueries {
           .limit(20)
       },
       """WITH d AS (
-        |  SELECT doc_id, doc_id AS seed FROM documents
+        |  SELECT doc_id, doc_id AS seed, 0 AS fam FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000, doc_id FROM documents
+        |  SELECT doc_id + 1000000, doc_id, 1 FROM documents
+        |  WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, doc_id, 2 FROM documents
         |  WHERE doc_id % 50 = 0),
-        |geo AS (SELECT doc_id, seed, 8 + seed % 9 AS w, 8 + seed % 7 AS h,
-        |        2 + seed % 4 AS nf FROM d),
+        |geo AS (SELECT doc_id, seed, 8 + seed % 9 AS w,
+        |        CASE WHEN fam = 0 THEN 8 + seed % 7 ELSE 8 END AS h,
+        |        CASE WHEN fam = 0 THEN 2 + seed % 4 ELSE 4 END AS nf,
+        |        CASE WHEN fam = 0 THEN 256 ELSE 200 END AS m,
+        |        CASE WHEN fam = 2 THEN 40 ELSE 0 END AS shift
+        |  FROM d),
         |fs AS (SELECT unnest(range(0, 5)) AS f),
         |ys AS (SELECT unnest(range(0, 14)) AS y),
         |xs AS (SELECT unnest(range(0, 17)) AS x),
         |rs AS (SELECT geo.doc_id, geo.h, geo.nf, fs.f, ys.y,
-        |    CAST(sum((geo.seed + 7 * xs.x + 13 * ys.y + 53 * fs.f) % 256)
+        |    CAST(sum((geo.seed + 7 * xs.x + 13 * ys.y + 53 * fs.f) % geo.m
+        |             + geo.shift)
         |      AS BIGINT) AS rowsum
         |  FROM geo JOIN fs ON fs.f < geo.nf JOIN ys ON ys.y < geo.h
         |    JOIN xs ON xs.x < geo.w
@@ -4571,7 +4587,49 @@ object ExtQueries {
         |  FROM b GROUP BY 1)
         |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
-        |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY n_clips DESC, fp LIMIT 20""".stripMargin),
+
+    // REAL image resize audit (closes the last closeable media stub):
+    // synthetic formula → BMP encode → JDK decode → integer nearest-
+    // neighbor sample (src = dst·srcDim div dstDim) → BMP re-encode →
+    // JDK re-decode → per-image channel sums. The ORACLE recomputes the
+    // sums from the pixel formula sampled at the SAME integer mapping,
+    // without touching a codec — one flipped rounding mode, row order,
+    // or channel swap anywhere in the decode→sample→encode→decode chain
+    // breaks the hash (the x66 argument, applied twice).
+    "x144_image_resize_audit" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkBmp = udf((id: Long) => Multimodal.syntheticBmp(id))
+        val media = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("id"),
+            lit("image").as("format"), mkBmp(col("doc_id")).as("media"))
+          .as[Multimodal.MediaRecord]
+        val resized = Multimodal.resize(wide(media.toDF())
+          .as[Multimodal.MediaRecord], 16, 12)
+        Multimodal.imageStats(
+            resized.select(col("id"), lit("image").as("format"),
+              col("media")).as[Multimodal.MediaRecord])
+          .select(col("id").as("doc_id"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |xs AS (SELECT unnest(range(0, 16)) AS x),
+        |ys AS (SELECT unnest(range(0, 12)) AS y),
+        |px AS (SELECT d.doc_id,
+        |         (xs.x * d.w) // 16 AS sx, (ys.y * d.h) // 12 AS sy
+        |       FROM d CROSS JOIN xs CROSS JOIN ys)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width,
+        |  CAST(12 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum((doc_id + 7 * sx + 13 * sy) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((3 * doc_id + 11 * sx + sy) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((sx * sy + doc_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

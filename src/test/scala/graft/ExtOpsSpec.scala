@@ -183,9 +183,9 @@ class ExtOpsSpec extends SparkSpec {
     assert(naive.subsetOf(q), s"orphan naive oracles: ${naive -- q}")
     assert((naive & sql).isEmpty,
       s"naive oracle shadows a DuckDB oracle: ${naive & sql}")
-    // the declared rows-only surface is exactly x12 (HLL): everything
-    // else has one oracle or the other
-    assert(q -- sql -- naive == Set("x12_approx_distinct"),
+    // every declared query has exactly one oracle (DuckDB SQL or a
+    // Spark-naive artifact) — zero rows-only entries since round 10
+    assert(q -- sql -- naive == Set.empty,
       s"unexpected rows-only queries: ${q -- sql -- naive}")
   }
 
@@ -1883,6 +1883,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(top == Set(1L, 4L), s"got $top")
   }
 
+  test("resize: real decode + integer nearest-neighbor matches the pixel " +
+      "formula; undecodable bytes keep the budget fallback") {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val ids = Seq(0L, 3L, 10L, 62L)
+    val media = ids.map(i =>
+      Multimodal.MediaRecord(i, "image", Multimodal.syntheticBmp(i))).toDS()
+    val (rw, rh) = (16, 12)
+    val out = Multimodal.resize(media, rw, rh).collect()
+      .map(r => r.id -> r).toMap
+    for (i <- ids) {
+      val (sw, sh) = ((8 + i % 9).toInt, (8 + i % 7).toInt)
+      // the resized payload is a REAL BMP: decode it and compare every
+      // pixel against the formula sampled at src = dst·srcDim div dstDim
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(out(i).media))
+      assert(img.getWidth == rw && img.getHeight == rh)
+      for (y <- 0 until rh; x <- 0 until rw) {
+        val (sx, sy) = (x * sw / rw, y * sh / rh)
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == ((i + 7L * sx + 13L * sy) % 256).toInt,
+          s"id=$i px=($x,$y) r")
+        assert(((rgb >> 8) & 0xff) == ((3L * i + 11L * sx + sy) % 256).toInt,
+          s"id=$i px=($x,$y) g")
+        assert((rgb & 0xff) == ((sx.toLong * sy + i) % 256).toInt,
+          s"id=$i px=($x,$y) b")
+      }
+    }
+    // non-image bytes: total operator, budget-shaped fallback payload
+    val junk = Seq(Multimodal.MediaRecord(99L, "audio",
+      Array[Byte](1, 2, 3))).toDS()
+    val fb = Multimodal.resize(junk, 16, 12).head()
+    assert(fb.media.length == 16 * 12 / 64 && fb.width == 16)
+  }
+
   test("bloomExactMatches equals the exact semi-join; bloom fps die in verify") {
     // benchmark = doc 1's text; docs 1 AND 4 (its exact dup) must match
     val bench = docs.filter($"doc_id" === 1L).select($"text".as("btext"))
@@ -2443,6 +2477,128 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(4L) == ((Some(1L), 0L)),
       s"cross-batch image dup must flag against image 1: ${got(4L)}")
     assert(got(5L)._2 == 1L, s"fresh image must be kept: ${got(5L)}")
+  }
+
+  test("streaming near-dup over audio fingerprints: a gain-scaled " +
+      "re-encode flags against the original, fresh audio kept") {
+    import graft.ext.{Multimodal, TextDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndaud").toString
+    // trend bits are exactly gain-invariant: e'(w) = g·e(w) preserves
+    // every adjacent comparison, so a re-encode at 3x volume (no
+    // clipping: |sample| ≤ 2047·3 < 32767) fingerprints identically
+    def wav(seed: Long): Array[Byte] = Multimodal.syntheticWav(seed)
+    def gained(seed: Long, g: Int): Array[Byte] = {
+      val channels = (1 + seed % 2).toInt
+      val nFrames = (64 + seed % 33).toInt
+      val samples = Array.tabulate(nFrames * channels)(i =>
+        (((seed * 31L + 17L * i) % 4096L - 2048L) * g).toShort)
+      Multimodal.encodeWav(8000, channels, samples)
+    }
+    def write(f: String, rows: Seq[(Long, Array[Byte], String)]): Unit =
+      rows.toDF("doc_id", "media", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq((1L, wav(100L), "2026-01-01 10:00:00"),
+      (2L, wav(7L), "2026-01-01 10:00:01")))
+    write("f2", Seq((3L, gained(100L, 3), "2026-01-01 10:00:02"),
+      (4L, wav(250L), "2026-01-01 10:00:03")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val afp = udf((bytes: Array[Byte]) => Multimodal.audioFp64(bytes))
+    val q = TextDedup.nearDupStreamingSig(
+        in.withColumn("sig", afp($"media")), "doc_id", "sig", "ts",
+        maxHamming = 3, bands = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndaud_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndaud_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L, got.toString)
+    assert(got(3L) == ((Some(1L), 0L)),
+      s"gain-scaled re-encode must flag against clip 1: ${got(3L)}")
+    assert(got(4L)._2 == 1L, s"fresh clip must be kept: ${got(4L)}")
+  }
+
+  test("streaming near-dup over video fingerprints: a brightness-shifted " +
+      "re-encode flags against the original, fresh clip kept") {
+    import graft.ext.{Multimodal, TextDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndvid").toString
+    // 4 frames × 8 rows = 32 row sums → exactly one row per trend
+    // window, so a uniform +40 brightness shift (pixels ≤ 199+40 < 256,
+    // no clipping) adds the same constant to every window — trend bits
+    // identical by integer arithmetic, not approximately
+    def clip(shift: Int, flip: Boolean): Array[Byte] =
+      Multimodal.encodeGif(8, 8, 4, (x, y, f) => {
+        val yy = if (flip) 7 - y else y
+        ((7L * x + 29L * yy + 53L * f) % 200L).toInt + shift
+      })
+    def write(f: String, rows: Seq[(Long, Array[Byte], String)]): Unit =
+      rows.toDF("doc_id", "media", "ts")
+        .withColumn("ts", $"ts".cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/in/$f")
+    write("f1", Seq((1L, clip(0, flip = false), "2026-01-01 10:00:00")))
+    write("f2", Seq((2L, clip(40, flip = false), "2026-01-01 10:00:01"),
+      (3L, clip(0, flip = true), "2026-01-01 10:00:02")))
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val vfp = udf((bytes: Array[Byte]) => Multimodal.videoFp64(bytes, 1))
+    val q = TextDedup.nearDupStreamingSig(
+        in.withColumn("sig", vfp($"media")), "doc_id", "sig", "ts",
+        maxHamming = 3, bands = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndvid_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ndvid_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got(1L)._2 == 1L, got.toString)
+    assert(got(2L) == ((Some(1L), 0L)),
+      s"brightness-shifted re-encode must flag against clip 1: ${got(2L)}")
+    assert(got(3L)._2 == 1L, s"fresh clip must be kept: ${got(3L)}")
+  }
+
+  test("streaming near-dup: null signatures DROP (batch contract) — one " +
+      "garbage record must not kill the query") {
+    // aHash64 returns null for undecodable bytes; before the round-10
+    // guard that null NPE'd the whole streaming query at the typed
+    // Dataset boundary. The operator now filters null sig/id/ts rows.
+    import graft.ext.{Multimodal, TextDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndnull").toString
+    def mono(v: Int) = (v, v, v)
+    val gradient = Multimodal.encodeBmp(8, 8, (x, _) => mono(x * 30))
+    Seq((java.lang.Long.valueOf(1L), gradient, "2026-01-01 10:00:00"),
+      (java.lang.Long.valueOf(2L), Array[Byte](9, 9, 9), // undecodable → null sig
+        "2026-01-01 10:00:01"),
+      (null.asInstanceOf[java.lang.Long], gradient, // null id
+        "2026-01-01 10:00:02"),
+      (java.lang.Long.valueOf(4L), gradient, "2026-01-01 10:00:03"))
+      .toDF("doc_id", "media", "ts")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .coalesce(1).write.parquet(s"$tmp/in/f1")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .parquet(s"$tmp/in/*")
+    val ah = udf((bytes: Array[Byte]) => Multimodal.aHash64(bytes))
+    val q = TextDedup.nearDupStreamingSig(
+        in.withColumn("sig", ah($"media")), "doc_id", "sig", "ts",
+        maxHamming = 3, bands = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndnull_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination() // would throw the deserializer NPE pre-guard
+    val got = spark.table("ndnull_out").select($"id", $"dup_of", $"kept")
+      .as[(Long, Option[Long], Long)].collect()
+      .map { case (i, d, k) => i -> ((d, k)) }.toMap
+    assert(got.keySet == Set(1L, 4L), s"null-sig/null-id rows must drop: $got")
+    assert(got(1L) == ((None, 1L)) && got(4L) == ((Some(1L), 0L)), got.toString)
   }
 
   test("audioFingerprint: decoded trend bits match the sample formula; " +

@@ -293,6 +293,62 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("opaque() never feeds a join condition or partitioning expression") {
+    // Opaque's documented misuse mode (functions/Opaque.scala): its
+    // deterministic=false flag makes a wrapped JOIN KEY un-pushable, so
+    // an equi-join degrades to a cross-join-shaped plan with no warning.
+    // Lint every query that uses the barrier, and prove the lint bites.
+    import graft.plans.PlanLint
+    for (name <- Seq("x02_dedup_minhash_lsh", "x04_dedup_ngram_jaccard",
+        "x121_dedup_threshold_sweep", "x140_dedup_sweep_lsh",
+        "x17_embedding_neardup", "x18_embedding_neardup_lsh")) {
+      val bad = PlanLint.opaqueMisuse(query(name))
+      assert(bad.isEmpty, s"$name: ${bad.mkString("; ")}")
+    }
+    // a LITERAL opaque() in a join condition is rejected by Spark's own
+    // analyzer (nondeterministic-in-join check) — loud, not silent
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.functions.Functions.register(spark)
+    val t = spark.range(4).toDF("k")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.join(t.select(col("k").as("k2")),
+        call_function("opaque", col("k")) === col("k2"))
+        .queryExecution.analyzed
+    }
+    // the SILENT misuse — laundering opaque through a projection alias
+    // and joining on the alias — analyzes fine; the lint catches it
+    val laundered = t.withColumn("ok", call_function("opaque", col("k")))
+    val joined = laundered.join(
+      t.select(col("k").as("k2")), col("ok") === col("k2"))
+    assert(PlanLint.opaqueMisuse(joined).nonEmpty,
+      "lint missed an opaque()-derived join key")
+    intercept[IllegalArgumentException] {
+      PlanLint.assertNoOpaqueMisuse(joined)
+    }
+    // ... and an opaque()-derived repartitioning expression is caught too
+    val rep = laundered.repartition(col("ok"))
+    assert(PlanLint.opaqueMisuse(rep).nonEmpty,
+      "lint missed an opaque()-derived repartitioning expression")
+  }
+
+  test("Par.widen rejects post-exchange inputs, accepts scan-rooted shapes") {
+    import org.apache.spark.sql.functions.col
+    // the contract's legal surface: a raw scan, a projection over it,
+    // a filtered projection, and a union of projections (the x142 shape)
+    val scan = graft.queries.Q.tbl(spark, sf(), "documents")
+    for (df <- Seq(scan, scan.select(col("doc_id")),
+        scan.filter(col("doc_id") > 3).select(col("doc_id")),
+        scan.select(col("doc_id")).unionByName(scan.select(col("doc_id")))))
+      graft.ext.Par.widen(df) // must not throw
+    // post-exchange inputs fail fast instead of eagerly materializing
+    for (df <- Seq(scan.groupBy(col("lang")).count(),
+        scan.join(scan.select(col("doc_id").as("d2")),
+          col("doc_id") === col("d2")),
+        scan.orderBy(col("doc_id")),
+        scan.repartition(7)))
+      intercept[IllegalArgumentException] { graft.ext.Par.widen(df) }
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
