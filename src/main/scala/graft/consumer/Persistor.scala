@@ -56,22 +56,34 @@ object Persistor {
     *     when the payload lacks `canceled_at` (restorable?,
     *     synchronizable_model.rb:52-67).
     */
-  def merge(
-      target: DataFrame,
-      updates: DataFrame,
-      hardDelete: Boolean = false): DataFrame = {
-    val tCols = target.columns
-    // project updates onto the target schema (+ bookkeeping)
+  /** The ROWWISE source-shaping half of [[merge]]: project `updates` onto
+    * the target schema, resolve soft-delete/restore into
+    * `synced_canceled_at` (C9), null-fill target columns the payload
+    * lacks, and carry `event_type` along as `__event`. Depends only on
+    * each update row — never on the target — which is what makes a
+    * merge-on-read delta log possible ([[graft.streaming.ParquetReplica]]
+    * MoR mode): shaped rows can be appended now and LWW-reconciled
+    * against the base at read time. */
+  def shapeForMerge(targetCols: Seq[String], updates: DataFrame): DataFrame = {
     val shaped = updates
       .withColumn("synced_canceled_at",
         when(col("event_type") === "destroyed",
           coalesce(col("canceled_at"), col("synced_updated_at")))
           .otherwise(col("canceled_at"))) // null clears = restore
       .select(
-        (tCols.filter(updates.columns.toSet ++ Set("synced_canceled_at")).map(col) ++
+        (targetCols.filter(updates.columns.toSet ++ Set("synced_canceled_at")).map(col) ++
           Seq(col("event_type").as("__event"))): _*)
-    val withMissing = tCols.foldLeft(shaped)((d, c) =>
+    targetCols.foldLeft(shaped)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+  }
+
+  def merge(
+      target: DataFrame,
+      updates: DataFrame,
+      hardDelete: Boolean = false): DataFrame = {
+    val tCols = target.columns
+    // project updates onto the target schema (+ bookkeeping)
+    val withMissing = shapeForMerge(tCols.toSeq, updates)
 
     val src = withMissing.withColumn("__src", lit(1))
     val tgt = target.withColumn("__event", lit(null).cast("string"))

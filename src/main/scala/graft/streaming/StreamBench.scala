@@ -1,0 +1,207 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.consumer.ConsumerOps
+
+/** End-to-end streaming latency harness: measures the change→replica SLO
+  * the reference's worker loop implies (runner.rb:15-35 polls every 0.2 s,
+  * so a change should land in the replica sub-second).
+  *
+  * Shape: a driver-side feeder stamps each change row's event time with
+  * the wall clock at write and appends it as a parquet file to the change
+  * directory; the CONTINUOUS producer query (ProcessingTime trigger ↔ the
+  * 0.2 s poll) classifies + envelope-encodes it onto the file topic; the
+  * continuous consumer query decodes, exact-resend-dedups, keep-latest
+  * reduces and LWW-merges it into a [[ParquetReplica]]. At the end of
+  * each consumer micro-batch's merge the harness records, per row,
+  * `now − stamp` — the full file-commit→discover→encode→topic→discover→
+  * decode→merge path, i.e. what a monitoring page would call replication
+  * lag.
+  *
+  * The first `warmupBatches` feeder files are excluded from the reported
+  * percentiles: their latencies pay one-time JIT + codegen + state-store
+  * setup a long-running pipeline amortizes away (same rationale as
+  * Bench's cold pass). Wall-clock stamping makes this a MEASUREMENT, not
+  * an oracle-checked query — it reports to BENCH, never to CORRECTNESS.
+  */
+object StreamBench {
+
+  final case class Result(p50Ms: Double, p95Ms: Double, maxMs: Double,
+      rowsPerSec: Double, nRows: Long, nBatchesFed: Int, warmupRowsDropped: Int)
+
+  /** Defaults feed ~2.5k rows/s — comfortably BELOW the measured
+    * ~10k rows/s saturated pipeline throughput on local[32], because a
+    * latency SLO is a below-saturation number: feeding past capacity
+    * just measures queue depth (the first harness cut fed 20k rows/s
+    * and read p50 ≈ 4 s of pure backlog). `rowsPerSec` in the result is
+    * per-merge-window throughput, not the saturation ceiling. */
+  def run(spark: SparkSession,
+      batches: Int = 30, rowsPerBatch: Int = 500,
+      triggerMs: Int = 100, feedIntervalMs: Int = 300,
+      warmupBatches: Int = 10,
+      keySpace: Int = 10000, replicaBuckets: Int = 4,
+      timeoutMs: Long = 180000L, verbose: Boolean = false): Result = {
+    require(batches > warmupBatches,
+      "need post-warmup batches to report percentiles")
+    // a dedicated session sized for MICRO-batches: 32 shuffle/state
+    // partitions would pay 32 state-store open/commit cycles per
+    // 500-row trigger — pure fixed cost at this batch size. (On a real
+    // cluster you size state partitions to steady-state volume, not to
+    // the batch-analytics default; same knob, same reasoning.)
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    // AQE re-plans and re-materializes every shuffle stage as its own
+    // job — the right trade at sf0.1 batch scans, pure fixed cost on a
+    // 500-row micro-batch (measured ~2x on the per-batch merge)
+    session.conf.set("spark.sql.adaptive.enabled", "false")
+    import session.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val src = s"$tmp/src"
+    val topic = s"$tmp/topic"
+    new java.io.File(src).mkdirs()
+    new java.io.File(topic).mkdirs()
+    // merge-on-read: the latency path appends O(batch) delta epochs and
+    // compacts every `compactEvery` merges — the percentiles therefore
+    // INCLUDE periodic compaction stalls, the honest steady-state shape
+    val replica = new ParquetReplica(session, s"$tmp/replica",
+      "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
+        "synced_canceled_at TIMESTAMP, value DOUBLE, synced_data STRING",
+      buckets = replicaBuckets, mergeOnRead = true, compactEvery = 10)
+
+    val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+    val wireSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "kafka_key STRING, value STRING, ts TIMESTAMP")
+
+    if (verbose) session.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.numInputRows > 0) System.err.println(
+            s"[qp] ${p.sink.description.take(30)} batch=${p.batchId} " +
+              s"rows=${p.numInputRows} total=${p.durationMs.get("triggerExecution")}ms " +
+              s"addBatch=${p.durationMs.get("addBatch")}ms " +
+              s"getBatch=${p.durationMs.get("getBatch")}ms " +
+              s"latestOffset=${p.durationMs.get("latestOffset")}ms " +
+              s"commit=${p.durationMs.get("commitOffsets")}ms")
+        }
+      })
+
+    // per-row replication lag (ms), in arrival order; merges as
+    // (wall-ms at merge end, rows in batch). Appended from the
+    // micro-batch thread, read from this one → concurrent queues.
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val merges = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+
+    val producer = StreamingPipeline.producePlan(session, src, srcSchema)
+      .writeStream
+      .format("parquet")
+      .option("path", topic)
+      .option("checkpointLocation", s"$tmp/cp1")
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .start()
+    val consumer = StreamingPipeline.consumePlan(session, topic, wireSchema)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp2")
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val t0 = System.currentTimeMillis()
+        val b = batch.persist()
+        try {
+          // ONE collect materializes the batch (state dedup + decode)
+          // and yields lag stamps AND the touched-bucket set the merge
+          // would otherwise spend its own distinct+collect job on —
+          // two Spark actions per cycle total (this + the bucket write)
+          val nb = replica.currentBucketCount
+          val collected = b.select(
+              unix_micros(col("synced_updated_at")),
+              pmod(hash(col("synced_id")), lit(nb)))
+            .as[(Long, Int)].collect()
+          val t1 = System.currentTimeMillis()
+          // no in-batch keepLatest here: the MoR reconcile resolves
+          // multiple rows of a key WITHIN an epoch by the same C7 rule
+          // (sort + fold), so the per-batch window shuffle is redundant
+          // work on the latency path — the delta write stays map-only
+          if (collected.nonEmpty)
+            replica.mergeTouched(b, Some(collected.map(_._2).toSet))
+          // stamp AFTER the merge commits — lag includes apply, not
+          // just arrival. Collect is bounded by the feeder's total.
+          val now = System.currentTimeMillis()
+          collected.foreach { case (us, _) => latencies.add(now - us / 1000L) }
+          if (collected.nonEmpty) merges.add((now, collected.length.toLong))
+          if (verbose) System.err.println(
+            s"[streambench] batch=$bid rows=${collected.length} " +
+              s"decode=${t1 - t0}ms merge=${now - t1}ms")
+        } finally b.unpersist()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .start()
+
+    // ---- feeder: one small parquet file per tick, stamped at write ----
+    var warmupEndMs = Long.MaxValue
+    try {
+      def feed(b: Int): Unit = {
+        val rows = (0 until rowsPerBatch).map { i =>
+          val seq = b.toLong * rowsPerBatch + i
+          // multiplicative spread over a bounded keyspace → realistic
+          // update-heavy merge traffic (keys repeat across batches)
+          ((seq * 2654435761L) % keySpace,
+            if (seq % 97 == 0) "error" else "update", seq.toDouble)
+        }
+        val stamp = new java.sql.Timestamp(System.currentTimeMillis())
+        rows.toDF("user_id", "event_type", "value")
+          .withColumn("ts", lit(stamp))
+          .coalesce(1).write.mode("append").parquet(src)
+      }
+      def awaitMerged(n: Long): Unit = {
+        val deadline = System.currentTimeMillis() + timeoutMs
+        while (latencies.size < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        require(latencies.size >= n,
+          s"stream bench timed out: ${latencies.size}/$n rows merged")
+      }
+      // phase 1 — warmup, then DRAIN: the first cycles pay JIT + codegen
+      // + state-store setup and run seconds long, so a backlog of
+      // still-cold files builds behind them; measuring steady-state
+      // latency requires that backlog fully applied before the
+      // measured phase starts, or queue-clearing catch-up batches
+      // smear into the percentiles
+      for (b <- 0 until warmupBatches) {
+        feed(b); Thread.sleep(feedIntervalMs.toLong)
+      }
+      awaitMerged(warmupBatches.toLong * rowsPerBatch)
+      warmupEndMs = System.currentTimeMillis()
+      // phase 2 — steady state, fed strictly below saturation
+      for (b <- warmupBatches until batches) {
+        feed(b); Thread.sleep(feedIntervalMs.toLong)
+      }
+      awaitMerged(batches.toLong * rowsPerBatch)
+    } finally {
+      producer.stop()
+      consumer.stop()
+    }
+
+    import scala.jdk.CollectionConverters._
+    val all = latencies.asScala.toArray
+    val warmupRows = warmupBatches * rowsPerBatch
+    val post = java.util.Arrays.copyOfRange(all, warmupRows, all.length)
+    java.util.Arrays.sort(post)
+    def pct(p: Double): Double =
+      post(math.min(post.length - 1, (p * post.length).toInt)).toDouble
+    // steady-state throughput: rows merged after the warmup window over
+    // the first→last merge span in that window
+    val steady = merges.asScala.filter(_._1 > warmupEndMs).toSeq
+    val rps =
+      if (steady.size < 2) 0.0
+      else steady.map(_._2).sum.toDouble * 1000.0 /
+        math.max(1L, steady.map(_._1).max - steady.map(_._1).min)
+    Result(pct(0.50), pct(0.95), post.last.toDouble, rps,
+      all.length.toLong, batches, warmupRows)
+  }
+}

@@ -28,16 +28,12 @@ import graft.producer.EventClassifier
   */
 object StreamingPipeline {
 
-  /** Producer half: change-stream parquet dir → classified envelope rows →
-    * file topic. `Trigger.AvailableNow` drains the backlog with bounded
-    * batches (the rate-limited Genesis/backfill pacing knob is
-    * `maxFilesPerTrigger`). */
-  def produce(spark: SparkSession, sourceDir: String, topicDir: String,
-      checkpointDir: String): Unit = {
-    // events.ts physical type varies by testdata generation (ns-int64 vs
-    // native µs timestamp) — normalize by actual schema, not assumption
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(sourceDir).schema
+  /** Producer-half streaming PLAN: change-stream parquet dir → classified
+    * envelope wire rows (kafka_key, value, ts). Shared by the
+    * backlog-draining [[produce]] and the continuous-trigger
+    * [[StreamBench]] latency harness. */
+  def producePlan(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
     // file-source contract: sourceDir is a DIRECTORY of change files
     val events = graft.queries.Q.normalizeEventTs(
       spark.readStream.schema(schema).parquet(sourceDir))
@@ -56,9 +52,22 @@ object StreamingPipeline {
         unix_micros(col("ts")).as("updated_us")))).as("data"),
       col("ts"))
 
-    val q = EnvelopeCodec.encode(classified)
+    EnvelopeCodec.encode(classified)
       .withColumn("kafka_key", concat(lit("Event:"), get_json_object(element_at(col("data"), 1), "$.id")))
       .select("kafka_key", "value", "ts")
+  }
+
+  /** Producer half: change-stream parquet dir → classified envelope rows →
+    * file topic. `Trigger.AvailableNow` drains the backlog with bounded
+    * batches (the rate-limited Genesis/backfill pacing knob is
+    * `maxFilesPerTrigger`). */
+  def produce(spark: SparkSession, sourceDir: String, topicDir: String,
+      checkpointDir: String): Unit = {
+    // events.ts physical type varies by testdata generation (ns-int64 vs
+    // native µs timestamp) — normalize by actual schema, not assumption
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(sourceDir).schema
+    val q = producePlan(spark, sourceDir, schema)
       .writeStream
       .format("parquet")
       .option("path", topicDir)
@@ -68,14 +77,37 @@ object StreamingPipeline {
     q.awaitTermination()
   }
 
+  /** Consumer-half streaming PLAN: file topic → decode → watermarked
+    * exact-resend dedup → replica-shaped rows, ready for a per-batch
+    * keep-latest + merge sink. Shared by [[consume]] and
+    * [[StreamBench]]. */
+  def consumePlan(spark: SparkSession, topicDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val wire = spark.readStream.schema(schema).parquet(topicDir)
+    decodedWire(wire)
+  }
+
   /** Consumer half: file topic → decode → watermarked exact-resend dedup →
     * per-batch keep-latest → idempotent merge into the replica store. */
   def consume(spark: SparkSession, topicDir: String, replica: Replica,
       checkpointDir: String): Unit = {
     val schema = spark.read.parquet(topicDir).schema
-    val wire = spark.readStream.schema(schema).parquet(topicDir)
+    val decoded = consumePlan(spark, topicDir, schema)
+    val q = decoded.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = ConsumerOps.keepLatest(batch,
+          keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
+        replica.merge(deduped)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
-    val decoded = ConsumerOps.decodeRecords(
+  private def decodedWire(wire: DataFrame): DataFrame = {
+    ConsumerOps.decodeRecords(
         wire.withWatermark("ts", "1 hour")
           // fixed-width dedup state: key on a 64-bit payload hash, not the
           // raw envelope — megabyte-class payloads must never sit in the
@@ -96,18 +128,6 @@ object StreamingPipeline {
       .withColumn("synced_created_at", col("synced_updated_at"))
       .withColumn("canceled_at",
         when(col("event_type") === "destroyed", col("synced_updated_at")))
-
-    val q = decoded.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = ConsumerOps.keepLatest(batch,
-          keyCols = Seq("synced_id"), orderCol = "synced_updated_at")
-        replica.merge(deduped)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
   }
 }
 
@@ -222,8 +242,10 @@ private[streaming] object ReplicaLocks {
   * changeable online via [[compact]].
   */
 final class ParquetReplica(spark: SparkSession, root: String,
-    schemaDDL: String, buckets: Int = 16) extends Replica {
+    schemaDDL: String, buckets: Int = 16,
+    mergeOnRead: Boolean = false, compactEvery: Int = 8) extends Replica {
   require(buckets > 0)
+  require(compactEvery > 0)
   private val fs = new java.io.File(root)
   fs.mkdirs()
 
@@ -239,11 +261,21 @@ final class ParquetReplica(spark: SparkSession, root: String,
   /** bucket → directory (relative to root) of the given version; empty
     * for versions whose manifest was vacuumed. */
   def manifest(v: Int): Map[Int, String] =
-    manifestLines(v).filterNot(_.startsWith("B\t"))
+    manifestLines(v)
+      .filterNot(l => l.startsWith("B\t") || l.startsWith("D\t"))
       .map { line =>
         val Array(b, path) = line.split("\t", 2)
         b.toInt -> path
       }.toMap
+
+  /** Merge-on-read delta log of the given version: (seq, directory)
+    * entries in apply order (manifest `D` lines). Always empty in
+    * copy-on-write mode. */
+  def deltaEntries(v: Int): Seq[(Long, String)] =
+    manifestLines(v).filter(_.startsWith("D\t")).map { line =>
+      val Array(_, s, path) = line.split("\t", 3)
+      s.toLong -> path
+    }.sortBy(_._1)
 
   /** Bucket count the given version was written with (manifest `B` header;
     * constructor default for pre-header manifests). */
@@ -277,12 +309,20 @@ final class ParquetReplica(spark: SparkSession, root: String,
     if (dirs.isEmpty) empty
     else spark.read.schema(schema).parquet(dirs.map(d => s"$root/$d"): _*)
 
-  def read(): DataFrame = readDirs(currentManifest(currentVersion).values.toSeq)
+  def read(): DataFrame = {
+    val v = currentVersion
+    reconcile(readDirs(currentManifest(v).values.toSeq), deltaEntries(v))
+  }
 
   /** Bucket-pruned read: only the bucket directories the given keys hash
     * into are opened (one bounded collect for the bucket set, exactly as
     * [[merge]]/[[destroy]] compute theirs). The rows of those buckets are
-    * returned unfiltered — callers join/filter down to their keys. */
+    * returned unfiltered — callers join/filter down to their keys. In MoR
+    * mode the (unbucketed) delta log is read in full and reconciled on
+    * top; keys OUTSIDE the requested set may then surface with a
+    * delta-only (unreconciled-against-base) image — within the contract,
+    * since callers filter to their keys, but the reason this method's
+    * result must never be treated as a full-table read. */
   override def readBuckets(keys: DataFrame): DataFrame = {
     val v = currentVersion
     val nb = bucketCount(v)
@@ -290,7 +330,51 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val touched = keys
       .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
-    readDirs(man.filter(t => touched(t._1)).values.toSeq)
+    reconcile(readDirs(man.filter(t => touched(t._1)).values.toSeq),
+      deltaEntries(v))
+  }
+
+  /** Read-time LWW resolution of base rows + delta-log rows (MoR mode;
+    * identity when the delta log is empty — the CoW fast path).
+    *
+    * The C7 staleness rule is ORDER-DEPENDENT across merge epochs: a
+    * null-timestamp source row persists over anything already stored
+    * ("ties and NULLs persist" — it ranks +∞ while applying) but loses
+    * to ANY later merge (stored with its null timestamp, it ranks −∞ as
+    * a target). No static per-row sort key reproduces that — e.g.
+    * ts=100@epoch4, null@epoch5, ts=1@epoch6 resolves to ts=1 though
+    * ts=100 beats it pairwise — so the reconciliation REPLAYS the fold:
+    * rows of a key sort by (epoch, effective-ts) and fold left with the
+    * exact pairwise rule `x wins iff coalesce(x.ts, +∞) >=
+    * coalesce(acc.ts, −∞)`. All codegen'd (array_sort + aggregate over a
+    * collect_list), group size bounded by `compactEvery` (≤ 1 row per
+    * key per epoch after the in-batch winner agg). */
+  private def reconcile(base: DataFrame,
+      deltas: Seq[(Long, String)]): DataFrame = {
+    if (deltas.isEmpty) return base
+    val dSchema = schema.add("__seq", org.apache.spark.sql.types.LongType)
+    val d = spark.read.schema(dSchema)
+      .parquet(deltas.map(e => s"$root/${e._2}"): _*)
+    val cols = schema.fieldNames.toSeq
+    val maxTs = lit("9999-12-31 00:00:00").cast("timestamp")
+    val minTs = lit("0001-01-01 00:00:00").cast("timestamp")
+    val all = base.withColumn("__seq", lit(-1L)).unionByName(d)
+      .withColumn("__lww",
+        Persistor.lwwTimestamp(col("synced_updated_at"), col("synced_created_at")))
+    // sort key: epoch first, then effective-ts with null AS +∞ (within
+    // one epoch the in-batch rule is the same max — null persists)
+    val packed = struct(
+      col("__seq").as("s"), coalesce(col("__lww"), maxTs).as("o"),
+      col("__lww").as("l"), struct(cols.map(col): _*).as("r"))
+    all.groupBy(col("synced_id"))
+      .agg(collect_list(packed).as("__rows"))
+      .select(aggregate(
+        expr("slice(array_sort(__rows), 2, greatest(size(__rows) - 1, 0))"),
+        element_at(expr("array_sort(__rows)"), 1),
+        (acc, x) => when(
+          coalesce(x.getField("l"), maxTs) >= coalesce(acc.getField("l"), minTs),
+          x).otherwise(acc)).getField("r").as("w"))
+      .select(col("w.*"))
   }
 
   private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
@@ -301,14 +385,18 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * Repartitioned BY bucket first so each bucket directory holds one
     * file per version — without it every shuffle partition spills a
     * fragment into every bucket (a small-file explosion at any scale). */
-  private def writeBuckets(df: DataFrame, next: Int, nb: Int): Map[Int, String] = {
+  private def writeBuckets(df: DataFrame, next: Int, nb: Int): Map[Int, String] =
+    writeBucketsTo(df, s"v$next", nb)
+
+  private def writeBucketsTo(df: DataFrame, dirName: String,
+      nb: Int): Map[Int, String] = {
     df.withColumn("__b", bucketOf(col("synced_id"), nb))
       .repartition(nb, col("__b"))
-      .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
-    val dirs = Option(new java.io.File(fs, s"v$next")
+      .write.partitionBy("__b").mode("overwrite").parquet(s"$root/$dirName")
+    val dirs = Option(new java.io.File(fs, dirName)
         .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
       .getOrElse(Array.empty)
-    dirs.map(d => d.getName.stripPrefix("__b=").toInt -> s"v$next/${d.getName}")
+    dirs.map(d => d.getName.stripPrefix("__b=").toInt -> s"$dirName/${d.getName}")
       .toMap
   }
 
@@ -316,8 +404,11 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * reader can never observe a truncated manifest or an empty pointer
     * mid-write (the transaction-log commit rule; a crashed writer leaves
     * only a stray temp file and the previous version stays current). */
-  private def publish(next: Int, man: Map[Int, String], nb: Int): Unit = {
-    val body = (s"B\t$nb" +: man.toSeq.sorted.map { case (b, p) => s"$b\t$p" })
+  private def publish(next: Int, man: Map[Int, String], nb: Int,
+      deltas: Seq[(Long, String)] = Nil): Unit = {
+    val body = (s"B\t$nb" +:
+      (man.toSeq.sorted.map { case (b, p) => s"$b\t$p" } ++
+        deltas.sortBy(_._1).map { case (s, p) => s"D\t$s\t$p" }))
       .mkString("\n")
     writeAtomic(new java.io.File(fs, s"v$next.manifest"), body.getBytes)
     writeAtomic(pointer, next.toString.getBytes)
@@ -370,6 +461,9 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * the buckets those keys hash into (import-mode destroy, C10). */
   def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit =
     ReplicaLocks.lockFor(root).synchronized {
+      // the anti-join below reads base buckets DIRECTLY — fold any MoR
+      // delta log first so no pending upsert escapes the delete
+      compactDeltasLocked()
       val v = currentVersion
       val next = v + 1
       val nb = bucketCount(v)
@@ -400,11 +494,13 @@ final class ParquetReplica(spark: SparkSession, root: String,
       if (current < 0) return
       val floor = math.max(0, current - retainVersions)
       val live = (floor to current).flatMap { v =>
-        manifest(v).values.map(_.split("/")(0)).toSeq :+ s"v$v"
+        (manifest(v).values ++ deltaEntries(v).map(_._2))
+          .map(_.split("/")(0)).toSeq :+ s"v$v"
       }.toSet
       Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
         val name = f.getName
-        val isOldVersionDir = f.isDirectory && name.matches("v\\d+") &&
+        val isOldVersionDir = f.isDirectory &&
+          (name.matches("v\\d+") || name.matches("compact-v\\d+")) &&
           !live.contains(name)
         val isOldManifest = name.matches("v\\d+\\.manifest") &&
           name.stripPrefix("v").stripSuffix(".manifest").toInt < floor
@@ -426,15 +522,38 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * current attributes). */
   def merge(updates: DataFrame,
       prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+    mergeTouched(updates, None, prepare)
+
+  /** The bucket count the CURRENT version's layout was written with —
+    * callers computing their own touched-bucket sets (see
+    * [[mergeTouched]]) must hash with this, never a remembered
+    * constructor argument ([[compact]] changes it online). */
+  def currentBucketCount: Int = bucketCount(currentVersion)
+
+  /** [[merge]] with a caller-supplied touched-bucket set. A caller that
+    * already materialized the update keys driver-side (a bounded
+    * micro-batch it collected for its own bookkeeping — e.g.
+    * [[StreamBench]]'s per-row lag stamps, or an import manifest) can
+    * compute `pmod(hash(synced_id), currentBucketCount)` in that same
+    * pass and skip this method's distinct+collect job — one fewer
+    * Spark action per merge, which is real latency on a sub-second
+    * micro-batch path. The set must cover every key in `updates`
+    * (hashed with [[currentBucketCount]]); a MISSING bucket would
+    * leave its current rows out of the rewrite, silently dropping the
+    * unmerged rows of that bucket, so over-approximation is safe,
+    * under-approximation never is. */
+  def mergeTouched(updates: DataFrame, precomputedTouched: Option[Set[Int]],
+      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
     ReplicaLocks.lockFor(root).synchronized {
+      if (mergeOnRead) { deltaMerge(updates, prepare); return }
       val v = currentVersion
       val next = v + 1
       val nb = bucketCount(v)
       val man = currentManifest(v)
       // bounded driver-side collect: at most `buckets` distinct values
-      val touched = updates
+      val touched = precomputedTouched.getOrElse(updates
         .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
-        .collect().map(_.getInt(0)).toSet
+        .collect().map(_.getInt(0)).toSet)
       // empty micro-batch slice: nothing to merge, keep the version stable
       if (touched.isEmpty) return
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
@@ -442,6 +561,97 @@ final class ParquetReplica(spark: SparkSession, root: String,
         writeBuckets(Persistor.merge(target, prepare(target, updates)), next, nb)
       publish(next, (man -- touched) ++ written, nb)
     }
+
+  /** MoR-mode merge: append the rowwise-shaped updates as one delta-log
+    * epoch and publish — a map-only write of O(batch) bytes, never the
+    * CoW path's O(touched buckets) rewrite. This is the write-
+    * amplification trade a transactional table format calls
+    * merge-on-read: at a 0.2 s micro-batch cadence CoW rewrites each hot
+    * bucket 5×/second regardless of batch size, while the delta append
+    * keeps the apply path at batch size and defers the rewrite to one
+    * compaction per `compactEvery` epochs. Reads pay the reconcile
+    * ([[reconcile]]) until then — the same bound.
+    *
+    * `prepare` receives the LAZILY reconciled full table; the default
+    * prepare never evaluates it, so the plain streaming path stays
+    * map-only (Spark laziness IS the dispatch — no flag needed). */
+  private def deltaMerge(updates: DataFrame,
+      prepare: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val v = currentVersion
+    val next = v + 1
+    val nb = bucketCount(v)
+    val man = currentManifest(v)
+    val ds = deltaEntries(v)
+    val seq = ds.lastOption.map(_._1).getOrElse(-1L) + 1L
+    val dir = s"v$next/delta-$seq"
+    val target = reconcile(readDirs(man.values.toSeq), ds)
+    Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, updates))
+      .drop("__event")
+      .withColumn("__seq", lit(seq))
+      .write.parquet(s"$root/$dir")
+    publish(next, man, nb, ds :+ (seq -> dir))
+    if (ds.size + 1 >= compactEvery) compactDeltasAsync()
+  }
+
+  // one background compaction at a time; failures clear the flag and
+  // leave the (still fully correct, just longer) delta log in place
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Background compaction with SNAPSHOT isolation — the versioned
+    * manifest makes it free: fold the deltas of the CURRENT version
+    * outside the lock (merges keep appending new epochs meanwhile, the
+    * heavy bucket rewrite stalls no micro-batch), then publish the
+    * folded base plus exactly the epochs appended since the snapshot.
+    * Sound because the log is append-only and the read-time fold is
+    * left-associative: fold(base, d₁..dₙ₊ₖ) = fold(fold(base, d₁..dₙ),
+    * dₙ₊₁..dₙ₊ₖ). Abandoned (log stays, nothing lost) if a concurrent
+    * maintenance op rewrote the bucket layout mid-flight. */
+  private def compactDeltasAsync(): Unit = {
+    if (!compacting.compareAndSet(false, true)) return
+    val snapV = currentVersion
+    val snapDeltas = deltaEntries(snapV)
+    if (snapDeltas.isEmpty) { compacting.set(false); return }
+    val snapMaxSeq = snapDeltas.last._1
+    val nb = bucketCount(snapV)
+    val t = new Thread(() => {
+      try {
+        // heavy part — NO lock held: reconcile the snapshot and write
+        // the folded buckets to a compaction-private directory
+        val folded = reconcile(
+          readDirs(manifest(snapV).values.toSeq), snapDeltas)
+        val written = writeBucketsTo(folded, s"compact-v$snapV", nb)
+        ReplicaLocks.lockFor(root).synchronized {
+          val cur = currentVersion
+          // the snapshot's last epoch still in the log proves no other
+          // base rewrite (sync compact / CoW merge / destroy) folded it
+          // already — publishing over one would resurrect the old base
+          if (bucketCount(cur) == nb &&
+              deltaEntries(cur).exists(_._1 == snapMaxSeq)) {
+            val remaining = deltaEntries(cur).filter(_._1 > snapMaxSeq)
+            publish(cur + 1, written, nb, remaining)
+          } // else: layout changed under us — abandon, log is still whole
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[replica $root] async compaction failed: ${e.getMessage}")
+      } finally compacting.set(false)
+    }, s"replica-compact-$root")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  /** Fold the delta log into the base buckets (one CoW rewrite) and
+    * publish a delta-free version. No-op when the log is empty. Runs
+    * under the caller's lock — [[destroy]] and bucket-rewriting
+    * maintenance call it first so their direct base-bucket reads see a
+    * complete table. */
+  private def compactDeltasLocked(): Unit = {
+    val v = currentVersion
+    if (deltaEntries(v).isEmpty) return
+    val next = v + 1
+    val nb = bucketCount(v)
+    publish(next, writeBuckets(read(), next, nb), nb)
+  }
 }
 
 /** Thin copy-on-write replica: every commit writes a complete new table

@@ -54,6 +54,99 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(replayed == got.map { case (k, (v, _)) => k -> v })
   }
 
+  test("StreamBench measures change→replica lag per row and reports " +
+      "steady-state percentiles past the warmup window") {
+    // tiny parameters: the spec pins the MEASUREMENT HARNESS (row
+    // accounting, warmup exclusion, percentile math, replica contents),
+    // not the SLO number — that's Bench's job at full size
+    val r = graft.streaming.StreamBench.run(spark,
+      batches = 6, rowsPerBatch = 40, triggerMs = 100, warmupBatches = 2,
+      keySpace = 50)
+    assert(r.nRows == 6L * 40, s"every fed row must be measured: $r")
+    assert(r.nBatchesFed == 6 && r.warmupRowsDropped == 2 * 40)
+    assert(r.p50Ms > 0 && r.p95Ms >= r.p50Ms && r.maxMs >= r.p95Ms, r.toString)
+    // local spec machines are noisy — bound loosely, not at the SLO
+    assert(r.p95Ms < 60000, s"pathological lag: $r")
+    assert(r.rowsPerSec > 0, r.toString)
+  }
+
+  test("merge-on-read replica matches copy-on-write across epochs, " +
+      "order-dependent null-ts folds, destroy, and async compaction") {
+    val ddl = "synced_id LONG, synced_updated_at TIMESTAMP, " +
+      "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+      "value DOUBLE, synced_data STRING"
+    val tmp = Files.createTempDirectory("graft-mor").toString
+    val cow = new ParquetReplica(spark, s"$tmp/cow", ddl, buckets = 4)
+    // compactEvery high → epochs 1-5 stay in the delta log (the fold
+    // path is what's under test); compaction is then forced explicitly
+    val mor = new ParquetReplica(spark, s"$tmp/mor", ddl, buckets = 4,
+      mergeOnRead = true, compactEvery = 100)
+    def ts(s: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s)
+    def upd(rows: (Long, Option[java.sql.Timestamp], String, Double)*) =
+      rows.toSeq
+        .toDF("synced_id", "synced_updated_at", "event_type", "value")
+        .withColumn("synced_created_at", $"synced_updated_at")
+        .withColumn("canceled_at", lit(null).cast("timestamp"))
+        .withColumn("synced_data", concat(lit("d"), $"synced_id"))
+    def state(r: ParquetReplica) = r.read()
+      .select($"synced_id", $"synced_updated_at", $"value",
+        $"synced_canceled_at".isNotNull)
+      .as[(Long, Option[java.sql.Timestamp], Option[Double], Boolean)]
+      .collect().toSet
+    def mergeBoth(df: org.apache.spark.sql.DataFrame): Unit = {
+      cow.merge(df); mor.merge(df)
+      assert(state(cow) == state(mor),
+        s"diverged:\ncow=${state(cow)}\nmor=${state(mor)}")
+    }
+    val t1 = ts("2026-01-01 10:00:00"); val t2 = ts("2026-01-02 10:00:00")
+    val t3 = ts("2026-01-03 10:00:00")
+    // e1: initial upserts
+    mergeBoth(upd((1L, Some(t2), "updated", 1.0), (2L, Some(t2), "updated", 2.0),
+      (3L, Some(t2), "updated", 3.0), (5L, Some(t2), "updated", 5.0)))
+    // e2: newer wins, stale loses, soft-delete, new key
+    mergeBoth(upd((1L, Some(t3), "updated", 1.5), (2L, Some(t1), "updated", 9.9),
+      (3L, Some(t3), "destroyed", 3.0), (6L, Some(t2), "updated", 6.0)))
+    assert(state(mor).contains((2L, Some(t2), Some(2.0), false)),
+      "stale update must not overwrite")
+    assert(state(mor).exists(r => r._1 == 3L && r._4), "3 must be soft-deleted")
+    // e3: restore 3; order-dependent null-ts fold on 8: ts=t3, then NULL
+    // (persists over t3), then t1 (beats the stored null) — pairwise
+    // t3 beats t1, but the fold order makes t1 final; both modes agree
+    mergeBoth(upd((3L, Some(ts("2026-01-04 10:00:00")), "updated", 3.3),
+      (8L, Some(t3), "updated", 8.0)))
+    mergeBoth(upd((8L, None, "updated", 8.1)))
+    mergeBoth(upd((8L, Some(t1), "updated", 8.2)))
+    assert(state(mor).exists(r => r._1 == 8L && r._3 == Some(8.2)),
+      s"order-dependent fold broke: ${state(mor).filter(_._1 == 8L)}")
+    assert(mor.deltaEntries(mor.currentVersion).size == 5,
+      "epochs 1-5 should still be unfolded delta-log entries")
+    // destroy with a pending delta log: folds first, then anti-joins
+    cow.destroy(Seq(5L).toDF("synced_id")); mor.destroy(Seq(5L).toDF("synced_id"))
+    assert(state(cow) == state(mor) && !state(mor).exists(_._1 == 5L))
+    assert(mor.deltaEntries(mor.currentVersion).isEmpty,
+      "destroy must fold the delta log before its base-bucket anti-join")
+    // async compaction: push past compactEvery and await the background
+    // fold — contents identical before/after, log drained
+    val mor2 = new ParquetReplica(spark, s"$tmp/mor2", ddl, buckets = 4,
+      mergeOnRead = true, compactEvery = 3)
+    mor2.merge(upd((1L, Some(t1), "updated", 1.0)))
+    mor2.merge(upd((2L, Some(t1), "updated", 2.0)))
+    val before = mor2.read().count()
+    mor2.merge(upd((1L, Some(t2), "updated", 1.1))) // triggers async compact
+    val deadline = System.currentTimeMillis() + 30000
+    while (mor2.deltaEntries(mor2.currentVersion).nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(mor2.deltaEntries(mor2.currentVersion).isEmpty,
+      "async compaction never landed")
+    assert(mor2.read().count() == before,
+      "compaction changed the row count")
+    assert(state(mor2).exists(r => r._1 == 1L && r._3 == Some(1.1)))
+    // vacuum keeps the compacted layout readable (compact-v* dirs live)
+    mor2.vacuum()
+    assert(state(mor2).exists(r => r._1 == 2L && r._3 == Some(2.0)))
+  }
+
   test("StatefulLww drops stale events across micro-batches") {
     val tmp = Files.createTempDirectory("graft-lww").toString
     // two files = two micro-batches with MaxFilesPerTrigger(1):
