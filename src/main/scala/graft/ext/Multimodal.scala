@@ -346,6 +346,22 @@ object Multimodal {
     encodeWav(8000, channels, samples)
   }
 
+  /** [[syntheticWav]] re-encoded at `gain`× volume — a genuinely
+    * PERTURBED twin, not a byte copy: every sample differs, but energy
+    * trends are exactly gain-invariant (e'(w) = g·e(w) preserves each
+    * adjacent comparison), so [[audioFingerprint]] must collide the
+    * pair — the x142 robustness property as an oracle-checkable fact.
+    * No clipping by construction: |sample| ≤ 2047·gain must stay under
+    * 32767 (gain ≤ 16). */
+  def syntheticWavGain(docId: Long, gain: Int): Array[Byte] = {
+    require(gain >= 1 && gain <= 16, "gain would clip PCM16")
+    val channels = (1 + docId % 2).toInt
+    val nFrames = (64 + docId % 33).toInt
+    val samples = Array.tabulate(nFrames * channels)(i =>
+      (((docId * 31L + 17L * i) % 4096L - 2048L) * gain).toShort)
+    encodeWav(8000, channels, samples)
+  }
+
   /** Real per-clip audio statistics over a media table: one decoded
     * (id, sample_rate, channels, n_frames, duration_us, peak_abs,
     * sum_abs) row per clip whose bytes parse as PCM16 WAV; garbage and
@@ -377,20 +393,28 @@ object Multimodal {
     * that fails the PCM16 walk) drop. One scan, no shuffle. */
   final case class AudioFpRow(id: Long, fp: Long)
 
+  /** 31 adjacent-trend bits over 32 window sums, MSB-first — the shared
+    * fold of [[audioFingerprint]] and [[videoFingerprint]]. */
+  private def trendBits(e: Array[Long]): Long = {
+    var fp = 0L
+    var w = 1
+    while (w < 32) {
+      if (e(w) > e(w - 1)) fp |= 1L << (31 - w)
+      w += 1
+    }
+    fp
+  }
+
+  /** Per-clip form of [[audioFingerprint]] — usable as a streaming UDF
+    * signature for [[TextDedup.nearDupStreamingSig]] (None → null → the
+    * operator drops the row, the batch undecodable-drop contract). */
+  def audioFp64(bytes: Array[Byte]): Option[Long] =
+    decodeWavWindows(bytes, 32).map(trendBits)
+
   def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
     implicit val enc = Encoders.product[AudioFpRow]
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        decodeWavWindows(r.media, 32).map { e =>
-          var fp = 0L
-          var w = 1
-          while (w < 32) {
-            if (e(w) > e(w - 1)) fp |= 1L << (31 - w)
-            w += 1
-          }
-          AudioFpRow(r.id, fp)
-        }
-      }
+      rows.flatMap(r => audioFp64(r.media).map(AudioFpRow(r.id, _)))
     }.toDF()
   }
 
@@ -492,25 +516,22 @@ object Multimodal {
     * that fail the GIF decode drop. One scan, no shuffle. */
   final case class VideoFpRow(id: Long, fp: Long)
 
+  /** Per-clip form of [[videoFingerprint]] — usable as a streaming UDF
+    * signature for [[TextDedup.nearDupStreamingSig]]. */
+  def videoFp64(bytes: Array[Byte], stride: Int = 1): Option[Long] =
+    decodeGifRowSums(bytes, stride).map { v =>
+      val k = v.length
+      val e = new Array[Long](32)
+      var i = 0
+      while (i < k) { e(((32L * i) / k).toInt) += v(i); i += 1 }
+      trendBits(e)
+    }
+
   def videoFingerprint(media: Dataset[MediaRecord],
       stride: Int = 1): DataFrame = {
     implicit val enc = Encoders.product[VideoFpRow]
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        decodeGifRowSums(r.media, stride).map { v =>
-          val k = v.length
-          val e = new Array[Long](32)
-          var i = 0
-          while (i < k) { e(((32L * i) / k).toInt) += v(i); i += 1 }
-          var fp = 0L
-          var w = 1
-          while (w < 32) {
-            if (e(w) > e(w - 1)) fp |= 1L << (31 - w)
-            w += 1
-          }
-          VideoFpRow(r.id, fp)
-        }
-      }
+      rows.flatMap(r => videoFp64(r.media, stride).map(VideoFpRow(r.id, _)))
     }.toDF()
   }
 
@@ -619,6 +640,26 @@ object Multimodal {
       (x, y, f) => ((docId + 7L * x + 13L * y + 53L * f) % 256L).toInt)
   }
 
+  /** Window-aligned synthetic clip with a uniform brightness `shift` —
+    * the perturbed-twin generator for the x143 robustness property.
+    * Geometry is FIXED at 4 frames × 8 rows = 32 row sums (exactly one
+    * per trend window) and pixels stay in 0..199 (+shift ≤ 255, no
+    * clamping), so a uniform shift adds the same constant to every
+    * window sum and [[videoFingerprint]]'s trend bits are EXACTLY
+    * shift-invariant — `syntheticGifShift(id, 0)` and
+    * `syntheticGifShift(id, 40)` must collide, with every pixel
+    * different. (At the free geometry of [[syntheticGif]], windows
+    * aggregate unequal row counts and a shift could flip a
+    * near-tied trend — alignment is what makes the invariance an
+    * integer identity rather than a usually-true heuristic.) */
+  def syntheticGifShift(docId: Long, shift: Int): Array[Byte] = {
+    require(shift >= 0 && shift <= 55, "shift would clamp 8-bit pixels")
+    val w = (8 + docId % 9).toInt
+    encodeGif(w, 8, 4,
+      (x, y, f) =>
+        ((docId + 7L * x + 13L * y + 53L * f) % 200L).toInt + shift)
+  }
+
   /** Sampled-frame statistics over a media table: one (id, frame_no,
     * width, height, luma_sum) row per DECODED frame, decoding only
     * every `stride`-th frame of each clip. Map-only inside
@@ -659,25 +700,54 @@ object Multimodal {
   final case class ResizedMedia(
       id: Long, width: Int, height: Int, media: Array[Byte])
 
-  /** STUB resize: a real implementation re-encodes `bytes` at the target
-    * dimensions behind this exact signature. The fake truncates/pads to a
-    * size-proportional byte budget so output size actually tracks the
-    * target dims and the batch shape (bytes in → bytes out, one codec
-    * context per partition) is exercised. */
+  /** REAL resize: decode via the JDK codec (BMP/GIF/PNG/JPEG — whatever
+    * `ImageIO` reads), NEAREST-NEIGHBOR sample with the pure-integer
+    * source mapping `src = dst·srcDim div dstDim` (division-free of
+    * rounding modes and float filter taps, so an oracle replicates every
+    * output pixel exactly), re-encode through the repo's own BMP writer
+    * ([[encodeBmp]] — the encodeWav/encodeGif precedent). Map-only
+    * inside mapPartitions, the same 100 TB shape as [[imageStats]].
+    *
+    * Bytes with NO JDK decoder (or garbage) fall back to the former
+    * byte-budget shape — truncate/pad to a dimension-proportional
+    * budget — keeping the operator TOTAL (a resize stage must never
+    * drop or kill on one alien format; the fallback is detectable:
+    * its payload is not a valid BMP). The x144 query hash-pins the
+    * real path end to end: synthetic formula → BMP encode → JDK decode
+    * → integer NN sample → BMP re-encode → JDK re-decode → pixel sums
+    * recomputed by the oracle from the formula alone. */
   def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[ResizedMedia] = {
     require(width > 0 && height > 0)
     implicit val enc = Encoders.product[ResizedMedia]
     media.mapPartitions { rows =>
-      // real impl: initialize the image codec once per partition here.
-      // Long arithmetic: 65536×65536 overflows Int silently and would
-      // clamp every payload to one byte
-      val budget = math.min(Int.MaxValue.toLong,
-        math.max(1L, width.toLong * height.toLong / 64)).toInt
       rows.map { r =>
-        val b = if (r.media == null) Array.empty[Byte] else r.media
-        ResizedMedia(r.id, width, height,
-          if (b.length >= budget) b.take(budget)
-          else b ++ Array.fill(budget - b.length)(0.toByte))
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(
+                if (r.media == null) Array.emptyByteArray else r.media))
+              : javax.imageio.stream.ImageInputStream))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) =>
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            ResizedMedia(r.id, width, height,
+              encodeBmp(width, height, (x, y) => {
+                val rgb = img.getRGB(
+                  (x.toLong * sw / width).toInt, (y.toLong * sh / height).toInt)
+                ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+              }))
+          case None =>
+            // no decoder for these bytes: budget fallback (total op).
+            // Long arithmetic: 65536×65536 overflows Int silently and
+            // would clamp every payload to one byte
+            val budget = math.min(Int.MaxValue.toLong,
+              math.max(1L, width.toLong * height.toLong / 64)).toInt
+            val b = if (r.media == null) Array.empty[Byte] else r.media
+            ResizedMedia(r.id, width, height,
+              if (b.length >= budget) b.take(budget)
+              else b ++ Array.fill(budget - b.length)(0.toByte))
+        }
       }
     }
   }
