@@ -129,7 +129,15 @@ object Graphs {
     * [[TextDedup]]'s cluster op does that; this is the bounded-round
     * relational form whose intermediate state is verifiable.) */
   def labelPropagation(edges: DataFrame, iters: Int,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
+    // default = truncate EVERY round (unlike pageRankInt's 8): LP's
+    // round subtree is heavy (undirected-closure union+distinct feeds
+    // both join sides), and uncheckpointed rounds compound — at sf0.1
+    // the old default-8 measured 6.4 s vs 2.8 s at cp=1 (iters=5), and
+    // on an 8x-replicated corpus 75 s vs 15 s — the lineage tax grows
+    // superlinearly with BOTH iters and data. x98's explicit cp=1 had
+    // the same numbers at 1x; round 10's 8x curve showed the default
+    // itself was the trap and flipped it.
     require(iters >= 1 && checkpointEvery >= 1)
     // NOT persist()ed — ReuseExchange already computes the closure's
     // distinct once for all rounds; see the pageRankInt note (caching

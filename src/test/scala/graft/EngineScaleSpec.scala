@@ -472,6 +472,75 @@ class EngineScaleSpec extends SparkSpec {
     assert(bLeft == Set(10L, 11L), s"b_item: $bLeft")
   }
 
+  test("scale curves: IVF probe cost is linear in corpus and a bounded " +
+      "fraction of brute force; graph rounds are copy-invariant") {
+    // The round-9 10x/100x dedup measurement (PERF.md) extended to the
+    // ANN and graph families, as DETERMINISTIC structural pins — counts
+    // and round trajectories, not wall-clock, so the curve holds on any
+    // box. Measured timings for the same constructions at sf0.1 live in
+    // PERF.md ("Measured scale-up: ANN + graph", round 10).
+    import graft.ext.{Graphs, Similarity}
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    def corpusX(times: Int): DataFrame =
+      (0 until times).map(c =>
+        emb.select(($"id" + c * 10000000L).as("id"), $"embedding"))
+        .reduce(_ unionByName _)
+    val queries = emb.filter($"id" < 16)
+    val nQueries = queries.count()
+    // centroids fixed across scales (fit once) — the production shape:
+    // the coarse quantizer is a published constant, the corpus grows
+    val cents = Similarity.ivfCentroids(emb, "id", "embedding",
+      nCentroids = 16, seed = 42L)
+    def probeCandidates(corpus: DataFrame): Long = {
+      val assigned = Similarity.assignCells(
+        corpus.select($"id".as("nid"), $"embedding".as("cv")), "cv", cents)
+      val probes = Similarity.probeCells(
+        queries, "id", "embedding", cents, nProbe = 4)
+      assigned.join(broadcast(probes), "cell").count()
+    }
+    val c1 = probeCandidates(corpusX(1))
+    val c8 = probeCandidates(corpusX(8))
+    // 8x the corpus (identical copies → identical cell shapes) scores
+    // EXACTLY 8x the candidates: probe cost is linear in corpus size,
+    // with the per-query scan bounded by the probed cells — never the
+    // quadratic queries x corpus of brute force
+    assert(c8 == 8 * c1, s"probe candidates not linear: $c1 -> $c8")
+    val brute = emb.count() * nQueries
+    assert(c1 * 2 <= brute,
+      s"probed fraction not bounded: $c1 candidates vs $brute brute pairs")
+
+    // graphs: 8 vocabulary-disjoint copies leave the ROUND STRUCTURE
+    // invariant — k-core peels each copy independently (per-round alive
+    // counts scale exactly 8x, rounds unchanged) and label-prop
+    // converges to exactly 8x the components in the same iterations.
+    // An algorithm whose round count grew with corpus SIZE (not
+    // diameter) would fail this pin at any replication factor.
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id".cast("long").as("doc_id"))
+    def edgesX(times: Int): DataFrame = {
+      val e1 = Graphs.syntheticEdges(docs, "doc_id")
+      (0 until times).map(c =>
+        e1.select(($"src" + c * 10000000L).as("src"),
+          ($"dst" + c * 10000000L).as("dst")))
+        .reduce(_ unionByName _)
+    }
+    val k1 = Graphs.kCoreRounds(edgesX(1), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k8 = Graphs.kCoreRounds(edgesX(8), k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1.keySet == k8.keySet)
+    for ((round, alive) <- k1)
+      assert(k8(round) == 8 * alive,
+        s"k-core round $round: ${k8(round)} != 8 * $alive")
+    val comp1 = graft.ext.Graphs.labelPropagation(edgesX(1), iters = 5)
+      .select($"label").distinct().count()
+    val comp8 = graft.ext.Graphs.labelPropagation(edgesX(8), iters = 5)
+      .select($"label").distinct().count()
+    assert(comp8 == 8 * comp1, s"label-prop components: $comp1 -> $comp8")
+  }
+
   test("multi-record wire: foreign envelopes decode through the general path") {
     val tmp = Files.createTempDirectory("graft-multirec").toString
     val work = s"$tmp/work"
