@@ -1958,6 +1958,14 @@ object ExtQueries {
     // scale, so the driver-side collect is constant, never a corpus
     // fraction. The scoring pipeline is x43's (scan-local pruning, exact
     // integer corpus stats).
+    //
+    // A/B'd against the standing-index form (round 10, sf0.1 warm):
+    // one-shot ~3.2-3.8 s vs build-index-then-score ~3.1-3.9 s — a WASH
+    // within one batch (the full-postings aggregation the index build
+    // pays ≈ the tokenize+prefilter the one-shot pays), so this query
+    // keeps the one-shot. Reusing ONE standing index across batches is
+    // ~2x per batch (outputs bit-identical) — that winning shape is
+    // declared as x145_bm25_index_reuse.
     "x68_retrieval_self_recall" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
@@ -4629,7 +4637,81 @@ object ExtQueries {
         |  CAST(sum((doc_id + 7 * sx + 13 * sy) % 256) AS BIGINT) AS sum_r,
         |  CAST(sum((3 * doc_id + 11 * sx + sy) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((sx * sy + doc_id) % 256) AS BIGINT) AS sum_b
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // BM25 standing-index reuse — the x57 incremental pattern applied to
+    // search, and the WINNING arm of x68's round-10 A/B: ONE inverted
+    // index (cached postings + two exact corpus scalars) answers TWO
+    // probe batches (leading-5-token and tokens-3..7 needles) at ~2x the
+    // per-batch cost of re-deriving corpus state, with bit-identical
+    // scores — what a production eval loop does against a persisted
+    // `postings` table (README's bucketBy deployment). The oracle runs
+    // the full BM25 pipeline per batch; the ENGINE computes postings
+    // once, so score agreement across both batches pins index-vs-oneshot
+    // equivalence end to end.
+    "x145_bm25_index_reuse" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        def probes(from: Int): Seq[(Int, String)] = docs
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), from, 5)).as("q"))
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq.sortBy(_._1)
+        val idx0 = graft.ext.TextSearch.buildBm25Index(docs, "doc_id", "text")
+        // loop-invariant artifact cached across the two batches (the
+        // sweep unpersists between queries, like the iterative ops)
+        val idx = idx0.copy(postings = idx0.postings.cache())
+        def audit(batch: Int, qs: Seq[(Int, String)]) =
+          graft.ext.TextSearch.bm25TopKOnIndex(idx, qs, k = 10)
+            .groupBy(col("qid"))
+            .agg(coalesce(
+                min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
+                lit(0)).cast("long").as("self_rank"),
+              count(lit(1)).as("n_results"))
+            .withColumn("batch", lit(batch.toLong))
+        audit(1, probes(1)).unionByName(audit(2, probes(3)))
+          .select(col("batch"), col("qid"), col("self_rank"), col("n_results"))
+          .orderBy(col("batch"), col("qid"))
+      },
+      """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |q AS (
+        |  SELECT 1 AS batch, CAST(doc_id AS INT) AS qid,
+        |      array_to_string(t[1:5], ' ') AS qtext
+        |    FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500
+        |  UNION ALL
+        |  SELECT 2, CAST(doc_id AS INT),
+        |      array_to_string(t[3:7], ' ')
+        |    FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500),
+        |qt AS (SELECT batch, qid,
+        |         unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.batch, qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT batch, qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2, 3),
+        |cands AS (SELECT batch, qid, nid, rnk FROM (
+        |  SELECT batch, qid, nid, score, row_number() OVER (
+        |    PARTITION BY batch, qid ORDER BY score DESC, nid) AS rnk
+        |  FROM scored) WHERE rnk <= 10)
+        |SELECT CAST(batch AS BIGINT) AS batch, qid,
+        |  CAST(coalesce(min(CASE WHEN nid = qid THEN rnk END), 0) AS BIGINT)
+        |    AS self_rank,
+        |  count(*) AS n_results
+        |FROM cands GROUP BY 1, 2 ORDER BY batch, qid""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -349,6 +349,29 @@ class PlanShapeSpec extends SparkSpec {
       intercept[IllegalArgumentException] { graft.ext.Par.widen(df) }
   }
 
+  test("x145 standing BM25 index: the postings artifact is computed " +
+      "once and both probe batches scan the cached copy") {
+    val p = executedPlan(query("x145_bm25_index_reuse"))
+      .split("== Initial Plan ==").head
+    // the reuse IS the query's thesis: NEITHER batch subtree re-derives
+    // postings from the corpus text — the only Generate nodes are the
+    // two query-term explodes (qtext), never the corpus tokenize (tk).
+    // (The cached-postings scan itself hides behind scorePostings'
+    // localCheckpoint RDD boundary, so the positive signal is the
+    // checkpointed pruned-postings scans, one per batch.)
+    val corpusGens = p.linesIterator.count(l =>
+      l.contains("Generate explode") && l.contains("tk#"))
+    assert(corpusGens == 0,
+      s"a batch re-tokenized the corpus:\n${p.take(2500)}")
+    // 2 batches x (dfreq + scoring) = 4 scans of the two checkpointed
+    // pruned-postings artifacts — reads of materialized state, never
+    // recomputation
+    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans == 4,
+      s"expected 4 checkpointed pruned-postings scans, got $rddScans:\n" +
+        p.take(2500))
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
