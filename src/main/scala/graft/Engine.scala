@@ -155,7 +155,20 @@ object Engine {
         * persistence/DLQ. The reference's default remove-duplicates
         * strategy is already the engine's C2 dedup + C7 LWW merge —
         * this slot carries only genuinely custom batch logic. */
-      batchTransforms: Map[String, DataFrame => DataFrame] = Map.empty)
+      batchTransforms: Map[String, DataFrame => DataFrame] = Map.empty,
+      /** Build the default model replicas in [[ParquetReplica]]'s
+        * MERGE-ON-READ mode: each micro-batch merge appends an O(batch)
+        * delta-log epoch instead of rewriting touched buckets, with a
+        * background snapshot-isolated compaction every
+        * `replicaCompactEvery` epochs — the low-latency knob for
+        * sub-second `Engine.start` cadences (see PERF.md round 10; CoW
+        * rewrites every hot bucket once per micro-batch regardless of
+        * batch size). Results are bit-identical to CoW (spec-pinned).
+        * Key indexes stay CoW — they are small and their anti-join
+        * maintenance reads base buckets directly. Ignored when a custom
+        * `replicaFactory` is set. */
+      mergeOnRead: Boolean = false,
+      replicaCompactEvery: Int = 8)
 
   /** Soft-delete image of a snapshot frame: the optional `__canceled`
     * column when the binding provides it, else null (all rows live).
@@ -263,7 +276,8 @@ object Engine {
       val root = s"$workDir/replicas/${m.name}"
       m.name -> options.replicaFactory.map(f => f(spark, m, root)).getOrElse(
         new ParquetReplica(spark, root, m.replicaSchema.toDDL,
-          buckets = m.buckets))
+          buckets = m.buckets, mergeOnRead = options.mergeOnRead,
+          compactEvery = options.replicaCompactEvery))
     }.toMap
 
   /** FK columns to index per sideloaded child model: every parent hasMany

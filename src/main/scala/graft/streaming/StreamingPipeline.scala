@@ -499,8 +499,15 @@ final class ParquetReplica(spark: SparkSession, root: String,
       }.toSet
       Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
         val name = f.getName
+        // an in-flight background compaction's half-written compact-v*
+        // dir is legitimately unreferenced until its locked publish —
+        // deleting it mid-write would hand the publish a manifest of
+        // missing files. Skip compact dirs while one is running (the
+        // publish also re-checks its dir, so even a foreign-instance
+        // vacuum degrades to an abandoned compaction, never data loss).
         val isOldVersionDir = f.isDirectory &&
-          (name.matches("v\\d+") || name.matches("compact-v\\d+")) &&
+          (name.matches("v\\d+") ||
+            (name.matches("compact-v\\d+") && !compacting.get())) &&
           !live.contains(name)
         val isOldManifest = name.matches("v\\d+\\.manifest") &&
           name.stripPrefix("v").stripSuffix(".manifest").toInt < floor
@@ -624,9 +631,12 @@ final class ParquetReplica(spark: SparkSession, root: String,
           val cur = currentVersion
           // the snapshot's last epoch still in the log proves no other
           // base rewrite (sync compact / CoW merge / destroy) folded it
-          // already — publishing over one would resurrect the old base
+          // already — publishing over one would resurrect the old base.
+          // The dir existence check covers a foreign-instance vacuum
+          // that reclaimed the half-written compaction output.
           if (bucketCount(cur) == nb &&
-              deltaEntries(cur).exists(_._1 == snapMaxSeq)) {
+              deltaEntries(cur).exists(_._1 == snapMaxSeq) &&
+              new java.io.File(fs, s"compact-v$snapV").exists()) {
             val remaining = deltaEntries(cur).filter(_._1 > snapMaxSeq)
             publish(cur + 1, written, nb, remaining)
           } // else: layout changed under us — abandon, log is still whole

@@ -406,15 +406,36 @@ class PersistorSpec extends SparkSpec {
     assert(got.size == 32 && got(5L) == 555.0 && got(6L) == 6.0)
   }
 
+  private val contractDdl =
+    "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+      "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+      "value DOUBLE"
+
+  /** Wait for a MoR replica's background compactions to drain the delta
+    * log (no-op for CoW backends) — the "layout settled" point the
+    * pruning contract measures at. */
+  private def settle(r: graft.streaming.Replica): Unit = r match {
+    case p: graft.streaming.ParquetReplica =>
+      val deadline = System.currentTimeMillis() + 30000
+      while (p.deltaEntries(p.currentVersion).nonEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(p.deltaEntries(p.currentVersion).isEmpty,
+        "background compaction never drained the delta log")
+    case _ => ()
+  }
+
   private val contractReplicas = Seq[(String, String => graft.streaming.Replica)](
     "ParquetReplica" -> (root => new graft.streaming.ParquetReplica(spark, root,
-      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
-        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
-        "value DOUBLE", buckets = 4)),
+      contractDdl, buckets = 4)),
+    // merge-on-read with compactEvery=1: every merge appends a delta
+    // epoch AND races a background compaction against the next
+    // operation — the maximal interleaving of the new mode's moving
+    // parts under the identical contract
+    "ParquetReplica-MoR" -> (root => new graft.streaming.ParquetReplica(
+      spark, root, contractDdl, buckets = 4,
+      mergeOnRead = true, compactEvery = 1)),
     "CowReplica" -> (root => new graft.streaming.CowReplica(spark, root,
-      "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
-        "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
-        "value DOUBLE")))
+      contractDdl)))
 
   for ((label, mk) <- contractReplicas)
     test(s"replica contract ($label): LWW merge, replay, destroy, vacuum") {
@@ -462,6 +483,10 @@ class PersistorSpec extends SparkSpec {
         (1L to 64L).map(i =>
           (i, "2024-01-01 00:00:00", None: Option[String], "created",
             i.toDouble)): _*))
+      // MoR: pruning applies to the SETTLED layout — an unfolded delta
+      // log is read whole by design (bounded by compactEvery); wait for
+      // the background fold before measuring file-level pruning
+      settle(r)
       val pruned = r.readBuckets(Seq(3L, 17L).toDF("synced_id"))
       val ids = pruned.select("synced_id").as[Long].collect().toSet
       assert(Set(3L, 17L).subsetOf(ids) && ids.subsetOf((1L to 64L).toSet))

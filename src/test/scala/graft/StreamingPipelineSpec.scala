@@ -496,6 +496,15 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(cowRun.replicas("thing").isInstanceOf[graft.streaming.CowReplica])
     assert(state(parquetRun) == state(cowRun), s"${state(parquetRun)} vs ${state(cowRun)}")
     assert(state(cowRun).size == 3)
+    // ... and through the MERGE-ON-READ mode (EngineOptions knob):
+    // engine merges become delta-log appends with compaction mid-run
+    // (compactEvery=1 forces a fold after every merge — the maximal
+    // interleaving of append and compact), same replica state
+    val morRun = Engine.runAvailableNow(spark, reg, bindings, s"$tmp/w3",
+      options = Engine.EngineOptions(mergeOnRead = true,
+        replicaCompactEvery = 1))
+    assert(state(parquetRun) == state(morRun),
+      s"MoR diverged: ${state(parquetRun)} vs ${state(morRun)}")
   }
 
   test("Engine: serialize:false models publish IDs-only payloads") {
