@@ -923,6 +923,154 @@ object Similarity {
     (i: Column) => struct(i.as("sub"),
       slice(v, i * subDim + 1, lit(subDim)).as("sv")))
 
+  /** MAP-ONLY probe selection: each row's `nProbe` nearest cells as an
+    * array column — a primitive partial-selection loop over the
+    * broadcast centroids (the [[assignCells]] shape generalized from
+    * argmin to arg-top-n), ties to the lower cell id exactly like
+    * [[probeCells]]'s `(d2, cell)` ordering. Unlike probeCells this
+    * plans NO exchange and NO window, which makes it both the cheaper
+    * batch form at scale (probe choice per query is a per-row
+    * computation, not a shuffle) and the STREAMING-legal one (windows
+    * over streaming frames are unsupported). */
+  private[graft] def probeCellsArr(df: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val cents: Array[(Int, Array[Double])] =
+      centroids.sortBy(_._1).toArray
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val n = math.min(nProbe, centroids.size)
+    val probe = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val arr = v.toArray
+      // (d2, cell) selection sort of the top-n — nCentroids is small
+      // (16..64k); n is tiny (2..16), so n passes beat a full sort
+      val d2 = new Array[Double](cs.length)
+      var i = 0
+      while (i < cs.length) {
+        val cv = cs(i)._2
+        var d = 0.0
+        var t = 0
+        while (t < cv.length && t < arr.length) {
+          val x = arr(t) - cv(t); d += x * x; t += 1
+        }
+        d2(i) = d
+        i += 1
+      }
+      val taken = new Array[Boolean](cs.length)
+      val out = new Array[Int](n)
+      var r = 0
+      while (r < n) {
+        var best = -1
+        var bd = Double.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          if (!taken(j) && (d2(j) < bd || (d2(j) == bd && best >= 0 &&
+              cs(j)._1 < cs(best)._1))) { bd = d2(j); best = j }
+          j += 1
+        }
+        taken(best) = true
+        out(r) = cs(best)._1
+        r += 1
+      }
+      out
+    }
+    df.withColumn("__probe_cells", probe(col(vecCol)))
+  }
+
+  /** STREAMING IVF-PQ ANN: a stream of query vectors answered against a
+    * standing [[IvfPqIndex]] — append-mode (qid, nid, rnk, adc), exactly
+    * [[ivfPqTopKOnIndex]]'s answers per arriving query (spec-pinned
+    * equal). The plan is stream-legal end to end: probes via the
+    * map-only [[probeCellsArr]] (no window), the LUT via broadcast
+    * codebook join, candidates via the stream⋈static codes join, and
+    * the per-query ADC + top-k inside ONE stateless
+    * flatMapGroupsWithState group (the [[TextDedup.nearDupStreamingSig]]
+    * vote-stage trick: every candidate term of a query is emitted in the
+    * query's own arrival batch, so the group is complete by
+    * construction, emits immediately, and stores NOTHING — zero state
+    * however long the stream runs). Per-group memory is one (nid → adc)
+    * map over the probed cells' candidates — the same cardinality the
+    * batch agg shuffles, held per query; for query batches large enough
+    * to need distributed ranking, run the batch operator per micro-batch
+    * in foreachBatch instead. Query ids must be numeric (cast to long,
+    * the streaming-op id contract). */
+  def ivfPqTopKStreaming(queryStream: DataFrame, index: IvfPqIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val session = queryStream.sparkSession
+    graft.functions.Functions.register(session)
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val m = index.codebook.map(_._1).max + 1
+    val subDim = index.codebook.head._3.length
+    val cbSize = index.codebook.map(_._2).max + 1
+    val q = queryStream.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // the per-query ADC lookup table as an ARRAY column (m·codebookSize
+    // doubles — 64 values at the defaults), computed MAP-ONLY against
+    // the broadcast codebook with the exact left-to-right (a−b)² fold
+    // of the batch path's l2sqCol. The batch operator builds this LUT
+    // as a joined frame; on a stream that join would be
+    // stream⋈stream against the candidate terms (unbounded join
+    // state, no watermark to evict it — observed growing by the batch's
+    // candidate count every trigger). As a column the LUT rides the
+    // single stream⋈static codes join and the plan is stateless.
+    val cbArr: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      index.codebook.filter(_._1 == s).sortBy(_._2).map(_._3).toArray)
+    val bcCb = session.sparkContext.broadcast(cbArr)
+    val lutU = udf { (v: Seq[Double]) =>
+      val cb = bcCb.value
+      val arr = v.toArray
+      val out = new Array[Double](m * cbSize)
+      var s = 0
+      while (s < m) {
+        val off = s * subDim
+        var c = 0
+        while (c < cb(s).length) {
+          val cv = cb(s)(c)
+          var d = 0.0
+          var t = 0
+          while (t < cv.length) { val x = arr(off + t) - cv(t); d += x * x; t += 1 }
+          out(s * cbSize + c) = d
+          c += 1
+        }
+        s += 1
+      }
+      out
+    }
+    val probes = probeCellsArr(q, "qv", index.centroids, nProbe)
+      .withColumn("__lut", lutU(col("qv")))
+      .select(col("qid"), col("__lut"),
+        explode(col("__probe_cells")).as("cell"))
+    val terms = index.codes
+      .join(probes, Seq("cell"))
+      .select(col("qid"), col("nid"), col("sub"),
+        element_at(col("__lut"), col("sub") * cbSize + col("code") + 1)
+          .as("pd2"))
+      .as[(Long, Long, Int, Double)]
+    terms
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Long, Int, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (qid, rows, _) =>
+          // every (nid, sub) term of this query arrived in this batch —
+          // sum the m subspace distances per candidate IN SUBSPACE ORDER
+          // (the batch agg's fixed fold — float addition order is part
+          // of the equality contract), rank, emit
+          val bySub = scala.collection.mutable.HashMap.empty[Long, Array[Double]]
+          rows.foreach { case (_, nid, sub, pd2) =>
+            bySub.getOrElseUpdate(nid, new Array[Double](m))(sub) = pd2
+          }
+          bySub.iterator.map { case (nid, arr) =>
+            var d = 0.0
+            var i = 0
+            while (i < m) { d += arr(i); i += 1 }
+            (nid, d)
+          }.toSeq.sortBy { case (nid, d) => (d, nid) }.take(k)
+            .zipWithIndex.map { case ((nid, d), i) => (qid, nid, i + 1, d) }
+            .iterator
+      }
+      .toDF("qid", "nid", "rnk", "adc")
+  }
+
   /** LSH-bucketed ANN: candidates share the exact signature bucket; scored
     * and ranked within bucket only. Lower `nBits` → bigger buckets →
     * higher recall and cost.

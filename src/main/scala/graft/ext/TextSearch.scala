@@ -185,6 +185,78 @@ object TextSearch {
       .select(col("qid"), col("rnk"), col("nid"), col("score"))
   }
 
+  /** STREAMING BM25 retrieval: a stream of (qid, qtext) queries answered
+    * against a standing [[Bm25Index]] — append-mode (qid, rnk, nid,
+    * score), bit-identical to [[bm25TopK]]/[[bm25TopKOnIndex]] per
+    * arriving query (spec-pinned, float scores included). Stream-legal
+    * end to end: per-token document frequency is a STATIC artifact
+    * derived from the index once; the only join is the static enriched
+    * postings against the streaming term explode; per-query scoring +
+    * top-k runs inside one stateless flatMapGroupsWithState group (the
+    * [[graft.ext.Similarity.ivfPqTopKStreaming]] shape — every term row
+    * of a query is emitted in its arrival batch, the group is complete
+    * by construction, zero state forever). The in-group fold replicates
+    * the batch arithmetic EXACTLY: same IEEE operation order for the
+    * term score, terms summed in UTF8-binary token order, HALF_UP
+    * rounding to 4 dp via the same BigDecimal path Spark's round()
+    * uses. Group memory is the query's candidate postings — the same
+    * rows the batch agg shuffles, held per query; for term sets
+    * matching a corpus fraction, run the batch operator per micro-batch
+    * in foreachBatch instead. Query ids must be numeric. */
+  def bm25TopKStreaming(queryStream: DataFrame, index: Bm25Index,
+      qidCol: String, qtextCol: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(index.nDocs > 0, "an empty index cannot answer a stream")
+    val session = queryStream.sparkSession
+    import session.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val n = index.nDocs.toDouble
+    val avgDl = index.totalTokens.toDouble / index.nDocs.toDouble
+    val dfreq = index.postings.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+    val enriched = index.postings.join(dfreq, "tok") // static ⋈ static
+    val qt = queryStream.select(col(qidCol).cast("long").as("qid"),
+      explode(array_distinct(split(col(qtextCol), " "))).as("tok"))
+    val terms = enriched.join(qt, Seq("tok")) // static ⋈ stream
+      .select(col("qid"), col("nid").cast("long").as("nid"), col("tok"),
+        col("tf").cast("long"), col("dl").cast("long"),
+        col("dfq").cast("long"))
+      .as[(Long, Long, String, Long, Long, Long)]
+    terms
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Int, (Long, Int, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (qid, rows, _) =>
+          val byDoc = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.ArrayBuffer[(String, Double)]]
+          rows.foreach { case (_, nid, tok, tf, dl, dfq) =>
+            // the batch termScore expression, same IEEE op order:
+            // ((idf * tf) * (k1+1)) / (tf + k1 * ((1-b) + (b*dl)/avgdl))
+            val idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+            val s = idf * tf * (k1 + 1) /
+              (tf + k1 * ((1 - b) + b * dl / avgDl))
+            byDoc.getOrElseUpdate(nid,
+              scala.collection.mutable.ArrayBuffer.empty) += ((tok, s))
+          }
+          byDoc.iterator.map { case (nid, ts) =>
+            // token-order-pinned fold (UTF8 BINARY order — Spark's
+            // sort_array on strings; String.compareTo diverges beyond
+            // ASCII), then Spark round()'s exact HALF_UP path
+            val sorted = ts.sortWith((x, y) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(x._1)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(y._1)) < 0)
+            var acc = 0.0
+            sorted.foreach(acc += _._2)
+            val score = java.math.BigDecimal.valueOf(acc)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            (nid, score)
+          }.toSeq.sortBy { case (nid, sc) => (-sc, nid) }.take(k)
+            .zipWithIndex.map { case ((nid, sc), i) => (qid, i + 1, nid, sc) }
+            .iterator
+      }
+      .toDF("qid", "rnk", "nid", "score")
+  }
+
   /** Reciprocal-rank fusion of a per-query candidate ranking with a
     * per-document quality signal (retrieve-then-rerank): each candidate
     * scores `1/(c+r_relevance) + 1/(c+r_quality)` and the top `k` per

@@ -2564,6 +2564,81 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(3L)._2 == 1L, s"fresh clip must be kept: ${got(3L)}")
   }
 
+  test("streaming ANN: queries stream against a standing IVF-PQ index " +
+      "and get the batch operator's exact answers") {
+    import graft.ext.Similarity
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    val index = Similarity.buildIvfPqIndex(emb, "id", "embedding")
+    val queries = emb.filter($"id" < 24)
+    // batch truth from the SAME index
+    val want = Similarity.ivfPqTopKOnIndex(index, queries, "id", "embedding",
+        k = 5, nProbe = 4)
+      .select($"qid", $"nid", $"rnk", $"adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // stream the queries in two micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    queries.filter($"id" < 12).write.parquet(s"$tmp/in/f1")
+    queries.filter($"id" >= 12).write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = Similarity.ivfPqTopKStreaming(in, index, "id", "embedding",
+        k = 5, nProbe = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("annstream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("annstream_out")
+      .select($"qid", $"nid", $"rnk", $"adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // EXACT equality incl. the float ADC: the streaming fold sums
+    // subspaces in the batch agg's fixed order
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // zero streaming state: the top-k group is complete per batch and
+    // stores nothing — the query can run forever
+    val prog = q.recentProgress.flatMap(_.stateOperators)
+    assert(prog.nonEmpty && prog.map(_.numRowsTotal).max == 0,
+      s"ANN streaming leaked state: ${prog.map(_.numRowsTotal).toSeq}")
+  }
+
+  test("streaming BM25: queries stream against the standing index and " +
+      "get the batch operator's exact answers, zero state") {
+    import graft.ext.TextSearch
+    val index = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val qs = docs.filter($"doc_id" < 8)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 5)).as("q"))
+    val qSeq = qs.collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+      .toSeq.sortBy(_._1)
+    val want = TextSearch.bm25TopKOnIndex(index, qSeq, k = 5)
+      .select($"qid".cast("long"), $"rnk", $"nid".cast("long"), $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25stream").toString
+    qs.filter($"doc_id" < 4).write.parquet(s"$tmp/in/f1")
+    qs.filter($"doc_id" >= 4).write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = TextSearch.bm25TopKStreaming(in, index, "doc_id", "q", k = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bm25stream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bm25stream_out")
+      .select($"qid", $"rnk", $"nid", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    val prog = q.recentProgress.flatMap(_.stateOperators)
+    assert(prog.nonEmpty && prog.map(_.numRowsTotal).max == 0,
+      s"BM25 streaming leaked state: ${prog.map(_.numRowsTotal).toSeq}")
+  }
+
   test("streaming near-dup: null signatures DROP (batch contract) — one " +
       "garbage record must not kill the query") {
     // aHash64 returns null for undecodable bytes; before the round-10
