@@ -287,7 +287,7 @@ object Similarity {
         "cv", cents)
       .withColumn("cn", norm(col("cv")))
 
-    val probes = probeCells(queries, idCol, vecCol, cents, nProbe)
+    val probes = probeCellsFlat(queries, idCol, vecCol, cents, nProbe)
 
     val scored = assigned.join(broadcast(probes), "cell")
       .withColumn("sim", when(col("cn") * col("qn") > 0,
@@ -842,7 +842,7 @@ object Similarity {
     val cbDf = broadcast(
       index.codebook.map { case (s_, c_, v_) => (s_, c_, v_.toSeq) }
         .toDF("sub", "code", "cvec"))
-    val probes = probeCells(queries, idCol, vecCol, index.centroids, nProbe)
+    val probes = probeCellsFlat(queries, idCol, vecCol, index.centroids, nProbe)
       .select(col("qid"), col("cell"))
     val lut = queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
@@ -927,11 +927,15 @@ object Similarity {
     * array column — a primitive partial-selection loop over the
     * broadcast centroids (the [[assignCells]] shape generalized from
     * argmin to arg-top-n), ties to the lower cell id exactly like
-    * [[probeCells]]'s `(d2, cell)` ordering. Unlike probeCells this
-    * plans NO exchange and NO window, which makes it both the cheaper
-    * batch form at scale (probe choice per query is a per-row
-    * computation, not a shuffle) and the STREAMING-legal one (windows
-    * over streaming frames are unsupported). */
+    * [[probeCells]]'s `(d2, cell)` ordering, and the same left-to-right
+    * (a−b)² distance fold — probe choice is IDENTICAL, bit for bit.
+    * Unlike probeCells this plans NO exchange and NO window, which
+    * makes it both the cheaper batch form at scale (probe choice per
+    * query is a per-row computation, not a per-query-batch shuffle —
+    * [[ivfTopK]]/[[ivfPqTopKOnIndex]] use it since round 10) and the
+    * STREAMING-legal one (windows over streaming frames are
+    * unsupported). [[probeCells]] remains as the expression-level
+    * reference implementation the equality spec checks against. */
   private[graft] def probeCellsArr(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val cents: Array[(Int, Array[Double])] =
@@ -974,6 +978,19 @@ object Similarity {
       out
     }
     df.withColumn("__probe_cells", probe(col(vecCol)))
+  }
+
+  /** [[probeCellsArr]] exploded to [[probeCells]]'s exact output shape
+    * (qid, qv, qn, cell) — the drop-in the batch ANN operators consume. */
+  private[graft] def probeCellsFlat(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    probeCellsArr(q, "qv", centroids, nProbe)
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(col("__probe_cells")).as("cell"))
   }
 
   /** STREAMING IVF-PQ ANN: a stream of query vectors answered against a

@@ -121,6 +121,21 @@ class PlanShapeSpec extends SparkSpec {
       }.sortBy { case (i, d) => (d, i) }.take(4).map(_._1).toSet
       assert(cells == want, s"qid $qid: $cells vs $want")
     }
+    // the map-only probe (what ivfTopK/ivfPqTopKOnIndex consume since
+    // round 10 — no window, no exchange) picks the IDENTICAL cells: the
+    // same (a−b)² fold and the same (d2, cell) tie rule, per contract
+    val flat = graft.ext.Similarity.probeCellsFlat(qs, "vec_id", "embedding",
+        cents, nProbe = 4)
+      .select($"qid", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(flat == got, s"probe forms diverged: $flat vs $got")
+    // and its plan is window- and exchange-free
+    val fp = graft.ext.Similarity.probeCellsFlat(qs, "vec_id", "embedding",
+      cents, nProbe = 4)
+    fp.collect()
+    val plan = fp.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Exchange"),
+      plan.take(1500))
   }
 
   test("x45/x46 LSH sweeps: no explicit broadcast of the corpus-fraction query set") {
