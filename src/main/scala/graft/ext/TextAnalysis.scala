@@ -141,4 +141,38 @@ object TextAnalysis {
     val best = sort_array(array(scored: _*), asc = false).getItem(0)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Sliding-window chunking (RAG / long-context ingestion prep): each
+    * document's token stream cut into windows of `window` tokens
+    * starting every `stride` tokens — overlapping when stride < window,
+    * the standard retrieval-chunking shape (overlap keeps boundary
+    * context retrievable from both sides). One chunk row per start
+    * offset `0, stride, 2·stride, …` strictly below the token count;
+    * the tail chunk is PARTIAL (`n_toks < window`), never dropped and
+    * never padded — training-side packing is [[Curation]]'s sequence
+    * packer, retrieval-side ranking doesn't care. Pure column
+    * expressions over one posexplode — scan-local, zero shuffle, the
+    * 100 TB shape of every per-doc text op here. Returns the input's
+    * id column plus (chunk_no, start_tok, n_toks, chunk).
+    *
+    * Distinct from [[Curation]]'s fixed-chunk dedup (content dedup
+    * keyed on disjoint chunk VALUES) and the CDC chunker
+    * (content-defined boundaries for delta storage): this one exists
+    * to FEED a retriever, so windows overlap and offsets are stable
+    * doc-relative positions. */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    df.select(col(idCol), toks(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_no"),
+        col("col").cast("long").as("start_tok"),
+        size(slice(col("__tk"), col("col") + 1, lit(window)))
+          .cast("long").as("n_toks"),
+        array_join(slice(col("__tk"), col("col") + 1, lit(window)), " ")
+          .as("chunk"))
+  }
 }

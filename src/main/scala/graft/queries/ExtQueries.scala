@@ -4711,7 +4711,31 @@ object ExtQueries {
         |  CAST(coalesce(min(CASE WHEN nid = qid THEN rnk END), 0) AS BIGINT)
         |    AS self_rank,
         |  count(*) AS n_results
-        |FROM cands GROUP BY 1, 2 ORDER BY batch, qid""".stripMargin)
+        |FROM cands GROUP BY 1, 2 ORDER BY batch, qid""".stripMargin),
+
+    // Sliding-window RAG chunking: 16-token windows every 8 tokens
+    // (50% overlap), partial tail kept — the retrieval-ingestion shape,
+    // distinct from fixed-chunk dedup (x84's cousin) and sequence
+    // packing (x105). Scan-local posexplode, zero shuffle except the
+    // output order. The oracle rebuilds every window by list slicing,
+    // so offsets, overlap, tail truncation, and the rejoined chunk text
+    // are all hash-pinned byte-for-byte.
+    "x146_chunk_windows" -> entry(
+      (s, dir) =>
+        TextAnalysis.chunkWindows(
+            tbl(s, dir, "documents"), "doc_id", "text",
+            window = 16, stride = 8)
+          .orderBy(col("doc_id"), col("chunk_no")),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |s AS (SELECT doc_id, tk,
+        |        unnest(range(0, len(tk), 8)) AS start FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 8 AS BIGINT) AS chunk_no,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(len(tk[start + 1 : start + 16]) AS BIGINT) AS n_toks,
+        |  array_to_string(tk[start + 1 : start + 16], ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -2605,6 +2605,33 @@ class ExtOpsSpec extends SparkSpec {
       s"ANN streaming leaked state: ${prog.map(_.numRowsTotal).toSeq}")
   }
 
+  test("chunkWindows: overlap, stable offsets, partial tail, tiny docs") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks
+      (2L, "only"), // single token
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")) // exactly one stride
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(df, "doc_id", "text",
+        window = 8, stride = 4)
+      .orderBy($"doc_id", $"chunk_no")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    // starts 0,4,8,12,16 — overlapping full windows then partial tails
+    assert(d1.map(_._3).toSeq == Seq(0L, 4L, 8L, 12L, 16L))
+    assert(d1.map(_._4).toSeq == Seq(8L, 8L, 8L, 8L, 4L),
+      "tail must be partial, not dropped or padded")
+    assert(d1(1)._5 == (5 to 12).map(i => s"t$i").mkString(" "),
+      "offset window content")
+    // 50% overlap: second half of chunk 0 == first half of chunk 1
+    assert(d1(0)._5.split(" ").drop(4).toSeq ==
+      d1(1)._5.split(" ").take(4).toSeq)
+    assert(got.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 0L, 1L, "only")))
+    // 8 tokens at stride 4: starts 0 and 4 (never a start AT n_toks)
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq(0L, 4L))
+  }
+
   test("streaming BM25: queries stream against the standing index and " +
       "get the batch operator's exact answers, zero state") {
     import graft.ext.TextSearch
