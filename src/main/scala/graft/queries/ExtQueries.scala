@@ -4735,7 +4735,79 @@ object ExtQueries {
         |  CAST(start AS BIGINT) AS start_tok,
         |  CAST(len(tk[start + 1 : start + 16]) AS BIGINT) AS n_toks,
         |  array_to_string(tk[start + 1 : start + 16], ' ') AS chunk
-        |FROM s ORDER BY doc_id, chunk_no""".stripMargin)
+        |FROM s ORDER BY doc_id, chunk_no""".stripMargin),
+
+    // The composed RAG retrieval path, end to end as ONE hash-checked
+    // query (the x139-funnel argument applied to retrieval): documents
+    // → sliding-window chunks (x146's operator) → BM25 over the CHUNK
+    // corpus → needle probes (each doc's tokens 9–13, which straddle
+    // the chunk-0/chunk-1 overlap) → per-query audit of where the
+    // source document's chunks rank. The oracle rebuilds the chunk
+    // table by list slicing and runs the full BM25 pipeline over it —
+    // chunk boundaries, chunk-corpus statistics (N and avgdl are CHUNK
+    // counts, not doc counts), scoring, and the doc-attribution
+    // arithmetic (chunk_id div 1000) are all pinned in one hash.
+    "x147_chunked_retrieval" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val chunks = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+            window = 16, stride = 8)
+          .select((col("doc_id") * 1000L + col("chunk_no")).as("chunk_id"),
+            col("chunk"))
+        val qs = docs
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 9, 5)).as("q"))
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq.sortBy(_._1)
+        graft.ext.TextSearch.bm25TopK(chunks, "chunk_id", "chunk", qs, k = 5)
+          .groupBy(col("qid"))
+          .agg(
+            coalesce(min(when(expr("nid div 1000") === col("qid").cast("long"),
+              col("rnk"))), lit(0)).cast("long").as("self_rank"),
+            count(when(expr("nid div 1000") === col("qid").cast("long"),
+              lit(1))).as("self_hits"),
+            count(lit(1)).as("n_results"))
+          .orderBy(col("qid"))
+      },
+      """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |ch AS (SELECT doc_id * 1000 + (start // 8) AS chunk_id,
+        |         array_to_string(tk[start + 1 : start + 16], ' ') AS chunk
+        |       FROM (SELECT doc_id, tk,
+        |               unnest(range(0, len(tk), 8)) AS start FROM tsrc)),
+        |q AS (SELECT CAST(doc_id AS INT) AS qid,
+        |    array_to_string(tk[9:13], ' ') AS qtext
+        |  FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT chunk_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT chunk_id, unnest(string_split(chunk, ' ')) AS tok
+        |    FROM ch) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |cands AS (SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |  WHERE rnk <= 5)
+        |SELECT qid,
+        |  CAST(coalesce(min(CASE WHEN nid // 1000 = qid THEN rnk END), 0)
+        |    AS BIGINT) AS self_rank,
+        |  CAST(count(CASE WHEN nid // 1000 = qid THEN 1 END) AS BIGINT)
+        |    AS self_hits,
+        |  count(*) AS n_results
+        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -387,6 +387,16 @@ class PlanShapeSpec extends SparkSpec {
         p.take(2500))
   }
 
+  test("x146 chunking is scan-local — only the output sort exchanges") {
+    val p = executedPlan(query("x146_chunk_windows"))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), p.take(2000))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"got $exchanges:\n${p.take(2000)}")
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
