@@ -4750,10 +4750,18 @@ object ExtQueries {
     "x147_chunked_retrieval" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val chunks = TextAnalysis.chunkWindows(docs, "doc_id", "text",
+        // the chunk corpus is DERIVED (split + slice + array_join per
+        // chunk) and bm25TopK walks its corpus three times (exact
+        // stats, prefilter, postings) — cache the loop-invariant chunk
+        // table so the derivation string-work runs once (the x145
+        // cached-artifact pattern; the sweep unpersists after each
+        // query), and widen the byte-small doc scan so that one
+        // derivation spreads across cores (the x85/x93 rationale)
+        val chunks = TextAnalysis.chunkWindows(wide(docs), "doc_id", "text",
             window = 16, stride = 8)
           .select((col("doc_id") * 1000L + col("chunk_no")).as("chunk_id"),
             col("chunk"))
+          .cache()
         val qs = docs
           .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
           .select(col("doc_id"),
