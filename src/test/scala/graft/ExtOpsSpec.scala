@@ -2632,6 +2632,37 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == 3L).map(_._3).toSeq == Seq(0L, 4L))
   }
 
+  test("chunkWindows is streaming-transparent: a document stream chunks " +
+      "identically to batch, stateless append") {
+    import graft.ext.TextAnalysis
+    val rows = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"s$i").mkString(" ")),
+      (3L, "x y z"))
+    val want = TextAnalysis.chunkWindows(
+        rows.toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunkstream").toString
+    rows.take(2).toDF("doc_id", "text").write.parquet(s"$tmp/in/f1")
+    rows.drop(2).toDF("doc_id", "text").write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    // pure column expressions — the SAME operator call, no streaming
+    // variant needed, no state operators at all
+    val q = TextAnalysis.chunkWindows(in, "doc_id", "text", 8, 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunkstream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("chunkstream_out")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty,
+      "chunking must plan zero state operators")
+  }
+
   test("streaming BM25: queries stream against the standing index and " +
       "get the batch operator's exact answers, zero state") {
     import graft.ext.TextSearch
