@@ -397,6 +397,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"got $exchanges:\n${p.take(2000)}")
   }
 
+  test("x147 chunked retrieval reads the cached chunk corpus, not a " +
+      "re-derivation") {
+    val p = executedPlan(query("x147_chunked_retrieval"))
+      .split("== Initial Plan ==").head
+    // the chunk table derives once into the cache (the scan hides
+    // behind scorePostings' localCheckpoint, like x145's pin): the
+    // scoring plan must show only the two checkpointed pruned-postings
+    // scans — a re-derivation would surface the chunk posexplode here
+    assert(!p.contains("Generate posexplode"),
+      s"chunk corpus re-derived in the scoring plan:\n${p.take(2000)}")
+    val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans == 2,
+      s"expected 2 checkpointed postings scans, got $rddScans:\n${p.take(2000)}")
+  }
+
   test("x101 z-order key is scan-local — only the bucket agg exchanges") {
     val p = executedPlan(query("x101_zorder_layout"))
       .split("== Initial Plan ==").head
