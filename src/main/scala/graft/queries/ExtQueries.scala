@@ -4815,7 +4815,68 @@ object ExtQueries {
         |  CAST(count(CASE WHEN nid // 1000 = qid THEN 1 END) AS BIGINT)
         |    AS self_hits,
         |  count(*) AS n_results
-        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin)
+        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin),
+
+    // Document CONTAINMENT detection — the partial-overlap case
+    // doc-level MinHash misses (doc A quotes or embeds most of doc B,
+    // but their full-document signatures diverge): DISJOINT 16-token
+    // chunks (stride = window), rare-chunk equi-join (document
+    // frequency 2..8 — boilerplate chunks shared by many docs are
+    // excluded, which also bounds the join fan-out to df² pairs per
+    // chunk value), doc pairs sharing ≥ 2 chunks, containment as the
+    // exact integer percentage of the SMALLER side's chunks that are
+    // shared. Shuffles only on the chunk value (the x21
+    // decontamination shape) — never an all-pairs term.
+    "x148_doc_containment" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val ch = TextAnalysis.chunkWindows(wide(docs), "doc_id", "text",
+            window = 16, stride = 16)
+          .select(col("doc_id"), col("chunk")).distinct()
+        val perDoc = ch.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"))
+        val rare = ch.groupBy(col("chunk"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 8)
+          .select(col("chunk"))
+        val keyed = ch.join(rare, "chunk")
+        val pairs = keyed.select(col("chunk"), col("doc_id").as("id_a"))
+          .join(keyed.select(col("chunk"), col("doc_id").as("id_b")), "chunk")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared_chunks"))
+          .filter(col("shared_chunks") >= 2)
+        pairs
+          .join(broadcast(perDoc).withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("n_chunks", "na"), "id_a")
+          .join(broadcast(perDoc).withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("n_chunks", "nb"), "id_b")
+          .select(col("id_a"), col("id_b"), col("shared_chunks"),
+            expr("(100 * shared_chunks) div least(na, nb)")
+              .as("containment_pct"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |              FROM documents),
+        |ch AS (SELECT DISTINCT doc_id,
+        |         array_to_string(tk[start + 1 : start + 16], ' ') AS chunk
+        |       FROM (SELECT doc_id, tk,
+        |               unnest(range(0, len(tk), 16)) AS start FROM tsrc)),
+        |per AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |rare AS (SELECT chunk FROM ch GROUP BY chunk
+        |         HAVING count(*) BETWEEN 2 AND 8),
+        |k AS (SELECT ch.doc_id, ch.chunk FROM ch JOIN rare USING (chunk)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS shared_chunks
+        |      FROM k a JOIN k b ON a.chunk = b.chunk
+        |        AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT id_a, id_b, shared_chunks,
+        |  CAST((100 * shared_chunks) // least(pa.n_chunks, pb.n_chunks)
+        |    AS BIGINT) AS containment_pct
+        |FROM p JOIN per pa ON pa.doc_id = id_a
+        |  JOIN per pb ON pb.doc_id = id_b
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]
