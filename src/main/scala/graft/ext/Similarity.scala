@@ -944,7 +944,11 @@ object Similarity {
     val n = math.min(nProbe, centroids.size)
     val probe = udf { (v: Seq[Double]) =>
       val cs = bc.value
-      val arr = v.toArray
+      // degenerate queries must DEGRADE, not kill the stage, exactly
+      // like the window form they replace: a null vector sorts its
+      // (null) distances first → lowest cell ids; a NaN distance sorts
+      // LAST (Spark's NaN > any double) but still fills the probe set
+      val arr = if (v == null) Array.emptyDoubleArray else v.toArray
       // (d2, cell) selection sort of the top-n — nCentroids is small
       // (16..64k); n is tiny (2..16), so n passes beat a full sort
       val d2 = new Array[Double](cs.length)
@@ -967,9 +971,18 @@ object Similarity {
         var bd = Double.MaxValue
         var j = 0
         while (j < cs.length) {
-          if (!taken(j) && (d2(j) < bd || (d2(j) == bd && best >= 0 &&
-              cs(j)._1 < cs(best)._1))) { bd = d2(j); best = j }
+          if (!taken(j) && !java.lang.Double.isNaN(d2(j)) &&
+              (d2(j) < bd || (d2(j) == bd && best >= 0 &&
+                cs(j)._1 < cs(best)._1))) { bd = d2(j); best = j }
           j += 1
+        }
+        if (best < 0) {
+          // every remaining distance is NaN — rank them last, by cell id
+          var j2 = 0
+          while (j2 < cs.length && best < 0) {
+            if (!taken(j2)) best = j2
+            j2 += 1
+          }
         }
         taken(best) = true
         out(r) = cs(best)._1

@@ -870,4 +870,43 @@ object TextDedup {
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
       .distinct()
   }
+
+  /** Document CONTAINMENT detection — the partial-overlap case
+    * document-level MinHash misses (doc A quotes or embeds most of
+    * doc B while their full-document signatures diverge): DISJOINT
+    * `window`-token chunks ([[TextAnalysis.chunkWindows]] at
+    * stride = window), a rare-chunk equi-join (chunk document
+    * frequency in [minDf, maxDf] — boilerplate chunks shared by many
+    * docs are excluded, which also bounds the join fan-out to df²
+    * pairs per chunk value), doc pairs sharing at least `minShared`
+    * chunks, and containment as the EXACT integer percentage of the
+    * smaller side's chunks that are shared. Shuffles only on the
+    * chunk value (the decontamination shape) — never an all-pairs
+    * term. Returns (id_a, id_b, shared_chunks, containment_pct),
+    * id_a < id_b. */
+  def docContainment(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, minDf: Int = 2, maxDf: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    require(minDf >= 2 && maxDf >= minDf && minShared >= 1)
+    val ch = TextAnalysis.chunkWindows(df, idCol, textCol, window, window)
+      .select(col(idCol), col("chunk")).distinct()
+    val perDoc = ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    val rare = ch.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("chunk"))
+    val keyed = ch.join(rare, "chunk")
+    keyed.select(col("chunk"), col(idCol).as("id_a"))
+      .join(keyed.select(col("chunk"), col(idCol).as("id_b")), "chunk")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .join(broadcast(perDoc).withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_chunks", "na"), "id_a")
+      .join(broadcast(perDoc).withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n_chunks", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        expr("(100 * shared_chunks) div least(na, nb)")
+          .as("containment_pct"))
+  }
 }

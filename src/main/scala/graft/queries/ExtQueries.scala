@@ -4828,34 +4828,11 @@ object ExtQueries {
     // shared. Shuffles only on the chunk value (the x21
     // decontamination shape) — never an all-pairs term.
     "x148_doc_containment" -> entry(
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val ch = TextAnalysis.chunkWindows(wide(docs), "doc_id", "text",
-            window = 16, stride = 16)
-          .select(col("doc_id"), col("chunk")).distinct()
-        val perDoc = ch.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"))
-        val rare = ch.groupBy(col("chunk"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= 8)
-          .select(col("chunk"))
-        val keyed = ch.join(rare, "chunk")
-        val pairs = keyed.select(col("chunk"), col("doc_id").as("id_a"))
-          .join(keyed.select(col("chunk"), col("doc_id").as("id_b")), "chunk")
-          .filter(col("id_a") < col("id_b"))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("shared_chunks"))
-          .filter(col("shared_chunks") >= 2)
-        pairs
-          .join(broadcast(perDoc).withColumnRenamed("doc_id", "id_a")
-            .withColumnRenamed("n_chunks", "na"), "id_a")
-          .join(broadcast(perDoc).withColumnRenamed("doc_id", "id_b")
-            .withColumnRenamed("n_chunks", "nb"), "id_b")
-          .select(col("id_a"), col("id_b"), col("shared_chunks"),
-            expr("(100 * shared_chunks) div least(na, nb)")
-              .as("containment_pct"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
+      (s, dir) =>
+        TextDedup.docContainment(wide(tbl(s, dir, "documents")),
+            "doc_id", "text", window = 16, minDf = 2, maxDf = 8,
+            minShared = 2)
+          .orderBy(col("id_a"), col("id_b")),
       """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS tk
         |              FROM documents),
         |ch AS (SELECT DISTINCT doc_id,

@@ -185,6 +185,14 @@ object StreamBench {
     } finally {
       producer.stop()
       consumer.stop()
+      // the harness runs twice per Bench sweep (plus every spec run) —
+      // reclaim the source files, topic, checkpoints, and replica
+      // versions or /tmp grows without bound across sweeps
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
     }
 
     import scala.jdk.CollectionConverters._

@@ -366,14 +366,22 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val packed = struct(
       col("__seq").as("s"), coalesce(col("__lww"), maxTs).as("o"),
       col("__lww").as("l"), struct(cols.map(col): _*).as("r"))
-    all.groupBy(col("synced_id"))
+    val grouped = all.groupBy(col("synced_id"))
       .agg(collect_list(packed).as("__rows"))
+    // fold the WHOLE sorted array from a null seed — the sorted array
+    // is referenced exactly once, so it sorts once per key per read
+    // (the earlier slice+element_at form inlined array_sort twice, and
+    // a let-binding projection can be collapsed right back by the
+    // optimizer)
+    val packedType = grouped.schema("__rows").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    grouped
       .select(aggregate(
-        expr("slice(array_sort(__rows), 2, greatest(size(__rows) - 1, 0))"),
-        element_at(expr("array_sort(__rows)"), 1),
-        (acc, x) => when(
+        expr("array_sort(__rows)"),
+        lit(null).cast(packedType),
+        (acc, x) => when(acc.isNull, x).otherwise(when(
           coalesce(x.getField("l"), maxTs) >= coalesce(acc.getField("l"), minTs),
-          x).otherwise(acc)).getField("r").as("w"))
+          x).otherwise(acc))).getField("r").as("w"))
       .select(col("w.*"))
   }
 
@@ -544,15 +552,31 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * compute `pmod(hash(synced_id), currentBucketCount)` in that same
     * pass and skip this method's distinct+collect job — one fewer
     * Spark action per merge, which is real latency on a sub-second
-    * micro-batch path. The set must cover every key in `updates`
-    * (hashed with [[currentBucketCount]]); a MISSING bucket would
-    * leave its current rows out of the rewrite, silently dropping the
-    * unmerged rows of that bucket, so over-approximation is safe,
-    * under-approximation never is. */
+    * micro-batch path (in MoR mode the set isn't used for pruning but
+    * still answers the empty-batch check without an action). The set
+    * must cover every key in `updates` (hashed with
+    * [[currentBucketCount]]); a MISSING bucket would leave its current
+    * rows out of the rewrite, silently dropping the unmerged rows of
+    * that bucket, so over-approximation is safe, under-approximation
+    * never is — and because the caller hashes OUTSIDE this method's
+    * lock, a concurrent [[compact]] to a different bucket count makes
+    * any precomputed set stale: only pass one when nothing re-buckets
+    * this replica concurrently (StreamBench owns its replica; an
+    * import manifest runs in a maintenance window). */
   def mergeTouched(updates: DataFrame, precomputedTouched: Option[Set[Int]],
       prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
     ReplicaLocks.lockFor(root).synchronized {
-      if (mergeOnRead) { deltaMerge(updates, prepare); return }
+      if (mergeOnRead) {
+        // MoR doesn't prune by bucket, but the caller's key set still
+        // answers the empty-batch question for free; without it, pay
+        // one take(1) probe — an idle stream's watermark-advancing
+        // empty batches must not append empty epochs, bump versions,
+        // and trigger pointless compactions forever
+        val empty = precomputedTouched.map(_.isEmpty)
+          .getOrElse(updates.isEmpty)
+        if (!empty) deltaMerge(updates, prepare)
+        return
+      }
       val v = currentVersion
       val next = v + 1
       val nb = bucketCount(v)
@@ -592,10 +616,13 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val seq = ds.lastOption.map(_._1).getOrElse(-1L) + 1L
     val dir = s"v$next/delta-$seq"
     val target = reconcile(readDirs(man.values.toSeq), ds)
+    // overwrite (the writeBucketsTo rule): a crash between this write
+    // and publish() leaves an orphan dir at the SAME next/seq, and the
+    // micro-batch replay must clobber it, not wedge on ErrorIfExists
     Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, updates))
       .drop("__event")
       .withColumn("__seq", lit(seq))
-      .write.parquet(s"$root/$dir")
+      .write.mode("overwrite").parquet(s"$root/$dir")
     publish(next, man, nb, ds :+ (seq -> dir))
     if (ds.size + 1 >= compactEvery) compactDeltasAsync()
   }

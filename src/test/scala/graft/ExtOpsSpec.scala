@@ -2487,13 +2487,8 @@ class ExtOpsSpec extends SparkSpec {
     // every adjacent comparison, so a re-encode at 3x volume (no
     // clipping: |sample| ≤ 2047·3 < 32767) fingerprints identically
     def wav(seed: Long): Array[Byte] = Multimodal.syntheticWav(seed)
-    def gained(seed: Long, g: Int): Array[Byte] = {
-      val channels = (1 + seed % 2).toInt
-      val nFrames = (64 + seed % 33).toInt
-      val samples = Array.tabulate(nFrames * channels)(i =>
-        (((seed * 31L + 17L * i) % 4096L - 2048L) * g).toShort)
-      Multimodal.encodeWav(8000, channels, samples)
-    }
+    def gained(seed: Long, g: Int): Array[Byte] =
+      Multimodal.syntheticWavGain(seed, g)
     def write(f: String, rows: Seq[(Long, Array[Byte], String)]): Unit =
       rows.toDF("doc_id", "media", "ts")
         .withColumn("ts", $"ts".cast("timestamp"))
@@ -2643,33 +2638,13 @@ class ExtOpsSpec extends SparkSpec {
       (1L, s"${c("a",1)} ${c("b",1)} ${c("c",1)} ${c("d",1)}"),
       (2L, s"${c("b",1)} ${c("c",1)} ${c("z",9)}")) ++
       (3L to 12L).map(i => (i, s"$boiler ${c("u",i.toInt)}"))
-    val q = graft.SparkEntry.queries("x148_doc_containment")
-    // build the same pipeline over a crafted frame via the operator
-    // parts (the declared query reads the test tables; here we check
-    // SEMANTICS on crafted docs with window=4)
-    import graft.ext.TextAnalysis
-    val ch = TextAnalysis.chunkWindows(rows.toDF("doc_id", "text"),
-        "doc_id", "text", window = 4, stride = 4)
-      .select($"doc_id", $"chunk").distinct()
-    val perDoc = ch.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val rare = ch.groupBy($"chunk").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2 && $"df" <= 8).select($"chunk")
-    val keyed = ch.join(rare, "chunk")
-    val pairs = keyed.select($"chunk", $"doc_id".as("id_a"))
-      .join(keyed.select($"chunk", $"doc_id".as("id_b")), "chunk")
-      .filter($"id_a" < $"id_b")
-      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("shared"))
-      .filter($"shared" >= 2)
-      .join(perDoc.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n", "na"), "id_a")
-      .join(perDoc.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n", "nb"), "id_b")
-      .select($"id_a", $"id_b", $"shared",
-        expr("(100 * shared) div least(na, nb)").as("pct"))
+    // the SAME operator the declared query runs — window=4 for the
+    // crafted docs (the declared query is separately oracle-checked)
+    val pairs = graft.ext.TextDedup.docContainment(
+        rows.toDF("doc_id", "text"), "doc_id", "text", window = 4)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L, 2L, 66L)),
       s"expected exactly the embedded pair: $pairs")
-    assert(q != null) // the declared query itself is oracle-checked
   }
 
   test("chunkWindows is streaming-transparent: a document stream chunks " +
