@@ -21,13 +21,28 @@ object Verify {
     // outDir would otherwise surface leftover dirs from earlier runs —
     // e.g. a renamed query's old dump — as oracle-less query rows in
     // the driver's checker). Restricted local runs leave siblings be.
+    // Deletion is scoped to what a sweep actually writes — query dirs
+    // named like our query keys plus oracle_sql.json — so a
+    // misconfigured outDir pointing at a shared directory can't lose
+    // unrelated data; listFiles() is null-guarded (outDir existing as a
+    // regular FILE is a config error, reported, not an NPE).
     if (only.isEmpty) {
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(); ()
       }
       val root = new java.io.File(outDir)
-      if (root.exists()) root.listFiles().foreach(rm)
+      if (root.exists() && !root.isDirectory)
+        sys.error(s"outDir $outDir exists and is not a directory")
+      // a sweep artifact = a directory holding a Spark parquet dump
+      // (_SUCCESS marker) — covers renamed queries' stale dirs without
+      // touching anything a sweep didn't write
+      def isDump(f: java.io.File): Boolean = f.isDirectory &&
+        new java.io.File(f, "_SUCCESS").exists()
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => isDump(f) || f.getName == "oracle_sql.json")
+        .foreach(rm)
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

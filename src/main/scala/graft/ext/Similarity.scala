@@ -947,8 +947,16 @@ object Similarity {
       // degenerate queries must DEGRADE, not kill the stage, exactly
       // like the window form they replace: a null vector sorts its
       // (null) distances first → lowest cell ids; a NaN distance sorts
-      // LAST (Spark's NaN > any double) but still fills the probe set
-      val arr = if (v == null) Array.emptyDoubleArray else v.toArray
+      // LAST (Spark's NaN > any double) but still fills the probe set.
+      // A LENGTH-MISMATCHED vector is degenerate too: the expression
+      // form's zip_with pads with null → null distance → lowest cell
+      // ids, so rank it exactly the same way (never a silently
+      // truncated partial distance — that would break the bit-for-bit
+      // parity with probeCells)
+      val arr =
+        if (v == null || (cs.length > 0 && v.length != cs(0)._2.length))
+          Array.emptyDoubleArray
+        else v.toArray
       // (d2, cell) selection sort of the top-n — nCentroids is small
       // (16..64k); n is tiny (2..16), so n passes beat a full sort
       val d2 = new Array[Double](cs.length)

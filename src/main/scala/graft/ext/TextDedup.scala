@@ -901,9 +901,14 @@ object TextDedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_chunks"))
       .filter(col("shared_chunks") >= minShared)
-      .join(broadcast(perDoc).withColumnRenamed(idCol, "id_a")
+      // NO broadcast hint on perDoc: it is O(nDocs) rows — collecting it
+      // to the driver contradicts the at-scale story. The surviving-pair
+      // side (>= minShared) is the small side; a shuffle join on the doc
+      // id is the right shape, and AQE still elects a broadcast when
+      // perDoc is genuinely small.
+      .join(perDoc.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("n_chunks", "na"), "id_a")
-      .join(broadcast(perDoc).withColumnRenamed(idCol, "id_b")
+      .join(perDoc.withColumnRenamed(idCol, "id_b")
         .withColumnRenamed("n_chunks", "nb"), "id_b")
       .select(col("id_a"), col("id_b"), col("shared_chunks"),
         expr("(100 * shared_chunks) div least(na, nb)")

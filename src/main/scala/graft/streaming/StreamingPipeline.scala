@@ -196,7 +196,7 @@ trait Replica {
     * `prepare` may reshape the updates against the current rows first
     * (key-local by construction). */
   def merge(updates: DataFrame,
-      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit
+      prepare: (DataFrame, DataFrame) => DataFrame = Replica.identityPrepare): Unit
 
   /** Hard-delete every key in `ids`. */
   def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit
@@ -213,6 +213,17 @@ trait Replica {
     * read-and-write atomically (C11 disassociation, C12 change capture).
     * Reentrant with every other operation. */
   def withLock[A](f: => A): A
+}
+
+object Replica {
+  /** The canonical no-op `prepare`. A SENTINEL, not just a convenience:
+    * merge-on-read implementations test `prepare eq identityPrepare` to
+    * know the target will never be evaluated (pure map-only delta append)
+    * versus a real prepare that joins against current rows (which then
+    * gets a bucket-pruned slice, not the full-table reconcile). Callers
+    * passing their own `(_, u) => u` lambda still get correct results —
+    * just via the pruned-slice path. */
+  val identityPrepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u
 }
 
 private[streaming] object ReplicaLocks {
@@ -536,7 +547,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * first (key-local by construction — e.g. the destroy path preserving
     * current attributes). */
   def merge(updates: DataFrame,
-      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+      prepare: (DataFrame, DataFrame) => DataFrame = Replica.identityPrepare): Unit =
     mergeTouched(updates, None, prepare)
 
   /** The bucket count the CURRENT version's layout was written with —
@@ -564,7 +575,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * this replica concurrently (StreamBench owns its replica; an
     * import manifest runs in a maintenance window). */
   def mergeTouched(updates: DataFrame, precomputedTouched: Option[Set[Int]],
-      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+      prepare: (DataFrame, DataFrame) => DataFrame = Replica.identityPrepare): Unit =
     ReplicaLocks.lockFor(root).synchronized {
       if (mergeOnRead) {
         // MoR doesn't prune by bucket, but the caller's key set still
@@ -574,7 +585,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
         // and trigger pointless compactions forever
         val empty = precomputedTouched.map(_.isEmpty)
           .getOrElse(updates.isEmpty)
-        if (!empty) deltaMerge(updates, prepare)
+        if (!empty) deltaMerge(updates, precomputedTouched, prepare)
         return
       }
       val v = currentVersion
@@ -603,10 +614,16 @@ final class ParquetReplica(spark: SparkSession, root: String,
     * compaction per `compactEvery` epochs. Reads pay the reconcile
     * ([[reconcile]]) until then — the same bound.
     *
-    * `prepare` receives the LAZILY reconciled full table; the default
-    * prepare never evaluates it, so the plain streaming path stays
-    * map-only (Spark laziness IS the dispatch — no flag needed). */
+    * With the default [[Replica.identityPrepare]] the target is never
+    * even constructed and the path stays map-only. A REAL prepare (the
+    * Engine's attribute-preserving join — key-local by contract) gets the
+    * BUCKET-PRUNED reconciled slice of the base, not the full table:
+    * without the pruning, every micro-batch would re-read and re-fold the
+    * whole replica, forfeiting exactly the O(batch) apply MoR exists for.
+    * The delta log itself is unbucketed and folds in full, but its size
+    * is bounded by `compactEvery`. */
   private def deltaMerge(updates: DataFrame,
+      precomputedTouched: Option[Set[Int]],
       prepare: (DataFrame, DataFrame) => DataFrame): Unit = {
     val v = currentVersion
     val next = v + 1
@@ -615,12 +632,30 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val ds = deltaEntries(v)
     val seq = ds.lastOption.map(_._1).getOrElse(-1L) + 1L
     val dir = s"v$next/delta-$seq"
-    val target = reconcile(readDirs(man.values.toSeq), ds)
+    val target =
+      if (prepare eq Replica.identityPrepare)
+        // never evaluated — placeholder so the signature stays uniform
+        empty
+      else {
+        // one bounded collect (≤ buckets values), the same cost the CoW
+        // path pays; prepare joins on synced_id, so all rows for the
+        // update keys live in these buckets
+        val touched = precomputedTouched.getOrElse(updates
+          .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+        reconcile(readDirs(man.filter(t => touched(t._1)).values.toSeq), ds)
+      }
     // overwrite (the writeBucketsTo rule): a crash between this write
     // and publish() leaves an orphan dir at the SAME next/seq, and the
-    // micro-batch replay must clobber it, not wedge on ErrorIfExists
+    // micro-batch replay must clobber it, not wedge on ErrorIfExists.
+    // Cast to the replica schema BEFORE writing: shapeForMerge null-fills
+    // target columns absent from the payload as untyped lit(null)
+    // (NullType), which parquet rejects — CoW never sees this because
+    // Persistor.merge unions with the typed target, but the delta epoch
+    // writes the shaped rows directly.
     Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, updates))
       .drop("__event")
+      .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"$root/$dir")
     publish(next, man, nb, ds :+ (seq -> dir))
@@ -788,7 +823,7 @@ final class CowReplica(spark: SparkSession, root: String,
   }
 
   def merge(updates: DataFrame,
-      prepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u): Unit =
+      prepare: (DataFrame, DataFrame) => DataFrame = Replica.identityPrepare): Unit =
     transform(current => Persistor.merge(current, prepare(current, updates)))
 
   def destroy(ids: DataFrame, idCol: String = "synced_id"): Unit =

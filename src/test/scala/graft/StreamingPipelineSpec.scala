@@ -147,6 +147,57 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(state(mor2).exists(r => r._1 == 2L && r._3 == Some(2.0)))
   }
 
+  test("MoR delta epochs write typed nulls for replica columns the " +
+      "payload lacks, and a preserving prepare runs bucket-pruned") {
+    // `extra` exists on the replica but never in any payload — exactly
+    // the column shapeForMerge null-fills. The CoW path was always safe
+    // (Persistor.merge unions with the typed target); the MoR delta
+    // epoch writes shaped rows DIRECTLY, where an untyped NullType
+    // column is a parquet write error. This spec pins the typed cast.
+    val ddl = "synced_id LONG, synced_updated_at TIMESTAMP, " +
+      "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+      "value DOUBLE, extra STRING, synced_data STRING"
+    val tmp = Files.createTempDirectory("graft-mor-null").toString
+    val cow = new ParquetReplica(spark, s"$tmp/cow", ddl, buckets = 4)
+    val mor = new ParquetReplica(spark, s"$tmp/mor", ddl, buckets = 4,
+      mergeOnRead = true, compactEvery = 100)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def upd(rows: (Long, java.sql.Timestamp, String, Double)*) =
+      rows.toSeq
+        .toDF("synced_id", "synced_updated_at", "event_type", "value")
+        .withColumn("synced_created_at", $"synced_updated_at")
+        .withColumn("canceled_at", lit(null).cast("timestamp"))
+        .withColumn("synced_data", concat(lit("d"), $"synced_id"))
+    val t1 = ts("2026-01-01 10:00:00"); val t2 = ts("2026-01-02 10:00:00")
+    cow.merge(upd((1L, t1, "updated", 1.0)))
+    mor.merge(upd((1L, t1, "updated", 1.0))) // crashed before the cast fix
+    def state(r: ParquetReplica) = r.read()
+      .select($"synced_id", $"value", $"extra")
+      .as[(Long, Option[Double], Option[String])].collect().toSet
+    assert(state(mor) == state(cow) &&
+      state(mor) == Set((1L, Some(1.0), None)))
+
+    // Engine-shaped preserving prepare through MoR: destroy must keep
+    // the current value (key-local join → served by the pruned slice)
+    val preserving: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame =
+      (current, u) => {
+        val cur = current.select($"synced_id", $"value".as("__cur_v"))
+        u.join(cur, Seq("synced_id"), "left")
+          .withColumn("value",
+            when($"event_type" === "destroyed",
+              coalesce($"__cur_v", $"value")).otherwise($"value"))
+          .drop("__cur_v")
+      }
+    val destroyEv = upd((1L, t2, "destroyed", -99.0))
+    cow.merge(destroyEv, preserving); mor.merge(destroyEv, preserving)
+    assert(state(cow) == state(mor),
+      s"preserving prepare diverged: cow=${state(cow)} mor=${state(mor)}")
+    assert(mor.read().filter($"synced_id" === 1L &&
+      $"synced_canceled_at".isNotNull && $"value" === 1.0).count() == 1,
+      "destroy must soft-delete while preserving the current value")
+  }
+
   test("StatefulLww drops stale events across micro-batches") {
     val tmp = Files.createTempDirectory("graft-lww").toString
     // two files = two micro-batches with MaxFilesPerTrigger(1):
