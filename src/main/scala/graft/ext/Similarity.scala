@@ -827,6 +827,69 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(newCodes))
   }
 
+  /** DELETE vectors from a standing [[IvfPqIndex]] without rebuild: the
+    * code table drops the doomed ids (one anti-join on the 4-int-wide
+    * codes, never the float corpus); centroids and codebook stay frozen.
+    * Every surviving vector's ADC geometry is untouched, so query
+    * results are bit-identical to an index encoded from the surviving
+    * corpus with the same constants (pinned by x149 + IvfPqSpec). At
+    * 100 TB the anti-join prunes to the deleted ids' cell partitions
+    * when `codes` is stored partitioned by cell and the caller carries
+    * the (id → cell) assignment — the same bucket-pruned delete shape as
+    * [[graft.streaming.ParquetReplica.destroy]]. */
+  def removeFromIvfPqIndex(index: IvfPqIndex, ids: DataFrame,
+      idCol: String): IvfPqIndex =
+    index.copy(codes = index.codes
+      .join(ids.select(col(idCol).as("nid")), Seq("nid"), "left_anti"))
+
+  /** Per-cell assignment stats of a vector batch against FROZEN
+    * centroids: (cell, n, sum_d2_mil), where `sum_d2_mil` sums
+    * `round(1000·d²)` per row as BIGINT. Integer so the aggregate is
+    * shuffle-order-free (double addition is not associative — a float
+    * mean would hash differently run to run), milli-scaled so the
+    * quantization keeps three decimals of each squared distance.
+    * Map-only up to the per-cell aggregate. */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val centDf = broadcast(centroids.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "cvec"))
+    val base = df.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    assignCells(base, "v", centroids)
+      .join(centDf, "cell")
+      .select(col("cell"),
+        round(l2sqCol(col("v"), col("cvec")) * 1000, 0).cast("long").as("d2m"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2m")).as("sum_d2_mil"))
+  }
+
+  /** Per-cell DRIFT audit — the re-train signal for a standing index
+    * maintained by [[extendIvfPqIndex]]/[[removeFromIvfPqIndex]]:
+    * compares the mean assigned distance of `delta` (new arrivals)
+    * against `base` (the indexed population) under the SAME frozen
+    * centroids, as an integer per-mille ratio
+    * (`1000·mean_d2_delta / mean_d2_base`, exact integer arithmetic
+    * over the milli-scaled sums). Cells with `drift_pm` well above
+    * 1000 are where the frozen quantizer no longer fits the data and
+    * recall decays first — the operational rebuild trigger. Returns
+    * (cell, n_base, n_delta, drift_pm); drift_pm is null for cells
+    * with no delta arrivals or a zero base distance mass. */
+  def ivfCellDrift(base: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val b = ivfCellStats(base, idCol, vecCol, centroids)
+      .select(col("cell"), col("n").as("n_base"), col("sum_d2_mil").as("sb"))
+    val d = ivfCellStats(delta, idCol, vecCol, centroids)
+      .select(col("cell"), col("n").as("n_delta"), col("sum_d2_mil").as("sd"))
+    b.join(d, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        when(col("sb") > 0 && col("n_delta") > 0,
+          expr("(1000 * sd * n_base) div (sb * n_delta)")).as("drift_pm"))
+  }
+
   /** Query a prebuilt [[IvfPqIndex]]: probe `nProbe` cells per query
     * against the centroid constants, gate candidates to probed cells,
     * rank by ADC against the code table. Touches only the index — the

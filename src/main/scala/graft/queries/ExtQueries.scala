@@ -4853,7 +4853,44 @@ object ExtQueries {
         |    AS BIGINT) AS containment_pct
         |FROM p JOIN per pa ON pa.doc_id = id_a
         |  JOIN per pb ON pb.doc_id = id_b
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Incremental ANN index maintenance (the x57 pattern for vectors):
+    // build a standing IVF-PQ index on 90% of the corpus, UPSERT the
+    // remaining 10% against the frozen fit artifacts (map-only assign +
+    // encode, codes append), DELETE a slice (anti-join on the code
+    // table — the floats never move), then answer the probe set and
+    // annotate each neighbor with its cell's drift audit (per-mille
+    // mean-distance ratio of arrivals vs indexed population — the
+    // re-train signal). Hash-checked against NaiveOracles.x149, which
+    // re-encodes the FINAL corpus state brute-force with the same
+    // frozen constants: incremental maintenance must be bit-identical
+    // to a from-scratch encode.
+    "x149_ann_index_upsert" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val doomed = emb.filter(col("vec_id") % 20 === 5)
+          .select(col("vec_id"))
+        val idx0 = Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+          nCentroids = 16, m = 4, codebookSize = 16, seed = 42L)
+        val idx = Similarity.removeFromIvfPqIndex(
+          Similarity.extendIvfPqIndex(idx0, delta, "vec_id", "embedding"),
+          doomed, "vec_id")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val topk = Similarity.ivfPqTopKOnIndex(idx, queries,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        val cellOf = idx.codes.filter(col("sub") === 0)
+          .select(col("nid"), col("cell"))
+        val drift = Similarity.ivfCellDrift(
+          base.join(doomed, Seq("vec_id"), "left_anti"), delta,
+          "vec_id", "embedding", idx0.centroids)
+        topk.join(cellOf, "nid").join(drift, Seq("cell"), "left")
+          .select(col("qid"), col("nid"), col("rnk"), col("adc"),
+            col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))
+          .orderBy(col("qid"), col("rnk"))
+      })
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

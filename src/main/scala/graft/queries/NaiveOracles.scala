@@ -58,6 +58,7 @@ object NaiveOracles {
     "x49_semantic_dedup_ivf" -> (x49 _),
     "x51_ann_pq" -> (x51 _),
     "x56_ann_ivfpq" -> (x56 _),
+    "x149_ann_index_upsert" -> (x149 _),
     "x57_incremental_neardup" -> (x57 _),
     "x88_bpe_learn" -> (x88 _),
     "x93_bpe_encode" -> (x93 _),
@@ -535,5 +536,101 @@ object NaiveOracles {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("nid"), col("rnk"), col("adc"))
+  }
+
+  /** Naive x149: the incremental-maintenance equivalence, re-derived
+    * from scratch — fit the constants on the BASE corpus (shared
+    * deterministic fit, the x56 rule), then brute-force encode the
+    * FINAL corpus state (base ∪ delta − deleted) with exploded-literal
+    * argmins and windows; probe, ADC-rank, and recompute the per-cell
+    * drift audit with plain expressions. The engine path must be
+    * bit-identical: its extend/remove against the standing index is
+    * exactly an encode of the final state under frozen constants. */
+  private def x149(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val doomed = emb.filter(col("vec_id") % 20 === 5).select(col("vec_id"))
+    val cents = graft.ext.Similarity.ivfCentroids(
+      base, "vec_id", "embedding", nCentroids = 16, seed = seed)
+    val cb = graft.ext.Similarity.pqCodebook(
+      base, "vec_id", "embedding", m, codebookSize, seed)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
+    }: _*)
+    def vecs(df: DataFrame): DataFrame = df.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("v"))
+    val corpus = vecs(base.unionByName(delta)
+      .join(doomed, Seq("vec_id"), "left_anti"))
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    val aw = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.cell"))
+    def assign(df: DataFrame): DataFrame = df
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("v"), col("c.cvec")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+    val cellOf = assign(corpus).select(col("nid"), col("c.cell").as("cell"))
+    val cents2: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
+      cb.filter(_._1 == subIdx).sortBy(_._2).map(_._3)
+    }
+    def litVec(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def codeCentroid(subIdx: Int): DataFrame = {
+      val cbArr = array(cents2(subIdx).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("code"), litVec(c).as("cvec"))
+      }: _*)
+      val sv = slice(col("v"), subIdx * subDim + 1, subDim)
+      val exp = corpus.select(col("nid"), sv.as("sv"))
+        .withColumn("c", explode(cbArr))
+        .withColumn("d2", l2sq(col("sv"), col("c.cvec")))
+      val w = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.code"))
+      exp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("nid"), col("c.cvec").as(s"cent$subIdx"))
+    }
+    val encoded = (0 until m).map(codeCentroid)
+      .reduce((a, b) => a.join(b, "nid"))
+      .join(cellOf, "nid")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = q
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("qv"), col("c.cvec")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"))
+    val adc = (0 until m).map { subIdx =>
+      l2sq(slice(col("qv"), subIdx * subDim + 1, subDim), col(s"cent$subIdx"))
+    }.reduce(_ + _)
+    val scored = probes.join(encoded, "cell").withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    val topk = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"), col("cell"))
+    // drift audit re-derived: milli-scaled integer distance sums per cell
+    def stats(df: DataFrame): DataFrame = assign(df)
+      .select(col("c.cell").as("cell"),
+        round(col("d2") * 1000, 0).cast("long").as("d2m"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2m")).as("smil"))
+    val sb = stats(vecs(base.join(doomed, Seq("vec_id"), "left_anti")))
+      .select(col("cell"), col("n").as("n_base"), col("smil").as("sb"))
+    val sd = stats(vecs(delta))
+      .select(col("cell"), col("n").as("n_delta"), col("smil").as("sd"))
+    val drift = sb.join(sd, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        when(col("sb") > 0 && col("n_delta") > 0,
+          expr("(1000 * sd * n_base) div (sb * n_delta)")).as("drift_pm"))
+    topk.join(drift, Seq("cell"), "left")
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"),
+        col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))
+      .orderBy(col("qid"), col("rnk"))
   }
 }

@@ -1469,6 +1469,51 @@ class ExtOpsSpec extends SparkSpec {
     assert(dup.count() == base.codes.count())
   }
 
+  test("removeFromIvfPqIndex: delete is exact and survivors answer " +
+      "bit-identically; ivfCellDrift flags shifted arrivals") {
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val doomed = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+    val pruned = Similarity.removeFromIvfPqIndex(idx, doomed, "vec_id")
+    // exact removal: no doomed id survives, every survivor keeps all m rows
+    assert(pruned.codes.join(doomed.withColumnRenamed("vec_id", "nid"),
+      Seq("nid"), "left_semi").count() == 0)
+    val nDoomed = doomed.count()
+    assert(pruned.codes.count() == idx.codes.count() - 4 * nDoomed)
+    // survivors answer bit-identically: deleting vectors never perturbs
+    // another vector's cell, codes, or ADC — only removes candidates
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val onPruned = Similarity.ivfPqTopKOnIndex(pruned, q,
+        "vec_id", "embedding", 5, nProbe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val onFiltered = Similarity.ivfPqTopKOnIndex(
+        idx.copy(codes = idx.codes.join(
+          doomed.withColumnRenamed("vec_id", "nid"), Seq("nid"), "left_anti")),
+        q, "vec_id", "embedding", 5, nProbe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(onPruned.nonEmpty && onPruned == onFiltered)
+
+    // drift audit: arrivals identical to the population read ~1000 pm;
+    // arrivals pushed far off the manifold read far above it
+    val baseV = emb.select($"vec_id", $"embedding".cast("array<double>"))
+    val sameDist = Similarity.ivfCellDrift(baseV, baseV,
+      "vec_id", "embedding", idx.centroids)
+    val samePm = sameDist.filter($"drift_pm".isNotNull)
+      .select($"drift_pm").as[Long].collect()
+    assert(samePm.nonEmpty && samePm.forall(_ == 1000L),
+      s"identical arrivals must read exactly 1000 pm: ${samePm.toSeq}")
+    val shifted = baseV.select($"vec_id",
+      transform($"embedding", (x: org.apache.spark.sql.Column) => x * 5.0)
+        .as("embedding"))
+    val far = Similarity.ivfCellDrift(baseV, shifted,
+      "vec_id", "embedding", idx.centroids)
+    val farPm = far.filter($"drift_pm".isNotNull)
+      .select($"drift_pm").as[Long].collect()
+    assert(farPm.nonEmpty && farPm.max > 2000L,
+      s"5x-scaled arrivals must show drift: max=${farPm.max}")
+  }
+
   test("BM25 on an empty corpus returns empty results, never throws") {
     import graft.ext.TextSearch
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
