@@ -752,34 +752,118 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction: bytes → dense `Array[Float]` embedding (a
-    * real implementation runs a vision/audio encoder behind this
-    * signature; batching per partition is where the model session
-    * amortizes). The deterministic fake rolls a hash through the byte
-    * stream so near-identical payloads get near-identical vectors —
-    * enough for the downstream contract: the output column is exactly
-    * the `Array[Float]` embedding shape the [[Similarity]] ANN
-    * operators consume, so media → features → ANN composes end to end
-    * (proven in ExtOpsSpec). */
+  /** Feature extraction: bytes → dense `Array[Float]` embedding via a
+    * REAL seeded random-projection patch embedding (a public, fully
+    * deterministic technique — random-feature projections):
+    *
+    *  1. DECODE the bytes with the JDK codec (same path as [[resize]]/
+    *     [[imageAHash]]);
+    *  2. average-pool the decoded pixels onto a fixed 8×8 grid — pixel
+    *     (x, y) belongs to cell `((8x) div w, (8y) div h)`, cell value =
+    *     `sum(luma) div n_px` with luma = r+g+b (the [[aHashHalves]]
+    *     luma), all integer arithmetic;
+    *  3. project the 64 pooled values through a SEEDED integer weight
+    *     matrix `W[i][g] = ((seed + 31·i + 7·g + i·g) mod 3) − 1`
+    *     ∈ {−1, 0, +1} — each output coordinate a ±-signed sum of
+    *     pooled patches.
+    *
+    * Every output value is an exact small integer (|eᵢ| ≤ 64·765 <
+    * 2²⁴), representable in Float without rounding — so the whole
+    * pipeline is formula-oracle-able over synthetic images exactly like
+    * x141/x144 (hash-pinned end to end by x150). Near-identical images
+    * (re-encodes, small edits) pool to near-identical grids and land
+    * near each other in the embedding space, which is the contract the
+    * downstream [[Similarity]] ANN operators need; decode-path
+    * embeddings are L2-comparable per construction.
+    *
+    * Bytes with NO image decoder (audio, video, alien formats) keep
+    * the operator TOTAL: the byte stream itself is pooled into 64
+    * equal blocks (`block = (64·i) div len`, value = `sum(byte) div
+    * n`) and projected through the same matrix — deterministic,
+    * byte-identical payloads get identical vectors, and the fallback
+    * is detectable (it never saw a decoder).
+    *
+    * PRODUCTION SWAP SEAM: a learned encoder (CLIP-style vision tower)
+    * replaces steps 2–3 behind this exact signature — mapPartitions is
+    * where the model session loads once per partition and batches; the
+    * schema, partitioning, and `Array[Float]` output column are what
+    * the rest of the engine consumes either way. */
   final case class MediaFeatures(id: Long, embedding: Array[Float])
 
-  def features(media: Dataset[MediaRecord], dim: Int = 16): DataFrame = {
+  def features(media: Dataset[MediaRecord], dim: Int = 16,
+      seed: Long = 42L): DataFrame = {
     require(dim > 0)
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // real impl: load the encoder weights once per partition here
+      // a learned-encoder impl loads its weights ONCE here, per partition
       rows.map { r =>
         val b = if (r.media == null) Array.empty[Byte] else r.media
-        val v = new Array[Float](dim)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < b.length) {
-          h = h * 31 + (b(i) & 0xff)
-          v(i % dim) += ((h >>> 32).toInt % 1000) / 1000.0f
-          i += 1
-        }
-        MediaFeatures(r.id, v)
+        MediaFeatures(r.id, projectPatches(pooledGrid(b), dim, seed))
       }
     }.toDF()
+  }
+
+  /** Steps 1–2 of [[features]]: decode + 8×8 integer average-pool; byte
+    * blocks when no decoder applies (or the image is under 8×8). */
+  private[graft] def pooledGrid(b: Array[Byte]): Array[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+          : javax.imageio.stream.ImageInputStream))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    img.filter(i => i.getWidth >= 8 && i.getHeight >= 8) match {
+      case Some(i) =>
+        val (w, h) = (i.getWidth, i.getHeight)
+        var y = 0
+        while (y < h) {
+          val gy = (8 * y) / h
+          var x = 0
+          while (x < w) {
+            val rgb = i.getRGB(x, y)
+            val g = gy * 8 + (8 * x) / w
+            sums(g) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            counts(g) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case None =>
+        var i = 0
+        while (i < b.length) {
+          val g = ((64L * i) / b.length).toInt
+          sums(g) += (b(i) & 0xff)
+          counts(g) += 1
+          i += 1
+        }
+    }
+    val pooled = new Array[Long](64)
+    var g = 0
+    while (g < 64) {
+      pooled(g) = if (counts(g) > 0) sums(g) / counts(g) else 0L
+      g += 1
+    }
+    pooled
+  }
+
+  /** Step 3 of [[features]]: the seeded {−1,0,+1} projection. */
+  private[graft] def projectPatches(pooled: Array[Long], dim: Int,
+      seed: Long): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var e = 0L
+      var g = 0
+      while (g < 64) {
+        e += (java.lang.Math.floorMod(seed + 31L * i + 7L * g + i.toLong * g,
+          3L) - 1L) * pooled(g) // floorMod: well-defined for negative seeds
+        g += 1
+      }
+      v(i) = e.toFloat // exact: |e| ≤ 64·765 < 2^24
+      i += 1
+    }
+    v
   }
 }

@@ -4890,7 +4890,53 @@ object ExtQueries {
           .select(col("qid"), col("nid"), col("rnk"), col("adc"),
             col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))
           .orderBy(col("qid"), col("rnk"))
-      })
+      }),
+
+    // REAL media feature extraction (closes the last stub): synthetic
+    // BMP → JDK decode → integer 8×8 average-pool of r+g+b luma →
+    // seeded {−1,0,+1} projection (a public random-features technique)
+    // → exact-integer Float embedding. The oracle recomputes every
+    // coordinate from the PIXEL FORMULA alone — pool cells by
+    // (8x div w, 8y div h), integer mean, the same mod-3 weight matrix
+    // — so the whole decode→pool→project pipeline is hash-pinned end to
+    // end (the x144 pattern applied to the embedding path). A learned
+    // encoder swaps in behind the same signature; this is the
+    // deterministic geometry it replaces.
+    "x150_media_features" -> entry(
+      (s, dir) => {
+        import s.implicits._
+        val mkBmp = udf((id: Long) => Multimodal.syntheticBmp(id))
+        val media = wide(tbl(s, dir, "documents")
+            .select(col("doc_id").cast("long").as("id"),
+              lit("image").as("format"), mkBmp(col("doc_id")).as("media")))
+          .as[Multimodal.MediaRecord]
+        Multimodal.features(media, dim = 16, seed = 42L)
+          .select(col("id").as("doc_id"),
+            posexplode(col("embedding")))
+          .select(col("doc_id"), col("pos").cast("long").as("dim"),
+            col("col").cast("long").as("feat"))
+          .orderBy(col("doc_id"), col("dim"))
+      },
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+        |         (d.doc_id + 7 * xs.x + 13 * ys.y) % 256
+        |           + (3 * d.doc_id + 11 * xs.x + ys.y) % 256
+        |           + (xs.x * ys.y + d.doc_id) % 256 AS luma
+        |       FROM d
+        |       CROSS JOIN (SELECT unnest(range(0, 16)) AS x) xs
+        |       CROSS JOIN (SELECT unnest(range(0, 14)) AS y) ys
+        |       WHERE xs.x < d.w AND ys.y < d.h),
+        |cells AS (SELECT doc_id,
+        |            (8 * y) // h * 8 + (8 * x) // w AS g,
+        |            sum(luma) // count(*) AS pooled
+        |          FROM px GROUP BY 1, 2),
+        |dims AS (SELECT unnest(range(0, 16)) AS i)
+        |SELECT c.doc_id, CAST(dims.i AS BIGINT) AS dim,
+        |  CAST(sum(((42 + 31 * dims.i + 7 * c.g + dims.i * c.g) % 3 - 1)
+        |    * c.pooled) AS BIGINT) AS feat
+        |FROM cells c CROSS JOIN dims
+        |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]
