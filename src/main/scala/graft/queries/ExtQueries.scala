@@ -271,6 +271,11 @@ object ExtQueries {
     // band caps the quadratic term at band-bucket size instead — rolled
     // up into a symmetric (src_lo, src_hi) pair-count heatmap. The
     // id→source joins move (id, source) projections only.
+    // Round-11 adjudication of the r9→r10 sweep movement (0.89→1.30 s):
+    // NOISE. No code change since introduction (c1739f0); two isolated
+    // runs on a calibration-clean box (cpu anchor 137 ms = idle nominal)
+    // measured 0.98 / 1.07 s warm — between the two sweep readings and
+    // within the documented ±15-30% box drift.
     "x41_source_dup_matrix" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
@@ -2783,6 +2788,14 @@ object ExtQueries {
     // the undirected closure: integer labels, plain min() partials.
     // Output is the component-membership histogram after 5 rounds — a
     // deterministic intermediate-state contract whatever the diameter.
+    // Round-11 adjudication of the r9→r10 sweep movement (2.27→2.98 s):
+    // r9's 2.27 was the LOW outlier, not r10 a regression. The cp=1
+    // design commit (91b4f04, round 9) itself recorded "~2.9 s" as the
+    // expected steady state, and two isolated round-11 runs on a
+    // calibration-clean box (cpu anchor 137 ms) measured 2.91 / 2.95 s —
+    // matching r10's sweep. cp=1 remains strictly the best cadence at
+    // this scale (2.9 vs 4.8 at cp=2, 5.5 never) AND at 8× (the r10
+    // scale-curve fix); nothing to change.
     "x98_components_lp" -> entry(
       (s, dir) =>
         // checkpointEvery=1: LP's round subtree (undirected-closure
