@@ -541,6 +541,66 @@ class EngineScaleSpec extends SparkSpec {
     assert(comp8 == 8 * comp1, s"label-prop components: $comp1 -> $comp8")
   }
 
+  test("scale curves: BM25 probe candidates are isin-pruning-invariant " +
+      "under vocabulary-disjoint growth; chunk corpus scales exactly") {
+    // The retrieval-family companion of the ANN/graph pins above, as
+    // DETERMINISTIC structure (counts, not wall-clock): growing the
+    // corpus with vocabulary-disjoint copies (copy c appends ~c to
+    // every token — the round-9 dedup construction) must leave a
+    // copy-0 probe batch's pruned candidate set IDENTICAL, because the
+    // isin gate admits only copy-0 tokens. What grows is the postings
+    // scan, never the shuffled candidates — the invariant that makes
+    // the standing-index probe sublinear at 100 TB (file-level pruning
+    // removes the scan too once postings are bucketed by token).
+    // Measured ×1/×8 wall-clock for the same constructions at sf0.1:
+    // PERF.md "Measured scale-up: retrieval" (round 11).
+    import graft.ext.{TextAnalysis, TextSearch}
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    def corpusX(times: Int): DataFrame =
+      (0 until times).map { c =>
+        if (c == 0) docs
+        else docs.select(($"doc_id" + c * 10000000L).as("doc_id"),
+          regexp_replace($"text", "(\\S+)", "$1~" + c).as("text"))
+      }.reduce(_ unionByName _)
+    val probes = docs.filter($"doc_id" % 50 === 0)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", " "), 1, 5)).as("q"))
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+      .toSeq.sortBy(_._1).take(8)
+    val qterms = probes.flatMap(_._2.split(" ")).distinct
+    val idx1 = TextSearch.buildBm25Index(corpusX(1), "doc_id", "text")
+    val idx8 = TextSearch.buildBm25Index(corpusX(8), "doc_id", "text")
+    // the index itself is linear: disjoint copies add disjoint postings
+    assert(idx8.nDocs == 8 * idx1.nDocs &&
+      idx8.totalTokens == 8 * idx1.totalTokens)
+    assert(idx8.postings.count() == 8 * idx1.postings.count())
+    // the PRUNED candidate set — the only rows that ever shuffle — is
+    // EXACTLY invariant under 8x growth
+    val p1 = idx1.postings.filter($"tok".isin(qterms: _*)).count()
+    val p8 = idx8.postings.filter($"tok".isin(qterms: _*)).count()
+    assert(p1 > 0 && p8 == p1,
+      s"pruned candidates must not grow with disjoint corpus: $p1 -> $p8")
+    // per-term document frequency is invariant too (df feeds the IDF)
+    val df1 = idx1.postings.filter($"tok".isin(qterms: _*))
+      .groupBy($"tok").count().as[(String, Long)].collect().toMap
+    val df8 = idx8.postings.filter($"tok".isin(qterms: _*))
+      .groupBy($"tok").count().as[(String, Long)].collect().toMap
+    assert(df1 == df8)
+    // and every answered neighbor at 8x is a copy-0 document — no
+    // cross-copy candidate ever reaches ranking
+    val nids = TextSearch.bm25TopKOnIndex(idx8, probes, k = 10)
+      .select($"nid".cast("long")).as[Long].collect()
+    assert(nids.nonEmpty && nids.forall(_ < 10000000L),
+      s"cross-copy leak: ${nids.filter(_ >= 10000000L).toSeq}")
+    // the x147 chunk corpus is scan-local derivation: exactly linear
+    val ch1 = TextAnalysis.chunkWindows(corpusX(1), "doc_id", "text",
+      window = 16, stride = 8).count()
+    val ch8 = TextAnalysis.chunkWindows(corpusX(8), "doc_id", "text",
+      window = 16, stride = 8).count()
+    assert(ch1 > 0 && ch8 == 8 * ch1, s"chunks not linear: $ch1 -> $ch8")
+  }
+
   test("multi-record wire: foreign envelopes decode through the general path") {
     val tmp = Files.createTempDirectory("graft-multirec").toString
     val work = s"$tmp/work"
