@@ -36,12 +36,28 @@ object StreamBench {
     * latency SLO is a below-saturation number: feeding past capacity
     * just measures queue depth (the first harness cut fed 20k rows/s
     * and read p50 ≈ 4 s of pure backlog). `rowsPerSec` in the result is
-    * per-merge-window throughput, not the saturation ceiling. */
+    * per-merge-window throughput, not the saturation ceiling.
+    *
+    * Cadence defaults (round-11 A/B, all measured at the same feed):
+    * trigger 25 ms — the reference polls every 200 ms, but each of the
+    * two hops (producer, consumer) adds on average half a trigger
+    * interval of pure discovery WAIT to every row's lag, so a
+    * latency-oriented deployment polls as fast as the source listing
+    * allows (100→25 ms took p50 from 1,077 to 808 ms); 2 state/shuffle
+    * partitions — a 500-row micro-batch pays per-partition state-store
+    * open/commit, and 4→2 cut ~100 ms (sized to steady-state volume,
+    * same knob as above, opposite direction of the batch default). */
   def run(spark: SparkSession,
+      // feedInterval 400 ms ≈ 1.25k rows/s: the SAME effective rate as
+      // before the driver-local feeder (the old Spark-job feeder added
+      // ~100-200 ms of its own cost to every 300 ms sleep; the fast
+      // feeder must pad the sleep instead, or the rate silently rises
+      // toward saturation and the SLO reads queue depth again)
       batches: Int = 30, rowsPerBatch: Int = 500,
-      triggerMs: Int = 100, feedIntervalMs: Int = 300,
+      triggerMs: Int = 25, feedIntervalMs: Int = 400,
       warmupBatches: Int = 10,
       keySpace: Int = 10000, replicaBuckets: Int = 4,
+      statePartitions: Int = 2,
       timeoutMs: Long = 180000L, verbose: Boolean = false): Result = {
     require(batches > warmupBatches,
       "need post-warmup batches to report percentiles")
@@ -51,7 +67,7 @@ object StreamBench {
     // cluster you size state partitions to steady-state volume, not to
     // the batch-analytics default; same knob, same reasoning.)
     val session = spark.newSession()
-    session.conf.set("spark.sql.shuffle.partitions", "4")
+    session.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // AQE re-plans and re-materializes every shuffle stage as its own
     // job — the right trade at sf0.1 batch scans, pure fixed cost on a
     // 500-row micro-batch (measured ~2x on the per-batch merge)
@@ -111,33 +127,36 @@ object StreamBench {
       .option("checkpointLocation", s"$tmp/cp2")
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val t0 = System.currentTimeMillis()
-        val b = batch.persist()
-        try {
-          // ONE collect materializes the batch (state dedup + decode)
-          // and yields lag stamps AND the touched-bucket set the merge
-          // would otherwise spend its own distinct+collect job on —
-          // two Spark actions per cycle total (this + the bucket write)
-          val nb = replica.currentBucketCount
-          val collected = b.select(
-              unix_micros(col("synced_updated_at")),
-              pmod(hash(col("synced_id")), lit(nb)))
-            .as[(Long, Int)].collect()
-          val t1 = System.currentTimeMillis()
-          // no in-batch keepLatest here: the MoR reconcile resolves
-          // multiple rows of a key WITHIN an epoch by the same C7 rule
-          // (sort + fold), so the per-batch window shuffle is redundant
-          // work on the latency path — the delta write stays map-only
-          if (collected.nonEmpty)
-            replica.mergeTouched(b, Some(collected.map(_._2).toSet))
-          // stamp AFTER the merge commits — lag includes apply, not
-          // just arrival. Collect is bounded by the feeder's total.
-          val now = System.currentTimeMillis()
-          collected.foreach { case (us, _) => latencies.add(now - us / 1000L) }
-          if (collected.nonEmpty) merges.add((now, collected.length.toLong))
-          if (verbose) System.err.println(
-            s"[streambench] batch=$bid rows=${collected.length} " +
-              s"decode=${t1 - t0}ms merge=${now - t1}ms")
-        } finally b.unpersist()
+        // ONE Spark job per micro-batch (was two: a stamp/bucket collect,
+        // then the delta write). The lag stamps ride the WRITE job as a
+        // side-effect accumulator on a pass-through column — the batch
+        // is materialized exactly once — and the MoR merge needs no
+        // up-front bucket set or emptiness probe anymore (deltaMerge
+        // checks the written parquet footers driver-side). Accumulator
+        // exactly-once caveat: a re-run stage could re-add stamps; on
+        // local mode with a single-stage map-only write that does not
+        // happen, and this is a measurement harness, not an operator.
+        val acc = session.sparkContext
+          .collectionAccumulator[java.lang.Long](s"lag-stamps-$bid")
+        val stampU = udf { (us: java.lang.Long) => acc.add(us); us }
+          .asNondeterministic() // pin one evaluation per row
+        val stamped = batch.withColumn("synced_updated_at",
+          timestamp_micros(stampU(unix_micros(col("synced_updated_at")))))
+        // no in-batch keepLatest here: the MoR reconcile resolves
+        // multiple rows of a key WITHIN an epoch by the same C7 rule
+        // (sort + fold), so the per-batch window shuffle is redundant
+        // work on the latency path — the delta write stays map-only
+        replica.merge(stamped)
+        // stamp AFTER the merge commits — lag includes apply, not
+        // just arrival. The accumulator is bounded by the feeder total.
+        val now = System.currentTimeMillis()
+        import scala.jdk.CollectionConverters._
+        val stamps = acc.value.asScala.toSeq
+        stamps.foreach(us => latencies.add(now - us / 1000L))
+        if (stamps.nonEmpty) merges.add((now, stamps.size.toLong))
+        if (verbose) System.err.println(
+          s"[streambench] batch=$bid rows=${stamps.size} " +
+            s"cycle=${now - t0}ms")
         ()
       }
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
@@ -146,18 +165,56 @@ object StreamBench {
     // ---- feeder: one small parquet file per tick, stamped at write ----
     var warmupEndMs = Long.MaxValue
     try {
+      // The feeder writes its change file DRIVER-LOCALLY (parquet-hadoop
+      // Group writer), never via a Spark job: the stamp is taken right
+      // before the write, so any feeder cost lands INSIDE every row's
+      // measured lag — and a `.toDF.write` job cost 100-200 ms of pure
+      // harness overhead per file, polluting the SLO with a cost no real
+      // CDC source pays (round-11 decomposition). ~5 ms driver-side.
+      val feedSchema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+        """message feed {
+          |  required int64 user_id;
+          |  required binary event_type (UTF8);
+          |  required double value;
+          |  required int64 ts (TIMESTAMP(MICROS,true));
+          |}""".stripMargin)
       def feed(b: Int): Unit = {
-        val rows = (0 until rowsPerBatch).map { i =>
-          val seq = b.toLong * rowsPerBatch + i
-          // multiplicative spread over a bounded keyspace → realistic
-          // update-heavy merge traffic (keys repeat across batches)
-          ((seq * 2654435761L) % keySpace,
-            if (seq % 97 == 0) "error" else "update", seq.toDouble)
-        }
-        val stamp = new java.sql.Timestamp(System.currentTimeMillis())
-        rows.toDF("user_id", "event_type", "value")
-          .withColumn("ts", lit(stamp))
-          .coalesce(1).write.mode("append").parquet(src)
+        val stamp = System.currentTimeMillis()
+        // write under a dot-name (hidden from Spark's file listing) and
+        // ATOMIC_MOVE into place: a 25 ms poller must never list a file
+        // mid-write — Spark's own sink gets this from its commit
+        // protocol, a hand writer must do it explicitly
+        val path = new org.apache.hadoop.fs.Path(
+          s"$src/.feed-$b-$stamp.parquet.tmp")
+        val conf = session.sessionState.newHadoopConf()
+        org.apache.parquet.hadoop.example.GroupWriteSupport
+          .setSchema(feedSchema, conf)
+        val fac = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+          feedSchema)
+        val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+          .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+            .fromPath(path, conf))
+          .withConf(conf)
+          .build()
+        try {
+          var i = 0
+          while (i < rowsPerBatch) {
+            val seq = b.toLong * rowsPerBatch + i
+            // multiplicative spread over a bounded keyspace → realistic
+            // update-heavy merge traffic (keys repeat across batches)
+            val g = fac.newGroup()
+            g.add("user_id", (seq * 2654435761L) % keySpace)
+            g.add("event_type", if (seq % 97 == 0) "error" else "update")
+            g.add("value", seq.toDouble)
+            g.add("ts", stamp * 1000L) // µs
+            w.write(g)
+            i += 1
+          }
+        } finally w.close()
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$src/.feed-$b-$stamp.parquet.tmp"),
+          java.nio.file.Paths.get(s"$src/feed-$b-$stamp.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       def awaitMerged(n: Long): Unit = {
         val deadline = System.currentTimeMillis() + timeoutMs

@@ -578,14 +578,18 @@ final class ParquetReplica(spark: SparkSession, root: String,
       prepare: (DataFrame, DataFrame) => DataFrame = Replica.identityPrepare): Unit =
     ReplicaLocks.lockFor(root).synchronized {
       if (mergeOnRead) {
-        // MoR doesn't prune by bucket, but the caller's key set still
-        // answers the empty-batch question for free; without it, pay
-        // one take(1) probe — an idle stream's watermark-advancing
-        // empty batches must not append empty epochs, bump versions,
-        // and trigger pointless compactions forever
-        val empty = precomputedTouched.map(_.isEmpty)
-          .getOrElse(updates.isEmpty)
-        if (!empty) deltaMerge(updates, precomputedTouched, prepare)
+        // MoR doesn't prune by bucket, but a caller-provided key set
+        // still answers the empty-batch question for free. WITHOUT one,
+        // the emptiness check is deferred to AFTER the write: deltaMerge
+        // reads the written files' parquet footers (driver-local
+        // metadata, no Spark job) and publishes nothing for an empty
+        // epoch — so the sub-second latency path pays exactly ONE Spark
+        // job per micro-batch (the delta write), with no isEmpty/take(1)
+        // probe job in front of it, while an idle stream's
+        // watermark-advancing empty batches still never append epochs,
+        // bump versions, or trigger pointless compactions
+        if (!precomputedTouched.exists(_.isEmpty))
+          deltaMerge(updates, precomputedTouched, prepare)
         return
       }
       val v = currentVersion
@@ -658,8 +662,34 @@ final class ParquetReplica(spark: SparkSession, root: String,
       .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"$root/$dir")
+    // deferred emptiness check: the parquet FOOTERS of the files just
+    // written carry exact row counts — a driver-local metadata read, no
+    // Spark job. An empty micro-batch leaves no epoch and no version.
+    if (parquetRowCount(new java.io.File(fs, dir)) == 0L) {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(); ()
+      }
+      rm(new java.io.File(fs, dir))
+      return
+    }
     publish(next, man, nb, ds :+ (seq -> dir))
     if (ds.size + 1 >= compactEvery) compactDeltasAsync()
+  }
+
+  /** Exact row count of a just-written parquet directory from its file
+    * footers — driver-local I/O on a handful of local files, never a
+    * Spark job. */
+  private def parquetRowCount(dir: java.io.File): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    Option(dir.listFiles((_, n) => n.endsWith(".parquet")))
+      .getOrElse(Array.empty)
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   // one background compaction at a time; failures clear the flag and
