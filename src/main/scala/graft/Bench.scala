@@ -134,6 +134,26 @@ object Bench {
           System.err.println(s"BENCH ERROR stream_e2e: ${e.getMessage}")
           "null"
       }
+    // saturation knee per replica mode (MoR vs CoW) — the capacity
+    // number an operator sizes against, companion to stream_e2e's
+    // below-saturation SLO. Failures report null, never kill the line.
+    val capacityJson =
+      if (args.nonEmpty) "null"
+      else try {
+        def one(mor: Boolean): String = {
+          val c = graft.streaming.StreamBench.capacity(spark, mor)
+          val pts = c.points.map(p =>
+            f"""[${p.targetRps}%.0f,${p.measuredRps}%.0f,${p.p50Ms}%.0f,${p.p95Ms}%.0f]""")
+            .mkString("[", ",", "]")
+          f"""{"knee_rows_per_sec":${c.kneeRowsPerSec}%.0f,""" +
+            s""""points_target_measured_p50_p95":$pts}"""
+        }
+        s"""{"mor":${one(true)},"cow":${one(false)}}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH ERROR stream_capacity: ${e.getMessage}")
+          "null"
+      }
     val calibCpuEnd = calibCpu()
     val calibSparkEnd = calibSpark()
     val calibJson =
@@ -151,6 +171,7 @@ object Bench {
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,""" +
         s""""errors":$errs,"n_queries":${names.size},""" +
         s""""stream_e2e":$streamJson,""" +
+        s""""stream_capacity":$capacityJson,""" +
         s""""calib":$calibJson,""" +
         s""""cold_total":${fmt(coldTotal)},"warm_total":${fmt(total)},""" +
         s""""value":${fmt(total)}}"""

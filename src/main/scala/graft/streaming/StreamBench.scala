@@ -57,7 +57,7 @@ object StreamBench {
       triggerMs: Int = 25, feedIntervalMs: Int = 400,
       warmupBatches: Int = 10,
       keySpace: Int = 10000, replicaBuckets: Int = 4,
-      statePartitions: Int = 2,
+      statePartitions: Int = 2, mergeOnRead: Boolean = true,
       timeoutMs: Long = 180000L, verbose: Boolean = false): Result = {
     require(batches > warmupBatches,
       "need post-warmup batches to report percentiles")
@@ -84,7 +84,7 @@ object StreamBench {
     val replica = new ParquetReplica(session, s"$tmp/replica",
       "synced_id LONG, synced_updated_at TIMESTAMP, synced_created_at TIMESTAMP, " +
         "synced_canceled_at TIMESTAMP, value DOUBLE, synced_data STRING",
-      buckets = replicaBuckets, mergeOnRead = true, compactEvery = 10)
+      buckets = replicaBuckets, mergeOnRead = mergeOnRead, compactEvery = 10)
 
     val srcSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
@@ -268,5 +268,47 @@ object StreamBench {
         math.max(1L, steady.map(_._1).max - steady.map(_._1).min)
     Result(pct(0.50), pct(0.95), post.last.toDouble, rps,
       all.length.toLong, batches, warmupRows)
+  }
+
+  final case class CapacityPoint(targetRps: Double, measuredRps: Double,
+      p50Ms: Double, p95Ms: Double)
+  final case class CapacityResult(mode: String, kneeRowsPerSec: Double,
+      points: Seq[CapacityPoint])
+
+  /** SATURATION sweep — the other half of the SLO story: [[run]]
+    * reports latency below saturation; this reports the feed rate at
+    * which latency STOPS being flat (the capacity an operator sizes a
+    * 100 TB deployment's executor count against). Method: double the
+    * per-file row count at a fixed feed cadence until the measured p95
+    * exceeds `degradeFactor` × the base rate's p95 (queue depth has
+    * entered the percentiles = the pipeline is past capacity); the
+    * KNEE is the last measured throughput that stayed under the gate.
+    * Short runs per point — the sweep wants the shape, not tight
+    * percentiles. Run per replica mode: merge-on-read applies O(batch)
+    * epochs, copy-on-write rewrites touched buckets — the knee is
+    * where that difference becomes operational. */
+  def capacity(spark: SparkSession, mergeOnRead: Boolean,
+      feedIntervalMs: Int = 200, batches: Int = 15, warmupBatches: Int = 5,
+      startRowsPerBatch: Int = 250, maxRowsPerBatch: Int = 32000,
+      degradeFactor: Double = 2.0): CapacityResult = {
+    val mode = if (mergeOnRead) "mor" else "cow"
+    var rpb = startRowsPerBatch
+    var baseP95 = Double.NaN
+    var knee = 0.0
+    val points = Seq.newBuilder[CapacityPoint]
+    var degraded = false
+    while (!degraded && rpb <= maxRowsPerBatch) {
+      val target = rpb.toDouble * 1000.0 / feedIntervalMs
+      val r = run(spark, batches = batches, rowsPerBatch = rpb,
+        feedIntervalMs = feedIntervalMs, warmupBatches = warmupBatches,
+        mergeOnRead = mergeOnRead)
+      points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
+      if (baseP95.isNaN) baseP95 = r.p95Ms
+      if (r.p95Ms <= degradeFactor * baseP95) {
+        knee = math.max(knee, r.rowsPerSec)
+        rpb *= 2
+      } else degraded = true
+    }
+    CapacityResult(mode, knee, points.result())
   }
 }
