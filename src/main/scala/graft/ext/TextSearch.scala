@@ -72,6 +72,32 @@ object TextSearch {
       index.postings.unionByName(add.postings))
   }
 
+  /** DELETE documents from a standing [[Bm25Index]] without
+    * re-tokenizing anything — [[mergeBm25Index]]'s inverse, completing
+    * the index lifecycle (the search-side twin of
+    * [[Similarity.removeFromIvfPqIndex]]): the doomed ids' postings
+    * drop by anti-join, and the two exact corpus scalars decrement by
+    * the removed docs' own numbers, recovered FROM THE INDEX (dl is
+    * constant per doc in the postings, so one distinct over the doomed
+    * slice yields exactly (docs removed, tokens removed) — one bounded
+    * aggregate action at delete time; the scalars are driver-side
+    * values by design). Answering from the pruned index is
+    * bit-identical to rebuilding over the surviving corpus, because
+    * every BM25 input is an exact integer aggregate that subtracts as
+    * additively as it unions (x151 pins it end to end). Ids absent
+    * from the index subtract nothing — deletes are idempotent. */
+  def removeFromBm25Index(index: Bm25Index, ids: DataFrame,
+      idCol: String): Bm25Index = {
+    val doomed = ids.select(col(idCol).as("nid"))
+    val st = index.postings.join(doomed, Seq("nid"), "left_semi")
+      .select(col("nid"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val nRemoved = st.getLong(0)
+    val tokRemoved = if (st.isNullAt(1)) 0L else st.getLong(1)
+    Bm25Index(index.nDocs - nRemoved, index.totalTokens - tokRemoved,
+      index.postings.join(doomed, Seq("nid"), "left_anti"))
+  }
+
   /** BM25 top-`k` from a prebuilt [[Bm25Index]]: prune the postings to
     * the query terms scan-locally (`isin` — with `postings` bucketed by
     * token, a standing deployment prunes at the file level too), then

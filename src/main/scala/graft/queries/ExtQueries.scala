@@ -4949,7 +4949,54 @@ object ExtQueries {
         |  CAST(sum(((42 + 31 * dims.i + 7 * c.g + dims.i * c.g) % 3 - 1)
         |    * c.pooled) AS BIGINT) AS feat
         |FROM cells c CROSS JOIN dims
-        |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin),
+
+    // BM25 standing-index DELETE — mergeBm25Index's inverse and x149's
+    // search-side twin, completing incremental index maintenance for
+    // BOTH retrieval families: doomed docs' postings drop by anti-join
+    // and the exact corpus scalars decrement by numbers recovered from
+    // the index itself (never a re-tokenize). The oracle runs full
+    // BM25 over the SURVIVING corpus only: pruned index ==
+    // rebuilt-from-survivors, scores bit-identical.
+    "x151_bm25_index_delete" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val doomed = docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"))
+        val idx = graft.ext.TextSearch.removeFromBm25Index(
+          graft.ext.TextSearch.buildBm25Index(docs, "doc_id", "text"),
+          doomed, "doc_id")
+        graft.ext.TextSearch.bm25TopKOnIndex(idx,
+            queries = Seq(1 -> "hash join strategy", 2 -> "window sort order",
+              3 -> "vector column scan", 4 -> "stream batch merge"),
+            k = 10)
+          .orderBy(col("qid"), col("rnk"))
+      },
+      """WITH q(qid, qtext) AS (VALUES
+        |    (1, 'hash join strategy'), (2, 'window sort order'),
+        |    (3, 'vector column scan'), (4, 'stream batch merge')),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 10 != 0) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT qid, rnk, nid, score FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -1514,6 +1514,33 @@ class ExtOpsSpec extends SparkSpec {
       s"5x-scaled arrivals must show drift: max=${farPm.max}")
   }
 
+  test("removeFromBm25Index: pruned index answers bit-identically to a " +
+      "rebuild over survivors; deletes are idempotent") {
+    import graft.ext.TextSearch
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val doomed = docs.filter($"doc_id" % 7 === 2).select($"doc_id")
+    val full = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val pruned = TextSearch.removeFromBm25Index(full, doomed, "doc_id")
+    val rebuilt = TextSearch.buildBm25Index(
+      docs.join(doomed, Seq("doc_id"), "left_anti"), "doc_id", "text")
+    assert(pruned.nDocs == rebuilt.nDocs &&
+      pruned.totalTokens == rebuilt.totalTokens,
+      s"scalars diverged: ${(pruned.nDocs, pruned.totalTokens)} vs " +
+        s"${(rebuilt.nDocs, rebuilt.totalTokens)}")
+    val qs = Seq(1 -> "hash join strategy", 2 -> "stream batch merge")
+    val a = TextSearch.bm25TopKOnIndex(pruned, qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    val b = TextSearch.bm25TopKOnIndex(rebuilt, qs, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      "pruned index must answer bit-identically to a survivor rebuild")
+    // idempotent: deleting the same ids again (now absent) changes nothing
+    val again = TextSearch.removeFromBm25Index(pruned, doomed, "doc_id")
+    assert(again.nDocs == pruned.nDocs &&
+      again.totalTokens == pruned.totalTokens &&
+      again.postings.count() == pruned.postings.count())
+  }
+
   test("BM25 on an empty corpus returns empty results, never throws") {
     import graft.ext.TextSearch
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -100,6 +100,9 @@ DOUBLE_ALLOWLIST = {
     ("x39_tfidf_keywords", "score"),
     ("x40_quantization_audit", "fidelity"),
     ("x43_bm25_search", "score"),
+    # x151: same token-order-pinned 4dp-rounded BM25 fold as x43, over
+    # the post-delete corpus
+    ("x151_bm25_index_delete", "score"),
     ("x47_dsir_selection", "log_w"),
     ("x50_hard_negatives", "sim"),
     ("x52_temperature_mix", "mix_w"),
