@@ -190,6 +190,48 @@ class PlanShapeSpec extends SparkSpec {
       s"index build wants 0 exchanges, got $exchanges:\n${p.take(2500)}")
   }
 
+  test("incremental index maintenance plans: extend is map-only, " +
+      "deletes are single-anti-join, drift stats shuffle once") {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.{Similarity, TextSearch}
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    // upsert: the new batch's codes plan is the build plan — zero
+    // exchanges (frozen constants ride broadcast variables)
+    val ext = Similarity.extendIvfPqIndex(idx,
+      emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val pExt = executedPlan(ext.codes).split("== Initial Plan ==").head
+    // union of two map-only encodes: still no exchange anywhere
+    assert(pExt.linesIterator.count(_.contains("Exchange")) == 0,
+      s"extend wants 0 exchanges:\n${pExt.take(2500)}")
+    // vector delete over a MATERIALIZED index (the production shape —
+    // the code table is persisted, IvfPqSpec round-trips it): one anti
+    // join on the 4-int-wide codes, the float vectors never appear
+    val standing = idx.copy(codes = idx.codes.localCheckpoint(true))
+    val del = Similarity.removeFromIvfPqIndex(standing,
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
+    val pDel = executedPlan(del.codes).split("== Initial Plan ==").head
+    assert(pDel.contains("LeftAnti"), pDel.take(2500))
+    assert(!pDel.contains("embedding:array"),
+      "delete must never read the float vector column")
+    // drift stats: map-only assign + ONE aggregation exchange on cell
+    val pDrift = executedPlan(Similarity.ivfCellStats(emb,
+        "vec_id", "embedding", idx.centroids))
+      .split("== Initial Plan ==").head
+    val dx = pDrift.linesIterator.count(_.contains("Exchange"))
+    assert(dx <= 2, // partial agg → exchange on cell (+AQE final agg read)
+      s"drift stats want ≤2 exchanges, got $dx:\n${pDrift.take(2500)}")
+    // BM25 delete: postings survive through one anti-join, text untouched
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val bIdx = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val bDel = TextSearch.removeFromBm25Index(bIdx,
+      docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")), "doc_id")
+    val pB = executedPlan(bDel.postings).split("== Initial Plan ==").head
+    assert(pB.contains("LeftAnti"), pB.take(2500))
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
