@@ -2672,6 +2672,66 @@ class ExtOpsSpec extends SparkSpec {
       s"ANN streaming leaked state: ${prog.map(_.numRowsTotal).toSeq}")
   }
 
+  test("streaming media → features → ANN: raw image bytes stream through " +
+      "decode/pool/project and answer against a standing index, bit-equal " +
+      "to batch") {
+    // the multimodal closure of the streaming-retrieval story: x150's
+    // real feature extraction is a stateless mapPartitions, so it
+    // composes onto a stream unchanged, and its output is exactly the
+    // embedding shape ivfPqTopKStreaming consumes — raw media bytes in,
+    // ranked neighbors out, zero streaming state, bit-equal to batch.
+    import graft.ext.{Multimodal, Similarity}
+    implicit val enc =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord]
+    val corpus = (0L until 60L).map(i =>
+      Multimodal.MediaRecord(i, "image", Multimodal.syntheticBmp(i))).toDS()
+    val feats = Multimodal.features(corpus, dim = 16)
+      .select($"id", $"embedding".cast("array<double>").as("embedding"))
+    val index = Similarity.buildIvfPqIndex(feats, "id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val qMedia = (0L until 60L by 8L).map(i =>
+      Multimodal.MediaRecord(i, "image", Multimodal.syntheticBmp(i)))
+    // batch truth: batch features of the same media, batch ANN, same index
+    val want = Similarity.ivfPqTopKOnIndex(index,
+        Multimodal.features(qMedia.toDS(), dim = 16)
+          .select($"id", $"embedding".cast("array<double>").as("embedding")),
+        "id", "embedding", k = 3, nProbe = 4)
+      .select($"qid", $"nid", $"rnk", $"adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // the same media arriving as a STREAM of raw bytes, two micro-batches
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mmstream").toString
+    qMedia.take(4).toDS().write.parquet(s"$tmp/in/f1")
+    qMedia.drop(4).toDS().write.parquet(s"$tmp/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+      .as[Multimodal.MediaRecord]
+    val qStream = Multimodal.features(in, dim = 16)
+      .select($"id", $"embedding".cast("array<double>").as("embedding"))
+    val q = Similarity.ivfPqTopKStreaming(qStream, index, "id", "embedding",
+        k = 3, nProbe = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mmstream_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mmstream_out")
+      .select($"qid", $"nid", $"rnk", $"adc")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // (no self-at-rank-1 pin: ADC is a QUANTIZED distance — several
+    // corpus vectors can share a query's codes exactly, ties break by
+    // lower nid, and a tied cohort larger than k crowds the query's own
+    // id out of the top-k entirely — observed for qid 56 here. The
+    // bit-equality against the batch operator above IS the contract.)
+    assert(got.map(_._1) == qMedia.map(_.id).toSet,
+      s"every streamed query must be answered: ${got.map(_._1)}")
+    val prog = q.recentProgress.flatMap(_.stateOperators)
+    assert(prog.isEmpty || prog.map(_.numRowsTotal).max == 0,
+      s"streaming media retrieval leaked state: ${prog.map(_.numRowsTotal).toSeq}")
+  }
+
   test("chunkWindows: overlap, stable offsets, partial tail, tiny docs") {
     import graft.ext.TextAnalysis
     val df = Seq(
