@@ -247,11 +247,18 @@ object Similarity {
     * (which is also a predict UDF over broadcast centers). */
   private[graft] def assignCells(df: DataFrame, vecCol: String,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val cents: Array[Array[Double]] =
-      centroids.sortBy(_._1).map(_._2).toArray
-    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    // carry the centroid IDS alongside the vectors: the standard build
+    // path labels with ids 0..n-1 where index == id, but the repair
+    // path ([[repairDriftedCells]]) assigns against refit sub-centroids
+    // whose ids sit ABOVE the standing set — returning the array index
+    // there silently mislabeled every re-routed vector (round-11 bug,
+    // caught by the x152 oracle before it shipped)
+    val sorted = centroids.sortBy(_._1)
+    val cents: Array[Array[Double]] = sorted.map(_._2).toArray
+    val ids: Array[Int] = sorted.map(_._1).toArray
+    val bc = df.sparkSession.sparkContext.broadcast((cents, ids))
     val predict = udf { (v: Seq[Double]) =>
-      val cs = bc.value
+      val (cs, cid) = bc.value
       val arr = v.toArray
       var best = 0
       var bd = Double.MaxValue
@@ -264,7 +271,7 @@ object Similarity {
         if (d < bd) { bd = d; best = c }
         c += 1
       }
-      best
+      cid(best)
     }
     df.withColumn("cell", predict(col(vecCol)))
   }
@@ -841,6 +848,81 @@ object Similarity {
       idCol: String): IvfPqIndex =
     index.copy(codes = index.codes
       .join(ids.select(col(idCol).as("nid")), Seq("nid"), "left_anti"))
+
+  /** The repair fit: `splitInto × |cells|` replacement centroids for a
+    * set of drifted cells, fit over the vectors CURRENTLY ROUTED to
+    * those cells (deterministic id-hash sample, the [[ivfCentroids]]
+    * rule), with fresh ids ABOVE the standing set so surviving cells
+    * keep theirs. Public for the same reason [[ivfCentroids]] is: the
+    * fit is shared deterministic preprocessing; the naive oracle
+    * re-derives everything downstream of it. */
+  def repairCentroids(index: IvfPqIndex, corpus: DataFrame, idCol: String,
+      vecCol: String, cells: Seq[Int], splitInto: Int = 2,
+      seed: Long = 42L, fitSample: Int = 4096): Seq[(Int, Array[Double])] = {
+    require(cells.nonEmpty && splitInto >= 1)
+    val affectedIds = index.codes.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("nid")).distinct()
+    val sample = corpus
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("v"))
+      .join(affectedIds, Seq("nid"), "left_semi")
+      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
+      .limit(fitSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"no vectors routed to cells $cells")
+    val maxId = index.centroids.map(_._1).max
+    localLloyd(sample, math.min(cells.size * splitInto, sample.length),
+        iters = 8, seed = seed)
+      .zipWithIndex.map { case (c, i) => (maxId + 1 + i, c) }
+  }
+
+  /** REPAIR drifted cells in a standing [[IvfPqIndex]] without a
+    * rebuild — the operational response to [[ivfCellDrift]] flagging
+    * cells whose arrivals no longer fit the frozen quantizer (the
+    * missing piece between "detect drift" and "rebuild everything",
+    * which at 100 TB is the difference between re-routing one cell's
+    * vectors and re-encoding the corpus):
+    *
+    *  - the drifted cells' centroids are REPLACED by `splitInto`
+    *    refit sub-centroids each ([[repairCentroids]] — fresh ids, so
+    *    surviving cells keep theirs and their code rows are
+    *    bit-untouched);
+    *  - ONLY the affected vectors re-route (map-only argmin over the
+    *    refit subs); their PQ codes are UNCHANGED — the codebook is
+    *    subspace-global and frozen, so repair rewrites one small int
+    *    per affected row, never a re-encode;
+    *  - probes against the repaired index rank over the composed
+    *    centroid set.
+    *
+    * Boundary honesty: vectors of SURVIVING cells are not re-examined,
+    * so one sitting closer to a new sub-centroid than to its own cell
+    * keeps its old routing — the same approximation any IVF index
+    * accepts at assignment time, and exactly what bounds repair cost
+    * to the drifted cells. `corpus` must carry the affected ids'
+    * vectors (the standing corpus table). */
+  def repairDriftedCells(index: IvfPqIndex, corpus: DataFrame,
+      idCol: String, vecCol: String, cells: Seq[Int], splitInto: Int = 2,
+      seed: Long = 42L): IvfPqIndex = {
+    val refit = repairCentroids(index, corpus, idCol, vecCol, cells,
+      splitInto, seed)
+    val cellSet = cells.toSet
+    val survivors = index.centroids.filterNot(c => cellSet(c._1))
+    val affected = index.codes
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val rerouted = assignCells(
+        corpus.select(col(idCol).as("nid"),
+            col(vecCol).cast("array<double>").as("v"))
+          .join(affected.select(col("nid")).distinct(), Seq("nid"), "left_semi"),
+        "v", refit)
+      .select(col("nid"), col("cell").as("__new_cell"))
+    val repairedRows = affected.drop("cell")
+      .join(rerouted, Seq("nid"))
+      .select(col("nid"), col("__new_cell").as("cell"), col("sub"), col("code"))
+    index.copy(
+      centroids = survivors ++ refit,
+      codes = index.codes
+        .filter(!col("cell").isin(cells.map(Integer.valueOf): _*))
+        .unionByName(repairedRows))
+  }
 
   /** Per-cell assignment stats of a vector batch against FROZEN
     * centroids: (cell, n, sum_d2_mil), where `sum_d2_mil` sums

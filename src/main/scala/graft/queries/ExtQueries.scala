@@ -4951,6 +4951,40 @@ object ExtQueries {
         |FROM cells c CROSS JOIN dims
         |GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin),
 
+    // Drift REPAIR on the standing ANN index — the operational response
+    // to x149's drift audit, completing the maintenance lifecycle
+    // (upsert → delete → detect → repair) without ever re-encoding the
+    // corpus: the two most-populated cells are split into refit
+    // sub-centroids (fresh ids, survivors untouched), ONLY their
+    // vectors re-route (PQ codes unchanged — the codebook is
+    // subspace-global), probes rank over the composed centroid set.
+    // Hash-checked against NaiveOracles.x152, which re-derives routing,
+    // probes and ADC from exploded literals around the same shared
+    // deterministic fits.
+    "x152_ann_drift_repair" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val idx0 = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+          nCentroids = 16, m = 4, codebookSize = 16, seed = 42L)
+        // deterministic repair target: the two fullest cells (ties by
+        // lower cell id) — guaranteed non-empty at any sf
+        val cells = idx0.codes.filter(col("sub") === 0)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("cell")).limit(2)
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val idx = Similarity.repairDriftedCells(idx0, emb,
+          "vec_id", "embedding", cells, splitInto = 2)
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.ivfPqTopKOnIndex(idx, queries, "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .join(idx.codes.filter(col("sub") === 0)
+            .select(col("nid"), col("cell")), "nid")
+          .select(col("qid"), col("nid"), col("rnk"), col("adc"),
+            col("cell").cast("long").as("cell"),
+            (col("cell") > 15).cast("long").as("in_refit_cell"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // BM25 standing-index DELETE — mergeBm25Index's inverse and x149's
     // search-side twin, completing incremental index maintenance for
     // BOTH retrieval families: doomed docs' postings drop by anti-join

@@ -59,6 +59,7 @@ object NaiveOracles {
     "x51_ann_pq" -> (x51 _),
     "x56_ann_ivfpq" -> (x56 _),
     "x149_ann_index_upsert" -> (x149 _),
+    "x152_ann_drift_repair" -> (x152 _),
     "x57_incremental_neardup" -> (x57 _),
     "x88_bpe_learn" -> (x88 _),
     "x93_bpe_encode" -> (x93 _),
@@ -631,6 +632,104 @@ object NaiveOracles {
     topk.join(drift, Seq("cell"), "left")
       .select(col("qid"), col("nid"), col("rnk"), col("adc"),
         col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Naive x152: drifted-cell repair re-derived — the shared
+    * deterministic fits are [[graft.ext.Similarity.ivfCentroids]]/
+    * [[graft.ext.Similarity.pqCodebook]] plus the Lloyd kernel for the
+    * refit; everything downstream (cell routing, the repair target
+    * choice, the affected set and its fit sample, re-routing, probe
+    * ranking, ADC, top-k) is recomputed with exploded literals and
+    * windows. */
+  private def x152(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
+    val emb = tbl(s, dir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nCentroids = 16, seed = seed)
+    val cb = graft.ext.Similarity.pqCodebook(
+      emb, "vec_id", "embedding", m, codebookSize, seed)
+    def centArrOf(cs: Seq[(Int, Array[Double])]): Column = array(cs.map {
+      case (i, c) =>
+        struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
+    }: _*)
+    val corpus = emb.select(col("vec_id").as("nid"),
+      col("embedding").cast("array<double>").as("v"))
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    val aw = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.cell"))
+    def assign(df: DataFrame, cs: Seq[(Int, Array[Double])]): DataFrame = df
+      .withColumn("c", explode(centArrOf(cs)))
+      .withColumn("d2", l2sq(col("v"), col("c.cvec")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("v"), col("c.cell").as("cell"))
+    val routed = assign(corpus, cents)
+    // repair target: two fullest cells, ties to the lower id
+    val cells = routed.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).limit(2)
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // the affected vectors' deterministic fit sample, then the shared
+    // Lloyd kernel with the engine's id-above-the-standing-set rule
+    val sample = routed.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
+      .limit(4096).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val refit = graft.ext.Similarity
+      .localLloyd(sample, math.min(cells.size * 2, sample.length),
+        iters = 8, seed = seed)
+      .zipWithIndex.map { case (c, i) => (16 + i, c) }
+    val survivors = cents.filterNot(c => cells.contains(c._1))
+    // re-route ONLY the affected vectors, over the refit subs
+    val rerouted = assign(
+      routed.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+        .select(col("nid"), col("v")), refit)
+    val cellOf = routed.filter(!col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("nid"), col("cell"))
+      .unionByName(rerouted.select(col("nid"), col("cell")))
+    val cents2: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
+      cb.filter(_._1 == subIdx).sortBy(_._2).map(_._3)
+    }
+    def litVec(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def codeCentroid(subIdx: Int): DataFrame = {
+      val cbArr = array(cents2(subIdx).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("code"), litVec(c).as("cvec"))
+      }: _*)
+      val sv = slice(col("v"), subIdx * subDim + 1, subDim)
+      val exp = corpus.select(col("nid"), sv.as("sv"))
+        .withColumn("c", explode(cbArr))
+        .withColumn("d2", l2sq(col("sv"), col("c.cvec")))
+      val w = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.code"))
+      exp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("nid"), col("c.cvec").as(s"cent$subIdx"))
+    }
+    val encoded = (0 until m).map(codeCentroid)
+      .reduce((a, b) => a.join(b, "nid"))
+      .join(cellOf, "nid")
+    val composed = survivors ++ refit
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = q
+      .withColumn("c", explode(centArrOf(composed)))
+      .withColumn("d2", l2sq(col("qv"), col("c.cvec")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"))
+    val adc = (0 until m).map { subIdx =>
+      l2sq(slice(col("qv"), subIdx * subDim + 1, subDim), col(s"cent$subIdx"))
+    }.reduce(_ + _)
+    val scored = probes.join(encoded, "cell").withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"),
+        col("cell").cast("long").as("cell"),
+        (col("cell") > 15).cast("long").as("in_refit_cell"))
       .orderBy(col("qid"), col("rnk"))
   }
 }

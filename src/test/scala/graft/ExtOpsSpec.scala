@@ -1541,6 +1541,55 @@ class ExtOpsSpec extends SparkSpec {
       again.postings.count() == pruned.postings.count())
   }
 
+  test("repairDriftedCells: planted off-manifold arrivals are detected, " +
+      "repaired cells absorb them, assignment error collapses") {
+    import graft.ext.Similarity
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    // arrivals pushed far off the manifold: +8 on every dim
+    val shifted = emb.select(($"vec_id" + 5000000L).as("vec_id"),
+      transform($"embedding",
+        (x: org.apache.spark.sql.Column) => x + 8.0).as("embedding"))
+    val idx0 = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val ext = Similarity.extendIvfPqIndex(idx0, shifted,
+      "vec_id", "embedding")
+    // 1. DETECT: the drift audit flags the arrivals' cells hard
+    val drift = Similarity.ivfCellDrift(emb, shifted,
+      "vec_id", "embedding", idx0.centroids)
+    val flagged = drift.filter($"drift_pm" > 2000)
+      .select($"cell").as[Int].collect().toSeq.sorted
+    assert(flagged.nonEmpty, "off-manifold arrivals must flag drift")
+    // 2. REPAIR the flagged cells
+    val corpus = emb.unionByName(shifted)
+    val repaired = Similarity.repairDriftedCells(ext, corpus,
+      "vec_id", "embedding", flagged, splitInto = 2)
+    // survivors' code rows are bit-untouched
+    val untouchedBefore = ext.codes
+      .filter(!$"cell".isin(flagged.map(Integer.valueOf): _*))
+    val untouchedAfter = repaired.codes.filter($"cell" <= 7)
+    assert(untouchedAfter.exceptAll(untouchedBefore).count() == 0 &&
+      untouchedBefore.exceptAll(untouchedAfter).count() == 0)
+    // no vector lost or duplicated by the splice
+    assert(repaired.codes.count() == ext.codes.count())
+    // 3. the arrivals' ASSIGNMENT ERROR collapses: mean distance to the
+    // assigned centroid under the composed set is far below the frozen
+    // set's (integer milli-scaled sums — exact)
+    def totalD2(cents: Seq[(Int, Array[Double])]): Long =
+      Similarity.ivfCellStats(shifted, "vec_id", "embedding", cents)
+        .agg(sum($"sum_d2_mil")).head().getLong(0)
+    val before = totalD2(idx0.centroids)
+    val after = totalD2(repaired.centroids)
+    assert(after * 2 < before,
+      s"repair must at least halve the arrivals' distance mass: $before -> $after")
+    // and re-auditing against the REPAIRED quantizer shows the drift gone
+    val postDrift = Similarity.ivfCellDrift(corpus, shifted,
+        "vec_id", "embedding", repaired.centroids)
+      .filter($"drift_pm" > 2000).count()
+    assert(postDrift == 0, "repaired quantizer must clear the drift flags")
+  }
+
   test("BM25 on an empty corpus returns empty results, never throws") {
     import graft.ext.TextSearch
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
