@@ -947,6 +947,40 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("d2m")).as("sum_d2_mil"))
   }
 
+  /** STREAMING drift monitoring — the detection half of the index
+    * maintenance loop run as a STANDING query: per-(event-time window,
+    * cell) assignment stats of a vector stream against frozen
+    * centroids, the continuous form of [[ivfCellStats]]. Map-only
+    * assignment (broadcast constants), one stream⋈static join for the
+    * centroid vectors, one windowed aggregation under a watermark —
+    * bounded state, append output (window_start, cell, n, sum_d2_mil).
+    * Join consecutive windows against the fit-time baseline for
+    * drift_pm exactly as the batch audit does; cells trending hot feed
+    * [[repairDriftedCells]]. Integer milli-scaled sums as in the batch
+    * form, so a window's stats are bit-comparable to a batch run over
+    * the same rows (spec-pinned). */
+  def ivfCellStatsStreaming(stream: DataFrame, idCol: String,
+      vecCol: String, tsCol: String,
+      centroids: Seq[(Int, Array[Double])],
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val session = stream.sparkSession
+    import session.implicits._
+    val centDf = centroids.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "cvec")
+    val base = stream.select(col(tsCol).as("__ts"), col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("v"))
+    assignCells(base, "v", centroids)
+      .join(centDf, "cell")
+      .select(col("__ts"), col("cell"),
+        round(l2sqCol(col("v"), col("cvec")) * 1000, 0).cast("long").as("d2m"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowDur).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2m")).as("sum_d2_mil"))
+      .select(col("w.start").as("window_start"), col("cell"),
+        col("n"), col("sum_d2_mil"))
+  }
+
   /** Per-cell DRIFT audit — the re-train signal for a standing index
     * maintained by [[extendIvfPqIndex]]/[[removeFromIvfPqIndex]]:
     * compares the mean assigned distance of `delta` (new arrivals)

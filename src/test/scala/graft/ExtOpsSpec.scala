@@ -1590,6 +1590,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(postDrift == 0, "repaired quantizer must clear the drift flags")
   }
 
+  test("ivfCellStatsStreaming: windowed drift stats off a vector stream " +
+      "match the batch audit bit-exactly per closed window") {
+    import graft.ext.Similarity
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+      nCentroids = 8, seed = 42L)
+    // synthetic event times spread across hours (deterministic from id)
+    val stamped = emb.withColumn("ts", timestamp_seconds(
+      unix_timestamp(to_timestamp(lit("2026-01-01 00:00:00"))) +
+        ($"vec_id" % 180) * 60))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-driftstream").toString
+    stamped.write.parquet(s"$tmp/in")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val q = Similarity.ivfCellStatsStreaming(in, "vec_id", "embedding",
+        "ts", cents, windowDur = "1 hour", watermark = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("drift_out")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("drift_out")
+      .as[(java.sql.Timestamp, Int, Long, Long)].collect()
+      .map { case (w, c, n, s) => (w.getTime, c) -> ((n, s)) }.toMap
+    // batch truth: same assignment + same milli-scaled sums per window
+    val want = Similarity.ivfCellStatsStreaming(stamped, "vec_id",
+        "embedding", "ts", cents, windowDur = "1 hour",
+        watermark = "1 second") // batch frame: watermark is a no-op
+      .as[(java.sql.Timestamp, Int, Long, Long)].collect()
+      .map { case (w, c, n, s) => (w.getTime, c) -> ((n, s)) }.toMap
+    assert(got.nonEmpty, "watermark must close and emit windows")
+    got.foreach { case (k, v) =>
+      assert(want(k) == v, s"window/cell $k: $v vs ${want(k)}") }
+    // append emits every closed window; only the final hour can be open
+    assert(got.size >= want.size - cents.size,
+      s"${got.size} of ${want.size} windows emitted")
+  }
+
   test("BM25 on an empty corpus returns empty results, never throws") {
     import graft.ext.TextSearch
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
