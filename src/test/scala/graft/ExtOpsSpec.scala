@@ -1130,6 +1130,75 @@ class ExtOpsSpec extends SparkSpec {
       "reloaded index must answer bit-identically")
   }
 
+  test("maintained indexes round-trip through parquet: repaired ANN " +
+      "(refit cell ids survive) and streamed-ingest BM25") {
+    import graft.ext.{Similarity, TextSearch}
+    // REPAIRED ANN index: refit cell ids live ABOVE the standing set —
+    // persistence must carry them and answer bit-identically (a repair
+    // followed by a reload is the production sequence)
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    val idx0 = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 16)
+    val cells = idx0.codes.filter($"sub" === 0)
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"cell").limit(2)
+      .collect().map(_.getInt(0)).toSeq
+    val repaired = Similarity.repairDriftedCells(idx0, emb,
+      "vec_id", "embedding", cells, splitInto = 2)
+    assert(repaired.centroids.map(_._1).max > 7, "refit ids above standing")
+    val q = emb.filter($"vec_id" % 100 === 0)
+    val direct = Similarity.ivfPqTopKOnIndex(repaired, q,
+        "vec_id", "embedding", 5, nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("maintidx").toString
+    repaired.codes.write.partitionBy("cell").parquet(s"$dir/codes")
+    val reloaded = repaired.copy(codes = spark.read.parquet(s"$dir/codes"))
+    val fromDisk = Similarity.ivfPqTopKOnIndex(reloaded, q,
+        "vec_id", "embedding", 5, nProbe = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(direct.nonEmpty && fromDisk == direct,
+      "reloaded repaired index must answer bit-identically")
+
+    // STREAMED BM25 ingest: document batches arriving as a stream fold
+    // into the standing index via mergeBm25Index per micro-batch —
+    // the continuous-corpus form of the x145 standing index — and the
+    // result answers bit-identically to a one-shot build
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/in/f1")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/f2")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in/f1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    // the standing index state: folded on the driver per micro-batch,
+    // postings accumulated as reloadable parquet (epoch dirs)
+    var standing = TextSearch.buildBm25Index(
+      docs.limit(0), "doc_id", "text") // empty seed
+    standing = standing.copy(postings = standing.postings.localCheckpoint(true))
+    val ingest = in.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val add = TextSearch.mergeBm25Index(standing, batch,
+          "doc_id", "text")
+        // materialize the epoch so the standing plan never re-reads the
+        // (consumed) micro-batch
+        standing = add.copy(postings = add.postings.localCheckpoint(true))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    ingest.awaitTermination()
+    val qs = Seq(1 -> "hash join strategy", 2 -> "stream batch merge")
+    val streamed = TextSearch.bm25TopKOnIndex(standing, qs, k = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    val oneShot = TextSearch.bm25TopKOnIndex(
+        TextSearch.buildBm25Index(docs, "doc_id", "text"), qs, k = 10)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "stream-folded index must equal a one-shot build bit-for-bit")
+  }
+
   test("blocked near-dup pairs equal naive all-pairs (every block count)") {
     val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
     // naive all-pairs triangle as the in-test oracle (the shape the
