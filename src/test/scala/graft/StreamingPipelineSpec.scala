@@ -198,6 +198,42 @@ class StreamingPipelineSpec extends SparkSpec {
       "destroy must soft-delete while preserving the current value")
   }
 
+  test("MoR: empty micro-batches leave no epoch and no version bump, " +
+      "on both the precomputed-set and the footer-check paths") {
+    val ddl = "synced_id LONG, synced_updated_at TIMESTAMP, " +
+      "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+      "value DOUBLE, synced_data STRING"
+    val tmp = Files.createTempDirectory("graft-mor-empty").toString
+    val mor = new ParquetReplica(spark, s"$tmp/r", ddl, buckets = 4,
+      mergeOnRead = true, compactEvery = 100)
+    def upd(rows: (Long, java.sql.Timestamp, String, Double)*) =
+      rows.toSeq
+        .toDF("synced_id", "synced_updated_at", "event_type", "value")
+        .withColumn("synced_created_at", $"synced_updated_at")
+        .withColumn("canceled_at", lit(null).cast("timestamp"))
+        .withColumn("synced_data", concat(lit("d"), $"synced_id"))
+    mor.merge(upd((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+      "updated", 1.0)))
+    val v = mor.currentVersion
+    val epochs = mor.deltaEntries(v).size
+    val emptyBatch = upd().limit(0)
+    // footer-check path (no precomputed set): the delta write runs, the
+    // parquet footers read zero rows, nothing publishes — an idle
+    // stream's watermark ticks must never bump versions or leave dirs
+    mor.merge(emptyBatch)
+    assert(mor.currentVersion == v && mor.deltaEntries(v).size == epochs,
+      "footer path must not publish an empty epoch")
+    // precomputed-empty path: short-circuits before any Spark job
+    mor.mergeTouched(emptyBatch, Some(Set.empty))
+    assert(mor.currentVersion == v && mor.deltaEntries(v).size == epochs)
+    // no orphan delta dir left behind by the aborted write
+    val vDirs = Option(new java.io.File(s"$tmp/r/v${v + 1}").listFiles())
+      .getOrElse(Array.empty)
+    assert(vDirs.isEmpty, s"orphan epoch files: ${vDirs.toSeq}")
+    // and the table is untouched
+    assert(mor.read().count() == 1)
+  }
+
   test("StatefulLww drops stale events across micro-batches") {
     val tmp = Files.createTempDirectory("graft-lww").toString
     // two files = two micro-batches with MaxFilesPerTrigger(1):
