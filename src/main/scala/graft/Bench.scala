@@ -139,20 +139,24 @@ object Bench {
     // below-saturation SLO. Failures report null, never kill the line.
     val capacityJson =
       if (args.nonEmpty) "null"
-      else try {
-        def one(mor: Boolean): String = {
-          val c = graft.streaming.StreamBench.capacity(spark, mor)
-          val pts = c.points.map(p =>
-            f"""[${p.targetRps}%.0f,${p.measuredRps}%.0f,${p.p50Ms}%.0f,${p.p95Ms}%.0f]""")
-            .mkString("[", ",", "]")
-          f"""{"knee_rows_per_sec":${c.kneeRowsPerSec}%.0f,""" +
-            s""""points_target_measured_p50_p95":$pts}"""
-        }
+      else {
+        // per-mode isolation: one mode failing must not discard the
+        // other's measured knee
+        def one(mor: Boolean): String =
+          try {
+            val c = graft.streaming.StreamBench.capacity(spark, mor)
+            val pts = c.points.map(p =>
+              f"""[${p.targetRps}%.0f,${p.measuredRps}%.0f,${p.p50Ms}%.0f,${p.p95Ms}%.0f]""")
+              .mkString("[", ",", "]")
+            f"""{"knee_rows_per_sec":${c.kneeRowsPerSec}%.0f,""" +
+              s""""points_target_measured_p50_p95":$pts}"""
+          } catch {
+            case e: Throwable =>
+              System.err.println(
+                s"BENCH ERROR stream_capacity(${if (mor) "mor" else "cow"}): ${e.getMessage}")
+              "null"
+          }
         s"""{"mor":${one(true)},"cow":${one(false)}}"""
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH ERROR stream_capacity: ${e.getMessage}")
-          "null"
       }
     val calibCpuEnd = calibCpu()
     val calibSparkEnd = calibSpark()

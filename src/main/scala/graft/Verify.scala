@@ -35,11 +35,18 @@ object Verify {
       val root = new java.io.File(outDir)
       if (root.exists() && !root.isDirectory)
         sys.error(s"outDir $outDir exists and is not a directory")
-      // a sweep artifact = a directory holding a Spark parquet dump
-      // (_SUCCESS marker) — covers renamed queries' stale dirs without
-      // touching anything a sweep didn't write
-      def isDump(f: java.io.File): Boolean = f.isDirectory &&
-        new java.io.File(f, "_SUCCESS").exists()
+      // a sweep artifact = a directory holding a Spark parquet dump:
+      // committed (_SUCCESS marker) OR crashed-partial (part files /
+      // _temporary / empty dir — an OOM-killed sweep's debris would
+      // otherwise resurface forever as an oracle-less query row after
+      // a rename). Still never touches anything a sweep didn't write.
+      def isDump(f: java.io.File): Boolean = f.isDirectory && {
+        val entries = Option(f.listFiles()).getOrElse(Array.empty)
+        entries.isEmpty ||
+          entries.exists(e => e.getName == "_SUCCESS" ||
+            e.getName == "_temporary" || e.getName.startsWith("part-") ||
+            e.getName.startsWith(".part-"))
+      }
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => isDump(f) || f.getName == "oracle_sql.json")
         .foreach(rm)

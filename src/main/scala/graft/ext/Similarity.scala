@@ -858,13 +858,29 @@ object Similarity {
     * re-derives everything downstream of it. */
   def repairCentroids(index: IvfPqIndex, corpus: DataFrame, idCol: String,
       vecCol: String, cells: Seq[Int], splitInto: Int = 2,
-      seed: Long = 42L, fitSample: Int = 4096): Seq[(Int, Array[Double])] = {
-    require(cells.nonEmpty && splitInto >= 1)
-    val affectedIds = index.codes.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      seed: Long = 42L, fitSample: Int = 4096): Seq[(Int, Array[Double])] =
+    repairCentroidsOf(index,
+      affectedVectors(index, corpus, idCol, vecCol, cells),
+      cells, splitInto, seed, fitSample)
+
+  /** The affected-vector frame of a repair: the corpus rows whose ids
+    * the index currently routes to `cells` — computed ONCE and shared
+    * by the fit sample and the re-routing pass. */
+  private def affectedVectors(index: IvfPqIndex, corpus: DataFrame,
+      idCol: String, vecCol: String, cells: Seq[Int]): DataFrame = {
+    val affectedIds = index.codes
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col("nid")).distinct()
-    val sample = corpus
+    corpus
       .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("v"))
       .join(affectedIds, Seq("nid"), "left_semi")
+  }
+
+  private def repairCentroidsOf(index: IvfPqIndex, affected: DataFrame,
+      cells: Seq[Int], splitInto: Int, seed: Long,
+      fitSample: Int): Seq[(Int, Array[Double])] = {
+    require(cells.nonEmpty && splitInto >= 1)
+    val sample = affected
       .orderBy(pmod(xxhash64(col("nid")), lit(1000000007L)), col("nid"))
       .limit(fitSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -902,19 +918,20 @@ object Similarity {
   def repairDriftedCells(index: IvfPqIndex, corpus: DataFrame,
       idCol: String, vecCol: String, cells: Seq[Int], splitInto: Int = 2,
       seed: Long = 42L): IvfPqIndex = {
-    val refit = repairCentroids(index, corpus, idCol, vecCol, cells,
-      splitInto, seed)
+    // ONE affected-vector pass (codes filter + corpus semi-join) feeds
+    // both the fit sample and the re-routing — a repair must not scan
+    // the standing code table twice
+    val affected = affectedVectors(index, corpus, idCol, vecCol, cells)
+      .localCheckpoint(eager = false)
+    val refit = repairCentroidsOf(index, affected, cells, splitInto,
+      seed, fitSample = 4096)
     val cellSet = cells.toSet
     val survivors = index.centroids.filterNot(c => cellSet(c._1))
-    val affected = index.codes
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-    val rerouted = assignCells(
-        corpus.select(col(idCol).as("nid"),
-            col(vecCol).cast("array<double>").as("v"))
-          .join(affected.select(col("nid")).distinct(), Seq("nid"), "left_semi"),
-        "v", refit)
+    val rerouted = assignCells(affected, "v", refit)
       .select(col("nid"), col("cell").as("__new_cell"))
-    val repairedRows = affected.drop("cell")
+    val repairedRows = index.codes
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .drop("cell")
       .join(rerouted, Seq("nid"))
       .select(col("nid"), col("__new_cell").as("cell"), col("sub"), col("code"))
     index.copy(
@@ -971,7 +988,8 @@ object Similarity {
     val base = stream.select(col(tsCol).as("__ts"), col(idCol).as("nid"),
       col(vecCol).cast("array<double>").as("v"))
     assignCells(base, "v", centroids)
-      .join(centDf, "cell")
+      .join(broadcast(centDf), "cell") // pin the map-only shape (the
+      // batch twin's hint) — an unhinted plan could shuffle per trigger
       .select(col("__ts"), col("cell"),
         round(l2sqCol(col("v"), col("cvec")) * 1000, 0).cast("long").as("d2m"))
       .withWatermark("__ts", watermark)
@@ -1002,8 +1020,14 @@ object Similarity {
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        // DECIMAL(38) cross-products: the Long form overflowed at
+        // exactly the populations this audit exists for (n_base ≈ 2e6,
+        // sb ≈ 2e10 → 1000·sd·n_base ≈ 1e19 > Long.MaxValue, wrapping
+        // negative and silently never firing the repair trigger)
         when(col("sb") > 0 && col("n_delta") > 0,
-          expr("(1000 * sd * n_base) div (sb * n_delta)")).as("drift_pm"))
+          floor((lit(1000).cast("decimal(38,0)") * col("sd") * col("n_base")) /
+            (col("sb").cast("decimal(38,0)") * col("n_delta")))
+            .cast("long")).as("drift_pm"))
   }
 
   /** Query a prebuilt [[IvfPqIndex]]: probe `nProbe` cells per query

@@ -38,8 +38,15 @@ object TextSearch {
     * two exact corpus scalars. */
   def buildBm25Index(df: DataFrame, idCol: String,
       textCol: String): Bm25Index = {
-    val toks = df.select(col(idCol).as("nid"),
-      split(col(textCol), " ").as("tk"))
+    // drop null-text rows BEFORE counting: a null text contributes zero
+    // postings rows but would still count in nDocs, leaving a doc the
+    // index can neither rank nor (crucially) DELETE — removeFromBm25Index
+    // recovers its decrements from the postings, so every doc in nDocs
+    // must own at least one posting row (an empty string still does:
+    // split gives one "" token)
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("nid"),
+        split(col(textCol), " ").as("tk"))
     val postings = toks
       .select(col("nid"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))
@@ -130,8 +137,11 @@ object TextSearch {
       queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     graft.functions.Functions.register(df.sparkSession)
-    val toks = df.select(col(idCol).as("nid"),
-      split(col(textCol), " ").as("tk"))
+    // same null-text rule as buildBm25Index: the two paths must agree
+    // on nDocs/avgdl for their pinned bit-equality
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("nid"),
+        split(col(textCol), " ").as("tk"))
     // exact integer count/sum — the derived avgdl is deterministic and
     // identical to the index path's
     val st = toks

@@ -627,8 +627,12 @@ object NaiveOracles {
       .select(col("cell"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        // decimal cross-products, mirroring the engine's overflow-safe
+        // arithmetic exactly (same floor, same casts)
         when(col("sb") > 0 && col("n_delta") > 0,
-          expr("(1000 * sd * n_base) div (sb * n_delta)")).as("drift_pm"))
+          floor((lit(1000).cast("decimal(38,0)") * col("sd") * col("n_base")) /
+            (col("sb").cast("decimal(38,0)") * col("n_delta")))
+            .cast("long")).as("drift_pm"))
     topk.join(drift, Seq("cell"), "left")
       .select(col("qid"), col("nid"), col("rnk"), col("adc"),
         col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))

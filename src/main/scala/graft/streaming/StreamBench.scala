@@ -145,8 +145,15 @@ object StreamBench {
         // no in-batch keepLatest here: the MoR reconcile resolves
         // multiple rows of a key WITHIN an epoch by the same C7 rule
         // (sort + fold), so the per-batch window shuffle is redundant
-        // work on the latency path — the delta write stays map-only
-        replica.merge(stamped)
+        // work on the latency path — the delta write stays map-only.
+        // CoW mode runs TWO actions per merge (bucket probe + rewrite);
+        // persist so the batch materializes once, or the capacity
+        // sweep's MoR-vs-CoW comparison is biased by pure harness
+        // re-computation (the stamps are event-time data, so WHEN the
+        // stamp UDF fires — cache fill vs write — changes nothing)
+        val toMerge = if (mergeOnRead) stamped else stamped.persist()
+        try replica.merge(toMerge)
+        finally if (!mergeOnRead) { toMerge.unpersist(); () }
         // stamp AFTER the merge commits — lag includes apply, not
         // just arrival. The accumulator is bounded by the feeder total.
         val now = System.currentTimeMillis()
@@ -299,15 +306,26 @@ object StreamBench {
     var degraded = false
     while (!degraded && rpb <= maxRowsPerBatch) {
       val target = rpb.toDouble * 1000.0 / feedIntervalMs
-      val r = run(spark, batches = batches, rowsPerBatch = rpb,
+      // per-point failure isolation: a deeply saturated point can time
+      // out its drain — that IS a past-capacity observation, and it
+      // must end the sweep gracefully instead of throwing away the
+      // points (and the knee) already measured
+      scala.util.Try(run(spark, batches = batches, rowsPerBatch = rpb,
         feedIntervalMs = feedIntervalMs, warmupBatches = warmupBatches,
-        mergeOnRead = mergeOnRead)
-      points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
-      if (baseP95.isNaN) baseP95 = r.p95Ms
-      if (r.p95Ms <= degradeFactor * baseP95) {
-        knee = math.max(knee, r.rowsPerSec)
-        rpb *= 2
-      } else degraded = true
+        mergeOnRead = mergeOnRead)) match {
+        case scala.util.Success(r) =>
+          points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
+          if (baseP95.isNaN) baseP95 = r.p95Ms
+          if (r.p95Ms <= degradeFactor * baseP95) {
+            knee = math.max(knee, r.rowsPerSec)
+            rpb *= 2
+          } else degraded = true
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"[capacity $mode] point rpb=$rpb failed (${e.getMessage}) — " +
+              "treating as past capacity")
+          degraded = true
+      }
     }
     CapacityResult(mode, knee, points.result())
   }
