@@ -315,7 +315,12 @@ object StreamBench {
         mergeOnRead = mergeOnRead)) match {
         case scala.util.Success(r) =>
           points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
-          if (baseP95.isNaN) baseP95 = r.p95Ms
+          // gate on the BEST p95 seen so far, not the first point: a
+          // noisy first measurement (cold caches, a background
+          // compaction) would inflate the gate and let every later
+          // point "pass" — observed once in-sweep, where a 3.1 s CoW
+          // base point declared an 81k knee that was really the row cap
+          if (baseP95.isNaN || r.p95Ms < baseP95) baseP95 = r.p95Ms
           if (r.p95Ms <= degradeFactor * baseP95) {
             knee = math.max(knee, r.rowsPerSec)
             rpb *= 2
