@@ -47,8 +47,17 @@ object Verify {
             e.getName == "_temporary" || e.getName.startsWith("part-") ||
             e.getName.startsWith(".part-"))
       }
+      // AND-gate on the sweep's own naming scheme: a live query key, or
+      // the key pattern every graft query follows (`c02_keep_latest`,
+      // `x149_ann_extend`, …) so a RENAMED query's stale dump still
+      // clears — but a dump-shaped directory some other job wrote into
+      // a misconfigured shared outDir does not.
+      val keyShaped = "^[a-z]{1,6}\\d{1,3}(_[a-z0-9_]+)?$".r
+      def sweepNamed(n: String): Boolean =
+        SparkEntry.queries.contains(n) || keyShaped.matches(n)
       Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => isDump(f) || f.getName == "oracle_sql.json")
+        .filter(f => (isDump(f) && sweepNamed(f.getName)) ||
+          f.getName == "oracle_sql.json")
         .foreach(rm)
     }
     new java.io.File(outDir).mkdirs()

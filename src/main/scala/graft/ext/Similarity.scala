@@ -914,7 +914,9 @@ object Similarity {
     * keeps its old routing — the same approximation any IVF index
     * accepts at assignment time, and exactly what bounds repair cost
     * to the drifted cells. `corpus` must carry the affected ids'
-    * vectors (the standing corpus table). */
+    * vectors (the standing corpus table) — ENFORCED: repair fails
+    * loudly if any affected code row finds no corpus vector, rather
+    * than silently deleting it. */
   def repairDriftedCells(index: IvfPqIndex, corpus: DataFrame,
       idCol: String, vecCol: String, cells: Seq[Int], splitInto: Int = 2,
       seed: Long = 42L): IvfPqIndex = {
@@ -929,10 +931,23 @@ object Similarity {
     val survivors = index.centroids.filterNot(c => cellSet(c._1))
     val rerouted = assignCells(affected, "v", refit)
       .select(col("nid"), col("cell").as("__new_cell"))
-    val repairedRows = index.codes
+    val doomedCodes = index.codes
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .drop("cell")
-      .join(rerouted, Seq("nid"))
+    val joined = doomedCodes.join(rerouted, Seq("nid"), "left")
+    // Degrade loudly: the corpus contract ("must carry the affected
+    // ids' vectors") is CHECKED, not assumed — an id absent from the
+    // caller's corpus would otherwise vanish from the index here,
+    // turning repair into an unlogged delete. One bounded agg over
+    // the drifted cells' code rows, on a rare maintenance path.
+    val cov = joined.agg(count(lit(1)), count(col("__new_cell"))).head()
+    require(cov.getLong(0) == cov.getLong(1),
+      s"repairDriftedCells: corpus is missing vectors for " +
+        s"${cov.getLong(0) - cov.getLong(1)} of ${cov.getLong(0)} affected " +
+        s"code rows in cells $cells — repair would silently drop them; " +
+        "pass the standing corpus, or delete explicitly via " +
+        "removeFromIvfPqIndex first")
+    val repairedRows = joined
       .select(col("nid"), col("__new_cell").as("cell"), col("sub"), col("code"))
     index.copy(
       centroids = survivors ++ refit,

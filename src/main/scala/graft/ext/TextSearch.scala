@@ -118,6 +118,104 @@ object TextSearch {
       index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
   }
 
+  /** A [[Bm25Index]] persisted to storage and reloaded: the postings
+    * live PARTITIONED BY `tok_bucket` (= `pmod(xxhash64(tok), n)`) and
+    * sorted by `tok` within each file, so a probe prunes to its terms'
+    * bucket DIRECTORIES before any file opens (file-level pruning) and
+    * to matching row groups via the sorted column's min/max stats — the
+    * layout PERF.md's standing-deployment claim is about, now an API
+    * instead of a doc sentence. The two exact corpus scalars and the
+    * bucket count ride a driver-side manifest. `postings` here carries
+    * the extra `tok_bucket` column; [[toIndex]] drops it for callers
+    * that want the plain in-memory contract. */
+  final case class StoredBm25Index(nDocs: Long, totalTokens: Long,
+      tokBuckets: Int, postings: DataFrame) {
+    def toIndex: Bm25Index =
+      Bm25Index(nDocs, totalTokens, postings.drop("tok_bucket"))
+  }
+
+  /** Driver-side twin of the save path's Spark-side bucket expression
+    * `pmod(xxhash64(tok), n)` — evaluates the SAME Catalyst xxhash64 on
+    * a literal, so a probe can enumerate its terms' buckets without a
+    * job. Bm25StorageSpec pins save→load→probe bit-equality to the
+    * in-memory index, which fails if the two ever diverge. */
+  def tokBucket(term: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal.create(term,
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    val m = (h % nBuckets).toInt
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** Persist a [[Bm25Index]] as the standing retrieval layout:
+    * `path/postings/tok_bucket=<b>/…` (one shuffle to co-locate each
+    * bucket, `sortWithinPartitions(tok)` so parquet row-group min/max
+    * stats answer the term `isin`), plus `path/manifest.json` with the
+    * two exact corpus scalars and the bucket count. At 100 TB the
+    * postings write is the one shuffle an index build amortizes over
+    * every future probe batch; `tokBuckets` sizes directories, not
+    * correctness (default 64 keeps sf-scale files non-trivial — a real
+    * deployment raises it so each bucket is a few hundred MB). */
+  def saveBm25Index(index: Bm25Index, path: String,
+      tokBuckets: Int = 64): Unit = {
+    index.postings
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).cast("int"))
+      .repartition(col("tok_bucket"))
+      .sortWithinPartitions(col("tok"), col("nid"))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$path/postings")
+    // driver-side manifest (the ParquetReplica convention: local-FS
+    // metadata beside the data; a distributed deployment swaps this
+    // seam for the object store's conditional put)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      s"""{"nDocs": ${index.nDocs}, "totalTokens": ${index.totalTokens}, """ +
+        s""""tokBuckets": $tokBuckets}""")
+    ()
+  }
+
+  /** Reload a persisted index. The postings frame keeps `tok_bucket` so
+    * probe-time partition pruning can use it ([[bm25TopKOnStoredIndex]]);
+    * scalars come from the manifest — no corpus-sized action. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): StoredBm25Index = {
+    val man = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/manifest.json"))
+    def lng(k: String): Long =
+      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
+        .getOrElse(sys.error(s"bm25 manifest at $path missing $k"))
+        .group(1).toLong
+    StoredBm25Index(lng("nDocs"), lng("totalTokens"),
+      lng("tokBuckets").toInt,
+      spark.read.parquet(s"$path/postings")
+        .select(col("nid"), col("dl"), col("tok"), col("tf"),
+          col("tok_bucket")))
+  }
+
+  /** BM25 top-`k` from a RELOADED index: identical scores to
+    * [[bm25TopKOnIndex]] (same postings rows reach the same scoring
+    * tail), but the term pruning happens in two stages the flat layout
+    * cannot express — `tok_bucket isin` (static PARTITION pruning: only
+    * the query terms' bucket directories are even listed) then the
+    * usual `tok isin` (row-group pruning via the sorted column's
+    * min/max). The probe reads O(terms' buckets), not O(index). */
+  def bm25TopKOnStoredIndex(index: StoredBm25Index,
+      queries: Seq[(Int, String)], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    if (index.nDocs == 0)
+      return emptyResult(index.postings.drop("tok_bucket"))
+    val qterms = queries.flatMap(_._2.split(" ")).distinct
+    val buckets = qterms.map(t => tokBucket(t, index.tokBuckets)).distinct
+    val tf = index.postings
+      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(qterms: _*))
+      .drop("tok_bucket")
+    scorePostings(tf, index.nDocs.toDouble,
+      index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
+  }
+
   /** Zero-row (qid, rnk, nid, score) frame with `nid` typed like the
     * corpus id — the empty-corpus result (avgdl is undefined at nDocs=0;
     * the lazy-plan form used to return empty here and the corpus-stats

@@ -31,6 +31,24 @@ object StreamBench {
   final case class Result(p50Ms: Double, p95Ms: Double, maxMs: Double,
       rowsPerSec: Double, nRows: Long, nBatchesFed: Int, warmupRowsDropped: Int)
 
+  /** Per-task sequential row index for the stamp accumulator. Rows of a
+    * task are evaluated on one thread in order, so a ThreadLocal counter
+    * reset per `taskAttemptId` gives every row a stable
+    * (partitionId, idx) identity — a re-run attempt of the same
+    * partition regenerates the SAME keys, letting the driver dedup the
+    * double-add (accumulators are at-least-once under stage retry /
+    * cache-evicted recompute, which would otherwise inflate both the
+    * latency percentiles and awaitMerged's row count). */
+  private val rowIdxLocal = new ThreadLocal[Array[Long]]()
+  private def nextRowIdx(tc: org.apache.spark.TaskContext): Long = {
+    val att = tc.taskAttemptId()
+    var cur = rowIdxLocal.get()
+    if (cur == null || cur(0) != att) {
+      cur = Array(att, 0L); rowIdxLocal.set(cur)
+    }
+    val idx = cur(1); cur(1) = idx + 1; idx
+  }
+
   /** Defaults feed ~2.5k rows/s — comfortably BELOW the measured
     * ~10k rows/s saturated pipeline throughput on local[32], because a
     * latency SLO is a below-saturation number: feeding past capacity
@@ -132,14 +150,17 @@ object StreamBench {
         // side-effect accumulator on a pass-through column — the batch
         // is materialized exactly once — and the MoR merge needs no
         // up-front bucket set or emptiness probe anymore (deltaMerge
-        // checks the written parquet footers driver-side). Accumulator
-        // exactly-once caveat: a re-run stage could re-add stamps; on
-        // local mode with a single-stage map-only write that does not
-        // happen, and this is a measurement harness, not an operator.
+        // checks the written parquet footers driver-side). Accumulators
+        // are at-least-once under stage retry / recompute, so each
+        // stamp carries a (partitionId, row-idx) identity and the
+        // driver dedups on it — a re-run partition regenerates the
+        // same keys and collapses to one stamp per row.
         val acc = session.sparkContext
-          .collectionAccumulator[java.lang.Long](s"lag-stamps-$bid")
-        val stampU = udf { (us: java.lang.Long) => acc.add(us); us }
-          .asNondeterministic() // pin one evaluation per row
+          .collectionAccumulator[(Int, Long, Long)](s"lag-stamps-$bid")
+        val stampU = udf { (us: java.lang.Long) =>
+          val tc = org.apache.spark.TaskContext.get()
+          acc.add((tc.partitionId(), nextRowIdx(tc), us.longValue())); us
+        }.asNondeterministic() // pin one evaluation per row
         val stamped = batch.withColumn("synced_updated_at",
           timestamp_micros(stampU(unix_micros(col("synced_updated_at")))))
         // no in-batch keepLatest here: the MoR reconcile resolves
@@ -158,7 +179,11 @@ object StreamBench {
         // just arrival. The accumulator is bounded by the feeder total.
         val now = System.currentTimeMillis()
         import scala.jdk.CollectionConverters._
-        val stamps = acc.value.asScala.toSeq
+        val seen = new java.util.LinkedHashMap[(Int, Long), Long]()
+        acc.value.asScala.foreach { case (pid, idx, us) =>
+          seen.putIfAbsent((pid, idx), us); ()
+        }
+        val stamps = seen.values.asScala.toSeq
         stamps.foreach(us => latencies.add(now - us / 1000L))
         if (stamps.nonEmpty) merges.add((now, stamps.size.toLong))
         if (verbose) System.err.println(

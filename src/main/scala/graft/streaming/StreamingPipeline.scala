@@ -596,15 +596,25 @@ final class ParquetReplica(spark: SparkSession, root: String,
       val next = v + 1
       val nb = bucketCount(v)
       val man = currentManifest(v)
+      // Pin `updates` when WE derive the touched set from it: the
+      // collect and the rewrite below must see the SAME rows — a
+      // nondeterministic updates plan re-evaluated at write time could
+      // land rows in buckets the collect never saw, and the manifest
+      // swap `(man -- touched) ++ written` would then REPLACE such a
+      // bucket with only the new rows (silent loss of its current
+      // rows). localCheckpoint (lazy) materializes on the collect and
+      // the write reuses the blocks — evaluated once, or fail loudly.
+      val ups = if (precomputedTouched.isEmpty)
+        updates.localCheckpoint(eager = false) else updates
       // bounded driver-side collect: at most `buckets` distinct values
-      val touched = precomputedTouched.getOrElse(updates
+      val touched = precomputedTouched.getOrElse(ups
         .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet)
       // empty micro-batch slice: nothing to merge, keep the version stable
       if (touched.isEmpty) return
       val target = readDirs(man.filter(t => touched(t._1)).values.toSeq)
       val written =
-        writeBuckets(Persistor.merge(target, prepare(target, updates)), next, nb)
+        writeBuckets(Persistor.merge(target, prepare(target, ups)), next, nb)
       publish(next, (man -- touched) ++ written, nb)
     }
 
@@ -636,6 +646,17 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val ds = deltaEntries(v)
     val seq = ds.lastOption.map(_._1).getOrElse(-1L) + 1L
     val dir = s"v$next/delta-$seq"
+    // Pin `updates` on the real-prepare path when WE derive the touched
+    // set: the collect and the write must see the SAME rows, or a
+    // nondeterministic updates plan could hash re-evaluated rows into
+    // buckets the collect missed — prepare would then find no current
+    // row for those keys and silently fall back to update values. The
+    // identity-prepare latency path is untouched (updates evaluated
+    // exactly once there, no pin needed).
+    val needsTouched = !(prepare eq Replica.identityPrepare) &&
+      precomputedTouched.isEmpty
+    val ups = if (needsTouched) updates.localCheckpoint(eager = false)
+      else updates
     val target =
       if (prepare eq Replica.identityPrepare)
         // never evaluated — placeholder so the signature stays uniform
@@ -644,7 +665,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
         // one bounded collect (≤ buckets values), the same cost the CoW
         // path pays; prepare joins on synced_id, so all rows for the
         // update keys live in these buckets
-        val touched = precomputedTouched.getOrElse(updates
+        val touched = precomputedTouched.getOrElse(ups
           .select(bucketOf(col("synced_id"), nb).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet)
         reconcile(readDirs(man.filter(t => touched(t._1)).values.toSeq), ds)
@@ -657,7 +678,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // (NullType), which parquet rejects — CoW never sees this because
     // Persistor.merge unions with the typed target, but the delta epoch
     // writes the shaped rows directly.
-    Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, updates))
+    Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, ups))
       .drop("__event")
       .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .withColumn("__seq", lit(seq))
