@@ -142,7 +142,7 @@ object TextSearch {
   def tokBucket(term: String, nBuckets: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     val h = XxHash64(Seq(Literal.create(term,
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
     val m = (h % nBuckets).toInt
     if (m < 0) m + nBuckets else m
@@ -159,6 +159,9 @@ object TextSearch {
     * deployment raises it so each bucket is a few hundred MB). */
   def saveBm25Index(index: Bm25Index, path: String,
       tokBuckets: Int = 64): Unit = {
+    // a zero-doc index writes no parquet files, leaving a layout the
+    // reader cannot even infer a schema from — refuse loudly
+    require(index.nDocs > 0, s"refusing to persist an empty index to $path")
     index.postings
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).cast("int"))

@@ -5030,7 +5030,116 @@ object ExtQueries {
         |SELECT qid, rnk, nid, score FROM (
         |  SELECT qid, nid, score, row_number() OVER (
         |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin),
+
+    // BM25 over the PERSISTED index layout (round-12: the storage the
+    // standing-deployment claims were about, as an API): build → save
+    // (postings partitioned by tok_bucket, sorted by tok) → RELOAD →
+    // probe. The probe prunes to its terms' bucket directories before
+    // any file opens (plan-pinned in PlanShapeSpec; measured
+    // files/rows-read reduction in PERF.md round 12) and must be
+    // bit-identical to the one-shot BM25 the oracle computes — layout
+    // is an access-path choice, never a semantics choice. Probe slice
+    // is tokens 2–6 (x68 uses 1–5, x145 uses 1–5/3–7), so the three
+    // retrieval audits stay distinct.
+    "x153_bm25_stored_probe" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val qs = docs
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 2, 5)).as("q"))
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq.sortBy(_._1)
+        // deterministic scratch path, overwritten per run (bounded
+        // footprint across sweeps); keyed by sfDir so concurrent
+        // sweeps at different scales never collide
+        val path = s"${sys.props("java.io.tmpdir")}/graft-x153-" +
+          s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.ext.TextSearch.saveBm25Index(
+          graft.ext.TextSearch.buildBm25Index(docs, "doc_id", "text"),
+          path, tokBuckets = 64)
+        val stored = graft.ext.TextSearch.loadBm25Index(s, path)
+        graft.ext.TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+          .groupBy(col("qid"))
+          .agg(coalesce(
+              min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
+              lit(0)).cast("long").as("self_rank"),
+            count(lit(1)).as("n_results"))
+          .orderBy(col("qid"))
+      },
+      """WITH tsrc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |q AS (SELECT CAST(doc_id AS INT) AS qid,
+        |    array_to_string(t[2:6], ' ') AS qtext
+        |  FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |cands AS (SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |  WHERE rnk <= 10)
+        |SELECT qid,
+        |  CAST(coalesce(min(CASE WHEN nid = qid THEN rnk END), 0) AS BIGINT)
+        |    AS self_rank,
+        |  count(*) AS n_results
+        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin),
+
+    // The PERSISTED ANN index through a full maintenance cycle: build
+    // on 90% → save (codes partitioned by cell) → RELOAD → extend with
+    // the 10% batch → delete a slice → save the MAINTAINED state to a
+    // second location (never overwrite a layout your lazy codes still
+    // read from) → reload → probe. Hash-checked against
+    // NaiveOracles.x154, which brute-force re-encodes the final
+    // survivor corpus from the same frozen fits: two parquet
+    // round-trips and three maintenance ops must be bit-invisible.
+    // Probes against the cell-partitioned layout dynamic-partition-
+    // prune to the probed cells' directories (PlanShapeSpec).
+    "x154_ann_stored_index" -> rowsOnly(
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val doomed = emb.filter(col("vec_id") % 20 === 5)
+          .select(col("vec_id"))
+        val root = s"${sys.props("java.io.tmpdir")}/graft-x154-" +
+          s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        Similarity.saveIvfPqIndex(
+          Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+            nCentroids = 16, m = 4, codebookSize = 16, seed = 42L),
+          s"$root/v0")
+        val idx0 = Similarity.loadIvfPqIndex(s, s"$root/v0")
+        Similarity.saveIvfPqIndex(
+          Similarity.removeFromIvfPqIndex(
+            Similarity.extendIvfPqIndex(idx0, delta, "vec_id", "embedding"),
+            doomed, "vec_id"),
+          s"$root/v1")
+        val idx = Similarity.loadIvfPqIndex(s, s"$root/v1")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        Similarity.ivfPqTopKOnIndex(idx, queries, "vec_id", "embedding",
+            k = 5, nProbe = 4)
+          .join(idx.codes.filter(col("sub") === 0)
+            .select(col("nid"), col("cell")), "nid")
+          .select(col("qid"), col("nid"), col("rnk"), col("adc"),
+            col("cell"))
+          .orderBy(col("qid"), col("rnk"))
+      })
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

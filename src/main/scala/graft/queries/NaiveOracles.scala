@@ -60,6 +60,7 @@ object NaiveOracles {
     "x56_ann_ivfpq" -> (x56 _),
     "x149_ann_index_upsert" -> (x149 _),
     "x152_ann_drift_repair" -> (x152 _),
+    "x154_ann_stored_index" -> (x154 _),
     "x57_incremental_neardup" -> (x57 _),
     "x88_bpe_learn" -> (x88 _),
     "x93_bpe_encode" -> (x93 _),
@@ -636,6 +637,82 @@ object NaiveOracles {
     topk.join(drift, Seq("cell"), "left")
       .select(col("qid"), col("nid"), col("rnk"), col("adc"),
         col("cell"), col("n_base"), col("n_delta"), col("drift_pm"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Naive x154: the stored-index lifecycle's END STATE re-derived —
+    * identical final corpus and frozen fits to [[x149]] (build on 90%,
+    * extend 10%, delete the %20==5 slice), WITHOUT the drift columns:
+    * the query under test adds two parquet round-trips of the index
+    * layout, and this oracle proves they are bit-invisible. Brute-force
+    * re-encode of the survivor corpus from exploded literals, the x149
+    * kernel. */
+  private def x154(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val codebookSize = 16; val k = 5; val seed = 42L
+    val emb = tbl(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val doomed = emb.filter(col("vec_id") % 20 === 5).select(col("vec_id"))
+    val cents = graft.ext.Similarity.ivfCentroids(
+      base, "vec_id", "embedding", nCentroids = 16, seed = seed)
+    val cb = graft.ext.Similarity.pqCodebook(
+      base, "vec_id", "embedding", m, codebookSize, seed)
+    val centArr = array(cents.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toIndexedSeq: _*).as("cvec"))
+    }: _*)
+    val corpus = base.unionByName(delta)
+      .join(doomed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("v"))
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    val subDim = dim / m
+    def l2sq(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (a: Column, b: Column) => (a - b) * (a - b)),
+      lit(0.0), (acc: Column, t: Column) => acc + t)
+    val aw = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.cell"))
+    val cellOf = corpus
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("v"), col("c.cvec")))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("c.cell").as("cell"))
+    val cents2: Seq[Seq[Array[Double]]] = (0 until m).map { subIdx =>
+      cb.filter(_._1 == subIdx).sortBy(_._2).map(_._3)
+    }
+    def litVec(c: Array[Double]): Column = array(c.map(lit).toIndexedSeq: _*)
+    def codeCentroid(subIdx: Int): DataFrame = {
+      val cbArr = array(cents2(subIdx).zipWithIndex.map { case (c, ci) =>
+        struct(lit(ci).as("code"), litVec(c).as("cvec"))
+      }: _*)
+      val sv = slice(col("v"), subIdx * subDim + 1, subDim)
+      val exp = corpus.select(col("nid"), sv.as("sv"))
+        .withColumn("c", explode(cbArr))
+        .withColumn("d2", l2sq(col("sv"), col("c.cvec")))
+      val w = Window.partitionBy(col("nid")).orderBy(col("d2"), col("c.code"))
+      exp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("nid"), col("c.cvec").as(s"cent$subIdx"))
+    }
+    val encoded = (0 until m).map(codeCentroid)
+      .reduce((a, b) => a.join(b, "nid"))
+      .join(cellOf, "nid")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val pw = Window.partitionBy(col("qid")).orderBy(col("d2"), col("c.cell"))
+    val probes = q
+      .withColumn("c", explode(centArr))
+      .withColumn("d2", l2sq(col("qv"), col("c.cvec")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= 4)
+      .select(col("qid"), col("qv"), col("c.cell").as("cell"))
+    val adc = (0 until m).map { subIdx =>
+      l2sq(slice(col("qv"), subIdx * subDim + 1, subDim), col(s"cent$subIdx"))
+    }.reduce(_ + _)
+    val scored = probes.join(encoded, "cell").withColumn("adc", adc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), col("adc"), col("cell"))
       .orderBy(col("qid"), col("rnk"))
   }
 

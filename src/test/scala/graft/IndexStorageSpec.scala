@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, TextSearch}
+
+/** Persisted standing-index layouts (round 12): BM25 postings
+  * partitioned by `tok_bucket` + sorted by `tok`; IVF-PQ codes
+  * partitioned by `cell`. The contract under test: storage is an
+  * access-path choice, never a semantics choice — save→load→probe is
+  * bit-identical to the in-memory index, the driver-side bucket hash
+  * agrees with the Spark-side one, and every maintenance entry point
+  * accepts a reloaded index unchanged. */
+class IndexStorageSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private lazy val docs =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private lazy val qs: Seq[(Int, String)] = docs
+    .filter(col("doc_id") % 10 === 0)
+    .select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("q"))
+    .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+    .toSeq.sortBy(_._1)
+
+  test("bm25: save→load round-trips scalars, postings, and probe results bit-exactly") {
+    val idx = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val path = tmpDir("bm25")
+    TextSearch.saveBm25Index(idx, path, tokBuckets = 16)
+    val stored = TextSearch.loadBm25Index(spark, path)
+    assert(stored.nDocs === idx.nDocs)
+    assert(stored.totalTokens === idx.totalTokens)
+    assert(stored.tokBuckets === 16)
+    // postings content identical (order-free compare)
+    val a = idx.postings.collect().map(_.toString).sorted
+    val b = stored.toIndex.postings
+      .select(col("nid"), col("dl"), col("tok"), col("tf"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // probe bit-equality, float scores included
+    val mem = TextSearch.bm25TopKOnIndex(idx, qs, k = 10)
+      .collect().map(_.toString).sorted
+    val st = TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(mem.length > 0 && mem.sameElements(st))
+  }
+
+  test("bm25: driver-side tokBucket agrees with the Spark-side save expression for every indexed token") {
+    val idx = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val n = 16
+    val sparkSide = idx.postings.select(col("tok")).distinct()
+      .withColumn("b", pmod(xxhash64(col("tok")), lit(n.toLong)).cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(sparkSide.nonEmpty)
+    sparkSide.foreach { case (tok, b) =>
+      assert(TextSearch.tokBucket(tok, n) === b, s"token '$tok'")
+    }
+  }
+
+  test("bm25: stored-index probe scans only the query terms' bucket partitions") {
+    val idx = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val path = tmpDir("bm25prune")
+    TextSearch.saveBm25Index(idx, path, tokBuckets = 16)
+    val stored = TextSearch.loadBm25Index(spark, path)
+    val someQs = qs.take(2)
+    val qterms = someQs.flatMap(_._2.split(" ")).distinct
+    val buckets = qterms.map(t => TextSearch.tokBucket(t, 16)).distinct
+    // the pruned-postings scan (what scorePostings checkpoints) carries
+    // a PartitionFilters entry on tok_bucket — file-level pruning
+    val pruned = stored.postings
+      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(qterms: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("tok_bucket"), plan.take(800))
+    // and the rows it reads are exactly the flat filter's rows
+    val flat = stored.toIndex.postings.filter(col("tok").isin(qterms: _*))
+      .collect().map(_.toString).sorted
+    val viaBuckets = pruned.drop("tok_bucket")
+      .collect().map(_.toString).sorted
+    assert(flat.nonEmpty && flat.sameElements(viaBuckets))
+  }
+
+  test("bm25: refuses to persist an empty index") {
+    val empty = TextSearch.buildBm25Index(docs.limit(0), "doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      TextSearch.saveBm25Index(empty, tmpDir("bm25empty"))
+    }
+  }
+
+  test("ivfpq: save→load round-trips fit artifacts and probe results bit-exactly") {
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 8, seed = 42L)
+    val path = tmpDir("ivfpq")
+    Similarity.saveIvfPqIndex(idx, path)
+    val loaded = Similarity.loadIvfPqIndex(spark, path)
+    // fit artifacts: exact doubles, same ids, same order after sort
+    assert(loaded.centroids.map(_._1) === idx.centroids.map(_._1).sorted)
+    idx.centroids.sortBy(_._1).zip(loaded.centroids).foreach {
+      case ((i1, v1), (i2, v2)) =>
+        assert(i1 === i2); assert(v1.toSeq === v2.toSeq)
+    }
+    idx.codebook.sortBy(t => (t._1, t._2)).zip(loaded.codebook).foreach {
+      case ((s1, c1, v1), (s2, c2, v2)) =>
+        assert(s1 === s2); assert(c1 === c2); assert(v1.toSeq === v2.toSeq)
+    }
+    // codes identical
+    val a = idx.codes.collect().map(_.toString).sorted
+    val b = loaded.codes.collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+    // probe bit-equality
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val mem = Similarity.ivfPqTopKOnIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    val st = Similarity.ivfPqTopKOnIndex(loaded, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(mem.nonEmpty && mem.sameElements(st))
+  }
+
+  test("ivfpq: maintenance ops compose over a RELOADED index (extend → remove → re-save → reload)") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val doomed = emb.filter(col("vec_id") % 20 === 5).select(col("vec_id"))
+    val mem = Similarity.removeFromIvfPqIndex(
+      Similarity.extendIvfPqIndex(
+        Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+          nCentroids = 8, m = 4, codebookSize = 8, seed = 42L),
+        delta, "vec_id", "embedding"),
+      doomed, "vec_id")
+    val root = tmpDir("ivfpq-maint")
+    Similarity.saveIvfPqIndex(
+      Similarity.buildIvfPqIndex(base, "vec_id", "embedding",
+        nCentroids = 8, m = 4, codebookSize = 8, seed = 42L),
+      s"$root/v0")
+    val idx0 = Similarity.loadIvfPqIndex(spark, s"$root/v0")
+    Similarity.saveIvfPqIndex(
+      Similarity.removeFromIvfPqIndex(
+        Similarity.extendIvfPqIndex(idx0, delta, "vec_id", "embedding"),
+        doomed, "vec_id"),
+      s"$root/v1")
+    val idx1 = Similarity.loadIvfPqIndex(spark, s"$root/v1")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val a = Similarity.ivfPqTopKOnIndex(mem, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfPqTopKOnIndex(idx1, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+}

@@ -232,6 +232,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(pB.contains("LeftAnti"), pB.take(2500))
   }
 
+  test("persisted index layouts: stored-BM25 probes partition-prune on " +
+      "tok_bucket, loaded-IVF-PQ probes dynamic-partition-prune on cell") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Similarity, TextSearch}
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape-idx").toString
+    // BM25: the pruned-postings scan (the frame scorePostings
+    // checkpoints) must carry a PARTITION filter on tok_bucket — the
+    // file-level pruning the layout exists for — and a pushed data
+    // filter on tok
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(docs, "doc_id", "text"), s"$root/bm25",
+      tokBuckets = 16)
+    val stored = TextSearch.loadBm25Index(spark, s"$root/bm25")
+    val qterms = Seq("hash", "join", "strategy")
+    val buckets = qterms.map(t => TextSearch.tokBucket(t, 16)).distinct
+    val pruned = stored.postings
+      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(qterms: _*))
+    val pB = pruned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = pB.linesIterator
+      .find(l => l.contains("FileScan") || l.contains("Scan parquet"))
+      .getOrElse(fail(s"no parquet scan in:\n${pB.take(1500)}"))
+    assert(scanLine.contains("PartitionFilters") &&
+      scanLine.contains("tok_bucket"),
+      s"bucket filter must reach the scan's PartitionFilters:\n$scanLine")
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("tok"),
+      s"term isin must push down:\n$scanLine")
+    // IVF-PQ: the probe's broadcast cell gate must become a dynamic
+    // partition pruning expression on the cell-partitioned codes scan
+    Similarity.saveIvfPqIndex(
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nCentroids = 8, m = 4, codebookSize = 16), s"$root/ivf")
+    val loaded = Similarity.loadIvfPqIndex(spark, s"$root/ivf")
+    val probe = Similarity.ivfPqTopKOnIndex(loaded,
+      emb.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      k = 5, nProbe = 3)
+    val pI = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pI.contains("dynamicpruningexpression"),
+      s"cell gate must DPP the codes scan:\n${pI.take(2500)}")
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
