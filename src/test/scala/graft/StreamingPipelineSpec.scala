@@ -1505,4 +1505,143 @@ class StreamingPipelineSpec extends SparkSpec {
     // path that resolves but ends at the WRONG model rejected
     intercept[IllegalArgumentException](reg(path = "lines").validate())
   }
+
+  test("standing ANN maintenance loop: streamed extends + windowed drift " +
+      "detection fire a durable repair; the store tracks the in-memory " +
+      "composition bit-exactly; drift-monitor state stays bounded") {
+    import graft.ext.{AnnIndexStore, Similarity}
+    val emb = graft.queries.Q.tbl(spark, sf(), "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"),
+        $"embedding".cast("array<double>").as("embedding"))
+    val tmp = Files.createTempDirectory("graft-annmaint").toString
+    val feedDir = s"$tmp/feed"; val corpusDir = s"$tmp/corpus"
+    new java.io.File(feedDir).mkdirs()
+
+    // standing index on the base corpus + fit-time per-cell baseline
+    val idx0 = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, m = 4, codebookSize = 8, seed = 42L)
+    val store = new AnnIndexStore(spark, s"$tmp/store")
+    store.init(idx0)
+    emb.write.parquet(corpusDir)
+    val baseline = Similarity.ivfCellStats(emb, "vec_id", "embedding",
+        idx0.centroids)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+    // feed batches: 1-2 in-distribution, 3-4 planted drift (every
+    // coordinate +5 — far off-manifold, all landing in one frozen
+    // cell), 5 in-distribution (also closes batch 4's window)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime / 1000
+    def batchDf(b: Int): org.apache.spark.sql.DataFrame = {
+      val drift = b == 3 || b == 4
+      emb.filter($"vec_id" % 5 === 0)
+        .select(($"vec_id" + b * 10000L).as("vec_id"),
+          (if (drift) transform($"embedding", x => x + lit(5.0))
+           else $"embedding").as("embedding"),
+          timestamp_seconds(lit(t0 + b * 3600L)).as("ts"))
+    }
+
+    // standing query 1: ingest — every micro-batch extends the store
+    // (O(batch) epoch append) and lands in the corpus table, exactly
+    // what a production vector pipeline does with arriving embeddings
+    val feedSchema = batchDf(1).schema
+    val ingest = spark.readStream.schema(feedSchema).parquet(feedDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp-ingest")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.drop("ts").localCheckpoint(eager = true)
+        store.extend(rows, "vec_id", "embedding")
+        rows.write.mode("append").parquet(corpusDir)
+        ()
+      }.start()
+    // standing query 2: the drift monitor — windowed assignment stats
+    // against the FIT-TIME centroids under a watermark (append mode:
+    // only closed windows emit)
+    val monitor = Similarity.ivfCellStatsStreaming(
+        spark.readStream.schema(feedSchema).parquet(feedDir),
+        "vec_id", "embedding", "ts", idx0.centroids,
+        windowDur = "1 hour", watermark = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("maint_drift")
+      .option("checkpointLocation", s"$tmp/cp-monitor")
+      .start()
+
+    // drive N micro-batches; replay log for the in-memory twin
+    var opLog = Vector.empty[(String, Int, Seq[Int])] // (op, batch, cells)
+    var repairedCells = Set.empty[Int]
+    try {
+      for (b <- 1 to 5) {
+        batchDf(b).write.mode("append").parquet(feedDir)
+        ingest.processAllAvailable()
+        monitor.processAllAvailable()
+        opLog :+= (("extend", b, Nil))
+        // trigger rule: per closed (window, cell), the engine's exact
+        // decimal drift_pm vs the fit-time baseline; ≥10 arrivals
+        val flagged = spark.table("maint_drift")
+          .as[(java.sql.Timestamp, Int, Long, Long)].collect()
+          .flatMap { case (_, cell, n, sd) =>
+            baseline.get(cell).collect {
+              case (nb, sb) if sb > 0 && n >= 10 &&
+                  (BigInt(1000) * sd * nb) / (BigInt(sb) * n) > 2000 => cell
+            }
+          }.toSet -- repairedCells
+        if (flagged.nonEmpty) {
+          val cells = flagged.toSeq.sorted
+          store.repair(spark.read.parquet(corpusDir),
+            "vec_id", "embedding", cells, splitInto = 2, seed = 42L)
+          repairedCells ++= flagged
+          opLog :+= (("repair", b, cells))
+        }
+      }
+    } finally { ingest.stop(); monitor.stop() }
+
+    // (a) the trigger FIRED, exactly once, on a cell the drift batch
+    // actually routed to under the frozen quantizer
+    assert(opLog.count(_._1 == "repair") == 1,
+      s"wanted exactly one repair, log: $opLog")
+    val driftCellsTruth = Similarity.ivfCellStats(batchDf(3), "vec_id",
+        "embedding", idx0.centroids)
+      .collect().map(_.getInt(0)).toSet
+    assert(repairedCells.subsetOf(driftCellsTruth),
+      s"repaired $repairedCells not among drift-arrival cells $driftCellsTruth")
+
+    // (b) the durable store tracks the same op sequence applied
+    // in memory — two epochs-and-manifests round-trips, tombstone-free
+    // path, and one atomic repair must be bit-invisible
+    var mem = idx0
+    opLog.foreach {
+      case ("extend", b, _) =>
+        mem = Similarity.extendIvfPqIndex(mem, batchDf(b).drop("ts"),
+          "vec_id", "embedding")
+      case ("repair", b, cells) =>
+        val corpusAt = emb.unionByName(
+          (1 to b).map(i => batchDf(i).drop("ts")).reduce(_ unionByName _))
+        mem = Similarity.repairDriftedCells(mem, corpusAt,
+          "vec_id", "embedding", cells, splitInto = 2, seed = 42L)
+      case other => fail(s"unexpected op $other")
+    }
+    val loaded = store.load()
+    val gotCodes = loaded.codes.collect().map(_.toString).sorted
+    val wantCodes = mem.codes.collect().map(_.toString).sorted
+    assert(gotCodes.length == wantCodes.length &&
+      gotCodes.sameElements(wantCodes),
+      s"store codes ${gotCodes.length} vs memory ${wantCodes.length}")
+    assert(loaded.centroids.map(_._1) == mem.centroids.map(_._1).sorted)
+    // probes during/after the run answer identically from the store
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val gotProbe = Similarity.ivfPqTopKOnIndex(loaded, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    val wantProbe = Similarity.ivfPqTopKOnIndex(mem, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(gotProbe.nonEmpty && gotProbe.sameElements(wantProbe))
+
+    // (c) the monitor's state is bounded: a windowed agg under a
+    // watermark holds (open windows × cells), never the stream
+    val stateRows = Option(monitor.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows <= 8 * 4,
+      s"drift-monitor state must stay bounded, got $stateRows rows")
+  }
 }
