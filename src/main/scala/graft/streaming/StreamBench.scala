@@ -71,9 +71,17 @@ object StreamBench {
       // ~100-200 ms of its own cost to every 300 ms sleep; the fast
       // feeder must pad the sleep instead, or the rate silently rises
       // toward saturation and the SLO reads queue depth again)
-      batches: Int = 30, rowsPerBatch: Int = 500,
+      batches: Int = 44, rowsPerBatch: Int = 500,
       triggerMs: Int = 25, feedIntervalMs: Int = 400,
-      warmupBatches: Int = 10,
+      // warmup 10→24 files fed at a DENSER cadence (150 ms): the fresh-
+      // vs-deep-warm gap (967 vs 808 ms p50, round 11) is residual JIT
+      // in the per-micro-batch planner/codegen path, and JIT warmth
+      // scales with CYCLES executed, not rows or wall time — 24 files
+      // at 150 ms buys 2.4× the warmup iterations in the same ~4 s of
+      // wall clock, and warmup rows drain fully before the measured
+      // phase so the feed-rate spec of the SLO phase is untouched
+      // (measured phase stays 20 batches at 400 ms = ~1.25k rows/s)
+      warmupBatches: Int = 24, warmupFeedIntervalMs: Int = 150,
       keySpace: Int = 10000, replicaBuckets: Int = 4,
       statePartitions: Int = 2, mergeOnRead: Boolean = true,
       timeoutMs: Long = 180000L, verbose: Boolean = false): Result = {
@@ -262,7 +270,7 @@ object StreamBench {
       // measured phase starts, or queue-clearing catch-up batches
       // smear into the percentiles
       for (b <- 0 until warmupBatches) {
-        feed(b); Thread.sleep(feedIntervalMs.toLong)
+        feed(b); Thread.sleep(warmupFeedIntervalMs.toLong)
       }
       awaitMerged(warmupBatches.toLong * rowsPerBatch)
       warmupEndMs = System.currentTimeMillis()
@@ -337,6 +345,10 @@ object StreamBench {
       // points (and the knee) already measured
       scala.util.Try(run(spark, batches = batches, rowsPerBatch = rpb,
         feedIntervalMs = feedIntervalMs, warmupBatches = warmupBatches,
+        // capacity warmup keeps the point's own cadence: at multi-k
+        // rowsPerBatch a denser warmup feed would just manufacture
+        // backlog the drain then has to clear before the point starts
+        warmupFeedIntervalMs = feedIntervalMs,
         mergeOnRead = mergeOnRead)) match {
         case scala.util.Success(r) =>
           points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
@@ -358,5 +370,36 @@ object StreamBench {
       }
     }
     CapacityResult(mode, knee, points.result())
+  }
+
+  /** Formats the two-mode capacity sweep as the BENCH `stream_capacity`
+    * JSON object. `basis` is self-describing provenance — the round-11
+    * lesson: an in-sweep JVM carries the full query sweep's heap/JIT
+    * history and measured knees 2-6× BELOW a fresh JVM's, so the
+    * artifact must say which JVM produced the number ("fresh-jvm" via
+    * [[CapacityMain]], "sweep-jvm" when the fork was unavailable and
+    * the sweep JVM measured it inline). Per-mode failure isolation: one
+    * mode failing reports null without discarding the other's knee. */
+  def capacityJson(spark: SparkSession, basis: String,
+      batches: Int = 15, warmupBatches: Int = 5,
+      startRowsPerBatch: Int = 250, maxRowsPerBatch: Int = 32000): String = {
+    def one(mor: Boolean): String =
+      try {
+        val c = capacity(spark, mor, batches = batches,
+          warmupBatches = warmupBatches,
+          startRowsPerBatch = startRowsPerBatch,
+          maxRowsPerBatch = maxRowsPerBatch)
+        val pts = c.points.map(p =>
+          f"""[${p.targetRps}%.0f,${p.measuredRps}%.0f,${p.p50Ms}%.0f,${p.p95Ms}%.0f]""")
+          .mkString("[", ",", "]")
+        f"""{"knee_rows_per_sec":${c.kneeRowsPerSec}%.0f,""" +
+          s""""points_target_measured_p50_p95":$pts}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"BENCH ERROR stream_capacity(${if (mor) "mor" else "cow"}): ${e.getMessage}")
+          "null"
+      }
+    s"""{"basis":"$basis","mor":${one(true)},"cow":${one(false)}}"""
   }
 }
