@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark 4's variant parse_json decodes payload bytes with the JVM
+  // default charset; under JDK 17 + POSIX locale that is US-ASCII and
+  // non-ASCII payload text turns into replacement chars (measured:
+  // "é中" → 5×U+FFFD). JDK 18+ (JEP 400) defaults to UTF-8; pin it
+  // explicitly on 17. Same flag required in any deployment script.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -121,9 +121,23 @@ object ConsumerOps {
     * `record[col] = synced_data[col]` over the whole table
     * (reference: assign_columns_from_synced_data.rb:11-26). The reference
     * does id-batches of 1000 row-at-a-time; set-oriented Spark does it in
-    * one scan+overwrite. */
-  def backfillFromSyncedData(df: DataFrame, cols: Seq[String]): DataFrame =
+    * one scan+overwrite.
+    *
+    * Dispatches on the STORED type of `synced_data`: the default replica
+    * carries raw JSON STRING (extracted with `get_json_object`, which
+    * re-parses the payload per call); a Spark-4 VARIANT replica pays the
+    * parse once at write and extracts with `try_variant_get` (binary
+    * field lookup, no re-parse). Scalar fields return identical values
+    * in both modes (spec-pinned); nested objects differ in rendering
+    * (JSON text vs variant-cast) and are outside the C16 contract — the
+    * reference assigns scalar model columns only. */
+  def backfillFromSyncedData(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val isVariant = df.schema("synced_data").dataType
+      .isInstanceOf[org.apache.spark.sql.types.VariantType]
     cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, get_json_object(col("synced_data"), s"$$.$c"))
+      if (isVariant)
+        d.withColumn(c, try_variant_get(col("synced_data"), s"$$.$c", "string"))
+      else d.withColumn(c, get_json_object(col("synced_data"), s"$$.$c"))
     }
+  }
 }

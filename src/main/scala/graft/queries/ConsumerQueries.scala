@@ -249,6 +249,22 @@ object ConsumerQueries {
           .orderBy(col("event_id"))
       },
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // C16 in VARIANT mode (SURVEY §7.4 hard-part 3's idiomatic Spark-4
+    // choice for synced_data): the payload is parsed ONCE into the
+    // binary variant encoding and fields are extracted with
+    // try_variant_get — no per-extraction JSON re-parse. Same oracle as
+    // the STRING mode: scalar extraction must be mode-invariant.
+    "c16_variant_backfill" -> entry(
+      (s, dir) => {
+        val withPayload = ev(s, dir)
+          .withColumn("synced_data", parse_json(col("props")))
+        ConsumerOps.backfillFromSyncedData(withPayload, Seq("k"))
+          .select(col("event_id"), col("k").cast("long").as("k"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin)
   )
 }

@@ -372,11 +372,29 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val all = base.withColumn("__seq", lit(-1L)).unionByName(d)
       .withColumn("__lww",
         Persistor.lwwTimestamp(col("synced_updated_at"), col("synced_created_at")))
+    // VARIANT columns (the Spark-4 synced_data mode) are not orderable,
+    // so the default array_sort — which compares the packed struct
+    // including the full row `r` — fails analysis. The variant branch
+    // packs a canonical JSON rendering `k` of the row as the
+    // deterministic tiebreak (the role `r` plays in the default
+    // ordering: rows of one key in ONE epoch with equal timestamps must
+    // sort the same way on every executor, or the fold's winner flips
+    // between reads) and sorts with an explicit (s, o, l, k) comparator
+    // that never touches the variant itself. String mode keeps the
+    // default ordering bit-for-bit.
+    val hasVariant = schema.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType])
     // sort key: epoch first, then effective-ts with null AS +∞ (within
     // one epoch the in-batch rule is the same max — null persists)
-    val packed = struct(
-      col("__seq").as("s"), coalesce(col("__lww"), maxTs).as("o"),
-      col("__lww").as("l"), struct(cols.map(col): _*).as("r"))
+    val packed =
+      if (hasVariant) struct(
+        col("__seq").as("s"), coalesce(col("__lww"), maxTs).as("o"),
+        col("__lww").as("l"),
+        to_json(struct(cols.map(col): _*)).as("k"),
+        struct(cols.map(col): _*).as("r"))
+      else struct(
+        col("__seq").as("s"), coalesce(col("__lww"), maxTs).as("o"),
+        col("__lww").as("l"), struct(cols.map(col): _*).as("r"))
     val grouped = all.groupBy(col("synced_id"))
       .agg(collect_list(packed).as("__rows"))
     // fold the WHOLE sorted array from a null seed — the sorted array
@@ -386,9 +404,23 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // optimizer)
     val packedType = grouped.schema("__rows").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    // null `l` sorts FIRST in the comparator branch (matching the
+    // default struct ordering's nulls-first) and `k` breaks remaining
+    // ties totally — same epoch + same effective ts + same rendered row
+    // means the rows are interchangeable for the fold
+    val sortedRows =
+      if (hasVariant) expr("""array_sort(__rows, (a, b) -> CASE
+        WHEN a.s < b.s THEN -1 WHEN a.s > b.s THEN 1
+        WHEN a.o < b.o THEN -1 WHEN a.o > b.o THEN 1
+        WHEN a.l IS NULL AND b.l IS NOT NULL THEN -1
+        WHEN a.l IS NOT NULL AND b.l IS NULL THEN 1
+        WHEN a.l < b.l THEN -1 WHEN a.l > b.l THEN 1
+        WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1
+        ELSE 0 END)""")
+      else expr("array_sort(__rows)")
     grouped
       .select(aggregate(
-        expr("array_sort(__rows)"),
+        sortedRows,
         lit(null).cast(packedType),
         (acc, x) => when(acc.isNull, x).otherwise(when(
           coalesce(x.getField("l"), maxTs) >= coalesce(acc.getField("l"), minTs),

@@ -10,6 +10,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dfile.encoding=UTF-8 \
   -Xmx8g \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$@"
