@@ -140,6 +140,11 @@ object StreamBench {
     val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val merges = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
 
+    // NOT in distinct scheduler pools: an interleaved A/B (round 12, 32
+    // slots) read per-query FAIR pools ~600 ms WORSE on p50 than the
+    // shared default pool, with job p50 191 vs 135 ms — on a box with
+    // more slots than concurrent tasks, pool bookkeeping buys nothing
+    // and the extra scheduling layer costs real latency.
     val producer = StreamingPipeline.producePlan(session, src, srcSchema)
       .writeStream
       .format("parquet")
@@ -201,7 +206,6 @@ object StreamBench {
       }
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .start()
-
     // ---- feeder: one small parquet file per tick, stamped at write ----
     var warmupEndMs = Long.MaxValue
     try {
