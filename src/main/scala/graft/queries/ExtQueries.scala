@@ -5139,7 +5139,49 @@ object ExtQueries {
           .select(col("qid"), col("nid"), col("rnk"), col("adc"),
             col("cell"))
           .orderBy(col("qid"), col("rnk"))
-      })
+      }),
+
+    // Spark-4 VARIANT typed extraction through the FULL path a variant
+    // replica exercises: row → JSON text (the wire) → parse_json (the
+    // once-at-write parse) → variant_get with TYPED targets (long /
+    // double / string / nested object field) → aggregate. The oracle
+    // computes the same aggregates from the RAW COLUMNS — extraction
+    // must be the identity, which checks the JSON encode, the variant
+    // binary encode, and every typed cast in one hash. (c16_variant
+    // covers the scalar string case; this pins long/double/nested.)
+    "x156_variant_extract" -> entry(
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val j = o.select(to_json(struct(
+          col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_totalprice").as("p"), col("o_orderstatus").as("st"),
+          struct(col("o_orderpriority").as("pr")).as("meta"))).as("j"))
+        val v = j.select(parse_json(col("j")).as("v"))
+        v.select(
+            try_variant_get(col("v"), "$.k", "long").as("k"),
+            try_variant_get(col("v"), "$.c", "long").as("c"),
+            try_variant_get(col("v"), "$.p", "double").as("p"),
+            try_variant_get(col("v"), "$.st", "string").as("st"),
+            try_variant_get(col("v"), "$.meta.pr", "string").as("pr"))
+          .groupBy(col("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            sum(col("c")).as("sum_c"),
+            sum(col("p")).as("sum_p"),
+            count_distinct(col("pr")).as("n_pr"))
+          .select(col("st"), col("n"), col("sum_k"), col("sum_c"),
+            // exact-cent integer: the double sum's last bits depend on
+            // add order (tools/README.md float rule)
+            round(col("sum_p") * 100).cast("long").as("sum_p_cents"),
+            col("n_pr"))
+          .orderBy(col("st"))
+      },
+      """SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_c,
+        |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_p_cents,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pr
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]
