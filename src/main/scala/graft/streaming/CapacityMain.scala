@@ -36,7 +36,7 @@ object CapacityMain {
       // whole-JVM class-loading + codegen that neither JVM basis wants
       // in a capacity point (matches the measurement-of-record protocol
       // in PERF.md round 11)
-      try { StreamBench.run(spark, batches = 12, warmupBatches = 6); () }
+      try { StreamBench.run(spark, batches = 30, warmupBatches = 15); () }
       catch { case _: Throwable => () }
       // env knobs exist for harness smoke tests only; the driver runs
       // argless Bench → fork → these defaults = the full sweep

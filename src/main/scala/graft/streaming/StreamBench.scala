@@ -341,6 +341,13 @@ object StreamBench {
     var knee = 0.0
     val points = Seq.newBuilder[CapacityPoint]
     var degraded = false
+    // One retry per over-gate point (bounded per mode): true saturation
+    // is REPRODUCIBLE — queue depth returns at the same feed rate every
+    // time — while a shared box's contention burst is not (round 12
+    // observed 47 s p50 at the LOWEST rate, minutes before the same
+    // config read 1.8 s). Without the retry a transient stall falsely
+    // ends the sweep and the knee lands wherever the weather allowed.
+    var retriesLeft = 2
     while (!degraded && rpb <= maxRowsPerBatch) {
       val target = rpb.toDouble * 1000.0 / feedIntervalMs
       // per-point failure isolation: a deeply saturated point can time
@@ -355,17 +362,27 @@ object StreamBench {
         warmupFeedIntervalMs = feedIntervalMs,
         mergeOnRead = mergeOnRead)) match {
         case scala.util.Success(r) =>
-          points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
           // gate on the BEST p95 seen so far, not the first point: a
           // noisy first measurement (cold caches, a background
           // compaction) would inflate the gate and let every later
           // point "pass" — observed once in-sweep, where a 3.1 s CoW
           // base point declared an 81k knee that was really the row cap
-          if (baseP95.isNaN || r.p95Ms < baseP95) baseP95 = r.p95Ms
-          if (r.p95Ms <= degradeFactor * baseP95) {
-            knee = math.max(knee, r.rowsPerSec)
-            rpb *= 2
-          } else degraded = true
+          val gateOk = baseP95.isNaN ||
+            r.p95Ms <= degradeFactor * math.min(baseP95, r.p95Ms)
+          if (gateOk || retriesLeft <= 0) {
+            points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
+            if (baseP95.isNaN || r.p95Ms < baseP95) baseP95 = r.p95Ms
+            if (r.p95Ms <= degradeFactor * baseP95) {
+              knee = math.max(knee, r.rowsPerSec)
+              rpb *= 2
+            } else degraded = true
+          } else {
+            retriesLeft -= 1
+            System.err.println(
+              f"[capacity $mode] point rpb=$rpb over gate " +
+                f"(p95 ${r.p95Ms}%.0f ms vs base ${baseP95}%.0f) — " +
+                "retrying once to distinguish saturation from a stall")
+          }
         case scala.util.Failure(e) =>
           System.err.println(
             s"[capacity $mode] point rpb=$rpb failed (${e.getMessage}) — " +
