@@ -60,17 +60,27 @@ object Bench {
         "graft.streaming.CapacityMain")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // child stdout goes to a temp FILE, not a pipe: a pipe caps at the
+      // OS buffer (~64 KB) and a child that prints more than that (a
+      // library banner, an unexpected println) would block on write while
+      // we block in waitFor — burning the whole timeout before the
+      // inline fallback. A file makes no-deadlock structural.
+      val outFile = java.nio.file.Files
+        .createTempFile("graft-capacity-", ".out").toFile
+      outFile.deleteOnExit()
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
       val p = pb.start()
-      // wait BEFORE reading so the timeout is enforceable; the child
-      // prints little besides the marker line (stderr is inherited),
-      // well under the pipe buffer, so it can't block on a full pipe
       val done = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { p.destroyForcibly(); None }
-      else if (p.exitValue() != 0) None
-      else new String(p.getInputStream.readAllBytes(), "UTF-8")
-        .linesIterator
-        .find(_.startsWith("CAPACITY_JSON "))
-        .map(_.stripPrefix("CAPACITY_JSON ").trim)
+      val res =
+        if (!done) { p.destroyForcibly(); None }
+        else if (p.exitValue() != 0) None
+        else new String(
+            java.nio.file.Files.readAllBytes(outFile.toPath), "UTF-8")
+          .linesIterator
+          .find(_.startsWith("CAPACITY_JSON "))
+          .map(_.stripPrefix("CAPACITY_JSON ").trim)
+      outFile.delete()
+      res
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH WARN capacity fork failed: ${e.getMessage}")
@@ -176,6 +186,16 @@ object Bench {
     // implies sub-second replication): p50/p95 lag + steady rows/s from
     // the continuous-trigger harness. A harness failure reports null —
     // never kills the batch sweep's line.
+    // Per-PHASE window anchors (the r12 lesson extended): the box this
+    // runs on oscillates between nominal and 5-10× degraded-concurrency
+    // on ~10-minute timescales, so the run-START/END `calib` pair can
+    // both read clean while a middle phase (stream, capacity,
+    // concurrency) lands in a burst — r12's driver artifact recorded a
+    // k=8 p95 slowdown of 116× (clean-window re-run: 2.7×) with no way
+    // to tell from the artifact alone. One constant-shape Spark job
+    // immediately before each phase stamps the window it started in;
+    // nominal ≈ 70-100 ms warm.
+    val calibStreamMs = if (args.nonEmpty) -1.0 else calibSpark()
     val streamJson =
       if (args.nonEmpty) "null" // restricted local runs skip the stream
       else try {
@@ -204,6 +224,7 @@ object Bench {
     // embedded JSON self-describes its provenance via `basis`:
     // "fresh-jvm" when the fork ran, "sweep-jvm" when it couldn't and
     // the inline fallback measured it in this JVM.
+    val calibCapacityMs = if (args.nonEmpty) -1.0 else calibSpark()
     val capacityJson =
       if (args.nonEmpty) "null"
       else forkCapacityJson().getOrElse(
@@ -211,6 +232,7 @@ object Bench {
     // concurrent-query capacity for the batch side: K parallel FAIR
     // pools over a fixed mixed query subset — aggregate throughput and
     // per-query p95 slowdown vs sequential at K = 2/4/8
+    val calibConcurrencyMs = if (args.nonEmpty) -1.0 else calibSpark()
     val concurrencyJson =
       if (args.nonEmpty) "null"
       else BatchConcurrency.json(spark, sfDir)
@@ -218,7 +240,10 @@ object Bench {
     val calibSparkEnd = calibSpark()
     val calibJson =
       f"""{"cpu_ms_start":$calibCpuStart%.1f,"cpu_ms_end":$calibCpuEnd%.1f,""" +
-        f""""spark_ms_start":$calibSparkStart%.1f,"spark_ms_end":$calibSparkEnd%.1f}"""
+        f""""spark_ms_start":$calibSparkStart%.1f,"spark_ms_end":$calibSparkEnd%.1f,""" +
+        f""""spark_ms_at_stream":$calibStreamMs%.1f,""" +
+        f""""spark_ms_at_capacity":$calibCapacityMs%.1f,""" +
+        f""""spark_ms_at_concurrency":$calibConcurrencyMs%.1f}"""
     // Field ORDER is part of the contract with the harness: its artifact
     // keeps only the TAIL of this line (observed: 2000 chars — r6/r7
     // recorded "parsed": null because "value" led the line and was

@@ -282,24 +282,71 @@ object Engine {
         (if (t.genesisReplica) Seq(t -> registry.genesisTopicName(t)) else Nil)
     }
 
+  /** Replica schema for a model under the given payload mode: variant
+    * mode swaps ONLY the `synced_data` column's storage type; the rest of
+    * the replica schema (and the wire format) is unchanged. */
+  private def replicaSchemaFor(m: ModelDef,
+      variant: Boolean): org.apache.spark.sql.types.StructType =
+    if (variant)
+      org.apache.spark.sql.types.StructType(m.replicaSchema.map(f =>
+        if (f.name == "synced_data")
+          f.copy(dataType = org.apache.spark.sql.types.VariantType)
+        else f))
+    else m.replicaSchema
+
   private def makeReplicas(spark: SparkSession, registry: Registry,
       workDir: String, options: EngineOptions): Map[String, Replica] =
     consumedModels(registry).map { m =>
       val root = s"$workDir/replicas/${m.name}"
-      // variant mode swaps ONLY the payload column's storage type; the
-      // rest of the replica schema (and the wire format) is unchanged
-      val schema =
-        if (options.syncedDataVariant)
-          org.apache.spark.sql.types.StructType(m.replicaSchema.map(f =>
-            if (f.name == "synced_data")
-              f.copy(dataType = org.apache.spark.sql.types.VariantType)
-            else f))
-        else m.replicaSchema
-      m.name -> options.replicaFactory.map(f => f(spark, m, root)).getOrElse(
-        new ParquetReplica(spark, root, schema.toDDL,
-          buckets = m.buckets, mergeOnRead = options.mergeOnRead,
-          compactEvery = options.replicaCompactEvery))
+      val schema = replicaSchemaFor(m, options.syncedDataVariant)
+      val replica = options.replicaFactory.map(f => f(spark, m, root))
+        .getOrElse(
+          new ParquetReplica(spark, root, schema.toDDL,
+            buckets = m.buckets, mergeOnRead = options.mergeOnRead,
+            compactEvery = options.replicaCompactEvery))
+      // fail fast on open if the declared payload type contradicts what
+      // an existing workDir already stores (a syncedDataVariant toggle
+      // without migrateSyncedData) — one footer read, only when data
+      // exists; custom replicaFactory storage owns its own evolution
+      replica match {
+        case pr: ParquetReplica => pr.verifyStoredCompatible()
+        case _ =>
+      }
+      m.name -> replica
     }.toMap
+
+  /** Migrate every consumed model replica under `workDir` between the two
+    * `synced_data` storage modes IN PLACE: each table is read under its
+    * stored schema, the payload column converted (`parse_json` to
+    * VARIANT; canonical `to_json` text back to STRING), and published as
+    * the replica's next version — the documented companion to the
+    * fail-fast open check, for deployments flipping
+    * `EngineOptions.syncedDataVariant` on existing data. Run OFFLINE (no
+    * engine active on `workDir`); never-committed replicas are skipped.
+    * STRING→VARIANT→STRING canonicalizes the JSON text (sorted keys,
+    * normalized numbers) — extraction-equal, not byte-equal, per the C16
+    * contract. Default [[ParquetReplica]] storage only: a custom
+    * `replicaFactory`'s table format owns its own type evolution. */
+  def migrateSyncedData(spark: SparkSession, registry: Registry,
+      workDir: String, toVariant: Boolean,
+      options: EngineOptions = EngineOptions()): Unit =
+    consumedModels(registry).foreach { m =>
+      val root = s"$workDir/replicas/${m.name}"
+      val target = new ParquetReplica(spark, root,
+        replicaSchemaFor(m, toVariant).toDDL, buckets = m.buckets,
+        mergeOnRead = options.mergeOnRead,
+        compactEvery = options.replicaCompactEvery)
+      // idempotent: only rewrite when the stored payload type actually
+      // differs (re-running a migration, or a replica created fresh in
+      // the target mode, is a no-op)
+      val storedIsVariant = target.storedSchema
+        .flatMap(_.fields.find(_.name == "synced_data"))
+        .map(_.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType])
+      if (storedIsVariant.contains(!toVariant))
+        target.migrateColumn(replicaSchemaFor(m, !toVariant).toDDL,
+          "synced_data",
+          c => if (toVariant) parse_json(c) else to_json(c))
+    }
 
   /** FK columns to index per sideloaded child model: every parent hasMany
     * association whose FK is a declared child attribute (the precondition

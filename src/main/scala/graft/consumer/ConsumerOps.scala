@@ -99,16 +99,31 @@ object ConsumerOps {
     * event per record `{topic_name, event_name, model_name,
     * transformed_data, local_changes}` to an event bus / results topic
     * (reference: batch_events_publisher.rb:12-39). In streaming this runs
-    * inside `foreachBatch` next to the merge. */
+    * inside `foreachBatch` next to the merge.
+    *
+    * The event WIRE SHAPE is storage-mode-invariant: a VARIANT-typed
+    * column (the `EngineOptions.syncedDataVariant` payload) is rendered
+    * back to JSON text BEFORE the envelope, so `transformed_data` carries
+    * it as a JSON-escaped string exactly like STRING mode — embedding the
+    * variant directly would inline it as a nested object and change the
+    * event schema consumers parse. The rendered text is the variant's
+    * canonical form (keys sorted, numbers normalized), so the VALUE is
+    * byte-equal to STRING mode whenever the stored payload was canonical
+    * and semantically equal otherwise (spec: EngineVariantSpec). */
   def consumedEvents(batch: DataFrame, topicName: String, modelName: String,
       localChanges: Option[DataFrame] = None,
       idCol: String = "synced_id"): DataFrame = {
+    val wireCols = batch.schema.fields.toSeq.map { f =>
+      if (f.dataType.isInstanceOf[org.apache.spark.sql.types.VariantType])
+        to_json(col(f.name)).as(f.name)
+      else col(f.name)
+    }
     val base = batch.select(
       lit(topicName).as("topic_name"),
       concat(lit(modelName + "_"), col("event_type")).as("event_name"),
       lit(modelName).as("model_name"),
       col(idCol),
-      to_json(struct(batch.columns.map(col): _*)).as("transformed_data"))
+      to_json(struct(wireCols: _*)).as("transformed_data"))
     localChanges match {
       case Some(lc) =>
         base.join(lc.select(col(idCol), to_json(col("local_changes")).as("local_changes")),
@@ -128,7 +143,15 @@ object ConsumerOps {
     * re-parses the payload per call); a Spark-4 VARIANT replica pays the
     * parse once at write and extracts with `try_variant_get` (binary
     * field lookup, no re-parse). Scalar fields return identical values
-    * in both modes (spec-pinned); nested objects differ in rendering
+    * in both modes (spec-pinned): strings byte-equal; unquoted numbers
+    * NORMALIZED identically by both parsers (`1e3`→`1000.0`,
+    * `1.50`→`1.5`, `-2.5E-3`→`-0.0025` — Jackson and the variant
+    * decoder agree, measured, VariantReplicaSpec pins it). The one
+    * divergence: decimal literals beyond double precision (>17
+    * significant digits) — `get_json_object` parses them to double and
+    * truncates, variant stores decimal(38) and preserves every digit;
+    * variant mode is the MORE faithful one, and the divergence is
+    * spec-pinned rather than hidden. Nested objects differ in rendering
     * (JSON text vs variant-cast) and are outside the C16 contract — the
     * reference assigns scalar model columns only. */
   def backfillFromSyncedData(df: DataFrame, cols: Seq[String]): DataFrame = {

@@ -5181,7 +5181,73 @@ object ExtQueries {
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_c,
         |  CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_p_cents,
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_pr
-        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin),
+
+    // synced_data STRING→VARIANT migration as a GATED query (round-12
+    // advice follow-through: the mode-toggle fail-fast's companion path
+    // must be oracle-checked, not just spec-verified): build a replica
+    // in STRING mode from `customer` (base batch + a fresher update
+    // batch left UNFOLDED in the MoR delta log), migrate the stored
+    // table in place with ParquetReplica.migrateColumn — which must
+    // fold the delta log through the LWW replay WHILE converting the
+    // payload column — then extract typed fields from the migrated
+    // VARIANT and aggregate. The oracle computes the same aggregates
+    // from the RAW columns with the update applied: the whole
+    // merge→migrate→extract chain must be the identity.
+    "x157_replica_migration" -> entry(
+      (s, dir) => {
+        val stringDdl = "synced_id BIGINT, synced_updated_at TIMESTAMP, " +
+          "synced_created_at TIMESTAMP, synced_canceled_at TIMESTAMP, " +
+          "synced_data STRING"
+        val variantDdl = stringDdl.replace(
+          "synced_data STRING", "synced_data VARIANT")
+        // fresh root per run: replica roots are stateful and the
+        // migration must exercise STRING→VARIANT, not no-op on a
+        // previous run's already-migrated output
+        val root = new java.io.File(s"${sys.props("java.io.tmpdir")}" +
+          s"/graft-x157-${java.lang.Integer.toHexString(dir.hashCode)}")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root)
+        def shaped(rows: org.apache.spark.sql.DataFrame, ts: String,
+            ev: String) = rows.select(
+          col("c_custkey").as("synced_id"),
+          lit(ts).cast("timestamp").as("synced_updated_at"),
+          lit(ts).cast("timestamp").as("synced_created_at"),
+          lit(null).cast("timestamp").as("canceled_at"),
+          lit(ev).as("event_type"),
+          to_json(struct(col("c_name").as("name"),
+            col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg"))).as("synced_data"))
+        val c = tbl(s, dir, "customer")
+        val rep = new graft.streaming.ParquetReplica(s, root.toString,
+          stringDdl, buckets = 4, mergeOnRead = true, compactEvery = 100)
+        rep.merge(shaped(c, "2026-01-01 00:00:00", "created"))
+        rep.merge(shaped(
+          c.filter(col("c_custkey") % 7 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + lit(100.0)),
+          "2026-01-02 00:00:00", "updated"))
+        val vrep = new graft.streaming.ParquetReplica(s, root.toString,
+          variantDdl, buckets = 4, mergeOnRead = true, compactEvery = 100)
+        vrep.migrateColumn(stringDdl, "synced_data", parse_json)
+        vrep.verifyStoredCompatible() // the toggle check passes post-migration
+        vrep.read().select(
+            try_variant_get(col("synced_data"), "$.seg", "string").as("seg"),
+            try_variant_get(col("synced_data"), "$.bal", "double").as("bal"),
+            try_variant_get(col("synced_data"), "$.name", "string").as("nm"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("bal")) * 100).cast("long").as("bal_cents"),
+            count_distinct(col("nm")).as("n_names"))
+          .orderBy(col("seg"))
+      },
+      """SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(sum(CASE WHEN c_custkey % 7 = 0
+        |      THEN c_acctbal + 100 ELSE c_acctbal END) * 100) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_names
+        |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

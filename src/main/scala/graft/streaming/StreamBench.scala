@@ -341,48 +341,62 @@ object StreamBench {
     var knee = 0.0
     val points = Seq.newBuilder[CapacityPoint]
     var degraded = false
-    // One retry per over-gate point (bounded per mode): true saturation
-    // is REPRODUCIBLE — queue depth returns at the same feed rate every
-    // time — while a shared box's contention burst is not (round 12
-    // observed 47 s p50 at the LOWEST rate, minutes before the same
-    // config read 1.8 s). Without the retry a transient stall falsely
-    // ends the sweep and the knee lands wherever the weather allowed.
-    var retriesLeft = 2
+    // ONE retry PER over-gate POINT: true saturation is REPRODUCIBLE —
+    // queue depth returns at the same feed rate every time — while a
+    // shared box's contention burst is not (round 12 observed 47 s p50
+    // at the LOWEST rate, minutes before the same config read 1.8 s).
+    // The budget is per point (not shared across the sweep) so a stall
+    // early in the sweep cannot exhaust the retries a later genuine
+    // decision point needs, and a genuinely saturated point costs at
+    // most one extra run before the sweep concludes. The point RECORDS
+    // the better (lower-p95) of its two observations — the retry exists
+    // to see through weather, so the cleaner window is the measurement.
     while (!degraded && rpb <= maxRowsPerBatch) {
       val target = rpb.toDouble * 1000.0 / feedIntervalMs
       // per-point failure isolation: a deeply saturated point can time
       // out its drain — that IS a past-capacity observation, and it
       // must end the sweep gracefully instead of throwing away the
       // points (and the knee) already measured
-      scala.util.Try(run(spark, batches = batches, rowsPerBatch = rpb,
-        feedIntervalMs = feedIntervalMs, warmupBatches = warmupBatches,
-        // capacity warmup keeps the point's own cadence: at multi-k
-        // rowsPerBatch a denser warmup feed would just manufacture
-        // backlog the drain then has to clear before the point starts
-        warmupFeedIntervalMs = feedIntervalMs,
-        mergeOnRead = mergeOnRead)) match {
-        case scala.util.Success(r) =>
+      def measure() = scala.util.Try(
+        run(spark, batches = batches, rowsPerBatch = rpb,
+          feedIntervalMs = feedIntervalMs, warmupBatches = warmupBatches,
+          // capacity warmup keeps the point's own cadence: at multi-k
+          // rowsPerBatch a denser warmup feed would just manufacture
+          // backlog the drain then has to clear before the point starts
+          warmupFeedIntervalMs = feedIntervalMs,
+          mergeOnRead = mergeOnRead))
+      measure() match {
+        case scala.util.Success(first) =>
           // gate on the BEST p95 seen so far, not the first point: a
           // noisy first measurement (cold caches, a background
           // compaction) would inflate the gate and let every later
           // point "pass" — observed once in-sweep, where a 3.1 s CoW
           // base point declared an 81k knee that was really the row cap
-          val gateOk = baseP95.isNaN ||
-            r.p95Ms <= degradeFactor * math.min(baseP95, r.p95Ms)
-          if (gateOk || retriesLeft <= 0) {
-            points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
-            if (baseP95.isNaN || r.p95Ms < baseP95) baseP95 = r.p95Ms
-            if (r.p95Ms <= degradeFactor * baseP95) {
-              knee = math.max(knee, r.rowsPerSec)
-              rpb *= 2
-            } else degraded = true
-          } else {
-            retriesLeft -= 1
-            System.err.println(
-              f"[capacity $mode] point rpb=$rpb over gate " +
-                f"(p95 ${r.p95Ms}%.0f ms vs base ${baseP95}%.0f) — " +
-                "retrying once to distinguish saturation from a stall")
-          }
+          def overGate(x: Result) = !baseP95.isNaN &&
+            x.p95Ms > degradeFactor * math.min(baseP95, x.p95Ms)
+          val r =
+            if (!overGate(first)) first
+            else {
+              System.err.println(
+                f"[capacity $mode] point rpb=$rpb over gate " +
+                  f"(p95 ${first.p95Ms}%.0f ms vs base ${baseP95}%.0f) — " +
+                  "retrying once to distinguish saturation from a stall")
+              measure() match {
+                case scala.util.Success(second) =>
+                  if (second.p95Ms < first.p95Ms) second else first
+                case scala.util.Failure(e) =>
+                  System.err.println(
+                    s"[capacity $mode] retry at rpb=$rpb failed " +
+                      s"(${e.getMessage}) — keeping the first observation")
+                  first
+              }
+            }
+          points += CapacityPoint(target, r.rowsPerSec, r.p50Ms, r.p95Ms)
+          if (baseP95.isNaN || r.p95Ms < baseP95) baseP95 = r.p95Ms
+          if (r.p95Ms <= degradeFactor * baseP95) {
+            knee = math.max(knee, r.rowsPerSec)
+            rpb *= 2
+          } else degraded = true
         case scala.util.Failure(e) =>
           System.err.println(
             s"[capacity $mode] point rpb=$rpb failed (${e.getMessage}) — " +

@@ -312,6 +312,66 @@ final class ParquetReplica(spark: SparkSession, root: String,
 
   private def schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
 
+  /** On-disk schema of the current version (parquet footer of one stored
+    * base — or, for a delta-only version, delta — directory); None when
+    * the replica has never committed or the version holds no data dirs.
+    * One driver-side footer read, no job. */
+  def storedSchema: Option[org.apache.spark.sql.types.StructType] = {
+    val v = currentVersion
+    if (v < 0) None
+    else manifest(v).values.headOption
+      .orElse(deltaEntries(v).headOption.map(_._2))
+      .map(d => spark.read.parquet(s"$root/$d").schema)
+  }
+
+  /** Fail fast when the DECLARED schema's column types contradict what is
+    * already stored — e.g. toggling `EngineOptions.syncedDataVariant` on a
+    * workDir whose replicas hold the other encoding would otherwise make
+    * every read force STRING parquet pages through a VARIANT reader (or
+    * vice versa) and fail mid-merge with no indication of why. Columns
+    * are matched by name; only columns present on BOTH sides are compared
+    * (a pure column ADDITION is legitimate schema evolution — stored
+    * files without the new column read back as nulls). Called by
+    * [[graft.Engine]] on replica open; free on a fresh root. */
+  def verifyStoredCompatible(): Unit =
+    storedSchema.foreach { stored =>
+      val storedTypes = stored.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields.foreach { f =>
+        storedTypes.get(f.name).foreach { st =>
+          if (st != f.dataType) throw new IllegalStateException(
+            s"replica $root: column '${f.name}' is declared " +
+              s"${f.dataType.sql} but v$currentVersion stores ${st.sql}. " +
+              "If this is a synced_data STRING<->VARIANT mode change, " +
+              "migrate the stored data first (Engine.migrateSyncedData / " +
+              "ParquetReplica.migrateColumn) instead of toggling the " +
+              "option on an existing workDir.")
+        }
+      }
+    }
+
+  /** Whole-table column-type migration: re-reads the CURRENT state under
+    * `storedDdl` (the schema the data was actually written with), applies
+    * `convert` to `colName`, and publishes the result as the next version
+    * under THIS instance's declared schema — after which reads and merges
+    * use the new type. MoR delta epochs are folded by the read, so the
+    * new version starts delta-free; bucket count is preserved. A no-op
+    * on a never-committed replica. */
+  def migrateColumn(storedDdl: String, colName: String,
+      convert: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit =
+    ReplicaLocks.lockFor(root).synchronized {
+      val v = currentVersion
+      if (v >= 0) {
+        val old = new ParquetReplica(spark, root, storedDdl, buckets,
+          mergeOnRead, compactEvery)
+        val nb = bucketCount(v)
+        val next = v + 1
+        val migrated = old.read()
+          .withColumn(colName, convert(col(colName)))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+        publish(next, writeBuckets(migrated, next, nb), nb)
+      }
+    }
+
   private def empty: DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -114,6 +114,108 @@ class VariantReplicaSpec extends SparkSpec {
     assert(viaString == viaVariant)
   }
 
+  test("C16 invariance holds for UNQUOTED numeric scalars; the one " +
+      "divergence (decimals beyond double precision) is pinned") {
+    // round-12 advice: the invariance claim was only exercised on quoted
+    // strings. Measured: Jackson (get_json_object) and the variant
+    // decoder NORMALIZE unquoted numbers identically — exponent forms,
+    // trailing zeros, int-vs-decimal, negative exponents, longs past
+    // 2^53, booleans. The ONLY divergence is a decimal literal with more
+    // significant digits than a double holds: Jackson parses it to
+    // double (truncates at 17), variant stores decimal(38) and keeps
+    // every digit. Both behaviors pinned here so the contract is
+    // narrowed, not asserted wholesale.
+    val agree = Seq(
+      """{"n":1e3}""",      // exponent → 1000.0 in both
+      """{"n":1.50}""",     // trailing zero → 1.5 in both
+      """{"n":1000}""",     // int stays int-rendered
+      """{"n":-2.5E-3}""",  // negative exponent → -0.0025 in both
+      """{"n":9007199254740993}""",      // past 2^53, still long-exact
+      """{"n":12345678901234567890}""",  // past Long.Max, decimal-exact
+      """{"n":1E20}""",     // large exponent → 1.0E20 in both
+      """{"n":true}""",     // non-numeric unquoted scalar
+      """{"n":0.1}""")
+    val df = agree.zipWithIndex.map { case (j, i) => (i.toLong, j) }
+      .toDF("synced_id", "synced_data")
+    def extract(d: DataFrame) =
+      ConsumerOps.backfillFromSyncedData(d, Seq("n"))
+        .select("synced_id", "n")
+        .as[(Long, Option[String])].collect().toSet
+    assert(extract(df) == extract(asVariant(df)),
+      "unquoted numeric scalars diverged between modes")
+
+    // the pinned divergence: 25 significant digits
+    val hp = Seq((0L, """{"n":3.141592653589793238462643}"""))
+      .toDF("synced_id", "synced_data")
+    val viaString = extract(hp).head._2.get
+    val viaVariant = extract(asVariant(hp)).head._2.get
+    assert(viaString == "3.141592653589793",
+      s"Jackson double truncation changed: $viaString")
+    assert(viaVariant == "3.141592653589793238462643",
+      s"variant decimal(38) fidelity changed: $viaVariant")
+  }
+
+  test("open-time type check fails fast on a mode toggle; migrateColumn " +
+      "converts in place and back") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-variant-migrate").toString
+    val asString = new ParquetReplica(spark, tmp, stringDdl,
+      buckets = 4, mergeOnRead = true, compactEvery = 100)
+    drive(asString, variant = false)
+    val expect = canon(asString.read())
+
+    // same root reopened with the VARIANT DDL: reads would force STRING
+    // pages through the variant reader — the check must refuse
+    val toggled = new ParquetReplica(spark, tmp, variantDdl, buckets = 4)
+    val err = intercept[IllegalStateException](toggled.verifyStoredCompatible())
+    assert(err.getMessage.contains("synced_data"))
+    assert(err.getMessage.contains("migrate"))
+    // while the correctly-typed open passes, on the same data
+    asString.verifyStoredCompatible()
+
+    // migrate → variant: stored type flips, state (canon) is preserved,
+    // the new version folds the MoR delta log (delta-free), and the
+    // variant-typed open check now passes
+    toggled.migrateColumn(stringDdl, "synced_data", parse_json)
+    toggled.verifyStoredCompatible()
+    assert(toggled.storedSchema.get("synced_data").dataType
+      .isInstanceOf[org.apache.spark.sql.types.VariantType])
+    assert(toggled.deltaEntries(toggled.currentVersion).isEmpty,
+      "migration must fold the delta log into the new version")
+    assert(canon(toggled.read()) == expect, "migration changed state")
+    // further merges in the new mode work against the migrated base
+    toggled.merge(asVariant(upd(
+      (1L, "2024-04-01 00:00:00", "updated", 12.0,
+        """{"a":"z1","b":"12"}"""))))
+    val variantState = canon(toggled.read())
+    assert(variantState.exists {
+      case (id, _, _, v, a, _) => id == 1L && v == 12.0 && a == "z1" })
+
+    // and back to STRING (canonical to_json text — extraction-equal)
+    val back = new ParquetReplica(spark, tmp, stringDdl, buckets = 4)
+    back.migrateColumn(variantDdl, "synced_data", to_json)
+    back.verifyStoredCompatible()
+    assert(canon(back.read()) == variantState,
+      "round-trip migration changed extracted state")
+  }
+
+  test("open-time type check permits pure column ADDITIONS (schema " +
+      "evolution carve-out)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-variant-evolve").toString
+    val v1 = new ParquetReplica(spark, tmp, stringDdl, buckets = 4)
+    drive(v1, variant = false)
+    // same root, one NEW column appended: must open cleanly (stored
+    // files without the column read back as nulls) and keep merging
+    val v2 = new ParquetReplica(spark, tmp,
+      stringDdl + ", extra_score DOUBLE", buckets = 4)
+    v2.verifyStoredCompatible()
+    val rows = v2.read()
+    assert(rows.schema.fieldNames.contains("extra_score"))
+    assert(rows.where(col("extra_score").isNotNull).count() == 0)
+    assert(rows.count() == 3)
+  }
+
   test("variant reconcile is deterministic under same-epoch LWW ties") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-variant-tie").toString
