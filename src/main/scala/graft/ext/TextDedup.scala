@@ -914,4 +914,208 @@ object TextDedup {
         expr("(100 * shared_chunks) div least(na, nb)")
           .as("containment_pct"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted standing MinHash index (storage layout) — the dedup-side
+  // completion of the stored-index trio (BM25 `tok_bucket`, IVF-PQ
+  // `cell`, and now minhash `bb`).
+  // ------------------------------------------------------------------
+
+  /** A [[minhashIndex]] persisted as the standing-ingest layout:
+    *
+    *  - `path/bands/bb=<b>/…` — the index EXPLODED to one row per
+    *    (band, band-hash): `(band, bh, id, sz, sig)`, partitioned by
+    *    `bb = pmod(xxhash64(band, bh), bandBuckets)` and sorted by
+    *    `(band, bh)` within files. A probe batch derives its own band
+    *    keys, collects its ≤ bandBuckets distinct bucket ids (one
+    *    bounded job, the ParquetReplica touched-bucket idiom), and the
+    *    candidate join prunes to those bucket DIRECTORIES before any
+    *    file opens — a probe reads O(its buckets), never O(corpus).
+    *    Carrying `sig`+`sz` on the band rows costs ~(k+2) longs ×
+    *    bands per doc, and buys running the size-ratio and
+    *    estimate-floor cuts BEFORE any shingle array ships — only
+    *    verification survivors touch `docs/`.
+    *  - `path/docs/…` — the un-exploded [[minhashIndex]] frame
+    *    `(id, sz, toks, sig)` sorted by id: the exact-verification
+    *    side, fetched per candidate survivor by id equi-join (row-group
+    *    min/max on the sorted id answers it).
+    *  - `path/tombstones/…` — DELETED doc ids, append-only: a delete is
+    *    an O(delete batch) map-only write (the MoR pattern), applied at
+    *    probe time as a broadcast anti-join on the candidate rows;
+    *    [[compactStoredMinhashIndex]] folds accumulated tombstones into
+    *    a rewrite. Deletes of unknown ids are no-ops by construction.
+    *  - `path/manifest.json` — k / bands / shingleN / bandBuckets: the
+    *    banding-family parameters travel WITH the index, because band
+    *    agreement across different families is meaningless (the
+    *    [[nearDupAgainstIndex]] doc's contract, made structural).
+    *
+    * `bandBuckets` sizes directories, not correctness (the BM25 rule:
+    * sf-scale keeps files non-trivial at 64; a 100 TB deployment raises
+    * it so each bucket is a few hundred MB). */
+  final case class StoredMinhashIndex(k: Int, bands: Int, shingleN: Int,
+      bandBuckets: Int, path: String, idxBands: DataFrame, docs: DataFrame,
+      tombstones: DataFrame)
+
+  /** One row per (band, band-hash) of a signature frame, bucketed for
+    * the stored layout — shared by save, extend, and the probe side so
+    * the three can never disagree on the bucket expression. */
+  private def explodedBands(index: DataFrame, k: Int, bands: Int,
+      bandBuckets: Int): DataFrame =
+    index.select(col("id"), col("sz"), col("sig"),
+        explode(array(bandKeyExprs(col("sig"), k, bands): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col("id"), col("sz"), col("sig"))
+      .withColumn("bb",
+        pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
+          .cast("int"))
+
+  /** Persist a [[minhashIndex]] frame as a [[StoredMinhashIndex]]
+    * layout (full overwrite; see the case-class doc for the shape). One
+    * shuffle co-locates each band bucket; the docs side writes sorted
+    * by id. Any existing tombstones are cleared — a full save IS the
+    * compacted state. */
+  def saveMinhashIndex(index: DataFrame, path: String, k: Int = 16,
+      bands: Int = 8, shingleN: Int = 2, bandBuckets: Int = 64): Unit = {
+    // one signature evaluation feeds the emptiness check + both writes
+    val idx = index.localCheckpoint(eager = false)
+    require(!idx.isEmpty, s"refusing to persist an empty index to $path")
+    explodedBands(idx, k, bands, bandBuckets)
+      .repartition(col("bb"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands")
+    idx.select(col("id"), col("sz"), col("toks"), col("sig"))
+      .sortWithinPartitions(col("id"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/tombstones"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      s"""{"k": $k, "bands": $bands, "shingleN": $shingleN, """ +
+        s""""bandBuckets": $bandBuckets}""")
+    ()
+  }
+
+  /** Reload a persisted index. Frames stay lazy scans over the stored
+    * layout — no corpus-sized action; a missing tombstone log is an
+    * empty id set (typed off the docs frame, so any id type the caller
+    * indexed round-trips). */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): StoredMinhashIndex = {
+    val man = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/manifest.json"))
+    def num(key: String): Int =
+      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
+        .getOrElse(sys.error(s"minhash manifest at $path missing $key"))
+        .group(1).toInt
+    val docs = spark.read.parquet(s"$path/docs")
+    val tomb =
+      if (new java.io.File(s"$path/tombstones").exists)
+        spark.read.parquet(s"$path/tombstones").select(col("id"))
+      else docs.select(col("id")).limit(0)
+    StoredMinhashIndex(num("k"), num("bands"), num("shingleN"),
+      num("bandBuckets"), path,
+      spark.read.parquet(s"$path/bands"), docs, tomb)
+  }
+
+  /** Append a new batch to a stored index WITHOUT touching indexed
+    * data: the batch's own band rows and doc rows write map-only
+    * (partitioned appends; O(batch) work, the daily-ingest step).
+    * Caller contract: batch ids are disjoint from the index (the BM25
+    * merge rule — probe with [[nearDupAgainstStoredIndex]] first, that
+    * IS the ingest loop). Returns the reloaded index. */
+  def extendStoredMinhashIndex(sidx: StoredMinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String): StoredMinhashIndex = {
+    val add = minhashIndex(batch, idCol, textCol, sidx.k, sidx.shingleN)
+      .localCheckpoint(eager = false) // one evaluation feeds both writes
+    explodedBands(add, sidx.k, sidx.bands, sidx.bandBuckets)
+      .write.mode("append").partitionBy("bb").parquet(s"${sidx.path}/bands")
+    add.select(col("id"), col("sz"), col("toks"), col("sig"))
+      .write.mode("append").parquet(s"${sidx.path}/docs")
+    loadMinhashIndex(batch.sparkSession, sidx.path)
+  }
+
+  /** DELETE documents from a stored index: an O(delete batch) append to
+    * the tombstone log — no indexed file is touched (probes anti-join
+    * the log; [[compactStoredMinhashIndex]] folds it). Idempotent:
+    * re-deleting, or deleting ids the index never held, changes
+    * nothing a probe can observe. */
+  def removeFromStoredMinhashIndex(sidx: StoredMinhashIndex,
+      ids: DataFrame, idCol: String = "id"): StoredMinhashIndex = {
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"${sidx.path}/tombstones")
+    loadMinhashIndex(ids.sparkSession, sidx.path)
+  }
+
+  /** Fold the tombstone log into a full rewrite of both layouts — the
+    * amortized maintenance op (ParquetReplica.compact's analogue; run
+    * when the log grows past a few percent of the corpus). Survivor
+    * rows are materialized (eager checkpoint) before the overwrite so
+    * the rewrite never reads the files it is replacing. */
+  def compactStoredMinhashIndex(
+      sidx: StoredMinhashIndex): StoredMinhashIndex = {
+    val spark = sidx.docs.sparkSession
+    val survivors = sidx.docs
+      .join(broadcast(sidx.tombstones), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    saveMinhashIndex(survivors, sidx.path, sidx.k, sidx.bands,
+      sidx.shingleN, sidx.bandBuckets)
+    loadMinhashIndex(spark, sidx.path)
+  }
+
+  /** [[nearDupAgainstIndex]] against a STORED index: identical rows for
+    * the same surviving corpus (IndexStorageSpec pins bit-equality),
+    * but the candidate side prunes in two stages the in-memory frame
+    * cannot express — the probe's `bb isin` set (static PARTITION
+    * pruning: only its band keys' bucket directories are listed) then
+    * the (band, bh) equi-join (row-group pruning via the sorted
+    * columns' min/max). Tombstoned docs drop from the candidate rows by
+    * broadcast anti-join before any verification work. The shingle
+    * arrays of `docs/` ship only for candidates that survive the
+    * size-ratio and estimate-floor cuts — the same cascade, now an I/O
+    * statement. */
+  def nearDupAgainstStoredIndex(batch: DataFrame, idCol: String,
+      textCol: String, sidx: StoredMinhashIndex,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.Functions.register(batch.sparkSession)
+    val k = sidx.k
+    val newSide = minhashIndex(batch, idCol, textCol, k, sidx.shingleN)
+      .localCheckpoint(eager = false) // feeds banding AND verification
+    // one evaluation feeds the bucket collect AND the join: the two must
+    // see the SAME band keys (the ParquetReplica touched-set rule)
+    val banded = explodedBands(newSide, k, sidx.bands, sidx.bandBuckets)
+      .localCheckpoint(eager = false)
+    // bounded driver-side collect: at most bandBuckets distinct values
+    val buckets = banded.select(col("bb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (buckets.isEmpty) // empty probe batch: nothing can match
+      return newSide.select(col("id"), col("id").as("dup_of"),
+        lit(0.0).as("est_jac"), lit(0.0).as("jac")).limit(0)
+    val idx = sidx.idxBands
+      .filter(col("bb").isin(buckets.map(Integer.valueOf): _*))
+      .join(broadcast(sidx.tombstones), Seq("id"), "left_anti")
+    val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
+    val estFloor = math.max(0.0,
+      threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))
+    val cands = banded.as("x")
+      .join(idx.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .filter(least(col("x.sz"), col("y.sz")).cast("double") >=
+        greatest(col("x.sz"), col("y.sz")) * threshold - 1e-6)
+      .select(col("x.id").as("id"), col("y.id").as("dup_of"),
+        opq(eqCount.cast("double") / k).as("est_jac"))
+      .filter(col("est_jac") >= estFloor)
+    val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
+    cands
+      .join(newSide.select(col("id"), col("toks").as("toks_a")), "id")
+      .join(sidx.docs.select(col("id").as("dup_of"), col("toks").as("toks_b")),
+        "dup_of")
+      .withColumn("jac",
+        opq(inter.cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - inter)))
+      .filter(col("jac") >= threshold)
+      .select(col("id"), col("dup_of"), col("est_jac"), col("jac"))
+      .distinct()
+  }
 }

@@ -5247,7 +5247,47 @@ object ExtQueries {
         |      THEN c_acctbal + 100 ELSE c_acctbal END) * 100) AS BIGINT)
         |    AS bal_cents,
         |  CAST(count(DISTINCT c_name) AS BIGINT) AS n_names
-        |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin)
+        |FROM customer GROUP BY c_mktsegment ORDER BY seg""".stripMargin),
+
+    // Stored MinHash index lifecycle, gated end-to-end (the dedup twin
+    // of x154's stored-ANN lifecycle, completing the stored-index trio):
+    // build on a partial corpus, SAVE as the bb-partitioned layout,
+    // LOAD, map-only EXTEND with the rest, tombstone-DELETE a planted
+    // slice (an O(batch) log append — no indexed file touched), then
+    // probe the same planted batch as x57. NaiveOracles.x158 re-derives
+    // the expected pairs from scratch over the SURVIVING corpus — the
+    // maintained, twice-persisted index must agree exactly. Probes
+    // partition-prune the bands scan to the probe's bb buckets
+    // (IndexStorageSpec pins the plan shape).
+    "x158_stored_minhash_probe" -> rowsOnly(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val root = new java.io.File(s"${sys.props("java.io.tmpdir")}" +
+          s"/graft-x158-${java.lang.Integer.toHexString(dir.hashCode)}")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root) // stateful layout: each run exercises the full lifecycle
+        // bandBuckets 16 (not the 64 default): sf-scale files stay
+        // non-trivial — 64 dirs of KB-files is pure fs overhead here;
+        // the pruning semantics are bucket-count-invariant (spec)
+        TextDedup.saveMinhashIndex(
+          TextDedup.minhashIndex(
+            docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"),
+          root.toString, bandBuckets = 16)
+        val loaded = TextDedup.loadMinhashIndex(s, root.toString)
+        val extended = TextDedup.extendStoredMinhashIndex(loaded,
+          docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+        val pruned = TextDedup.removeFromStoredMinhashIndex(extended,
+          docs.filter(col("doc_id") % 100 === 50)
+            .select(col("doc_id").as("id")))
+        val batch = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        TextDedup.nearDupAgainstStoredIndex(batch, "doc_id", "text",
+            pruned)
+          .orderBy(col("id"), col("dup_of"))
+      })
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

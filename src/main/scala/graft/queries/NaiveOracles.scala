@@ -62,6 +62,7 @@ object NaiveOracles {
     "x152_ann_drift_repair" -> (x152 _),
     "x154_ann_stored_index" -> (x154 _),
     "x57_incremental_neardup" -> (x57 _),
+    "x158_stored_minhash_probe" -> (x158 _),
     "x88_bpe_learn" -> (x88 _),
     "x93_bpe_encode" -> (x93 _),
     "x140_dedup_sweep_lsh" -> (x140 _))
@@ -253,6 +254,25 @@ object NaiveOracles {
     val planted = docs.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
     naiveMinhashPairs(docs.union(planted), threshold = 0.8)
+      .filter(col("id_a") < 2000000L && col("id_b") >= 2000000L)
+      .select(col("id_b").as("id"), col("id_a").as("dup_of"),
+        col("est_jac"), col("jac"))
+  }
+
+  /** Naive x158: x57's whole-union pair machinery over the SURVIVING
+    * corpus (the `%100==50` slice deleted) — the stored-index lifecycle
+    * the engine query runs (save→load→map-only extend→tombstone
+    * delete→probe, two parquet round-trips) must agree exactly with a
+    * from-scratch derivation over the survivors: the x152 oracle rule
+    * applied to the dedup family. The planted batch still copies EVERY
+    * `%50==0` doc (including deleted sources), so a wrong delete — or a
+    * tombstone that failed to apply — changes the pair set visibly. */
+  private def x158(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+    val surviving = docs.filter(col("doc_id") % 100 =!= 50)
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    naiveMinhashPairs(surviving.union(planted), threshold = 0.8)
       .filter(col("id_a") < 2000000L && col("id_b") >= 2000000L)
       .select(col("id_b").as("id"), col("id_a").as("dup_of"),
         col("est_jac"), col("jac"))
