@@ -1644,4 +1644,117 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(stateRows <= 8 * 4,
       s"drift-monitor state must stay bounded, got $stateRows rows")
   }
+
+  test("standing dedup ingest loop: micro-batches probe the stored minhash " +
+      "index, dups quarantine, clean docs extend the layout, tombstone " +
+      "deletes are visible mid-stream; state equals the sequential " +
+      "in-memory fold") {
+    import graft.ext.TextDedup
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+      .select($"doc_id", $"text")
+    val tmp = Files.createTempDirectory("graft-dedup-loop").toString
+    val feedDir = s"$tmp/feed"; new java.io.File(feedDir).mkdirs()
+    val quarantineDir = s"$tmp/quarantine"
+    val idxPath = s"$tmp/mhidx"
+
+    // sentinel docs with synthetic unique text: their dup/delete fates
+    // must not depend on the corpus's own planted near-dups
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val textX = "kilo lima mike november oscar papa quebec romeo sierra"
+    val textD = "uniform victor whiskey xray yankee zulu one two three"
+    val idA = 8000001L; val idX = 8000002L; val idD = 8000003L
+    val base = docs.filter($"doc_id" % 3 === 0)
+      .unionByName(Seq((idA, textA), (idX, textX)).toDF("doc_id", "text"))
+    TextDedup.saveMinhashIndex(
+      TextDedup.minhashIndex(base, "doc_id", "text"), idxPath,
+      bandBuckets = 8)
+    @volatile var stored = TextDedup.loadMinhashIndex(spark, idxPath)
+
+    // feed batches: fresh slices + planted copies — of a standing doc
+    // (b1), of a doc ADDED BY THE STREAM itself (b2), of the doc
+    // DELETED mid-stream (b3: must enter clean), and of that re-added
+    // copy (b4: must be caught again)
+    def fresh(m: Int): DataFrame =
+      docs.filter($"doc_id" % 3 === 1 && $"doc_id" % 5 === m)
+    def batchDf(b: Int): DataFrame = b match {
+      case 1 => fresh(1).unionByName(
+        Seq((idD, textD), (9000001L, textA)).toDF("doc_id", "text"))
+      case 2 => fresh(2).unionByName(
+        Seq((9100002L, textD)).toDF("doc_id", "text"))
+      case 3 => fresh(3).unionByName(
+        Seq((9300003L, textX)).toDF("doc_id", "text"))
+      case 4 => fresh(4).unionByName(
+        Seq((9400004L, textX)).toDF("doc_id", "text"))
+    }
+
+    val feedSchema = base.schema
+    val ingest = spark.readStream.schema(feedSchema).parquet(feedDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/cp-ingest")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val batch = df.localCheckpoint(eager = true)
+        val flagged = TextDedup.nearDupAgainstStoredIndex(
+          batch, "doc_id", "text", stored).localCheckpoint(eager = true)
+        flagged.write.mode("append").parquet(quarantineDir)
+        val clean = batch.join(
+          flagged.select($"id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        if (!clean.isEmpty)
+          stored = TextDedup.extendStoredMinhashIndex(stored, clean,
+            "doc_id", "text")
+        ()
+      }.start()
+
+    // in-memory twin: the same fold with the plain operators
+    var corpus = base
+    var twinQuarantine = Vector.empty[String]
+    try {
+      for (b <- 1 to 4) {
+        batchDf(b).write.mode("append").parquet(feedDir)
+        ingest.processAllAvailable()
+        val twinFlagged = TextDedup.nearDupAgainstIndex(batchDf(b),
+            "doc_id", "text",
+            TextDedup.minhashIndex(corpus, "doc_id", "text"))
+          .localCheckpoint(eager = true)
+        twinQuarantine ++= twinFlagged.collect().map(_.toString)
+        corpus = corpus.unionByName(batchDf(b).join(
+          twinFlagged.select($"id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")).localCheckpoint(eager = true)
+        if (b == 2) { // mid-stream delete, both sides
+          stored = TextDedup.removeFromStoredMinhashIndex(stored,
+            Seq(idX).toDF("id"))
+          corpus = corpus.filter($"doc_id" =!= idX)
+            .localCheckpoint(eager = true)
+        }
+      }
+    } finally { ingest.stop() }
+
+    // (a) planted fates: standing dup, stream-added dup, and re-added
+    // dup all quarantined; the deleted doc's copy entered CLEAN
+    val q = spark.read.parquet(quarantineDir)
+      .select($"id", $"dup_of").as[(Long, Long)].collect().toSet
+    assert(q.contains((9000001L, idA)), s"standing dup missed: $q")
+    assert(q.contains((9100002L, idD)), s"stream-added dup missed: $q")
+    assert(q.contains((9400004L, 9300003L)),
+      s"dup of the re-added copy missed: $q")
+    assert(!q.exists(_._1 == 9300003L),
+      "the deleted doc's copy must enter clean")
+
+    // (b) the full quarantine equals the in-memory fold's, row for row
+    val qRows = spark.read.parquet(quarantineDir)
+      .collect().map(_.toString).sorted
+    assert(qRows.sameElements(twinQuarantine.sorted),
+      s"quarantine diverged from the sequential fold:\n" +
+        s"stored=${qRows.mkString(",")}\ntwin=${twinQuarantine.sorted.mkString(",")}")
+
+    // (c) compaction folds the tombstone log; the surviving corpus is
+    // exactly the twin's
+    stored = TextDedup.compactStoredMinhashIndex(stored)
+    assert(stored.tombstones.isEmpty)
+    val storedIds = stored.docs.select($"id").as[Long].collect().toSet
+    val twinIds = corpus.select($"doc_id").as[Long].collect().toSet
+    assert(storedIds == twinIds,
+      s"corpus diverged: extra=${storedIds -- twinIds} missing=${twinIds -- storedIds}")
+  }
 }

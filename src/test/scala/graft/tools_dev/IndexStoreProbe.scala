@@ -94,6 +94,38 @@ object IndexStoreProbe {
       "vec_id", "embedding", k = 5, nProbe = 4)
       .collect().map(_.toString).sorted
     println(s"ivfpq stored==memory: ${m1.sameElements(m2)} (${m1.length} rows)")
+
+    // ---- stored MinHash (round 13) ----
+    // measure the bands scan for a small ingest probe batch, flat
+    // (exploded band rows saved unpartitioned — the pre-layout
+    // deployment) vs bb-partitioned; the verification docs/ scan is
+    // candidate-bounded either way.
+    val mh = graft.ext.TextDedup.minhashIndex(docs, "doc_id", "text")
+    graft.ext.TextDedup.saveMinhashIndex(mh, s"$base/mh", bandBuckets = 64)
+    val smh = graft.ext.TextDedup.loadMinhashIndex(spark, s"$base/mh")
+    smh.idxBands.write.mode("overwrite").parquet(s"$base/mhflat")
+    val probeBatch = docs.filter(col("doc_id") % 500 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    println(s"minhash bandRows=${smh.idxBands.count()} probeDocs=${probeBatch.count()}")
+    // flat baseline: the same candidate join with no partition column
+    val flatIdx = spark.read.parquet(s"$base/mhflat")
+    scanMetrics(graft.ext.TextDedup.nearDupAgainstStoredIndex(
+      probeBatch, "doc_id", "text",
+      smh.copy(idxBands = flatIdx.drop("bb")
+        .withColumn("bb", pmod(xxhash64(col("band"), col("bh")),
+          lit(64L)).cast("int"))), 0.8), "minhash flat probe")
+    scanMetrics(graft.ext.TextDedup.nearDupAgainstStoredIndex(
+      probeBatch, "doc_id", "text", smh, 0.8), "minhash bucket probe")
+    // single-doc probe: ≤ bands distinct buckets — the floor of the
+    // pruning curve (bandBuckets ≫ probe band keys is the 100 TB shape)
+    scanMetrics(graft.ext.TextDedup.nearDupAgainstStoredIndex(
+      probeBatch.limit(1), "doc_id", "text", smh, 0.8),
+      "minhash bucket 1-doc")
+    val mm = graft.ext.TextDedup.nearDupAgainstIndex(probeBatch,
+      "doc_id", "text", mh).collect().map(_.toString).sorted
+    val ms = graft.ext.TextDedup.nearDupAgainstStoredIndex(probeBatch,
+      "doc_id", "text", smh).collect().map(_.toString).sorted
+    println(s"minhash stored==memory: ${mm.sameElements(ms)} (${mm.length} rows)")
     spark.stop()
   }
 }
