@@ -129,9 +129,16 @@ object TextSearch {
     * the extra `tok_bucket` column; [[toIndex]] drops it for callers
     * that want the plain in-memory contract. */
   final case class StoredBm25Index(nDocs: Long, totalTokens: Long,
-      tokBuckets: Int, postings: DataFrame) {
+      tokBuckets: Int, postings: DataFrame, path: String = "",
+      tombstones: Option[DataFrame] = None) {
+    /** In-memory contract over the LIVE rows: tombstoned docs' postings
+      * drop, and the scalars are already net of them (maintained at
+      * delete time) — so downstream in-memory ops see exactly the
+      * surviving corpus. */
     def toIndex: Bm25Index =
-      Bm25Index(nDocs, totalTokens, postings.drop("tok_bucket"))
+      Bm25Index(nDocs, totalTokens, tombstones.foldLeft(
+        postings.drop("tok_bucket"))((p, t) =>
+          p.join(broadcast(t), Seq("nid"), "left_anti")))
   }
 
   /** Driver-side twin of the save path's Spark-side bucket expression
@@ -169,14 +176,97 @@ object TextSearch {
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"$path/postings")
-    // driver-side manifest (the ParquetReplica convention: local-FS
-    // metadata beside the data; a distributed deployment swaps this
-    // seam for the object store's conditional put)
+    writeManifest(path, index.nDocs, index.totalTokens, tokBuckets)
+    // a full save IS the compacted state — clear any tombstone log
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/tombstones"))
+  }
+
+  /** Driver-side manifest (the ParquetReplica convention: local-FS
+    * metadata beside the data; a distributed deployment swaps this seam
+    * for the object store's conditional put). Rewritten by every
+    * maintenance op — the scalars are LIVE values, net of tombstoned
+    * docs. */
+  private def writeManifest(path: String, nDocs: Long, totalTokens: Long,
+      tokBuckets: Int): Unit = {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/manifest.json"),
-      s"""{"nDocs": ${index.nDocs}, "totalTokens": ${index.totalTokens}, """ +
+      s"""{"nDocs": $nDocs, "totalTokens": $totalTokens, """ +
         s""""tokBuckets": $tokBuckets}""")
     ()
+  }
+
+  /** Append a new document batch to a STORED index without touching
+    * indexed files: the batch's postings write as a map-only
+    * partitioned append and the two scalars add into the manifest —
+    * O(batch), the daily-ingest step on the persisted layout (the
+    * stored twin of [[mergeBm25Index]]; same disjoint-ids contract).
+    * Single-writer maintenance, like every layout op here. Returns the
+    * reloaded index. */
+  def extendStoredBm25Index(sidx: StoredBm25Index, df: DataFrame,
+      idCol: String, textCol: String): StoredBm25Index = {
+    require(sidx.path.nonEmpty, "index was not loaded from storage")
+    val add = buildBm25Index(df, idCol, textCol)
+    add.postings
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(sidx.tokBuckets.toLong)).cast("int"))
+      .repartition(col("tok_bucket"))
+      .sortWithinPartitions(col("tok"), col("nid"))
+      .write.mode("append").partitionBy("tok_bucket")
+      .parquet(s"${sidx.path}/postings")
+    writeManifest(sidx.path, sidx.nDocs + add.nDocs,
+      sidx.totalTokens + add.totalTokens, sidx.tokBuckets)
+    loadBm25Index(df.sparkSession, sidx.path)
+  }
+
+  /** DELETE documents from a STORED index without touching indexed
+    * files: an O(delete batch) tombstone-log append, plus one bounded
+    * aggregate that recovers the removed docs' (count, token) numbers
+    * FROM the live postings to decrement the manifest scalars — the
+    * stored twin of [[removeFromBm25Index]]. Probes anti-join the log
+    * on their pruned candidate rows; [[compactStoredBm25Index]] folds
+    * it. Idempotent: already-tombstoned (or never-indexed) ids
+    * contribute no decrement and no new log rows that a probe can
+    * observe. */
+  def removeFromStoredBm25Index(sidx: StoredBm25Index, ids: DataFrame,
+      idCol: String): StoredBm25Index = {
+    require(sidx.path.nonEmpty, "index was not loaded from storage")
+    // only NEWLY doomed ids decrement (re-deletes must be no-ops) —
+    // and their numbers come from the live rows, which still hold them
+    val doomed = sidx.tombstones.foldLeft(
+        ids.select(col(idCol).as("nid")).distinct())((d, t) =>
+        d.join(broadcast(t), Seq("nid"), "left_anti"))
+      .localCheckpoint(eager = false) // decrement agg + log write: same rows
+    val st = sidx.postings.join(broadcast(doomed), Seq("nid"), "left_semi")
+      .select(col("nid"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    val nRemoved = st.getLong(0)
+    val tokRemoved = if (st.isNullAt(1)) 0L else st.getLong(1)
+    doomed.write.mode("append").parquet(s"${sidx.path}/tombstones")
+    writeManifest(sidx.path, sidx.nDocs - nRemoved,
+      sidx.totalTokens - tokRemoved, sidx.tokBuckets)
+    loadBm25Index(ids.sparkSession, sidx.path)
+  }
+
+  /** Fold the tombstone log into a full rewrite of the postings — the
+    * amortized maintenance op (run when the log grows past a few
+    * percent of the corpus). The manifest scalars are already live and
+    * carry over unchanged; survivor rows materialize (eager checkpoint)
+    * before the overwrite so the rewrite never reads files it is
+    * replacing. */
+  def compactStoredBm25Index(sidx: StoredBm25Index): StoredBm25Index = {
+    require(sidx.path.nonEmpty, "index was not loaded from storage")
+    val spark = sidx.postings.sparkSession
+    val survivors = sidx.tombstones.foldLeft(
+        sidx.postings.drop("tok_bucket"))((p, t) =>
+        p.join(broadcast(t), Seq("nid"), "left_anti"))
+      .localCheckpoint(true)
+    saveBm25Index(
+      Bm25Index(sidx.nDocs, sidx.totalTokens, survivors),
+      sidx.path, sidx.tokBuckets)
+    loadBm25Index(spark, sidx.path)
   }
 
   /** Reload a persisted index. The postings frame keeps `tok_bucket` so
@@ -194,7 +284,11 @@ object TextSearch {
       lng("tokBuckets").toInt,
       spark.read.parquet(s"$path/postings")
         .select(col("nid"), col("dl"), col("tok"), col("tf"),
-          col("tok_bucket")))
+          col("tok_bucket")),
+      path,
+      if (new java.io.File(s"$path/tombstones").exists)
+        Some(spark.read.parquet(s"$path/tombstones").select(col("nid")))
+      else None)
   }
 
   /** BM25 top-`k` from a RELOADED index: identical scores to
@@ -211,10 +305,15 @@ object TextSearch {
       return emptyResult(index.postings.drop("tok_bucket"))
     val qterms = queries.flatMap(_._2.split(" ")).distinct
     val buckets = qterms.map(t => tokBucket(t, index.tokBuckets)).distinct
-    val tf = index.postings
-      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
-      .filter(col("tok").isin(qterms: _*))
-      .drop("tok_bucket")
+    // tombstoned docs drop AFTER the bucket/term pruning (the anti-join
+    // touches only the probe's candidate rows, and the per-term df then
+    // counts live docs only); the scalars are already net of deletes
+    val tf = index.tombstones.foldLeft(
+        index.postings
+          .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
+          .filter(col("tok").isin(qterms: _*))
+          .drop("tok_bucket"))((p, t) =>
+        p.join(broadcast(t), Seq("nid"), "left_anti"))
     scorePostings(tf, index.nDocs.toDouble,
       index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
   }

@@ -5287,7 +5287,86 @@ object ExtQueries {
         TextDedup.nearDupAgainstStoredIndex(batch, "doc_id", "text",
             pruned)
           .orderBy(col("id"), col("dup_of"))
-      })
+      }),
+
+    // STORED-BM25 maintenance gated against full DuckDB BM25 over the
+    // surviving corpus: build on 90%, save (tok_bucket layout), load,
+    // map-only EXTEND with the 10%, tombstone-DELETE the %20==5 slice
+    // (an O(batch) log append + one bounded scalar-decrement aggregate
+    // — no indexed file touched), probe. The oracle recomputes BM25
+    // from scratch over `documents WHERE doc_id % 20 <> 5` — df, avgdl,
+    // N, scores, ranks: the maintained layout must be indistinguishable
+    // from a rebuild (x151's in-memory pin, now on storage). Probe
+    // slice is tokens 4–8 so the retrieval audits stay distinct
+    // (x68: 1–5, x145: 1–5/3–7, x153: 2–6).
+    "x159_bm25_stored_maintenance" -> entry(
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val qs = docs
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 4, 5)).as("q"))
+          .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+          .toSeq.sortBy(_._1)
+        // deterministic scratch path; saveBm25Index's overwrite + log
+        // clear resets the layout, so reruns exercise the full lifecycle
+        val path = s"${sys.props("java.io.tmpdir")}/graft-x159-" +
+          s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        // tokBuckets 16 at sf-scale (the x158 sizing rule: 64 dirs of
+        // KB-files is fs overhead; pruning semantics are count-invariant)
+        graft.ext.TextSearch.saveBm25Index(
+          graft.ext.TextSearch.buildBm25Index(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+          path, tokBuckets = 16)
+        val loaded = graft.ext.TextSearch.loadBm25Index(s, path)
+        val extended = graft.ext.TextSearch.extendStoredBm25Index(loaded,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        val maintained = graft.ext.TextSearch.removeFromStoredBm25Index(
+          extended,
+          docs.filter(col("doc_id") % 20 === 5)
+            .select(col("doc_id").as("nid")), "nid")
+        graft.ext.TextSearch.bm25TopKOnStoredIndex(maintained, qs, k = 10)
+          .groupBy(col("qid"))
+          .agg(coalesce(
+              min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
+              lit(0)).cast("long").as("self_rank"),
+            count(lit(1)).as("n_results"))
+          .orderBy(col("qid"))
+      },
+      """WITH live AS (SELECT doc_id, text FROM documents
+        |              WHERE doc_id % 20 <> 5),
+        |tsrc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM documents),
+        |q AS (SELECT CAST(doc_id AS INT) AS qid,
+        |    array_to_string(t[4:8], ' ') AS qtext
+        |  FROM tsrc WHERE doc_id % 50 = 0 AND doc_id <= 2500),
+        |qt AS (SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS tok
+        |       FROM q),
+        |tf AS (SELECT doc_id AS nid, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM live) GROUP BY 1, 2),
+        |dl AS (SELECT nid, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*)::DOUBLE AS n,
+        |              sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |terms AS (SELECT qt.qid, tf.nid, qt.tok,
+        |    ln((st.n - dfq.dfq + 0.5) / (dfq.dfq + 0.5) + 1.0)
+        |      * tf.tf * (1.2 + 1) / (tf.tf + 1.2 *
+        |        ((1 - 0.75) + 0.75 * dl.dl / st.avgdl)) AS s
+        |  FROM qt JOIN tf USING (tok) JOIN dfq USING (tok)
+        |    JOIN dl ON tf.nid = dl.nid, st),
+        |scored AS (SELECT qid, nid,
+        |    round(list_reduce(list(s ORDER BY tok), (a, c) -> a + c), 4) AS score
+        |  FROM terms GROUP BY 1, 2),
+        |cands AS (SELECT qid, nid, rnk FROM (
+        |  SELECT qid, nid, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rnk FROM scored)
+        |  WHERE rnk <= 10)
+        |SELECT qid,
+        |  CAST(coalesce(min(CASE WHEN nid = qid THEN rnk END), 0) AS BIGINT)
+        |    AS self_rank,
+        |  count(*) AS n_results
+        |FROM cands GROUP BY qid ORDER BY qid""".stripMargin)
   )
 
   /** Unrolled-round DuckDB twin of [[graft.ext.Graphs.kCoreRounds]]

@@ -86,6 +86,50 @@ class IndexStorageSpec extends SparkSpec {
     assert(flat.nonEmpty && flat.sameElements(viaBuckets))
   }
 
+  test("bm25: stored-layout maintenance (map-only extend + tombstone " +
+      "delete) equals an index rebuilt on the surviving corpus; deletes " +
+      "idempotent; compact folds the log") {
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val added = docs.filter(col("doc_id") % 10 === 0)
+    val doomed = docs.filter(col("doc_id") % 20 === 5)
+      .select(col("doc_id").as("nid"))
+    val path = tmpDir("bm25-life")
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(base, "doc_id", "text"), path,
+      tokBuckets = 16)
+    var stored = TextSearch.loadBm25Index(spark, path)
+    stored = TextSearch.extendStoredBm25Index(stored, added,
+      "doc_id", "text")
+    stored = TextSearch.removeFromStoredBm25Index(stored, doomed, "nid")
+    // the x152 oracle rule: maintained stored state ≡ fresh build on
+    // the survivors — scalars AND scores, bit-exactly
+    val fresh = TextSearch.buildBm25Index(
+      docs.filter(col("doc_id") % 20 =!= 5), "doc_id", "text")
+    assert(stored.nDocs === fresh.nDocs)
+    assert(stored.totalTokens === fresh.totalTokens)
+    val expect = TextSearch.bm25TopKOnIndex(fresh, qs, k = 10)
+      .collect().map(_.toString).sorted
+    def probe() = TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(expect.nonEmpty && probe().sameElements(expect))
+    // the delete visibly changed results (vacuity check)
+    val full = TextSearch.bm25TopKOnIndex(
+        TextSearch.buildBm25Index(docs, "doc_id", "text"), qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(!full.sameElements(expect),
+      "delete set failed to change any probe result — test is vacuous")
+    // idempotent: re-deleting must not double-decrement the scalars
+    stored = TextSearch.removeFromStoredBm25Index(stored, doomed, "nid")
+    assert(stored.nDocs === fresh.nDocs)
+    assert(stored.totalTokens === fresh.totalTokens)
+    assert(probe().sameElements(expect))
+    // compact folds the log; scalars carry over; probes unchanged
+    stored = TextSearch.compactStoredBm25Index(stored)
+    assert(stored.tombstones.isEmpty)
+    assert(stored.nDocs === fresh.nDocs)
+    assert(probe().sameElements(expect))
+  }
+
   test("bm25: refuses to persist an empty index") {
     val empty = TextSearch.buildBm25Index(docs.limit(0), "doc_id", "text")
     assertThrows[IllegalArgumentException] {

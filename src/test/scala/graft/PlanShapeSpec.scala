@@ -278,6 +278,57 @@ class PlanShapeSpec extends SparkSpec {
       s"cell gate must DPP the codes scan:\n${pI.take(2500)}")
   }
 
+  test("stored-index tombstone logs apply as BROADCAST anti-joins on the " +
+      "pruned probe rows — a delete log never costs a shuffle at probe time") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.{TextDedup, TextSearch}
+    val docs = graft.queries.Q.tbl(spark, sf(), "documents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape-tomb").toString
+    // BM25: maintained layout with a live tombstone log
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(docs, "doc_id", "text"), s"$root/bm25",
+      tokBuckets = 16)
+    val bm = TextSearch.removeFromStoredBm25Index(
+      TextSearch.loadBm25Index(spark, s"$root/bm25"),
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("nid")),
+      "nid")
+    assert(bm.tombstones.nonEmpty)
+    // the probe checkpoints its pruned frame before scoring, so the
+    // anti-join's plan lives in the checkpoint job — replicate the
+    // probe's internal pruning expression (the layout-pin style above)
+    // and assert on ITS plan
+    val qterms = Seq("hash", "join", "strategy")
+    val bmBuckets = qterms.map(t => TextSearch.tokBucket(t, 16)).distinct
+    val prunedLive = bm.postings
+      .filter(col("tok_bucket").isin(bmBuckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(qterms: _*))
+      .join(broadcast(bm.tombstones.get), Seq("nid"), "left_anti")
+    val pB = prunedLive.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pB.contains("BroadcastHashJoin") && pB.contains("LeftAnti"),
+      s"tombstone filter must be a broadcast anti-join:\n${pB.take(2000)}")
+    assert(!pB.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"tombstone anti-join must never shuffle:\n${pB.take(2000)}")
+    // MinHash: same contract on the stored near-dup probe
+    TextDedup.saveMinhashIndex(
+      TextDedup.minhashIndex(docs, "doc_id", "text"), s"$root/mh",
+      bandBuckets = 8)
+    val mh = TextDedup.removeFromStoredMinhashIndex(
+      TextDedup.loadMinhashIndex(spark, s"$root/mh"),
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id")))
+    val pM = TextDedup.nearDupAgainstStoredIndex(
+        docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        "doc_id", "text", mh)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!pM.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      s"minhash tombstone anti-join must never shuffle:\n${pM.take(2000)}")
+  }
+
   test("q02 pushdown: predicates and pruned schema reach the parquet scan") {
     val p = executedPlan(query("q02_filter_pushdown"))
     assert(p.contains("PushedFilters: ["), p.take(2000))
