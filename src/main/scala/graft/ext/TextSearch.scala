@@ -169,13 +169,23 @@ object TextSearch {
     // a zero-doc index writes no parquet files, leaving a layout the
     // reader cannot even infer a schema from — refuse loudly
     require(index.nDocs > 0, s"refusing to persist an empty index to $path")
-    index.postings
+    val postings = index.postings.localCheckpoint(eager = false)
+    postings
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).cast("int"))
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"$path/postings")
+    // compact per-doc side table (nid, dl): ~doc-count rows vs the
+    // postings' doc-count × distinct-terms — the structure a DELETE's
+    // scalar-decrement aggregate scans instead of the whole postings
+    // table (O(doclens) ≪ O(postings); at 100 TB this is the
+    // difference between a delete costing a metadata-sized scan and a
+    // full index scan)
+    postings.select(col("nid"), col("dl")).distinct()
+      .sortWithinPartitions(col("nid"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
     writeManifest(path, index.nDocs, index.totalTokens, tokBuckets)
     // a full save IS the compacted state — clear any tombstone log
     def rm(f: java.io.File): Unit = {
@@ -209,13 +219,16 @@ object TextSearch {
       idCol: String, textCol: String): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
     val add = buildBm25Index(df, idCol, textCol)
-    add.postings
+    val postings = add.postings.localCheckpoint(eager = false)
+    postings
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(sidx.tokBuckets.toLong)).cast("int"))
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("append").partitionBy("tok_bucket")
       .parquet(s"${sidx.path}/postings")
+    postings.select(col("nid"), col("dl")).distinct()
+      .write.mode("append").parquet(s"${sidx.path}/doclens")
     writeManifest(sidx.path, sidx.nDocs + add.nDocs,
       sidx.totalTokens + add.totalTokens, sidx.tokBuckets)
     loadBm25Index(df.sparkSession, sidx.path)
@@ -239,7 +252,15 @@ object TextSearch {
         ids.select(col(idCol).as("nid")).distinct())((d, t) =>
         d.join(broadcast(t), Seq("nid"), "left_anti"))
       .localCheckpoint(eager = false) // decrement agg + log write: same rows
-    val st = sidx.postings.join(broadcast(doomed), Seq("nid"), "left_semi")
+    // decrement numbers come from the compact doclens side table
+    // (O(nDocs) rows), never a whole-postings scan; layouts saved
+    // before doclens existed fall back to deriving it from postings
+    val spark0 = ids.sparkSession
+    val doclens =
+      if (new java.io.File(s"${sidx.path}/doclens").exists)
+        spark0.read.parquet(s"${sidx.path}/doclens")
+      else sidx.postings.select(col("nid"), col("dl")).distinct()
+    val st = doclens.join(broadcast(doomed), Seq("nid"), "left_semi")
       .select(col("nid"), col("dl")).distinct()
       .agg(count(lit(1)), sum(col("dl"))).head()
     val nRemoved = st.getLong(0)
