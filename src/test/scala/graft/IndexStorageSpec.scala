@@ -130,6 +130,50 @@ class IndexStorageSpec extends SparkSpec {
     assert(probe().sameElements(expect))
   }
 
+  test("bm25: a query STREAM against the maintained stored index gets " +
+      "the batch answers — tombstones and live scalars flow through " +
+      "toIndex into the stream-static join") {
+    import spark.implicits._
+    val path = tmpDir("bm25-stream-maint")
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+      path, tokBuckets = 16)
+    var stored = TextSearch.loadBm25Index(spark, path)
+    stored = TextSearch.extendStoredBm25Index(stored,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    stored = TextSearch.removeFromStoredBm25Index(stored,
+      docs.filter(col("doc_id") % 20 === 5).select(col("doc_id").as("nid")),
+      "nid")
+    assert(stored.tombstones.nonEmpty)
+    val qdf = docs.filter(col("doc_id") < 8)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("q"))
+    val qSeq = qdf.collect().map(r => (r.getLong(0).toInt, r.getString(1)))
+      .toSeq.sortBy(_._1)
+    val want = TextSearch.bm25TopKOnStoredIndex(stored, qSeq, k = 5)
+      .select(col("qid").cast("long"), col("rnk"),
+        col("nid").cast("long"), col("score"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val tmp = tmpDir("bm25-stream-maint-in")
+    qdf.write.parquet(s"$tmp/in/f1")
+    val in = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in/f1").schema)
+      .parquet(s"$tmp/in/*")
+    val q = TextSearch.bm25TopKStreaming(in, stored.toIndex,
+        "doc_id", "q", k = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bm25_maint_stream")
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("bm25_maint_stream")
+      .select(col("qid"), col("rnk"), col("nid"), col("score"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("bm25: refuses to persist an empty index") {
     val empty = TextSearch.buildBm25Index(docs.limit(0), "doc_id", "text")
     assertThrows[IllegalArgumentException] {
