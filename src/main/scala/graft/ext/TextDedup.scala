@@ -953,8 +953,8 @@ object TextDedup {
     * sf-scale keeps files non-trivial at 64; a 100 TB deployment raises
     * it so each bucket is a few hundred MB). */
   final case class StoredMinhashIndex(k: Int, bands: Int, shingleN: Int,
-      bandBuckets: Int, path: String, idxBands: DataFrame, docs: DataFrame,
-      tombstones: DataFrame)
+      bandBuckets: Int, docBuckets: Int, path: String, idxBands: DataFrame,
+      docs: DataFrame, tombstones: DataFrame)
 
   /** One row per (band, band-hash) of a signature frame, bucketed for
     * the stored layout — shared by save, extend, and the probe side so
@@ -975,7 +975,8 @@ object TextDedup {
     * by id. Any existing tombstones are cleared — a full save IS the
     * compacted state. */
   def saveMinhashIndex(index: DataFrame, path: String, k: Int = 16,
-      bands: Int = 8, shingleN: Int = 2, bandBuckets: Int = 64): Unit = {
+      bands: Int = 8, shingleN: Int = 2, bandBuckets: Int = 64,
+      docBuckets: Int = 64): Unit = {
     // one signature evaluation feeds the emptiness check + both writes
     val idx = index.localCheckpoint(eager = false)
     require(!idx.isEmpty, s"refusing to persist an empty index to $path")
@@ -983,9 +984,17 @@ object TextDedup {
       .repartition(col("bb"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands")
+    // docs/ partitioned by id bucket: the verification-toks fetch is a
+    // join by candidate id, and without a partition column it reads the
+    // WHOLE corpus' shingle arrays — the heaviest column — per probe.
+    // Bucketed, the probe prunes to its candidates' directories (the bb
+    // idiom applied to the fetch side).
     idx.select(col("id"), col("sz"), col("toks"), col("sig"))
+      .withColumn("db",
+        pmod(xxhash64(col("id")), lit(docBuckets.toLong)).cast("int"))
+      .repartition(col("db"))
       .sortWithinPartitions(col("id"))
-      .write.mode("overwrite").parquet(s"$path/docs")
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/docs")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
@@ -993,7 +1002,7 @@ object TextDedup {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/manifest.json"),
       s"""{"k": $k, "bands": $bands, "shingleN": $shingleN, """ +
-        s""""bandBuckets": $bandBuckets}""")
+        s""""bandBuckets": $bandBuckets, "docBuckets": $docBuckets}""")
     ()
   }
 
@@ -1005,17 +1014,19 @@ object TextDedup {
       path: String): StoredMinhashIndex = {
     val man = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/manifest.json"))
-    def num(key: String): Int =
-      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
+    def num(key: String, default: Option[Int] = None): Int =
+      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(man).map(_.group(1).toInt)
+        .orElse(default)
         .getOrElse(sys.error(s"minhash manifest at $path missing $key"))
-        .group(1).toInt
     val docs = spark.read.parquet(s"$path/docs")
     val tomb =
       if (new java.io.File(s"$path/tombstones").exists)
         spark.read.parquet(s"$path/tombstones").select(col("id"))
       else docs.select(col("id")).limit(0)
+    // docBuckets 0 = flat legacy docs layout (pre-bucketing saves):
+    // probes skip the fetch-side pruning; compaction upgrades it
     StoredMinhashIndex(num("k"), num("bands"), num("shingleN"),
-      num("bandBuckets"), path,
+      num("bandBuckets"), num("docBuckets", Some(0)), path,
       spark.read.parquet(s"$path/bands"), docs, tomb)
   }
 
@@ -1031,8 +1042,12 @@ object TextDedup {
       .localCheckpoint(eager = false) // one evaluation feeds both writes
     explodedBands(add, sidx.k, sidx.bands, sidx.bandBuckets)
       .write.mode("append").partitionBy("bb").parquet(s"${sidx.path}/bands")
-    add.select(col("id"), col("sz"), col("toks"), col("sig"))
-      .write.mode("append").parquet(s"${sidx.path}/docs")
+    val docRows = add.select(col("id"), col("sz"), col("toks"), col("sig"))
+    if (sidx.docBuckets > 0)
+      docRows.withColumn("db",
+          pmod(xxhash64(col("id")), lit(sidx.docBuckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("db").parquet(s"${sidx.path}/docs")
+    else docRows.write.mode("append").parquet(s"${sidx.path}/docs")
     loadMinhashIndex(batch.sparkSession, sidx.path)
   }
 
@@ -1057,10 +1072,14 @@ object TextDedup {
       sidx: StoredMinhashIndex): StoredMinhashIndex = {
     val spark = sidx.docs.sparkSession
     val survivors = sidx.docs
+      .select(col("id"), col("sz"), col("toks"), col("sig"))
       .join(broadcast(sidx.tombstones), Seq("id"), "left_anti")
       .localCheckpoint(true)
+    // a flat-legacy docs layout (docBuckets 0) upgrades to the bucketed
+    // one here — compaction is the rewrite anyway
     saveMinhashIndex(survivors, sidx.path, sidx.k, sidx.bands,
-      sidx.shingleN, sidx.bandBuckets)
+      sidx.shingleN, sidx.bandBuckets,
+      if (sidx.docBuckets > 0) sidx.docBuckets else 64)
     loadMinhashIndex(spark, sidx.path)
   }
 
@@ -1106,10 +1125,28 @@ object TextDedup {
       .select(col("x.id").as("id"), col("y.id").as("dup_of"),
         opq(eqCount.cast("double") / k).as("est_jac"))
       .filter(col("est_jac") >= estFloor)
+      // one evaluation feeds the docs-bucket collect AND the
+      // verification joins (the touched-set rule again)
+      .localCheckpoint(eager = false)
+    // verification fetch pruned to the candidates' doc buckets: without
+    // this the toks join reads EVERY doc's shingle array — the heaviest
+    // column in the layout — per probe. Bounded collect (≤ docBuckets
+    // distinct values); flat legacy layouts (docBuckets 0) skip it.
+    val docsSide =
+      if (sidx.docBuckets > 0) {
+        val dbs = cands.select(
+            pmod(xxhash64(col("dup_of")), lit(sidx.docBuckets.toLong))
+              .cast("int").as("db"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (dbs.isEmpty)
+          return cands.select(col("id"), col("dup_of"),
+            col("est_jac"), lit(0.0).as("jac")).limit(0)
+        sidx.docs.filter(col("db").isin(dbs.map(Integer.valueOf): _*))
+      } else sidx.docs
     val inter = call_function("sorted_intersect_size", col("toks_a"), col("toks_b"))
     cands
       .join(newSide.select(col("id"), col("toks").as("toks_a")), "id")
-      .join(sidx.docs.select(col("id").as("dup_of"), col("toks").as("toks_b")),
+      .join(docsSide.select(col("id").as("dup_of"), col("toks").as("toks_b")),
         "dup_of")
       .withColumn("jac",
         opq(inter.cast("double") /

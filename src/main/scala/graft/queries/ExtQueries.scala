@@ -5269,13 +5269,13 @@ object ExtQueries {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(root) // stateful layout: each run exercises the full lifecycle
-        // bandBuckets 16 (not the 64 default): sf-scale files stay
+        // bucket counts 16 (not the 64 default): sf-scale files stay
         // non-trivial — 64 dirs of KB-files is pure fs overhead here;
         // the pruning semantics are bucket-count-invariant (spec)
         TextDedup.saveMinhashIndex(
           TextDedup.minhashIndex(
             docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"),
-          root.toString, bandBuckets = 16)
+          root.toString, bandBuckets = 16, docBuckets = 16)
         val loaded = TextDedup.loadMinhashIndex(s, root.toString)
         val extended = TextDedup.extendStoredMinhashIndex(loaded,
           docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")

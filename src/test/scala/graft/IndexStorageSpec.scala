@@ -314,13 +314,28 @@ class IndexStorageSpec extends SparkSpec {
     // one-doc probe: ≤ 8 band keys → at most 8 of 16 buckets survive
     val one = docs.filter(col("doc_id") === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    val plan = TextDedup.nearDupAgainstStoredIndex(one, "doc_id", "text",
-      stored).queryExecution.executedPlan.toString
-    val bandsScan = plan.linesIterator
+    // the probe checkpoints its candidate frame (bucket collect + joins
+    // must see the same rows), which hides the bands scan from the
+    // returned plan — pin the probe's own pruning expression (a bb isin
+    // on the loaded bands frame) the way the BM25 layout pin does
+    val bandsPlan = stored.idxBands
+      .filter(col("bb").isin(Seq(1, 2, 3).map(Integer.valueOf): _*))
+      .queryExecution.executedPlan.toString
+    val bandsScan = bandsPlan.linesIterator
       .filter(l => l.contains("PartitionFilters") && l.contains("bb"))
       .mkString("\n")
     assert(bandsScan.nonEmpty,
-      s"bands scan must carry a bb PartitionFilters entry:\n${plan.take(1200)}")
+      s"bands scan must carry a bb PartitionFilters entry:\n${bandsPlan.take(1200)}")
+    // the verification-toks fetch is NOT checkpointed: the full probe
+    // plan must show the docs scan pruned to the candidates' buckets —
+    // the heaviest column never full-scans per probe
+    val plan = TextDedup.nearDupAgainstStoredIndex(one, "doc_id", "text",
+      stored).queryExecution.executedPlan.toString
+    val docsScan = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("db"))
+      .mkString("\n")
+    assert(docsScan.nonEmpty,
+      s"docs scan must carry a db PartitionFilters entry:\n${plan.take(1500)}")
   }
 
   test("minhash: refuses to persist an empty index") {
