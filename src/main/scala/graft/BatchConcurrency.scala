@@ -42,14 +42,38 @@ object BatchConcurrency {
     "x63_domain_shift_kl", "x85_fuzzy_ed1_join", "x97_pagerank")
 
   final case class Level(k: Int, wallS: Double, aggQpsX: Double,
-      p50Slowdown: Double, p95Slowdown: Double, failures: Int)
+      p50Slowdown: Double, p95Slowdown: Double, failures: Int,
+      anchorBeforeMs: Double, anchorAfterMs: Double, degraded: Boolean)
   final case class Result(queries: Seq[String], seqTotalS: Double,
-      seqS: Map[String, Double], levels: Seq[Level])
+      seqS: Map[String, Double], seqAnchorMs: Double, levels: Seq[Level])
 
   private def clearCaches(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
+
+  /** The constant-shape window anchor (Bench's `calibSpark` twin,
+    * min-of-2): ~70-100 ms warm on a nominal box. Run before AND after
+    * every concurrency level — the round-13 driver artifact recorded a
+    * K=8 p95 slowdown of 66× inside a window whose single PHASE anchor
+    * read clean, which is indistinguishable from a real contention knee;
+    * bracketing each level makes every recorded row self-adjudicating. */
+  private def anchorMs(spark: SparkSession): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    math.min(pass(), pass())
+  }
+
+  /** A level is flagged `degraded` when either of its bracketing
+    * anchors reads > `DegradedX` × the cleanest anchor observed in this
+    * run: the box was contended during the level, so its numbers
+    * measure the neighbor, not the engine — report the row, mark it,
+    * never average it into a verdict. */
+  private val DegradedX = 2.5
 
   def measure(spark: SparkSession, sfDir: String,
       ks: Seq[Int] = Seq(2, 4, 8)): Result = {
@@ -62,13 +86,15 @@ object BatchConcurrency {
     // sequential baseline — queries are already triple-warmed by the
     // main sweep when Bench calls this, so one pass is a steady-state
     // number; caches cleared per query to match the sweep's hygiene
+    val seqAnchor = anchorMs(spark)
     val seq = qs.map { n =>
       val t = runOne(n); clearCaches(spark); n -> t
     }.toMap
     val seqTotal = seq.values.sum
 
-    val levels = ks.map { k =>
+    val raw = ks.map { k =>
       clearCaches(spark)
+      val before = anchorMs(spark)
       val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
       val failures = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()
@@ -90,6 +116,7 @@ object BatchConcurrency {
       }
       threads.foreach(_.join())
       val wall = (System.nanoTime() - t0) / 1e9
+      val after = anchorMs(spark)
       import scala.jdk.CollectionConverters._
       val slowdowns = times.asScala.toSeq
         .map { case (n, t) => t / math.max(1e-9, seq(n)) }.sorted
@@ -97,10 +124,17 @@ object BatchConcurrency {
         if (slowdowns.isEmpty) Double.NaN
         else slowdowns(math.min(slowdowns.size - 1, (p * slowdowns.size).toInt))
       Level(k, wall, k * seqTotal / math.max(1e-9, wall),
-        pct(0.50), pct(0.95), failures.get())
+        pct(0.50), pct(0.95), failures.get(), before, after,
+        degraded = false) // gated below against the whole run's floor
     }
     clearCaches(spark)
-    Result(qs, seqTotal, seq, levels)
+    // nominal = the cleanest anchor this run saw (including the seq
+    // baseline's) — a relative gate, robust to slow-but-steady boxes
+    val floor = (seqAnchor +: raw.flatMap(l =>
+      Seq(l.anchorBeforeMs, l.anchorAfterMs))).min
+    val levels = raw.map(l => l.copy(degraded =
+      math.max(l.anchorBeforeMs, l.anchorAfterMs) > DegradedX * floor))
+    Result(qs, seqTotal, seq, seqAnchor, levels)
   }
 
   /** BENCH JSON fragment; "null" on any failure (never kills the line). */
@@ -110,9 +144,11 @@ object BatchConcurrency {
       val lv = r.levels.map(l =>
         f"""{"k":${l.k},"wall_s":${l.wallS}%.2f,"agg_qps_x":${l.aggQpsX}%.2f,""" +
           f""""p50_slowdown":${l.p50Slowdown}%.2f,"p95_slowdown":${l.p95Slowdown}%.2f,""" +
-          s""""failures":${l.failures}}""").mkString("[", ",", "]")
+          f""""failures":${l.failures},"anchor_before_ms":${l.anchorBeforeMs}%.1f,""" +
+          f""""anchor_after_ms":${l.anchorAfterMs}%.1f,"degraded":${l.degraded}}""")
+        .mkString("[", ",", "]")
       f"""{"n_queries":${r.queries.size},"seq_total_s":${r.seqTotalS}%.2f,""" +
-        s""""levels":$lv}"""
+        f""""seq_anchor_ms":${r.seqAnchorMs}%.1f,"levels":$lv}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"BENCH ERROR batch_concurrency: ${e.getMessage}")

@@ -45,20 +45,20 @@ import graft.ext.Similarity.IvfPqIndex
   */
 final class AnnIndexStore(spark: SparkSession, root: String) {
   import AnnIndexStore.lockFor
+  import graft.storage.Hcfs
 
-  private val fs = new java.io.File(root)
-  private def pointer = new java.io.File(fs, "LATEST")
+  private def pointer = s"$root/LATEST"
 
   def currentVersion: Int =
-    if (!pointer.exists) -1
-    else new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
+    if (!Hcfs.exists(spark, pointer)) -1
+    else Hcfs.readString(spark, pointer).trim.toInt
 
   private final case class Manifest(centroidVersion: Int,
       epochs: Seq[String], tombs: Seq[String], dead: Set[Int])
 
   private def manifest(v: Int): Manifest = {
-    val lines = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(fs, s"v$v.manifest").toPath)).linesIterator.toSeq
+    val lines = Hcfs.readString(spark, s"$root/v$v.manifest")
+      .linesIterator.toSeq
     Manifest(
       lines.collectFirst { case l if l.startsWith("C\t") =>
         l.drop(2).toInt }.getOrElse(0),
@@ -71,17 +71,8 @@ final class AnnIndexStore(spark: SparkSession, root: String) {
     val body = (Seq(s"C\t${m.centroidVersion}") ++
       m.epochs.map(e => s"E\t$e") ++ m.tombs.map(t => s"T\t$t") ++
       m.dead.toSeq.sorted.map(d => s"D\t$d")).mkString("\n")
-    val mf = java.nio.file.Files.createTempFile(fs.toPath, ".man", ".tmp")
-    java.nio.file.Files.writeString(mf, body)
-    java.nio.file.Files.move(mf,
-      new java.io.File(fs, s"v$next.manifest").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val pf = java.nio.file.Files.createTempFile(fs.toPath, ".LATEST", ".tmp")
-    java.nio.file.Files.writeString(pf, next.toString)
-    java.nio.file.Files.move(pf, pointer.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    Hcfs.writeAtomic(spark, s"$root/v$next.manifest", body)
+    Hcfs.writeAtomic(spark, pointer, next.toString)
   }
 
   private def centroidsOf(k: Int): Seq[(Int, Array[Double])] =
@@ -105,7 +96,7 @@ final class AnnIndexStore(spark: SparkSession, root: String) {
   /** Initialize the store from a freshly built index (version 0). */
   def init(index: IvfPqIndex): Unit = lockFor(root).synchronized {
     require(currentVersion < 0, s"ann store $root already initialized")
-    fs.mkdirs()
+    Hcfs.mkdirs(spark, root)
     import spark.implicits._
     index.codebook.map { case (s_, c_, v_) => (s_, c_, v_.toSeq) }
       .toDF("sub", "code", "cvec")

@@ -939,27 +939,41 @@ object TextDedup {
     *    `(id, sz, toks, sig)` sorted by id: the exact-verification
     *    side, fetched per candidate survivor by id equi-join (row-group
     *    min/max on the sorted id answers it).
-    *  - `path/tombstones/…` — DELETED doc ids, append-only: a delete is
-    *    an O(delete batch) map-only write (the MoR pattern), applied at
-    *    probe time as a broadcast anti-join on the candidate rows;
+    *  - `path/tomb-{n}/…` — one delete batch's doc ids: a delete is an
+    *    O(delete batch) map-only write (the MoR pattern), applied by
+    *    the live views as a broadcast anti-join on the candidate rows;
     *    [[compactStoredMinhashIndex]] folds accumulated tombstones into
     *    a rewrite. Deletes of unknown ids are no-ops by construction.
-    *  - `path/manifest.json` — k / bands / shingleN / bandBuckets: the
-    *    banding-family parameters travel WITH the index, because band
-    *    agreement across different families is meaningless (the
-    *    [[nearDupAgainstIndex]] doc's contract, made structural).
+    *  - `path/v{N}.manifest` + `path/LATEST` — the versioned commit
+    *    (the ParquetReplica discipline: fresh epoch dirs + atomic
+    *    temp-file/rename publish, so a LOADED index is an immutable
+    *    snapshot and a probe racing an extend sees either version,
+    *    never a torn batch). The S line carries k / bands / shingleN /
+    *    bandBuckets / docBuckets: the banding-family parameters travel
+    *    WITH the index, because band agreement across different
+    *    families is meaningless (the [[nearDupAgainstIndex]] doc's
+    *    contract, made structural). E/T lines are the ordered
+    *    epoch/tombstone log: a T hides ids only from epochs BEFORE it,
+    *    so a deleted id re-ingested by a later extend is visible with
+    *    its new content while its old rows stay hidden.
     *
     * `bandBuckets` sizes directories, not correctness (the BM25 rule:
     * sf-scale keeps files non-trivial at 64; a 100 TB deployment raises
-    * it so each bucket is a few hundred MB). */
+    * it so each bucket is a few hundred MB). Dir names above are the
+    * epoch form `bands-{n}`/`docs-{n}`; `idxBands`/`docs` here are the
+    * LIVE views (epoch scans minus their subsequent tombstone batches),
+    * `tombstones` the pending log's id union (informational — the live
+    * views already applied it). */
   final case class StoredMinhashIndex(k: Int, bands: Int, shingleN: Int,
       bandBuckets: Int, docBuckets: Int, path: String, idxBands: DataFrame,
       docs: DataFrame, tombstones: DataFrame)
 
   /** One row per (band, band-hash) of a signature frame, bucketed for
     * the stored layout — shared by save, extend, and the probe side so
-    * the three can never disagree on the bucket expression. */
-  private def explodedBands(index: DataFrame, k: Int, bands: Int,
+    * the three can never disagree on the bucket expression
+    * (package-visible so the legacy-layout spec can hand-write the
+    * round-13 flat layout with the same expression). */
+  private[graft] def explodedBands(index: DataFrame, k: Int, bands: Int,
       bandBuckets: Int): DataFrame =
     index.select(col("id"), col("sz"), col("sig"),
         explode(array(bandKeyExprs(col("sig"), k, bands): _*)).as("bk"))
@@ -969,22 +983,150 @@ object TextDedup {
         pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
           .cast("int"))
 
+  // ---- versioned-layout bookkeeping (metadata through the Hadoop
+  //      FileSystem API — graft.storage.Hcfs — so the layout opens on
+  //      HDFS/S3, not just a local disk; same commit discipline as the
+  //      stored BM25 layout: fresh epoch dirs + atomic manifest/pointer
+  //      publish = loaded indexes are immutable snapshots, and
+  //      tombstones are ORDER-AWARE so a deleted id may be re-ingested
+  //      by a later extend) ----
+
+  import graft.storage.Hcfs
+
+  private sealed trait MhEntry
+  private final case class MhEpoch(bandsDir: String,
+      docsDir: String) extends MhEntry
+  private final case class MhTomb(dir: String) extends MhEntry
+  private final case class MhLog(k: Int, bands: Int, shingleN: Int,
+      bandBuckets: Int, docBuckets: Int, entries: Seq[MhEntry],
+      version: Int)
+
+  /** Parse the current manifest: versioned form (`LATEST` →
+    * `v{N}.manifest`) or the round-13 legacy form (`manifest.json` +
+    * flat `bands`/`docs`/`tombstones` dirs) as version −1 — readable
+    * as-is; the first maintenance write upgrades it. */
+  private def readMhLog(spark: org.apache.spark.sql.SparkSession,
+      path: String): MhLog = {
+    if (Hcfs.exists(spark, s"$path/LATEST")) {
+      val v = Hcfs.readString(spark, s"$path/LATEST").trim.toInt
+      val lines = Hcfs.readString(spark, s"$path/v$v.manifest")
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val s = lines.collectFirst {
+        case l if l.startsWith("S\t") => l.drop(2).split("\t")
+      }.getOrElse(sys.error(s"minhash manifest at $path/v$v missing S line"))
+      val entries = lines.collect {
+        case l if l.startsWith("E\t") =>
+          val p = l.drop(2).split("\t"); MhEpoch(p(0), p(1))
+        case l if l.startsWith("T\t") => MhTomb(l.drop(2))
+      }
+      MhLog(s(0).toInt, s(1).toInt, s(2).toInt, s(3).toInt, s(4).toInt,
+        entries, v)
+    } else {
+      val man = Hcfs.readString(spark, s"$path/manifest.json")
+      def num(key: String, default: Option[Int] = None): Int =
+        s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
+          .map(_.group(1).toInt).orElse(default)
+          .getOrElse(sys.error(s"minhash manifest at $path missing $key"))
+      val entries = Seq(MhEpoch("bands", "docs")) ++
+        (if (Hcfs.exists(spark, s"$path/tombstones"))
+          Seq(MhTomb("tombstones")) else Nil)
+      MhLog(num("k"), num("bands"), num("shingleN"), num("bandBuckets"),
+        num("docBuckets", Some(0)), entries, -1)
+    }
+  }
+
+  private def publishMhLog(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog): Unit = {
+    val sLine = s"S\t${log.k}\t${log.bands}\t${log.shingleN}" +
+      s"\t${log.bandBuckets}\t${log.docBuckets}"
+    val body = (sLine +:
+      log.entries.map {
+        case MhEpoch(b, d) => s"E\t$b\t$d"
+        case MhTomb(d) => s"T\t$d"
+      }).mkString("\n")
+    Hcfs.writeAtomic(spark, s"$path/v${log.version}.manifest", body)
+    Hcfs.writeAtomic(spark, s"$path/LATEST", log.version.toString)
+  }
+
+  private def vacuumMh(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog): Unit = {
+    val live: Set[String] = log.entries.flatMap {
+      case MhEpoch(b, d) => Seq(b, d)
+      case MhTomb(d) => Seq(d)
+    }.toSet ++ Set(s"v${log.version}.manifest", "LATEST")
+    Hcfs.listNames(spark, path).foreach { case (name, _) =>
+      if (!live.contains(name) && !name.endsWith(".tmp"))
+        Hcfs.delete(spark, s"$path/$name")
+    }
+  }
+
+  /** Subsequent-tombstone union for the epoch at log position `i` (the
+    * order-aware delete rule). */
+  private def mhTombsAfter(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog, i: Int): Option[DataFrame] = {
+    val dirs = log.entries.drop(i + 1).collect { case MhTomb(d) => d }
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.parquet(s"$path/$d")
+      .select(col("id"))).reduce(_ unionByName _))
+  }
+
+  /** LIVE views over the stored layout: per-epoch scans (band/doc
+    * partition filters prune inside every branch) minus each epoch's
+    * subsequent tombstone batches (broadcast anti-joins on delete-
+    * batch-sized frames). */
+  private def liveMhBands(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog): DataFrame =
+    log.entries.zipWithIndex.collect { case (e: MhEpoch, i) =>
+      val scan = spark.read.parquet(s"$path/${e.bandsDir}")
+        .select(col("band"), col("bh"), col("id"), col("sz"), col("sig"),
+          col("bb"))
+      mhTombsAfter(spark, path, log, i).fold(scan)(t =>
+        scan.join(broadcast(t), Seq("id"), "left_anti"))
+    }.reduce(_ unionByName _)
+
+  private def liveMhDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog): DataFrame =
+    log.entries.zipWithIndex.collect { case (e: MhEpoch, i) =>
+      val cols = Seq(col("id"), col("sz"), col("toks"), col("sig")) ++
+        (if (log.docBuckets > 0) Seq(col("db")) else Nil)
+      val scan = spark.read.parquet(s"$path/${e.docsDir}").select(cols: _*)
+      mhTombsAfter(spark, path, log, i).fold(scan)(t =>
+        scan.join(broadcast(t), Seq("id"), "left_anti"))
+    }.reduce(_ unionByName _)
+
+  /** Upgrade a legacy (pre-versioning) layout on its first maintenance
+    * write: publish the legacy dirs as epoch 0. No-op when already
+    * versioned. */
+  private def migrateMhLegacy(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog): MhLog = {
+    if (log.version >= 0) return log
+    val migrated = log.copy(version = 0)
+    publishMhLog(spark, path, migrated)
+    migrated
+  }
+
   /** Persist a [[minhashIndex]] frame as a [[StoredMinhashIndex]]
-    * layout (full overwrite; see the case-class doc for the shape). One
-    * shuffle co-locates each band bucket; the docs side writes sorted
-    * by id. Any existing tombstones are cleared — a full save IS the
-    * compacted state. */
+    * layout: a fresh `bands-{v}`/`docs-{v}` epoch pair (one shuffle
+    * co-locates each band bucket; the docs side writes id-bucketed and
+    * sorted) published under `v{N}.manifest` + `LATEST`. A full save IS
+    * the compacted state: it vacuums every prior version's directories
+    * (the one layout op that invalidates older snapshots). */
   def saveMinhashIndex(index: DataFrame, path: String, k: Int = 16,
       bands: Int = 8, shingleN: Int = 2, bandBuckets: Int = 64,
       docBuckets: Int = 64): Unit = {
     // one signature evaluation feeds the emptiness check + both writes
     val idx = index.localCheckpoint(eager = false)
     require(!idx.isEmpty, s"refusing to persist an empty index to $path")
+    val spark = index.sparkSession
+    val next =
+      if (Hcfs.exists(spark, s"$path/LATEST"))
+        Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
+      else 0
     explodedBands(idx, k, bands, bandBuckets)
       .repartition(col("bb"))
       .sortWithinPartitions(col("band"), col("bh"))
-      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands")
-    // docs/ partitioned by id bucket: the verification-toks fetch is a
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands-$next")
+    // docs partitioned by id bucket: the verification-toks fetch is a
     // join by candidate id, and without a partition column it reads the
     // WHOLE corpus' shingle arrays — the heaviest column — per probe.
     // Bucketed, the probe prunes to its candidates' directories (the bb
@@ -994,86 +1136,99 @@ object TextDedup {
         pmod(xxhash64(col("id")), lit(docBuckets.toLong)).cast("int"))
       .repartition(col("db"))
       .sortWithinPartitions(col("id"))
-      .write.mode("overwrite").partitionBy("db").parquet(s"$path/docs")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(s"$path/tombstones"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/manifest.json"),
-      s"""{"k": $k, "bands": $bands, "shingleN": $shingleN, """ +
-        s""""bandBuckets": $bandBuckets, "docBuckets": $docBuckets}""")
-    ()
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/docs-$next")
+    val log = MhLog(k, bands, shingleN, bandBuckets, docBuckets,
+      Seq(MhEpoch(s"bands-$next", s"docs-$next")), next)
+    publishMhLog(spark, path, log)
+    vacuumMh(spark, path, log)
   }
 
-  /** Reload a persisted index. Frames stay lazy scans over the stored
-    * layout — no corpus-sized action; a missing tombstone log is an
-    * empty id set (typed off the docs frame, so any id type the caller
-    * indexed round-trips). */
+  /** Reload a persisted index as an immutable SNAPSHOT of its current
+    * version: lazy scans over exactly the manifest's directories — no
+    * corpus-sized action; later extends/deletes publish new versions
+    * and never mutate these files. `tombstones` is the pending log's id
+    * union (empty when compacted) — informational: the live views have
+    * already applied it order-aware. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): StoredMinhashIndex = {
-    val man = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/manifest.json"))
-    def num(key: String, default: Option[Int] = None): Int =
-      s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(man).map(_.group(1).toInt)
-        .orElse(default)
-        .getOrElse(sys.error(s"minhash manifest at $path missing $key"))
-    val docs = spark.read.parquet(s"$path/docs")
+    val log = readMhLog(spark, path)
+    val docs = liveMhDocs(spark, path, log)
+    val tombDirs = log.entries.collect { case MhTomb(d) => d }
     val tomb =
-      if (new java.io.File(s"$path/tombstones").exists)
-        spark.read.parquet(s"$path/tombstones").select(col("id"))
-      else docs.select(col("id")).limit(0)
-    // docBuckets 0 = flat legacy docs layout (pre-bucketing saves):
-    // probes skip the fetch-side pruning; compaction upgrades it
-    StoredMinhashIndex(num("k"), num("bands"), num("shingleN"),
-      num("bandBuckets"), num("docBuckets", Some(0)), path,
-      spark.read.parquet(s"$path/bands"), docs, tomb)
+      if (tombDirs.isEmpty) docs.select(col("id")).limit(0)
+      else tombDirs.map(d => spark.read.parquet(s"$path/$d")
+        .select(col("id"))).reduce(_ unionByName _)
+    StoredMinhashIndex(log.k, log.bands, log.shingleN, log.bandBuckets,
+      log.docBuckets, path, liveMhBands(spark, path, log), docs, tomb)
   }
 
   /** Append a new batch to a stored index WITHOUT touching indexed
-    * data: the batch's own band rows and doc rows write map-only
-    * (partitioned appends; O(batch) work, the daily-ingest step).
-    * Caller contract: batch ids are disjoint from the index (the BM25
-    * merge rule — probe with [[nearDupAgainstStoredIndex]] first, that
-    * IS the ingest loop). Returns the reloaded index. */
+    * data: the batch's band and doc rows write as FRESH epoch dirs and
+    * one atomic manifest publish adds them to the log — O(batch) work,
+    * the daily-ingest step. A concurrent probe on a previously loaded
+    * index keeps its snapshot. Caller contract: batch ids are disjoint
+    * from the LIVE corpus (the BM25 merge rule — probe with
+    * [[nearDupAgainstStoredIndex]] first, that IS the ingest loop);
+    * previously DELETED ids may be re-ingested — the order-aware
+    * tombstone rule keeps their old rows hidden while the new epoch
+    * answers. Returns the reloaded index. */
   def extendStoredMinhashIndex(sidx: StoredMinhashIndex, batch: DataFrame,
       idCol: String, textCol: String): StoredMinhashIndex = {
-    val add = minhashIndex(batch, idCol, textCol, sidx.k, sidx.shingleN)
+    val spark = batch.sparkSession
+    val log = migrateMhLegacy(spark, sidx.path, readMhLog(spark, sidx.path))
+    val next = log.version + 1
+    val add = minhashIndex(batch, idCol, textCol, log.k, log.shingleN)
       .localCheckpoint(eager = false) // one evaluation feeds both writes
-    explodedBands(add, sidx.k, sidx.bands, sidx.bandBuckets)
-      .write.mode("append").partitionBy("bb").parquet(s"${sidx.path}/bands")
+    explodedBands(add, log.k, log.bands, log.bandBuckets)
+      .write.mode("overwrite").partitionBy("bb")
+      .parquet(s"${sidx.path}/bands-$next")
     val docRows = add.select(col("id"), col("sz"), col("toks"), col("sig"))
-    if (sidx.docBuckets > 0)
+    if (log.docBuckets > 0)
       docRows.withColumn("db",
-          pmod(xxhash64(col("id")), lit(sidx.docBuckets.toLong)).cast("int"))
-        .write.mode("append").partitionBy("db").parquet(s"${sidx.path}/docs")
-    else docRows.write.mode("append").parquet(s"${sidx.path}/docs")
-    loadMinhashIndex(batch.sparkSession, sidx.path)
+          pmod(xxhash64(col("id")), lit(log.docBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(s"${sidx.path}/docs-$next")
+    else docRows.write.mode("overwrite").parquet(s"${sidx.path}/docs-$next")
+    publishMhLog(spark, sidx.path, log.copy(
+      entries = log.entries :+ MhEpoch(s"bands-$next", s"docs-$next"),
+      version = next))
+    loadMinhashIndex(spark, sidx.path)
   }
 
-  /** DELETE documents from a stored index: an O(delete batch) append to
-    * the tombstone log — no indexed file is touched (probes anti-join
-    * the log; [[compactStoredMinhashIndex]] folds it). Idempotent:
-    * re-deleting, or deleting ids the index never held, changes
-    * nothing a probe can observe. */
+  /** DELETE documents from a stored index: one fresh tombstone
+    * directory (O(delete batch)) + one atomic manifest publish — no
+    * indexed file is touched (live views apply the log as broadcast
+    * anti-joins; [[compactStoredMinhashIndex]] folds it). Idempotent:
+    * only ids with LIVE doc rows land in the log, so re-deleting — or
+    * deleting ids the index never held — publishes nothing at all, and
+    * a re-ingested-then-re-deleted id is hidden exactly once. */
   def removeFromStoredMinhashIndex(sidx: StoredMinhashIndex,
       ids: DataFrame, idCol: String = "id"): StoredMinhashIndex = {
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("append").parquet(s"${sidx.path}/tombstones")
-    loadMinhashIndex(ids.sparkSession, sidx.path)
+    val spark = ids.sparkSession
+    val log = migrateMhLegacy(spark, sidx.path, readMhLog(spark, sidx.path))
+    val doomed = liveMhDocs(spark, sidx.path, log).select(col("id"))
+      .join(broadcast(ids.select(col(idCol).as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .localCheckpoint(eager = false) // emptiness probe + write: same rows
+    if (doomed.isEmpty) return loadMinhashIndex(spark, sidx.path)
+    val next = log.version + 1
+    doomed.write.mode("overwrite").parquet(s"${sidx.path}/tomb-$next")
+    publishMhLog(spark, sidx.path, log.copy(
+      entries = log.entries :+ MhTomb(s"tomb-$next"), version = next))
+    loadMinhashIndex(spark, sidx.path)
   }
 
-  /** Fold the tombstone log into a full rewrite of both layouts — the
+  /** Fold the epoch/tombstone log into one fresh epoch pair — the
     * amortized maintenance op (ParquetReplica.compact's analogue; run
     * when the log grows past a few percent of the corpus). Survivor
-    * rows are materialized (eager checkpoint) before the overwrite so
-    * the rewrite never reads the files it is replacing. */
+    * rows are materialized (eager checkpoint) before the rewrite so it
+    * never reads files the save's vacuum is deleting. */
   def compactStoredMinhashIndex(
       sidx: StoredMinhashIndex): StoredMinhashIndex = {
     val spark = sidx.docs.sparkSession
+    // `docs` is the live view — already net of tombstones
     val survivors = sidx.docs
       .select(col("id"), col("sz"), col("toks"), col("sig"))
-      .join(broadcast(sidx.tombstones), Seq("id"), "left_anti")
       .localCheckpoint(true)
     // a flat-legacy docs layout (docBuckets 0) upgrades to the bucketed
     // one here — compaction is the rewrite anyway
@@ -1087,12 +1242,13 @@ object TextDedup {
     * the same surviving corpus (IndexStorageSpec pins bit-equality),
     * but the candidate side prunes in two stages the in-memory frame
     * cannot express — the probe's `bb isin` set (static PARTITION
-    * pruning: only its band keys' bucket directories are listed) then
-    * the (band, bh) equi-join (row-group pruning via the sorted
-    * columns' min/max). Tombstoned docs drop from the candidate rows by
-    * broadcast anti-join before any verification work. The shingle
-    * arrays of `docs/` ship only for candidates that survive the
-    * size-ratio and estimate-floor cuts — the same cascade, now an I/O
+    * pruning: only its band keys' bucket directories are listed, inside
+    * every epoch branch of the live view) then the (band, bh) equi-join
+    * (row-group pruning via the sorted columns' min/max). Tombstoned
+    * docs are already excluded by the live view's broadcast anti-joins,
+    * applied to the pruned candidate rows only. The shingle arrays of
+    * the docs side ship only for candidates that survive the size-ratio
+    * and estimate-floor cuts — the same cascade, now an I/O
     * statement. */
   def nearDupAgainstStoredIndex(batch: DataFrame, idCol: String,
       textCol: String, sidx: StoredMinhashIndex,
@@ -1113,7 +1269,6 @@ object TextDedup {
         lit(0.0).as("est_jac"), lit(0.0).as("jac")).limit(0)
     val idx = sidx.idxBands
       .filter(col("bb").isin(buckets.map(Integer.valueOf): _*))
-      .join(broadcast(sidx.tombstones), Seq("id"), "left_anti")
     val eqCount = call_function("positional_eq_count", col("x.sig"), col("y.sig"))
     val estFloor = math.max(0.0,
       threshold - 2 * math.sqrt(threshold * (1 - threshold) / k))

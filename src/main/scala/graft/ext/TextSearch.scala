@@ -124,21 +124,187 @@ object TextSearch {
     * bucket DIRECTORIES before any file opens (file-level pruning) and
     * to matching row groups via the sorted column's min/max stats — the
     * layout PERF.md's standing-deployment claim is about, now an API
-    * instead of a doc sentence. The two exact corpus scalars and the
-    * bucket count ride a driver-side manifest. `postings` here carries
-    * the extra `tok_bucket` column; [[toIndex]] drops it for callers
-    * that want the plain in-memory contract. */
+    * instead of a doc sentence.
+    *
+    * The layout is MANIFEST-VERSIONED (the [[graft.streaming
+    * .ParquetReplica]] commit discipline applied to an index): every
+    * maintenance op writes FRESH epoch directories and publishes
+    * `v{N}.manifest` + `LATEST` via temp-file + atomic rename, so a
+    * loaded index is an immutable SNAPSHOT — a probe racing an extend
+    * sees either the pre-extend or the post-extend version, never a
+    * torn batch (IndexStorageSpec pins it). Writers are single-writer
+    * per layout, the P13 topic rule; readers need no coordination.
+    * Tombstones are ORDER-AWARE: a `T` manifest line hides doc ids only
+    * from epochs PUBLISHED BEFORE it, so a deleted id re-ingested by a
+    * later extend is visible with its new content while its old
+    * postings stay hidden — id reuse is safe across a delete, and a
+    * second delete decrements exactly the live row.
+    *
+    * `postings` is the LIVE view (epoch scans each anti-joined with
+    * their subsequent tombstone batches, unioned) and carries the extra
+    * `tok_bucket` column; [[toIndex]] drops it for callers that want
+    * the plain in-memory contract. `tombstones` is the union of the
+    * pending tombstone log (None when the log is empty / compacted) —
+    * informational: the live view has already applied it. */
   final case class StoredBm25Index(nDocs: Long, totalTokens: Long,
       tokBuckets: Int, postings: DataFrame, path: String = "",
       tombstones: Option[DataFrame] = None) {
-    /** In-memory contract over the LIVE rows: tombstoned docs' postings
-      * drop, and the scalars are already net of them (maintained at
-      * delete time) — so downstream in-memory ops see exactly the
-      * surviving corpus. */
+    /** In-memory contract over the LIVE rows (the view is already net
+      * of tombstones, as are the scalars — maintained at delete time):
+      * downstream in-memory ops see exactly the surviving corpus. */
     def toIndex: Bm25Index =
-      Bm25Index(nDocs, totalTokens, tombstones.foldLeft(
-        postings.drop("tok_bucket"))((p, t) =>
-          p.join(broadcast(t), Seq("nid"), "left_anti")))
+      Bm25Index(nDocs, totalTokens, postings.drop("tok_bucket"))
+  }
+
+  // ---- versioned-layout bookkeeping (all metadata I/O through the
+  //      Hadoop FileSystem API — graft.storage.Hcfs — so the layout
+  //      opens on HDFS/S3, not just a local disk) ----
+
+  private sealed trait BmEntry
+  private final case class BmEpoch(postingsDir: String,
+      doclensDir: Option[String]) extends BmEntry
+  private final case class BmTomb(dir: String) extends BmEntry
+  private final case class Bm25Log(nDocs: Long, totalTokens: Long,
+      tokBuckets: Int, entries: Seq[BmEntry], version: Int)
+
+  import org.apache.spark.sql.SparkSession
+  import graft.storage.Hcfs
+
+  /** Parse the current manifest. Reads the versioned form (`LATEST` →
+    * `v{N}.manifest`); a LEGACY layout (round-13 `manifest.json` +
+    * flat `postings`/`doclens`/`tombstones` dirs, no pointer) parses as
+    * version −1 with the legacy dirs as epoch 0 — readable as-is; the
+    * first maintenance WRITE upgrades it ([[migrateLegacy]]). */
+  private def readBm25Log(spark: SparkSession, path: String): Bm25Log = {
+    if (Hcfs.exists(spark, s"$path/LATEST")) {
+      val v = Hcfs.readString(spark, s"$path/LATEST").trim.toInt
+      val lines = Hcfs.readString(spark, s"$path/v$v.manifest")
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val Array(n, t, b) = lines.collectFirst {
+        case l if l.startsWith("S\t") => l.drop(2).split("\t")
+      }.getOrElse(sys.error(s"bm25 manifest at $path/v$v missing S line"))
+      val entries = lines.collect {
+        case l if l.startsWith("E\t") =>
+          val parts = l.drop(2).split("\t")
+          BmEpoch(parts(0),
+            if (parts.length > 1 && parts(1) != "-") Some(parts(1)) else None)
+        case l if l.startsWith("T\t") => BmTomb(l.drop(2))
+      }
+      Bm25Log(n.toLong, t.toLong, b.toInt, entries, v)
+    } else {
+      val man = Hcfs.readString(spark, s"$path/manifest.json")
+      def lng(k: String): Long =
+        s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
+          .getOrElse(sys.error(s"bm25 manifest at $path missing $k"))
+          .group(1).toLong
+      val entries = Seq(BmEpoch("postings",
+          if (Hcfs.exists(spark, s"$path/doclens")) Some("doclens")
+          else None)) ++
+        (if (Hcfs.exists(spark, s"$path/tombstones"))
+          Seq(BmTomb("tombstones")) else Nil)
+      Bm25Log(lng("nDocs"), lng("totalTokens"), lng("tokBuckets").toInt,
+        entries, -1)
+    }
+  }
+
+  private def publishBm25Log(spark: SparkSession, path: String,
+      log: Bm25Log): Unit = {
+    val body = (s"S\t${log.nDocs}\t${log.totalTokens}\t${log.tokBuckets}" +:
+      log.entries.map {
+        case BmEpoch(p, d) => s"E\t$p\t${d.getOrElse("-")}"
+        case BmTomb(d) => s"T\t$d"
+      }).mkString("\n")
+    Hcfs.writeAtomic(spark, s"$path/v${log.version}.manifest", body)
+    Hcfs.writeAtomic(spark, s"$path/LATEST", log.version.toString)
+  }
+
+  /** Delete layout children the just-published manifest no longer
+    * references — run ONLY after a full rewrite ([[saveBm25Index]] /
+    * compaction), which by contract invalidates older snapshots (the
+    * ParquetReplica `vacuum(0)` semantics; extends and deletes never
+    * touch prior versions, so plain maintenance preserves every
+    * in-flight reader's snapshot). */
+  private def vacuumBm25(spark: SparkSession, path: String,
+      log: Bm25Log): Unit = {
+    val live: Set[String] = log.entries.flatMap {
+      case BmEpoch(p, d) => Seq(p) ++ d.toSeq
+      case BmTomb(d) => Seq(d)
+    }.toSet ++ Set(s"v${log.version}.manifest", "LATEST")
+    Hcfs.listNames(spark, path).foreach { case (name, _) =>
+      if (!live.contains(name) && !name.endsWith(".tmp"))
+        Hcfs.delete(spark, s"$path/$name")
+    }
+  }
+
+  /** Subsequent-tombstone union for the epoch at log position `i` (the
+    * order-aware delete rule), or None when no later `T` entry exists. */
+  private def tombsAfter(spark: SparkSession, path: String,
+      log: Bm25Log, i: Int): Option[DataFrame] = {
+    val dirs = log.entries.drop(i + 1).collect { case BmTomb(d) => d }
+    if (dirs.isEmpty) None
+    else Some(dirs.map(d => spark.read.parquet(s"$path/$d")
+      .select(col("nid"))).reduce(_ unionByName _))
+  }
+
+  /** The LIVE postings view: per-epoch scans (each tok_bucket-
+    * partitioned, so probe filters partition-prune INSIDE each branch),
+    * minus each epoch's subsequent tombstone batches (one broadcast
+    * anti-join per epoch — the log is delete-batch-sized by contract,
+    * folded by compaction). */
+  private def livePostings(spark: SparkSession, path: String,
+      log: Bm25Log): DataFrame =
+    log.entries.zipWithIndex.collect { case (e: BmEpoch, i) =>
+      val scan = spark.read.parquet(s"$path/${e.postingsDir}")
+        .select(col("nid"), col("dl"), col("tok"), col("tf"),
+          col("tok_bucket"))
+      tombsAfter(spark, path, log, i).fold(scan)(t =>
+        scan.join(broadcast(t), Seq("nid"), "left_anti"))
+    }.reduce(_ unionByName _)
+
+  /** The LIVE (nid, dl) side table — what a delete's scalar decrement
+    * scans (O(live docs), never O(postings)). Epochs saved before the
+    * doclens table existed derive theirs from that epoch's live
+    * postings (read-path fallback; [[migrateLegacy]] materializes it on
+    * the first maintenance write so deletes go back to metadata-sized
+    * scans). */
+  private def liveDoclens(spark: SparkSession, path: String,
+      log: Bm25Log): DataFrame =
+    log.entries.zipWithIndex.collect { case (e: BmEpoch, i) =>
+      val scan = e.doclensDir match {
+        case Some(d) => spark.read.parquet(s"$path/$d")
+          .select(col("nid"), col("dl"))
+        case None => spark.read.parquet(s"$path/${e.postingsDir}")
+          .select(col("nid"), col("dl")).distinct()
+      }
+      tombsAfter(spark, path, log, i).fold(scan)(t =>
+        scan.join(broadcast(t), Seq("nid"), "left_anti"))
+    }.reduce(_ unionByName _)
+
+  /** Upgrade a legacy (pre-versioning) layout to the versioned form on
+    * its first maintenance write: publish the legacy dirs as epoch 0 —
+    * and, when the layout predates the doclens side table, BACKFILL
+    * `doclens-0` from the LIVE postings first. Without the backfill, a
+    * later delete of an original-corpus doc would find no doclens row
+    * and silently under-decrement nDocs/totalTokens (idf/avgdl drift vs
+    * a rebuild — the round-13 review finding). No-op on an
+    * already-versioned layout. */
+  private def migrateLegacy(spark: SparkSession, path: String,
+      log: Bm25Log): Bm25Log = {
+    if (log.version >= 0) return log
+    val entries = log.entries.map {
+      case BmEpoch(p, None) =>
+        // full (nid, dl) of the epoch's postings — the epoch's own
+        // tombstone entries keep applying to it through the log order,
+        // exactly as they do to the postings themselves
+        spark.read.parquet(s"$path/$p")
+          .select(col("nid"), col("dl")).distinct()
+          .write.mode("overwrite").parquet(s"$path/doclens-0")
+        BmEpoch(p, Some("doclens-0"))
+      case e => e
+    }
+    val migrated = log.copy(entries = entries, version = 0)
+    publishBm25Log(spark, path, migrated)
+    migrated
   }
 
   /** Driver-side twin of the save path's Spark-side bucket expression
@@ -155,20 +321,30 @@ object TextSearch {
     if (m < 0) m + nBuckets else m
   }
 
-  /** Persist a [[Bm25Index]] as the standing retrieval layout:
-    * `path/postings/tok_bucket=<b>/…` (one shuffle to co-locate each
-    * bucket, `sortWithinPartitions(tok)` so parquet row-group min/max
-    * stats answer the term `isin`), plus `path/manifest.json` with the
-    * two exact corpus scalars and the bucket count. At 100 TB the
-    * postings write is the one shuffle an index build amortizes over
-    * every future probe batch; `tokBuckets` sizes directories, not
-    * correctness (default 64 keeps sf-scale files non-trivial — a real
-    * deployment raises it so each bucket is a few hundred MB). */
+  /** Persist a [[Bm25Index]] as the standing retrieval layout: a fresh
+    * epoch `path/postings-{v}/tok_bucket=<b>/…` (one shuffle to
+    * co-locate each bucket, `sortWithinPartitions(tok)` so parquet
+    * row-group min/max stats answer the term `isin`) plus the compact
+    * `doclens-{v}` side table ((nid, dl): ~doc-count rows vs doc-count
+    * × distinct-terms — what a DELETE's scalar decrement scans instead
+    * of the whole postings table), published under `v{N}.manifest` +
+    * `LATEST`. A full save IS the compacted state: it vacuums every
+    * prior version's directories (invalidating older snapshots — the
+    * one layout op that does). At 100 TB the postings write is the one
+    * shuffle an index build amortizes over every future probe batch;
+    * `tokBuckets` sizes directories, not correctness (default 64 keeps
+    * sf-scale files non-trivial — a real deployment raises it so each
+    * bucket is a few hundred MB). */
   def saveBm25Index(index: Bm25Index, path: String,
       tokBuckets: Int = 64): Unit = {
     // a zero-doc index writes no parquet files, leaving a layout the
     // reader cannot even infer a schema from — refuse loudly
     require(index.nDocs > 0, s"refusing to persist an empty index to $path")
+    val spark = index.postings.sparkSession
+    val next =
+      if (Hcfs.exists(spark, s"$path/LATEST"))
+        Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
+      else 0
     val postings = index.postings.localCheckpoint(eager = false)
     postings
       .withColumn("tok_bucket",
@@ -176,149 +352,133 @@ object TextSearch {
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("overwrite").partitionBy("tok_bucket")
-      .parquet(s"$path/postings")
-    // compact per-doc side table (nid, dl): ~doc-count rows vs the
-    // postings' doc-count × distinct-terms — the structure a DELETE's
-    // scalar-decrement aggregate scans instead of the whole postings
-    // table (O(doclens) ≪ O(postings); at 100 TB this is the
-    // difference between a delete costing a metadata-sized scan and a
-    // full index scan)
+      .parquet(s"$path/postings-$next")
     postings.select(col("nid"), col("dl")).distinct()
       .sortWithinPartitions(col("nid"))
-      .write.mode("overwrite").parquet(s"$path/doclens")
-    writeManifest(path, index.nDocs, index.totalTokens, tokBuckets)
-    // a full save IS the compacted state — clear any tombstone log
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(s"$path/tombstones"))
-  }
-
-  /** Driver-side manifest (the ParquetReplica convention: local-FS
-    * metadata beside the data; a distributed deployment swaps this seam
-    * for the object store's conditional put). Rewritten by every
-    * maintenance op — the scalars are LIVE values, net of tombstoned
-    * docs. */
-  private def writeManifest(path: String, nDocs: Long, totalTokens: Long,
-      tokBuckets: Int): Unit = {
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/manifest.json"),
-      s"""{"nDocs": $nDocs, "totalTokens": $totalTokens, """ +
-        s""""tokBuckets": $tokBuckets}""")
-    ()
+      .write.mode("overwrite").parquet(s"$path/doclens-$next")
+    val log = Bm25Log(index.nDocs, index.totalTokens, tokBuckets,
+      Seq(BmEpoch(s"postings-$next", Some(s"doclens-$next"))), next)
+    publishBm25Log(spark, path, log)
+    vacuumBm25(spark, path, log)
   }
 
   /** Append a new document batch to a STORED index without touching
-    * indexed files: the batch's postings write as a map-only
-    * partitioned append and the two scalars add into the manifest —
-    * O(batch), the daily-ingest step on the persisted layout (the
-    * stored twin of [[mergeBm25Index]]; same disjoint-ids contract).
-    * Single-writer maintenance, like every layout op here. Returns the
-    * reloaded index. */
+    * indexed files: the batch's postings and doclens write as FRESH
+    * epoch directories and one atomic manifest publish adds them to the
+    * log with the two scalars bumped — O(batch) work, the daily-ingest
+    * step on the persisted layout (the stored twin of
+    * [[mergeBm25Index]]; ids must be disjoint from the LIVE corpus —
+    * previously DELETED ids may be re-ingested: the order-aware
+    * tombstone rule keeps their old postings hidden while the new epoch
+    * answers). A concurrent probe on a previously loaded index keeps
+    * its snapshot. Single-writer maintenance, like every layout op
+    * here. Returns the reloaded index. */
   def extendStoredBm25Index(sidx: StoredBm25Index, df: DataFrame,
       idCol: String, textCol: String): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
+    val spark = df.sparkSession
+    val log = migrateLegacy(spark, sidx.path, readBm25Log(spark, sidx.path))
+    val next = log.version + 1
     val add = buildBm25Index(df, idCol, textCol)
     val postings = add.postings.localCheckpoint(eager = false)
     postings
       .withColumn("tok_bucket",
-        pmod(xxhash64(col("tok")), lit(sidx.tokBuckets.toLong)).cast("int"))
+        pmod(xxhash64(col("tok")), lit(log.tokBuckets.toLong)).cast("int"))
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
-      .write.mode("append").partitionBy("tok_bucket")
-      .parquet(s"${sidx.path}/postings")
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"${sidx.path}/postings-$next")
     postings.select(col("nid"), col("dl")).distinct()
-      .write.mode("append").parquet(s"${sidx.path}/doclens")
-    writeManifest(sidx.path, sidx.nDocs + add.nDocs,
-      sidx.totalTokens + add.totalTokens, sidx.tokBuckets)
-    loadBm25Index(df.sparkSession, sidx.path)
+      .write.mode("overwrite").parquet(s"${sidx.path}/doclens-$next")
+    publishBm25Log(spark, sidx.path, log.copy(
+      nDocs = log.nDocs + add.nDocs,
+      totalTokens = log.totalTokens + add.totalTokens,
+      entries = log.entries :+
+        BmEpoch(s"postings-$next", Some(s"doclens-$next")),
+      version = next))
+    loadBm25Index(spark, sidx.path)
   }
 
   /** DELETE documents from a STORED index without touching indexed
-    * files: an O(delete batch) tombstone-log append, plus one bounded
-    * aggregate that recovers the removed docs' (count, token) numbers
-    * FROM the live postings to decrement the manifest scalars — the
-    * stored twin of [[removeFromBm25Index]]. Probes anti-join the log
-    * on their pruned candidate rows; [[compactStoredBm25Index]] folds
-    * it. Idempotent: already-tombstoned (or never-indexed) ids
-    * contribute no decrement and no new log rows that a probe can
-    * observe. */
+    * files: one fresh tombstone directory (O(delete batch)) plus one
+    * bounded aggregate over the LIVE doclens view that recovers the
+    * removed docs' (count, token) numbers to decrement the manifest
+    * scalars — the stored twin of [[removeFromBm25Index]]. The live
+    * view already excludes previously tombstoned rows, so re-deletes
+    * and never-indexed ids contribute no decrement AND no manifest
+    * publish (fully idempotent); a re-ingested-then-re-deleted id
+    * decrements exactly its live row. [[compactStoredBm25Index]] folds
+    * the log. */
   def removeFromStoredBm25Index(sidx: StoredBm25Index, ids: DataFrame,
       idCol: String): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
-    // only NEWLY doomed ids decrement (re-deletes must be no-ops) —
-    // and their numbers come from the live rows, which still hold them
-    val doomed = sidx.tombstones.foldLeft(
-        ids.select(col(idCol).as("nid")).distinct())((d, t) =>
-        d.join(broadcast(t), Seq("nid"), "left_anti"))
-      .localCheckpoint(eager = false) // decrement agg + log write: same rows
-    // decrement numbers come from the compact doclens side table
-    // (O(nDocs) rows), never a whole-postings scan; layouts saved
-    // before doclens existed fall back to deriving it from postings
-    val spark0 = ids.sparkSession
-    val doclens =
-      if (new java.io.File(s"${sidx.path}/doclens").exists)
-        spark0.read.parquet(s"${sidx.path}/doclens")
-      else sidx.postings.select(col("nid"), col("dl")).distinct()
-    val st = doclens.join(broadcast(doomed), Seq("nid"), "left_semi")
-      .select(col("nid"), col("dl")).distinct()
-      .agg(count(lit(1)), sum(col("dl"))).head()
+    val spark = ids.sparkSession
+    val log = migrateLegacy(spark, sidx.path, readBm25Log(spark, sidx.path))
+    // exactly one live (nid, dl) row per live doc — the decrement agg
+    // and the tombstone write must see the SAME rows (pin it)
+    val doomed = liveDoclens(spark, sidx.path, log)
+      .join(broadcast(ids.select(col(idCol).as("nid")).distinct()),
+        Seq("nid"), "left_semi")
+      .localCheckpoint(eager = false)
+    val st = doomed.agg(count(lit(1)), sum(col("dl"))).head()
     val nRemoved = st.getLong(0)
+    if (nRemoved == 0L) // nothing live to delete: no new version at all
+      return loadBm25Index(spark, sidx.path)
     val tokRemoved = if (st.isNullAt(1)) 0L else st.getLong(1)
-    doomed.write.mode("append").parquet(s"${sidx.path}/tombstones")
-    writeManifest(sidx.path, sidx.nDocs - nRemoved,
-      sidx.totalTokens - tokRemoved, sidx.tokBuckets)
-    loadBm25Index(ids.sparkSession, sidx.path)
+    val next = log.version + 1
+    doomed.select(col("nid"))
+      .write.mode("overwrite").parquet(s"${sidx.path}/tomb-$next")
+    publishBm25Log(spark, sidx.path, log.copy(
+      nDocs = log.nDocs - nRemoved,
+      totalTokens = log.totalTokens - tokRemoved,
+      entries = log.entries :+ BmTomb(s"tomb-$next"),
+      version = next))
+    loadBm25Index(spark, sidx.path)
   }
 
-  /** Fold the tombstone log into a full rewrite of the postings — the
-    * amortized maintenance op (run when the log grows past a few
-    * percent of the corpus). The manifest scalars are already live and
-    * carry over unchanged; survivor rows materialize (eager checkpoint)
-    * before the overwrite so the rewrite never reads files it is
-    * replacing. */
+  /** Fold the epoch/tombstone log into one fresh epoch — the amortized
+    * maintenance op (run when the log grows past a few percent of the
+    * corpus). The manifest scalars are already live and carry over
+    * unchanged; survivor rows materialize (eager checkpoint) before the
+    * rewrite so it never reads files the save's vacuum is deleting. */
   def compactStoredBm25Index(sidx: StoredBm25Index): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
     val spark = sidx.postings.sparkSession
-    val survivors = sidx.tombstones.foldLeft(
-        sidx.postings.drop("tok_bucket"))((p, t) =>
-        p.join(broadcast(t), Seq("nid"), "left_anti"))
-      .localCheckpoint(true)
+    // `postings` is the live view — already net of tombstones
+    val survivors = sidx.postings.drop("tok_bucket").localCheckpoint(true)
     saveBm25Index(
       Bm25Index(sidx.nDocs, sidx.totalTokens, survivors),
       sidx.path, sidx.tokBuckets)
     loadBm25Index(spark, sidx.path)
   }
 
-  /** Reload a persisted index. The postings frame keeps `tok_bucket` so
-    * probe-time partition pruning can use it ([[bm25TopKOnStoredIndex]]);
-    * scalars come from the manifest — no corpus-sized action. */
+  /** Reload a persisted index as an immutable SNAPSHOT of its current
+    * version: the frames are lazy scans over exactly the directories
+    * the manifest lists — later extends/deletes publish new versions
+    * and never mutate these files, so the snapshot stays answerable
+    * (until a full save/compact vacuums prior versions). Scalars come
+    * from the manifest — no corpus-sized action. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String): StoredBm25Index = {
-    val man = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(s"$path/manifest.json"))
-    def lng(k: String): Long =
-      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(man)
-        .getOrElse(sys.error(s"bm25 manifest at $path missing $k"))
-        .group(1).toLong
-    StoredBm25Index(lng("nDocs"), lng("totalTokens"),
-      lng("tokBuckets").toInt,
-      spark.read.parquet(s"$path/postings")
-        .select(col("nid"), col("dl"), col("tok"), col("tf"),
-          col("tok_bucket")),
-      path,
-      if (new java.io.File(s"$path/tombstones").exists)
-        Some(spark.read.parquet(s"$path/tombstones").select(col("nid")))
-      else None)
+    val log = readBm25Log(spark, path)
+    val tombDirs = log.entries.collect { case BmTomb(d) => d }
+    StoredBm25Index(log.nDocs, log.totalTokens, log.tokBuckets,
+      livePostings(spark, path, log), path,
+      if (tombDirs.isEmpty) None
+      else Some(tombDirs.map(d => spark.read.parquet(s"$path/$d")
+        .select(col("nid"))).reduce(_ unionByName _)))
   }
 
   /** BM25 top-`k` from a RELOADED index: identical scores to
     * [[bm25TopKOnIndex]] (same postings rows reach the same scoring
     * tail), but the term pruning happens in two stages the flat layout
     * cannot express — `tok_bucket isin` (static PARTITION pruning: only
-    * the query terms' bucket directories are even listed) then the
-    * usual `tok isin` (row-group pruning via the sorted column's
-    * min/max). The probe reads O(terms' buckets), not O(index). */
+    * the query terms' bucket directories are even listed, inside every
+    * epoch branch of the live view) then the usual `tok isin`
+    * (row-group pruning via the sorted column's min/max). Tombstoned
+    * docs are already excluded by the live view's broadcast anti-joins,
+    * applied to the pruned candidate rows only. The probe reads
+    * O(terms' buckets), not O(index). */
   def bm25TopKOnStoredIndex(index: StoredBm25Index,
       queries: Seq[(Int, String)], k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -326,15 +486,10 @@ object TextSearch {
       return emptyResult(index.postings.drop("tok_bucket"))
     val qterms = queries.flatMap(_._2.split(" ")).distinct
     val buckets = qterms.map(t => tokBucket(t, index.tokBuckets)).distinct
-    // tombstoned docs drop AFTER the bucket/term pruning (the anti-join
-    // touches only the probe's candidate rows, and the per-term df then
-    // counts live docs only); the scalars are already net of deletes
-    val tf = index.tombstones.foldLeft(
-        index.postings
-          .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
-          .filter(col("tok").isin(qterms: _*))
-          .drop("tok_bucket"))((p, t) =>
-        p.join(broadcast(t), Seq("nid"), "left_anti"))
+    val tf = index.postings
+      .filter(col("tok_bucket").isin(buckets.map(Integer.valueOf): _*))
+      .filter(col("tok").isin(qterms: _*))
+      .drop("tok_bucket")
     scorePostings(tf, index.nDocs.toDouble,
       index.totalTokens.toDouble / index.nDocs.toDouble, queries, k, k1, b)
   }

@@ -5204,12 +5204,9 @@ object ExtQueries {
         // fresh root per run: replica roots are stateful and the
         // migration must exercise STRING→VARIANT, not no-op on a
         // previous run's already-migrated output
-        val root = new java.io.File(s"${sys.props("java.io.tmpdir")}" +
-          s"/graft-x157-${java.lang.Integer.toHexString(dir.hashCode)}")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(root)
+        val root = s"${sys.props("java.io.tmpdir")}/graft-x157-" +
+          s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        graft.storage.Hcfs.delete(s, root)
         def shaped(rows: org.apache.spark.sql.DataFrame, ts: String,
             ev: String) = rows.select(
           col("c_custkey").as("synced_id"),
@@ -5221,14 +5218,14 @@ object ExtQueries {
             col("c_acctbal").as("bal"),
             col("c_mktsegment").as("seg"))).as("synced_data"))
         val c = tbl(s, dir, "customer")
-        val rep = new graft.streaming.ParquetReplica(s, root.toString,
+        val rep = new graft.streaming.ParquetReplica(s, root,
           stringDdl, buckets = 4, mergeOnRead = true, compactEvery = 100)
         rep.merge(shaped(c, "2026-01-01 00:00:00", "created"))
         rep.merge(shaped(
           c.filter(col("c_custkey") % 7 === 0)
             .withColumn("c_acctbal", col("c_acctbal") + lit(100.0)),
           "2026-01-02 00:00:00", "updated"))
-        val vrep = new graft.streaming.ParquetReplica(s, root.toString,
+        val vrep = new graft.streaming.ParquetReplica(s, root,
           variantDdl, buckets = 4, mergeOnRead = true, compactEvery = 100)
         vrep.migrateColumn(stringDdl, "synced_data", parse_json)
         vrep.verifyStoredCompatible() // the toggle check passes post-migration
@@ -5263,20 +5260,18 @@ object ExtQueries {
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
           .select(col("doc_id"), col("text"))
-        val root = new java.io.File(s"${sys.props("java.io.tmpdir")}" +
-          s"/graft-x158-${java.lang.Integer.toHexString(dir.hashCode)}")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(root) // stateful layout: each run exercises the full lifecycle
+        val root = s"${sys.props("java.io.tmpdir")}/graft-x158-" +
+          s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        // stateful layout: each run exercises the full lifecycle
+        graft.storage.Hcfs.delete(s, root)
         // bucket counts 16 (not the 64 default): sf-scale files stay
         // non-trivial — 64 dirs of KB-files is pure fs overhead here;
         // the pruning semantics are bucket-count-invariant (spec)
         TextDedup.saveMinhashIndex(
           TextDedup.minhashIndex(
             docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"),
-          root.toString, bandBuckets = 16, docBuckets = 16)
-        val loaded = TextDedup.loadMinhashIndex(s, root.toString)
+          root, bandBuckets = 16, docBuckets = 16)
+        val loaded = TextDedup.loadMinhashIndex(s, root)
         val extended = TextDedup.extendStoredMinhashIndex(loaded,
           docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
         val pruned = TextDedup.removeFromStoredMinhashIndex(extended,

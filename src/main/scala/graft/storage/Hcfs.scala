@@ -1,0 +1,118 @@
+package graft.storage
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-FileSystem-portable metadata I/O for every pointer, manifest,
+  * marker, and existence check the engine's persistence layer performs
+  * (ParquetReplica / CowReplica / AnnIndexStore / the stored BM25 and
+  * MinHash index layouts).
+  *
+  * Why this exists: the DATA plane was always location-transparent —
+  * every parquet read/write goes through Spark path-string I/O — but the
+  * metadata plane (LATEST pointers, version manifests, tombstone-log
+  * existence checks) used `java.io.File`, which only opens on a local
+  * filesystem. A 100 TB deployment stores these layouts on HDFS or an
+  * object store; routing the metadata through
+  * `org.apache.hadoop.fs.FileSystem` makes the whole persistence story
+  * open anywhere Spark itself can read (paths resolve through the
+  * session's Hadoop configuration, so `file:`, `hdfs:`, `s3a:` …
+  * schemes all work unchanged).
+  *
+  * Atomicity contract: [[writeAtomic]] writes a dot-prefixed temp file
+  * in the target's directory and renames over the target via
+  * `FileContext.rename(…, Options.Rename.OVERWRITE)` — atomic on HDFS
+  * and on local filesystems, so a reader can never observe a truncated
+  * manifest or an empty pointer mid-write and a crashed writer leaves
+  * only a stray temp file. CAVEAT (object stores): S3-style stores
+  * implement rename as copy+delete, which is NOT atomic — a production
+  * deployment on S3 swaps this one seam for the store's conditional-put
+  * (if-none-match) primitive or a small DynamoDB/metastore commit, the
+  * same seam Delta's LogStore abstracts. Every caller funnels through
+  * here, so that swap is one class.
+  */
+object Hcfs {
+
+  /** The filesystem `p` resolves to under the session's Hadoop conf —
+    * local paths resolve to `file:`, fully-qualified URIs to their own
+    * scheme. FileSystem instances are cached by Hadoop per (scheme,
+    * authority, ugi), so per-call resolution costs a map lookup.
+    *
+    * The checksummed `LocalFileSystem` is unwrapped to its RAW form:
+    * the client-side `.crc` sidecars it writes do not survive a
+    * rename-with-OVERWRITE of an existing target (the old sidecar goes
+    * stale and every subsequent read throws ChecksumException), and
+    * metadata this small gains nothing from client checksums. HDFS
+    * checksums server-side and object stores use ETags — both
+    * unaffected. */
+  def fs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf()) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+
+  def exists(spark: SparkSession, p: String): Boolean =
+    fs(spark, p).exists(new Path(p))
+
+  def mkdirs(spark: SparkSession, p: String): Unit = {
+    fs(spark, p).mkdirs(new Path(p)); ()
+  }
+
+  /** Whole file as UTF-8 (manifests and pointers are metadata-sized). */
+  def readString(spark: SparkSession, p: String): String = {
+    val in = fs(spark, p).open(new Path(p))
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Temp-file + rename-with-OVERWRITE publish (see class doc for the
+    * atomicity contract and the object-store caveat). */
+  def writeAtomic(spark: SparkSession, p: String, body: String): Unit = {
+    val target = new Path(p)
+    val f = fs(spark, p)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(f.getUri,
+      spark.sessionState.newHadoopConf())
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    ()
+  }
+
+  /** Recursive delete, idempotent (a missing path is a no-op). */
+  def delete(spark: SparkSession, p: String): Unit = {
+    val f = fs(spark, p)
+    val path = new Path(p)
+    if (f.exists(path)) { f.delete(path, true); () }
+  }
+
+  /** Child (name, isDirectory) pairs of `dir`; empty for a missing dir. */
+  def listNames(spark: SparkSession, dir: String): Seq[(String, Boolean)] = {
+    val f = fs(spark, dir)
+    val path = new Path(dir)
+    if (!f.exists(path)) Nil
+    else f.listStatus(path).toSeq
+      .map(st => (st.getPath.getName, st.isDirectory))
+  }
+
+  /** Exact row count of a just-written parquet directory from its file
+    * FOOTERS — driver-side metadata I/O on the directory's files, never
+    * a Spark job (the deferred-emptiness-check trick; at most a handful
+    * of files per micro-batch epoch). */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, dir)
+    val path = new Path(dir)
+    if (!f.exists(path)) 0L
+    else f.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+}

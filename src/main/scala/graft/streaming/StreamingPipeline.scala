@@ -257,14 +257,17 @@ final class ParquetReplica(spark: SparkSession, root: String,
     mergeOnRead: Boolean = false, compactEvery: Int = 8) extends Replica {
   require(buckets > 0)
   require(compactEvery > 0)
-  private val fs = new java.io.File(root)
-  fs.mkdirs()
+  // all pointer/manifest/marker I/O goes through the Hadoop FileSystem
+  // API (graft.storage.Hcfs): the metadata plane opens anywhere Spark
+  // itself can read — file:, hdfs:, s3a: — not just a local disk
+  import graft.storage.Hcfs
+  Hcfs.mkdirs(spark, root)
 
-  private def pointer = new java.io.File(fs, "LATEST")
+  private def pointer = s"$root/LATEST"
 
   def currentVersion: Int =
-    if (pointer.exists)
-      new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
+    if (Hcfs.exists(spark, pointer))
+      Hcfs.readString(spark, pointer).trim.toInt
     else -1
 
   override def neverCommitted: Boolean = currentVersion < 0
@@ -296,16 +299,15 @@ final class ParquetReplica(spark: SparkSession, root: String,
     }.getOrElse(buckets)
 
   private def manifestLines(v: Int): Seq[String] =
-    if (v < 0 || !new java.io.File(fs, s"v$v.manifest").exists) Nil
-    else new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(fs, s"v$v.manifest").toPath))
+    if (v < 0 || !Hcfs.exists(spark, s"$root/v$v.manifest")) Nil
+    else Hcfs.readString(spark, s"$root/v$v.manifest")
       .linesIterator.filter(_.nonEmpty).toSeq
 
   /** The current version's manifest, REQUIRED to exist: a pointer whose
     * manifest is missing is storage corruption, and treating it as an
     * empty table would silently drop every row on the next merge. */
   private def currentManifest(v: Int): Map[Int, String] = {
-    if (v >= 0) require(new java.io.File(fs, s"v$v.manifest").exists,
+    if (v >= 0) require(Hcfs.exists(spark, s"$root/v$v.manifest"),
       s"replica $root: LATEST points at v$v but v$v.manifest is missing")
     manifest(v)
   }
@@ -504,11 +506,10 @@ final class ParquetReplica(spark: SparkSession, root: String,
     df.withColumn("__b", bucketOf(col("synced_id"), nb))
       .repartition(nb, col("__b"))
       .write.partitionBy("__b").mode("overwrite").parquet(s"$root/$dirName")
-    val dirs = Option(new java.io.File(fs, dirName)
-        .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
-      .getOrElse(Array.empty)
-    dirs.map(d => d.getName.stripPrefix("__b=").toInt -> s"$dirName/${d.getName}")
-      .toMap
+    Hcfs.listNames(spark, s"$root/$dirName")
+      .collect { case (name, true) if name.startsWith("__b=") =>
+        name.stripPrefix("__b=").toInt -> s"$dirName/$name"
+      }.toMap
   }
 
   /** Manifest + pointer publish, both via temp-file + ATOMIC_MOVE: a
@@ -521,17 +522,8 @@ final class ParquetReplica(spark: SparkSession, root: String,
       (man.toSeq.sorted.map { case (b, p) => s"$b\t$p" } ++
         deltas.sortBy(_._1).map { case (s, p) => s"D\t$s\t$p" }))
       .mkString("\n")
-    writeAtomic(new java.io.File(fs, s"v$next.manifest"), body.getBytes)
-    writeAtomic(pointer, next.toString.getBytes)
-  }
-
-  private def writeAtomic(target: java.io.File, bytes: Array[Byte]): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(
-      fs.toPath, s".${target.getName}", ".tmp")
-    java.nio.file.Files.write(tmp, bytes)
-    java.nio.file.Files.move(tmp, target.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Hcfs.writeAtomic(spark, s"$root/v$next.manifest", body)
+    Hcfs.writeAtomic(spark, pointer, next.toString)
   }
 
   /** Run `f` under this replica's writer lock — for callers that must
@@ -608,27 +600,21 @@ final class ParquetReplica(spark: SparkSession, root: String,
         (manifest(v).values ++ deltaEntries(v).map(_._2))
           .map(_.split("/")(0)).toSeq :+ s"v$v"
       }.toSet
-      Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val name = f.getName
+      Hcfs.listNames(spark, root).foreach { case (name, isDir) =>
         // an in-flight background compaction's half-written compact-v*
         // dir is legitimately unreferenced until its locked publish —
         // deleting it mid-write would hand the publish a manifest of
         // missing files. Skip compact dirs while one is running (the
         // publish also re-checks its dir, so even a foreign-instance
         // vacuum degrades to an abandoned compaction, never data loss).
-        val isOldVersionDir = f.isDirectory &&
+        val isOldVersionDir = isDir &&
           (name.matches("v\\d+") ||
             (name.matches("compact-v\\d+") && !compacting.get())) &&
           !live.contains(name)
         val isOldManifest = name.matches("v\\d+\\.manifest") &&
           name.stripPrefix("v").stripSuffix(".manifest").toInt < floor
-        if (isOldVersionDir || isOldManifest) {
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete()
-          }
-          rm(f)
-        }
+        if (isOldVersionDir || isOldManifest)
+          Hcfs.delete(spark, s"$root/$name")
       }
     }
 
@@ -778,31 +764,12 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // deferred emptiness check: the parquet FOOTERS of the files just
     // written carry exact row counts — a driver-local metadata read, no
     // Spark job. An empty micro-batch leaves no epoch and no version.
-    if (parquetRowCount(new java.io.File(fs, dir)) == 0L) {
-      def rm(x: java.io.File): Unit = {
-        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(); ()
-      }
-      rm(new java.io.File(fs, dir))
+    if (Hcfs.parquetRowCount(spark, s"$root/$dir") == 0L) {
+      Hcfs.delete(spark, s"$root/$dir")
       return
     }
     publish(next, man, nb, ds :+ (seq -> dir))
     if (ds.size + 1 >= compactEvery) compactDeltasAsync()
-  }
-
-  /** Exact row count of a just-written parquet directory from its file
-    * footers — driver-local I/O on a handful of local files, never a
-    * Spark job. */
-  private def parquetRowCount(dir: java.io.File): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    Option(dir.listFiles((_, n) => n.endsWith(".parquet")))
-      .getOrElse(Array.empty)
-      .map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getPath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
   }
 
   // one background compaction at a time; failures clear the flag and
@@ -841,7 +808,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
           // that reclaimed the half-written compaction output.
           if (bucketCount(cur) == nb &&
               deltaEntries(cur).exists(_._1 == snapMaxSeq) &&
-              new java.io.File(fs, s"compact-v$snapV").exists()) {
+              Hcfs.exists(spark, s"$root/compact-v$snapV")) {
             val remaining = deltaEntries(cur).filter(_._1 > snapMaxSeq)
             publish(cur + 1, written, nb, remaining)
           } // else: layout changed under us — abandon, log is still whole
@@ -884,13 +851,13 @@ final class ParquetReplica(spark: SparkSession, root: String,
 final class CowReplica(spark: SparkSession, root: String,
     schemaDDL: String, buckets: Int = 16) extends Replica {
   require(buckets > 0)
-  private val fs = new java.io.File(root)
-  fs.mkdirs()
-  private def pointer = new java.io.File(fs, "LATEST")
+  import graft.storage.Hcfs
+  Hcfs.mkdirs(spark, root)
+  private def pointer = s"$root/LATEST"
 
   def currentVersion: Int =
-    if (pointer.exists)
-      new String(java.nio.file.Files.readAllBytes(pointer.toPath)).trim.toInt
+    if (Hcfs.exists(spark, pointer))
+      Hcfs.readString(spark, pointer).trim.toInt
     else -1
 
   override def neverCommitted: Boolean = currentVersion < 0
@@ -900,25 +867,25 @@ final class CowReplica(spark: SparkSession, root: String,
   private def empty: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def bucketDirs(v: Int): Seq[java.io.File] =
-    Option(new java.io.File(fs, s"v$v")
-        .listFiles(f => f.isDirectory && f.getName.startsWith("__b=")))
-      .getOrElse(Array.empty).toSeq
+  /** Bucket-dir paths (relative to root) of version `v`. */
+  private def bucketDirs(v: Int): Seq[String] =
+    Hcfs.listNames(spark, s"$root/v$v")
+      .collect { case (name, true) if name.startsWith("__b=") =>
+        s"v$v/$name"
+      }
 
   /** Bucket count the given version was written with (`_buckets` marker;
     * Spark's reader ignores underscore-prefixed files). None = a layout
     * written before bucketing existed, or by a different tool — readers
     * must not assume any hash layout for it. */
-  private def bucketCountOf(v: Int): Option[Int] = {
-    val f = new java.io.File(fs, s"v$v/_buckets")
-    if (f.exists)
-      Some(new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toInt)
+  private def bucketCountOf(v: Int): Option[Int] =
+    if (Hcfs.exists(spark, s"$root/v$v/_buckets"))
+      Some(Hcfs.readString(spark, s"$root/v$v/_buckets").trim.toInt)
     else None
-  }
 
-  private def readDirs(dirs: Seq[java.io.File]): DataFrame =
+  private def readDirs(dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty) empty
-    else spark.read.schema(schema).parquet(dirs.map(_.getPath): _*)
+    else spark.read.schema(schema).parquet(dirs.map(d => s"$root/$d"): _*)
 
   def read(): DataFrame = {
     val v = currentVersion
@@ -940,8 +907,8 @@ final class CowReplica(spark: SparkSession, root: String,
         val touched = keys
           .select(pmod(hash(col("synced_id")), lit(nb)).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
-        readDirs(bucketDirs(v)
-          .filter(d => touched(d.getName.stripPrefix("__b=").toInt)))
+        readDirs(bucketDirs(v).filter(d =>
+          touched(d.split("/").last.stripPrefix("__b=").toInt)))
       // unknown layout (legacy flat, foreign writer): correct, unpruned
       case None => read()
     }
@@ -956,13 +923,8 @@ final class CowReplica(spark: SparkSession, root: String,
       .write.partitionBy("__b").mode("overwrite").parquet(s"$root/v$next")
     // record the hash layout BEFORE publishing the version: readBuckets
     // only ever prunes with the count the layout was actually written with
-    java.nio.file.Files.write(
-      new java.io.File(fs, s"v$next/_buckets").toPath, buckets.toString.getBytes)
-    val tmp = java.nio.file.Files.createTempFile(fs.toPath, ".LATEST", ".tmp")
-    java.nio.file.Files.write(tmp, next.toString.getBytes)
-    java.nio.file.Files.move(tmp, pointer.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Hcfs.writeAtomic(spark, s"$root/v$next/_buckets", buckets.toString)
+    Hcfs.writeAtomic(spark, pointer, next.toString)
   }
 
   def merge(updates: DataFrame,
@@ -977,16 +939,10 @@ final class CowReplica(spark: SparkSession, root: String,
     val current = currentVersion
     if (current < 0) return
     val floor = math.max(0, current - retainVersions)
-    Option(fs.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val name = f.getName
-      if (f.isDirectory && name.matches("v\\d+") &&
-          name.stripPrefix("v").toInt < floor) {
-        def rm(x: java.io.File): Unit = {
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete()
-        }
-        rm(f)
-      }
+    Hcfs.listNames(spark, root).foreach { case (name, isDir) =>
+      if (isDir && name.matches("v\\d+") &&
+          name.stripPrefix("v").toInt < floor)
+        Hcfs.delete(spark, s"$root/$name")
     }
   }
 }

@@ -62,7 +62,7 @@ final class FileTopics(root: String, maxFilesPerTrigger: Option[Int] = None)
     // fixed wire schema (not inferred): a live consumer may open the
     // topic before the producer has written its first file; older topics
     // missing `partition_key` read it as null (parquet schema evolution)
-    new java.io.File(path).mkdirs()
+    graft.storage.Hcfs.mkdirs(spark, path)
     val reader = spark.readStream.schema(graft.model.Schemas.wire)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))

@@ -345,4 +345,192 @@ class IndexStorageSpec extends SparkSpec {
         tmpDir("minhash-empty"))
     }
   }
+
+  // ---- round-14: snapshot isolation + order-aware tombstones + legacy
+  //      migration on the versioned layouts ----
+
+  test("bm25 + minhash: a LOADED index is an immutable snapshot — " +
+      "maintenance publishing new versions never changes what it " +
+      "answers (probe-during-extend isolation)") {
+    // BM25
+    val bPath = tmpDir("bm25-snap")
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+      bPath, tokBuckets = 16)
+    val snap = TextSearch.loadBm25Index(spark, bPath)
+    val before = TextSearch.bm25TopKOnStoredIndex(snap, qs, k = 10)
+      .collect().map(_.toString).sorted
+    // a writer extends AND deletes on disk — the snapshot must not move
+    val afterExtend = TextSearch.extendStoredBm25Index(snap,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    TextSearch.removeFromStoredBm25Index(afterExtend,
+      docs.filter(col("doc_id") % 20 === 5).select(col("doc_id").as("nid")),
+      "nid")
+    val after = TextSearch.bm25TopKOnStoredIndex(snap, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(before.nonEmpty && before.sameElements(after),
+      "snapshot moved under a concurrent extend/delete")
+    // scalars are per-snapshot too; a reload sees the new state
+    val fresh = TextSearch.loadBm25Index(spark, bPath)
+    assert(fresh.nDocs !== snap.nDocs,
+      "reload after maintenance must see the new version")
+    // MinHash
+    val mPath = tmpDir("minhash-snap")
+    TextDedup.saveMinhashIndex(
+      TextDedup.minhashIndex(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"),
+      mPath, bandBuckets = 16)
+    val mSnap = TextDedup.loadMinhashIndex(spark, mPath)
+    val mBefore = probeRows(mSnap)
+    val mExt = TextDedup.extendStoredMinhashIndex(mSnap,
+      docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+    TextDedup.removeFromStoredMinhashIndex(mExt,
+      docs.filter(col("doc_id") % 100 === 50).select(col("doc_id").as("id")))
+    assert(mBefore.sameElements(probeRows(mSnap)),
+      "minhash snapshot moved under a concurrent extend/delete")
+    assert(!probeRows(TextDedup.loadMinhashIndex(spark, mPath))
+      .sameElements(mBefore),
+      "reload after maintenance must see the new version")
+  }
+
+  test("bm25: a tombstoned id RE-INGESTED by a later extend answers with " +
+      "its new content only (order-aware tombstones), and a second " +
+      "delete decrements exactly the live row") {
+    val victim = docs.filter(col("doc_id") % 20 === 5)
+    val victimIds = victim.select(col("doc_id").as("nid"))
+    // re-ingested content differs from the original (text doubled)
+    val reborn = victim.select(col("doc_id"),
+      concat_ws(" ", col("text"), col("text")).as("text"))
+    val path = tmpDir("bm25-reingest")
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(docs, "doc_id", "text"), path,
+      tokBuckets = 16)
+    var stored = TextSearch.loadBm25Index(spark, path)
+    stored = TextSearch.removeFromStoredBm25Index(stored, victimIds, "nid")
+    stored = TextSearch.extendStoredBm25Index(stored, reborn,
+      "doc_id", "text")
+    // oracle: fresh build over survivors + reborn content
+    val expectIdx = TextSearch.buildBm25Index(
+      docs.filter(col("doc_id") % 20 =!= 5).select(col("doc_id"), col("text"))
+        .unionByName(reborn), "doc_id", "text")
+    assert(stored.nDocs === expectIdx.nDocs)
+    assert(stored.totalTokens === expectIdx.totalTokens)
+    val expect = TextSearch.bm25TopKOnIndex(expectIdx, qs, k = 10)
+      .collect().map(_.toString).sorted
+    val got = TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(expect.nonEmpty && got.sameElements(expect),
+      "re-ingested content must answer; old content must stay hidden")
+    // second delete: decrements the LIVE (reborn) row exactly once
+    stored = TextSearch.removeFromStoredBm25Index(stored, victimIds, "nid")
+    val survivorsIdx = TextSearch.buildBm25Index(
+      docs.filter(col("doc_id") % 20 =!= 5), "doc_id", "text")
+    assert(stored.nDocs === survivorsIdx.nDocs)
+    assert(stored.totalTokens === survivorsIdx.totalTokens)
+    val got2 = TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted
+    val expect2 = TextSearch.bm25TopKOnIndex(survivorsIdx, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(got2.sameElements(expect2))
+  }
+
+  test("minhash: a tombstoned id RE-INGESTED by a later extend matches " +
+      "with its new signature only") {
+    val victim = docs.filter(col("doc_id") % 100 === 50)
+    val path = tmpDir("minhash-reingest")
+    TextDedup.saveMinhashIndex(
+      TextDedup.minhashIndex(docs, "doc_id", "text"), path,
+      bandBuckets = 16)
+    var stored = TextDedup.loadMinhashIndex(spark, path)
+    stored = TextDedup.removeFromStoredMinhashIndex(stored,
+      victim.select(col("doc_id").as("id")))
+    // re-ingest the SAME ids with their original text: the planted
+    // %50==0 probe twins of the %100==50 docs must match again
+    stored = TextDedup.extendStoredMinhashIndex(stored,
+      victim.select(col("doc_id"), col("text")), "doc_id", "text")
+    val expect = TextDedup.nearDupAgainstIndex(plantedBatch, "doc_id",
+        "text", TextDedup.minhashIndex(docs, "doc_id", "text"))
+      .collect().map(_.toString).sorted
+    assert(expect.nonEmpty && probeRows(stored).sameElements(expect),
+      "re-ingested ids must match exactly as a fresh full index")
+  }
+
+  test("bm25: a LEGACY layout (round-13 manifest.json, no doclens, no " +
+      "pointer) loads as-is and its first maintenance write migrates it " +
+      "— doclens backfilled so deletes of ORIGINAL docs decrement " +
+      "exactly (the round-13 review finding)") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val idx = TextSearch.buildBm25Index(base, "doc_id", "text")
+    val path = tmpDir("bm25-legacy")
+    // hand-write the legacy layout: flat postings/ (tok_bucket-
+    // partitioned), manifest.json, NO doclens, NO LATEST
+    idx.postings
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(16L)).cast("int"))
+      .write.mode("overwrite").partitionBy("tok_bucket")
+      .parquet(s"$path/postings")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      s"""{"nDocs": ${idx.nDocs}, "totalTokens": ${idx.totalTokens}, """ +
+        s""""tokBuckets": 16}""")
+    // loads and probes without any write
+    val legacy = TextSearch.loadBm25Index(spark, path)
+    assert(legacy.nDocs === idx.nDocs)
+    val memProbe = TextSearch.bm25TopKOnIndex(idx, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(TextSearch.bm25TopKOnStoredIndex(legacy, qs, k = 10)
+      .collect().map(_.toString).sorted.sameElements(memProbe))
+    // first maintenance write migrates (extend), then a delete of an
+    // ORIGINAL-corpus doc must decrement — the pre-migration bug was a
+    // doclens holding only the extension batch
+    var stored = TextSearch.extendStoredBm25Index(legacy,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    stored = TextSearch.removeFromStoredBm25Index(stored,
+      docs.filter(col("doc_id") % 20 === 5).select(col("doc_id").as("nid")),
+      "nid")
+    val fresh = TextSearch.buildBm25Index(
+      docs.filter(col("doc_id") % 20 =!= 5), "doc_id", "text")
+    assert(stored.nDocs === fresh.nDocs,
+      "delete of an original doc must decrement nDocs (doclens backfill)")
+    assert(stored.totalTokens === fresh.totalTokens)
+    val expect = TextSearch.bm25TopKOnIndex(fresh, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted.sameElements(expect))
+  }
+
+  test("minhash: a LEGACY layout (flat bands/docs/manifest.json) loads " +
+      "as-is and migrates on its first maintenance write") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    val base = docs.filter(col("doc_id") % 100 =!= 0)
+    val index = TextDedup.minhashIndex(base, "doc_id", "text")
+      .localCheckpoint(true)
+    val path = tmpDir("minhash-legacy")
+    // legacy layout: bands/ + docs/ (db-bucketed) + manifest.json
+    TextDedup.explodedBands(index, 16, 8, 16)
+      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands")
+    index.select(col("id"), col("sz"), col("toks"), col("sig"))
+      .withColumn("db", pmod(xxhash64(col("id")), lit(16L)).cast("int"))
+      .write.mode("overwrite").partitionBy("db").parquet(s"$path/docs")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifest.json"),
+      """{"k": 16, "bands": 8, "shingleN": 2, "bandBuckets": 16, """ +
+        """"docBuckets": 16}""")
+    val legacy = TextDedup.loadMinhashIndex(spark, path)
+    val memRows = TextDedup.nearDupAgainstIndex(plantedBatch, "doc_id",
+      "text", index).collect().map(_.toString).sorted
+    assert(memRows.nonEmpty && probeRows(legacy).sameElements(memRows))
+    // maintenance write migrates; lifecycle equals a fresh build
+    var stored = TextDedup.extendStoredMinhashIndex(legacy,
+      docs.filter(col("doc_id") % 100 === 0), "doc_id", "text")
+    stored = TextDedup.removeFromStoredMinhashIndex(stored,
+      docs.filter(col("doc_id") % 100 === 50).select(col("doc_id").as("id")))
+    val expect = TextDedup.nearDupAgainstIndex(plantedBatch, "doc_id",
+        "text", TextDedup.minhashIndex(
+          docs.filter(col("doc_id") % 100 =!= 50), "doc_id", "text"))
+      .collect().map(_.toString).sorted
+    assert(expect.nonEmpty && probeRows(stored).sameElements(expect))
+  }
 }
