@@ -154,6 +154,19 @@ object Bench {
       // sweep — each pass re-materializes its own caches
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // …and actually RELEASE the dead weight before the next timer
+      // starts: Spark's ContextCleaner frees shuffle files, broadcasts,
+      // and checkpoint blocks only after the driver GC collects their
+      // weak refs (default periodic GC: 30 min — i.e. never, during a
+      // sweep), so the debris of a heavy query otherwise stays resident
+      // and the NEXT query pays its memory pressure. Round 13 measured
+      // this as a phantom 1.4× "regression" on x141: the two new
+      // stored-index lifecycle queries (x158/x159, checkpoint- and
+      // shuffle-heavy) inflated every later allocation-heavy query —
+      // x141 read 2.04 s swept after them vs 1.56 s isolated, with
+      // x141's own code byte-identical to round 12. One explicit GC per
+      // timed query runs OUTSIDE the timer and restores isolation.
+      System.gc()
       t
     }
 

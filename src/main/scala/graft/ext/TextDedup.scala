@@ -997,9 +997,15 @@ object TextDedup {
   private final case class MhEpoch(bandsDir: String,
       docsDir: String) extends MhEntry
   private final case class MhTomb(dir: String) extends MhEntry
+  /** `bandsDdl`/`docsDdl` ride the manifest (`H` lines) so readers
+    * construct scans with an EXPLICIT schema — parquet inference costs
+    * one driver job per directory per load (the BM25 layout's rule,
+    * measured round 14). None = legacy manifest; fall back to
+    * inference. */
   private final case class MhLog(k: Int, bands: Int, shingleN: Int,
       bandBuckets: Int, docBuckets: Int, entries: Seq[MhEntry],
-      version: Int)
+      version: Int, bandsDdl: Option[String] = None,
+      docsDdl: Option[String] = None)
 
   /** Parse the current manifest: versioned form (`LATEST` →
     * `v{N}.manifest`) or the round-13 legacy form (`manifest.json` +
@@ -1019,8 +1025,11 @@ object TextDedup {
           val p = l.drop(2).split("\t"); MhEpoch(p(0), p(1))
         case l if l.startsWith("T\t") => MhTomb(l.drop(2))
       }
+      def ddl(kind: String): Option[String] = lines.collectFirst {
+        case l if l.startsWith(s"H\t$kind\t") => l.drop(3 + kind.length)
+      }
       MhLog(s(0).toInt, s(1).toInt, s(2).toInt, s(3).toInt, s(4).toInt,
-        entries, v)
+        entries, v, ddl("bands"), ddl("docs"))
     } else {
       val man = Hcfs.readString(spark, s"$path/manifest.json")
       def num(key: String, default: Option[Int] = None): Int =
@@ -1039,7 +1048,9 @@ object TextDedup {
       path: String, log: MhLog): Unit = {
     val sLine = s"S\t${log.k}\t${log.bands}\t${log.shingleN}" +
       s"\t${log.bandBuckets}\t${log.docBuckets}"
-    val body = (sLine +:
+    val body = (Seq(sLine) ++
+      log.bandsDdl.map(d => s"H\tbands\t$d") ++
+      log.docsDdl.map(d => s"H\tdocs\t$d") ++
       log.entries.map {
         case MhEpoch(b, d) => s"E\t$b\t$d"
         case MhTomb(d) => s"T\t$d"
@@ -1054,45 +1065,77 @@ object TextDedup {
       case MhEpoch(b, d) => Seq(b, d)
       case MhTomb(d) => Seq(d)
     }.toSet ++ Set(s"v${log.version}.manifest", "LATEST")
-    Hcfs.listNames(spark, path).foreach { case (name, _) =>
-      if (!live.contains(name) && !name.endsWith(".tmp"))
-        Hcfs.delete(spark, s"$path/$name")
-    }
+    Hcfs.deleteAsync(spark,
+      Hcfs.listNames(spark, path).collect {
+        case (name, _) if !live.contains(name) && !name.endsWith(".tmp") =>
+          s"$path/$name"
+      })
   }
 
-  /** Subsequent-tombstone union for the epoch at log position `i` (the
-    * order-aware delete rule). */
-  private def mhTombsAfter(spark: org.apache.spark.sql.SparkSession,
-      path: String, log: MhLog, i: Int): Option[DataFrame] = {
-    val dirs = log.entries.drop(i + 1).collect { case MhTomb(d) => d }
-    if (dirs.isEmpty) None
-    else Some(dirs.map(d => spark.read.parquet(s"$path/$d")
-      .select(col("id"))).reduce(_ unionByName _))
+  /** Epoch groups of the order-aware tombstone rule: each epoch's
+    * applicable tombstones are the `T` entries AFTER it in the log;
+    * epochs sharing the same suffix set (the common case) union first
+    * and anti-join ONCE — the typical one-delete-batch layout costs a
+    * single broadcast anti-join over the whole view, not one per
+    * epoch. Groups keep log order. */
+  private def mhEpochGroups(log: MhLog): Seq[(Seq[String], Seq[MhEpoch])] = {
+    val keyed = log.entries.zipWithIndex.collect { case (e: MhEpoch, i) =>
+      (log.entries.drop(i + 1).collect { case MhTomb(d) => d }, e)
+    }
+    keyed.map(_._1).distinct.map(k =>
+      k -> keyed.filter(_._1 == k).map(_._2))
   }
+
+  /** A parquet scan with the manifest's schema when present (see
+    * [[MhLog]] doc). */
+  private def readMhDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, dir: String, ddl: Option[String]): DataFrame =
+    ddl match {
+      case Some(d) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+        .parquet(s"$path/$dir")
+      case None => spark.read.parquet(s"$path/$dir")
+    }
+
+  /** Tombstone frames hold exactly the docs `id` field. */
+  private def mhTombDdl(log: MhLog): Option[String] =
+    log.docsDdl.map(d => org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(d).fields.take(1)).toDDL)
+
+  private def mhTombUnion(spark: org.apache.spark.sql.SparkSession,
+      path: String, log: MhLog, dirs: Seq[String]): DataFrame =
+    dirs.map(d => readMhDir(spark, path, d, mhTombDdl(log)).select(col("id")))
+      .reduce(_ unionByName _)
 
   /** LIVE views over the stored layout: per-epoch scans (band/doc
-    * partition filters prune inside every branch) minus each epoch's
-    * subsequent tombstone batches (broadcast anti-joins on delete-
-    * batch-sized frames). */
+    * partition filters prune inside every branch) minus the applicable
+    * tombstone batches (broadcast anti-joins on delete-batch-sized
+    * frames, one per epoch GROUP). */
   private def liveMhBands(spark: org.apache.spark.sql.SparkSession,
       path: String, log: MhLog): DataFrame =
-    log.entries.zipWithIndex.collect { case (e: MhEpoch, i) =>
-      val scan = spark.read.parquet(s"$path/${e.bandsDir}")
-        .select(col("band"), col("bh"), col("id"), col("sz"), col("sig"),
-          col("bb"))
-      mhTombsAfter(spark, path, log, i).fold(scan)(t =>
-        scan.join(broadcast(t), Seq("id"), "left_anti"))
+    mhEpochGroups(log).map { case (tombs, epochs) =>
+      val scan = epochs.map(e =>
+        readMhDir(spark, path, e.bandsDir, log.bandsDdl)
+          .select(col("band"), col("bh"), col("id"), col("sz"), col("sig"),
+            col("bb"))).reduce(_ unionByName _)
+      if (tombs.isEmpty) scan
+      else scan.join(broadcast(mhTombUnion(spark, path, log, tombs)),
+        Seq("id"), "left_anti")
     }.reduce(_ unionByName _)
 
   private def liveMhDocs(spark: org.apache.spark.sql.SparkSession,
-      path: String, log: MhLog): DataFrame =
-    log.entries.zipWithIndex.collect { case (e: MhEpoch, i) =>
-      val cols = Seq(col("id"), col("sz"), col("toks"), col("sig")) ++
-        (if (log.docBuckets > 0) Seq(col("db")) else Nil)
-      val scan = spark.read.parquet(s"$path/${e.docsDir}").select(cols: _*)
-      mhTombsAfter(spark, path, log, i).fold(scan)(t =>
-        scan.join(broadcast(t), Seq("id"), "left_anti"))
+      path: String, log: MhLog): DataFrame = {
+    val cols = Seq(col("id"), col("sz"), col("toks"), col("sig")) ++
+      (if (log.docBuckets > 0) Seq(col("db")) else Nil)
+    mhEpochGroups(log).map { case (tombs, epochs) =>
+      val scan = epochs.map(e =>
+        readMhDir(spark, path, e.docsDir, log.docsDdl).select(cols: _*))
+        .reduce(_ unionByName _)
+      if (tombs.isEmpty) scan
+      else scan.join(broadcast(mhTombUnion(spark, path, log, tombs)),
+        Seq("id"), "left_anti")
     }.reduce(_ unionByName _)
+  }
 
   /** Upgrade a legacy (pre-versioning) layout on its first maintenance
     * write: publish the legacy dirs as epoch 0. No-op when already
@@ -1122,7 +1165,8 @@ object TextDedup {
       if (Hcfs.exists(spark, s"$path/LATEST"))
         Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
       else 0
-    explodedBands(idx, k, bands, bandBuckets)
+    val bandRows = explodedBands(idx, k, bands, bandBuckets)
+    bandRows
       .repartition(col("bb"))
       .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bands-$next")
@@ -1131,14 +1175,16 @@ object TextDedup {
     // WHOLE corpus' shingle arrays — the heaviest column — per probe.
     // Bucketed, the probe prunes to its candidates' directories (the bb
     // idiom applied to the fetch side).
-    idx.select(col("id"), col("sz"), col("toks"), col("sig"))
+    val docRows = idx.select(col("id"), col("sz"), col("toks"), col("sig"))
       .withColumn("db",
         pmod(xxhash64(col("id")), lit(docBuckets.toLong)).cast("int"))
+    docRows
       .repartition(col("db"))
       .sortWithinPartitions(col("id"))
       .write.mode("overwrite").partitionBy("db").parquet(s"$path/docs-$next")
     val log = MhLog(k, bands, shingleN, bandBuckets, docBuckets,
-      Seq(MhEpoch(s"bands-$next", s"docs-$next")), next)
+      Seq(MhEpoch(s"bands-$next", s"docs-$next")), next,
+      Some(bandRows.schema.toDDL), Some(docRows.schema.toDDL))
     publishMhLog(spark, path, log)
     vacuumMh(spark, path, log)
   }
@@ -1156,8 +1202,7 @@ object TextDedup {
     val tombDirs = log.entries.collect { case MhTomb(d) => d }
     val tomb =
       if (tombDirs.isEmpty) docs.select(col("id")).limit(0)
-      else tombDirs.map(d => spark.read.parquet(s"$path/$d")
-        .select(col("id"))).reduce(_ unionByName _)
+      else mhTombUnion(spark, path, log, tombDirs)
     StoredMinhashIndex(log.k, log.bands, log.shingleN, log.bandBuckets,
       log.docBuckets, path, liveMhBands(spark, path, log), docs, tomb)
   }
@@ -1179,40 +1224,54 @@ object TextDedup {
     val next = log.version + 1
     val add = minhashIndex(batch, idCol, textCol, log.k, log.shingleN)
       .localCheckpoint(eager = false) // one evaluation feeds both writes
-    explodedBands(add, log.k, log.bands, log.bandBuckets)
+    val bandRows = explodedBands(add, log.k, log.bands, log.bandBuckets)
+    bandRows
       .write.mode("overwrite").partitionBy("bb")
       .parquet(s"${sidx.path}/bands-$next")
-    val docRows = add.select(col("id"), col("sz"), col("toks"), col("sig"))
+    val docRows0 = add.select(col("id"), col("sz"), col("toks"), col("sig"))
+    val docRows =
+      if (log.docBuckets > 0) docRows0.withColumn("db",
+        pmod(xxhash64(col("id")), lit(log.docBuckets.toLong)).cast("int"))
+      else docRows0
     if (log.docBuckets > 0)
-      docRows.withColumn("db",
-          pmod(xxhash64(col("id")), lit(log.docBuckets.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("db")
+      docRows.write.mode("overwrite").partitionBy("db")
         .parquet(s"${sidx.path}/docs-$next")
     else docRows.write.mode("overwrite").parquet(s"${sidx.path}/docs-$next")
     publishMhLog(spark, sidx.path, log.copy(
       entries = log.entries :+ MhEpoch(s"bands-$next", s"docs-$next"),
-      version = next))
+      version = next,
+      // a migrated-legacy log has no stored schemas; the batch's frames
+      // carry them (same columns/types for every epoch by contract)
+      bandsDdl = log.bandsDdl.orElse(Some(bandRows.schema.toDDL)),
+      docsDdl = log.docsDdl.orElse(Some(docRows.schema.toDDL))))
     loadMinhashIndex(spark, sidx.path)
   }
 
   /** DELETE documents from a stored index: one fresh tombstone
-    * directory (O(delete batch)) + one atomic manifest publish — no
-    * indexed file is touched (live views apply the log as broadcast
-    * anti-joins; [[compactStoredMinhashIndex]] folds it). Idempotent:
-    * only ids with LIVE doc rows land in the log, so re-deleting — or
-    * deleting ids the index never held — publishes nothing at all, and
-    * a re-ingested-then-re-deleted id is hidden exactly once. */
+    * directory (O(delete batch) — the ids write as-is, the index is
+    * never read) + one atomic manifest publish; live views apply the
+    * log as broadcast anti-joins and [[compactStoredMinhashIndex]]
+    * folds it. Idempotent BY THE ORDER-AWARE RULE, with no
+    * intersection job: a re-deleted (already-dead) or never-indexed id
+    * hides nothing a probe can observe — its rows are already gone or
+    * never existed, and a FUTURE re-ingest lands in a later epoch the
+    * tombstone does not reach — so such ids are merely inert log rows
+    * until compaction (unlike the BM25 twin, there are no scalars to
+    * decrement, hence nothing to compute). An all-empty batch (checked
+    * from the written parquet footers — driver-side, no extra action)
+    * publishes no version at all. */
   def removeFromStoredMinhashIndex(sidx: StoredMinhashIndex,
       ids: DataFrame, idCol: String = "id"): StoredMinhashIndex = {
     val spark = ids.sparkSession
     val log = migrateMhLegacy(spark, sidx.path, readMhLog(spark, sidx.path))
-    val doomed = liveMhDocs(spark, sidx.path, log).select(col("id"))
-      .join(broadcast(ids.select(col(idCol).as("id")).distinct()),
-        Seq("id"), "left_semi")
-      .localCheckpoint(eager = false) // emptiness probe + write: same rows
-    if (doomed.isEmpty) return loadMinhashIndex(spark, sidx.path)
     val next = log.version + 1
-    doomed.write.mode("overwrite").parquet(s"${sidx.path}/tomb-$next")
+    val dir = s"${sidx.path}/tomb-$next"
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite").parquet(dir)
+    if (Hcfs.parquetRowCount(spark, dir) == 0L) {
+      Hcfs.delete(spark, dir)
+      return loadMinhashIndex(spark, sidx.path)
+    }
     publishMhLog(spark, sidx.path, log.copy(
       entries = log.entries :+ MhTomb(s"tomb-$next"), version = next))
     loadMinhashIndex(spark, sidx.path)

@@ -164,8 +164,16 @@ object TextSearch {
   private final case class BmEpoch(postingsDir: String,
       doclensDir: Option[String]) extends BmEntry
   private final case class BmTomb(dir: String) extends BmEntry
+  /** `postingsDdl`/`doclensDdl` ride the manifest (`H` lines) so every
+    * reader constructs its scans with an EXPLICIT schema: parquet
+    * schema inference costs one driver job per directory per load, and
+    * a maintenance op that reloads a multi-epoch layout was paying
+    * 4-6 such jobs of pure fixed cost (measured — the round-14
+    * versioned-layout lifecycle regression). None = legacy manifest;
+    * readers fall back to inference. */
   private final case class Bm25Log(nDocs: Long, totalTokens: Long,
-      tokBuckets: Int, entries: Seq[BmEntry], version: Int)
+      tokBuckets: Int, entries: Seq[BmEntry], version: Int,
+      postingsDdl: Option[String] = None, doclensDdl: Option[String] = None)
 
   import org.apache.spark.sql.SparkSession
   import graft.storage.Hcfs
@@ -190,7 +198,11 @@ object TextSearch {
             if (parts.length > 1 && parts(1) != "-") Some(parts(1)) else None)
         case l if l.startsWith("T\t") => BmTomb(l.drop(2))
       }
-      Bm25Log(n.toLong, t.toLong, b.toInt, entries, v)
+      def ddl(kind: String): Option[String] = lines.collectFirst {
+        case l if l.startsWith(s"H\t$kind\t") => l.drop(3 + kind.length)
+      }
+      Bm25Log(n.toLong, t.toLong, b.toInt, entries, v,
+        ddl("postings"), ddl("doclens"))
     } else {
       val man = Hcfs.readString(spark, s"$path/manifest.json")
       def lng(k: String): Long =
@@ -209,7 +221,9 @@ object TextSearch {
 
   private def publishBm25Log(spark: SparkSession, path: String,
       log: Bm25Log): Unit = {
-    val body = (s"S\t${log.nDocs}\t${log.totalTokens}\t${log.tokBuckets}" +:
+    val body = (Seq(s"S\t${log.nDocs}\t${log.totalTokens}\t${log.tokBuckets}") ++
+      log.postingsDdl.map(d => s"H\tpostings\t$d") ++
+      log.doclensDdl.map(d => s"H\tdoclens\t$d") ++
       log.entries.map {
         case BmEpoch(p, d) => s"E\t$p\t${d.getOrElse("-")}"
         case BmTomb(d) => s"T\t$d"
@@ -217,6 +231,22 @@ object TextSearch {
     Hcfs.writeAtomic(spark, s"$path/v${log.version}.manifest", body)
     Hcfs.writeAtomic(spark, s"$path/LATEST", log.version.toString)
   }
+
+  /** A parquet scan with the manifest's schema when present — inference
+    * costs one driver JOB per directory, and a multi-epoch lifecycle op
+    * was paying 4-6 of them as pure fixed cost (measured round 14). */
+  private def readDir(spark: SparkSession, path: String, dir: String,
+      ddl: Option[String]): DataFrame = ddl match {
+    case Some(d) => spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(d))
+      .parquet(s"$path/$dir")
+    case None => spark.read.parquet(s"$path/$dir")
+  }
+
+  /** Tombstone frames hold exactly the doclens `nid` field. */
+  private def tombDdl(log: Bm25Log): Option[String] =
+    log.doclensDdl.map(d => org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(d).fields.take(1)).toDDL)
 
   /** Delete layout children the just-published manifest no longer
     * references — run ONLY after a full rewrite ([[saveBm25Index]] /
@@ -230,54 +260,68 @@ object TextSearch {
       case BmEpoch(p, d) => Seq(p) ++ d.toSeq
       case BmTomb(d) => Seq(d)
     }.toSet ++ Set(s"v${log.version}.manifest", "LATEST")
-    Hcfs.listNames(spark, path).foreach { case (name, _) =>
-      if (!live.contains(name) && !name.endsWith(".tmp"))
-        Hcfs.delete(spark, s"$path/$name")
-    }
+    Hcfs.deleteAsync(spark,
+      Hcfs.listNames(spark, path).collect {
+        case (name, _) if !live.contains(name) && !name.endsWith(".tmp") =>
+          s"$path/$name"
+      })
   }
 
-  /** Subsequent-tombstone union for the epoch at log position `i` (the
-    * order-aware delete rule), or None when no later `T` entry exists. */
-  private def tombsAfter(spark: SparkSession, path: String,
-      log: Bm25Log, i: Int): Option[DataFrame] = {
-    val dirs = log.entries.drop(i + 1).collect { case BmTomb(d) => d }
-    if (dirs.isEmpty) None
-    else Some(dirs.map(d => spark.read.parquet(s"$path/$d")
-      .select(col("nid"))).reduce(_ unionByName _))
+  /** Epoch groups of the order-aware tombstone rule: each epoch's
+    * applicable tombstones are the `T` entries AFTER it in the log, and
+    * epochs sharing the same suffix set (the common case — every epoch
+    * written before the latest delete batch) UNION FIRST and anti-join
+    * ONCE, so the typical one-delete-batch layout costs a single
+    * broadcast anti-join over the whole view rather than one per epoch.
+    * Groups keep log order. */
+  private def epochGroups(log: Bm25Log): Seq[(Seq[String], Seq[BmEpoch])] = {
+    val keyed = log.entries.zipWithIndex.collect { case (e: BmEpoch, i) =>
+      (log.entries.drop(i + 1).collect { case BmTomb(d) => d }, e)
+    }
+    keyed.map(_._1).distinct.map(k =>
+      k -> keyed.filter(_._1 == k).map(_._2))
   }
+
+  private def tombUnion(spark: SparkSession, path: String,
+      log: Bm25Log, dirs: Seq[String]): DataFrame =
+    dirs.map(d => readDir(spark, path, d, tombDdl(log)).select(col("nid")))
+      .reduce(_ unionByName _)
 
   /** The LIVE postings view: per-epoch scans (each tok_bucket-
     * partitioned, so probe filters partition-prune INSIDE each branch),
-    * minus each epoch's subsequent tombstone batches (one broadcast
-    * anti-join per epoch — the log is delete-batch-sized by contract,
-    * folded by compaction). */
+    * minus the applicable tombstone batches (broadcast anti-joins on
+    * delete-batch-sized frames, one per epoch GROUP — see
+    * [[epochGroups]]; the log is folded by compaction). */
   private def livePostings(spark: SparkSession, path: String,
       log: Bm25Log): DataFrame =
-    log.entries.zipWithIndex.collect { case (e: BmEpoch, i) =>
-      val scan = spark.read.parquet(s"$path/${e.postingsDir}")
-        .select(col("nid"), col("dl"), col("tok"), col("tf"),
-          col("tok_bucket"))
-      tombsAfter(spark, path, log, i).fold(scan)(t =>
-        scan.join(broadcast(t), Seq("nid"), "left_anti"))
+    epochGroups(log).map { case (tombs, epochs) =>
+      val scan = epochs.map(e =>
+        readDir(spark, path, e.postingsDir, log.postingsDdl)
+          .select(col("nid"), col("dl"), col("tok"), col("tf"),
+            col("tok_bucket"))).reduce(_ unionByName _)
+      if (tombs.isEmpty) scan
+      else scan.join(broadcast(tombUnion(spark, path, log, tombs)),
+        Seq("nid"), "left_anti")
     }.reduce(_ unionByName _)
 
   /** The LIVE (nid, dl) side table — what a delete's scalar decrement
     * scans (O(live docs), never O(postings)). Epochs saved before the
-    * doclens table existed derive theirs from that epoch's live
-    * postings (read-path fallback; [[migrateLegacy]] materializes it on
-    * the first maintenance write so deletes go back to metadata-sized
+    * doclens table existed derive theirs from that epoch's postings
+    * (read-path fallback; [[migrateLegacy]] materializes it on the
+    * first maintenance write so deletes go back to metadata-sized
     * scans). */
   private def liveDoclens(spark: SparkSession, path: String,
       log: Bm25Log): DataFrame =
-    log.entries.zipWithIndex.collect { case (e: BmEpoch, i) =>
-      val scan = e.doclensDir match {
-        case Some(d) => spark.read.parquet(s"$path/$d")
+    epochGroups(log).map { case (tombs, epochs) =>
+      val scan = epochs.map(e => e.doclensDir match {
+        case Some(d) => readDir(spark, path, d, log.doclensDdl)
           .select(col("nid"), col("dl"))
-        case None => spark.read.parquet(s"$path/${e.postingsDir}")
+        case None => readDir(spark, path, e.postingsDir, log.postingsDdl)
           .select(col("nid"), col("dl")).distinct()
-      }
-      tombsAfter(spark, path, log, i).fold(scan)(t =>
-        scan.join(broadcast(t), Seq("nid"), "left_anti"))
+      }).reduce(_ unionByName _)
+      if (tombs.isEmpty) scan
+      else scan.join(broadcast(tombUnion(spark, path, log, tombs)),
+        Seq("nid"), "left_anti")
     }.reduce(_ unionByName _)
 
   /** Upgrade a legacy (pre-versioning) layout to the versioned form on
@@ -346,18 +390,21 @@ object TextSearch {
         Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
       else 0
     val postings = index.postings.localCheckpoint(eager = false)
-    postings
+    val bucketed = postings
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(tokBuckets.toLong)).cast("int"))
+    bucketed
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"$path/postings-$next")
-    postings.select(col("nid"), col("dl")).distinct()
+    val doclens = postings.select(col("nid"), col("dl")).distinct()
+    doclens
       .sortWithinPartitions(col("nid"))
       .write.mode("overwrite").parquet(s"$path/doclens-$next")
     val log = Bm25Log(index.nDocs, index.totalTokens, tokBuckets,
-      Seq(BmEpoch(s"postings-$next", Some(s"doclens-$next"))), next)
+      Seq(BmEpoch(s"postings-$next", Some(s"doclens-$next"))), next,
+      Some(bucketed.schema.toDDL), Some(doclens.schema.toDDL))
     publishBm25Log(spark, path, log)
     vacuumBm25(spark, path, log)
   }
@@ -381,21 +428,26 @@ object TextSearch {
     val next = log.version + 1
     val add = buildBm25Index(df, idCol, textCol)
     val postings = add.postings.localCheckpoint(eager = false)
-    postings
+    val bucketed = postings
       .withColumn("tok_bucket",
         pmod(xxhash64(col("tok")), lit(log.tokBuckets.toLong)).cast("int"))
+    bucketed
       .repartition(col("tok_bucket"))
       .sortWithinPartitions(col("tok"), col("nid"))
       .write.mode("overwrite").partitionBy("tok_bucket")
       .parquet(s"${sidx.path}/postings-$next")
-    postings.select(col("nid"), col("dl")).distinct()
-      .write.mode("overwrite").parquet(s"${sidx.path}/doclens-$next")
+    val doclens = postings.select(col("nid"), col("dl")).distinct()
+    doclens.write.mode("overwrite").parquet(s"${sidx.path}/doclens-$next")
     publishBm25Log(spark, sidx.path, log.copy(
       nDocs = log.nDocs + add.nDocs,
       totalTokens = log.totalTokens + add.totalTokens,
       entries = log.entries :+
         BmEpoch(s"postings-$next", Some(s"doclens-$next")),
-      version = next))
+      version = next,
+      // a migrated-legacy log has no stored schemas; the batch's frames
+      // carry them (same columns/types for every epoch by contract)
+      postingsDdl = log.postingsDdl.orElse(Some(bucketed.schema.toDDL)),
+      doclensDdl = log.doclensDdl.orElse(Some(doclens.schema.toDDL))))
     loadBm25Index(spark, sidx.path)
   }
 
@@ -465,8 +517,7 @@ object TextSearch {
     StoredBm25Index(log.nDocs, log.totalTokens, log.tokBuckets,
       livePostings(spark, path, log), path,
       if (tombDirs.isEmpty) None
-      else Some(tombDirs.map(d => spark.read.parquet(s"$path/$d")
-        .select(col("nid"))).reduce(_ unionByName _)))
+      else Some(tombUnion(spark, path, log, tombDirs)))
   }
 
   /** BM25 top-`k` from a RELOADED index: identical scores to

@@ -67,7 +67,16 @@ object Hcfs {
   }
 
   /** Temp-file + rename-with-OVERWRITE publish (see class doc for the
-    * atomicity contract and the object-store caveat). */
+    * atomicity contract and the object-store caveat).
+    *
+    * The rename path is scheme-dependent for a correctness reason:
+    * `FileContext.rename(…, OVERWRITE)` is atomic on HDFS (native
+    * overwriting rename), but on the LOCAL filesystem it falls back to
+    * `AbstractFileSystem`'s default delete-then-rename — a window where
+    * the target does not exist, which a concurrent pointer reader
+    * observes as "never committed" (caught by StreamingPipelineSpec's
+    * async-compaction race as a 0-row read). Local targets therefore
+    * rename via NIO `ATOMIC_MOVE`, which really is atomic. */
   def writeAtomic(spark: SparkSession, p: String, body: String): Unit = {
     val target = new Path(p)
     val f = fs(spark, p)
@@ -75,9 +84,18 @@ object Hcfs {
       s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(f.getUri,
-      spark.sessionState.newHadoopConf())
-    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    f match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        val fc = FileContext.getFileContext(f.getUri,
+          spark.sessionState.newHadoopConf())
+        fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    }
     ()
   }
 
@@ -86,6 +104,26 @@ object Hcfs {
     val f = fs(spark, p)
     val path = new Path(p)
     if (f.exists(path)) { f.delete(path, true); () }
+  }
+
+  /** Fire-and-forget recursive delete of already-UNREFERENCED garbage
+    * (a vacuum's doomed set, computed synchronously under the
+    * publisher's single-writer discipline): deleting thousands of
+    * small epoch files synchronously costs real wall time on the
+    * maintenance path, and nothing reads the doomed dirs once the
+    * manifest no longer lists them. A crash mid-delete just leaves
+    * garbage the NEXT vacuum re-lists and reclaims. */
+  def deleteAsync(spark: SparkSession, paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val t = new Thread(() =>
+      paths.foreach { p =>
+        try delete(spark, p)
+        catch { case e: Throwable =>
+          System.err.println(s"[hcfs] async delete of $p failed: ${e.getMessage}")
+        }
+      }, s"hcfs-vacuum-${paths.head.hashCode}")
+    t.setDaemon(true)
+    t.start()
   }
 
   /** Child (name, isDirectory) pairs of `dir`; empty for a missing dir. */
