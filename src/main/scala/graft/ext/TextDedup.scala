@@ -1012,9 +1012,10 @@ object TextDedup {
     * flat `bands`/`docs`/`tombstones` dirs) as version −1 — readable
     * as-is; the first maintenance write upgrades it. */
   private def readMhLog(spark: org.apache.spark.sql.SparkSession,
-      path: String): MhLog = {
-    if (Hcfs.exists(spark, s"$path/LATEST")) {
-      val v = Hcfs.readString(spark, s"$path/LATEST").trim.toInt
+      path: String, version: Int = -1): MhLog = {
+    if (version >= 0 || Hcfs.exists(spark, s"$path/LATEST")) {
+      val v = if (version >= 0) version
+        else Hcfs.readString(spark, s"$path/LATEST").trim.toInt
       val lines = Hcfs.readString(spark, s"$path/v$v.manifest")
         .linesIterator.filter(_.nonEmpty).toSeq
       val s = lines.collectFirst {
@@ -1161,6 +1162,7 @@ object TextDedup {
     val idx = index.localCheckpoint(eager = false)
     require(!idx.isEmpty, s"refusing to persist an empty index to $path")
     val spark = index.sparkSession
+    graft.storage.IndexLocks.lockFor(path).synchronized {
     val next =
       if (Hcfs.exists(spark, s"$path/LATEST"))
         Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
@@ -1187,6 +1189,7 @@ object TextDedup {
       Some(bandRows.schema.toDDL), Some(docRows.schema.toDDL))
     publishMhLog(spark, path, log)
     vacuumMh(spark, path, log)
+    }
   }
 
   /** Reload a persisted index as an immutable SNAPSHOT of its current
@@ -1196,8 +1199,14 @@ object TextDedup {
     * union (empty when compacted) — informational: the live views have
     * already applied it order-aware. */
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): StoredMinhashIndex = {
-    val log = readMhLog(spark, path)
+      path: String): StoredMinhashIndex = loadMinhashIndex(spark, path, -1)
+
+  /** TIME-TRAVEL load: pin a manifest version instead of `LATEST`
+    * (the BM25 layout's rule — see [[TextSearch.loadBm25Index]]):
+    * any un-vacuumed version reproduces its exact probe results. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Int): StoredMinhashIndex = {
+    val log = readMhLog(spark, path, version)
     val docs = liveMhDocs(spark, path, log)
     val tombDirs = log.entries.collect { case MhTomb(d) => d }
     val tomb =
@@ -1220,6 +1229,7 @@ object TextDedup {
   def extendStoredMinhashIndex(sidx: StoredMinhashIndex, batch: DataFrame,
       idCol: String, textCol: String): StoredMinhashIndex = {
     val spark = batch.sparkSession
+    graft.storage.IndexLocks.lockFor(sidx.path).synchronized {
     val log = migrateMhLegacy(spark, sidx.path, readMhLog(spark, sidx.path))
     val next = log.version + 1
     val add = minhashIndex(batch, idCol, textCol, log.k, log.shingleN)
@@ -1245,6 +1255,7 @@ object TextDedup {
       bandsDdl = log.bandsDdl.orElse(Some(bandRows.schema.toDDL)),
       docsDdl = log.docsDdl.orElse(Some(docRows.schema.toDDL))))
     loadMinhashIndex(spark, sidx.path)
+    }
   }
 
   /** DELETE documents from a stored index: one fresh tombstone
@@ -1263,6 +1274,7 @@ object TextDedup {
   def removeFromStoredMinhashIndex(sidx: StoredMinhashIndex,
       ids: DataFrame, idCol: String = "id"): StoredMinhashIndex = {
     val spark = ids.sparkSession
+    graft.storage.IndexLocks.lockFor(sidx.path).synchronized {
     val log = migrateMhLegacy(spark, sidx.path, readMhLog(spark, sidx.path))
     val next = log.version + 1
     val dir = s"${sidx.path}/tomb-$next"
@@ -1275,6 +1287,7 @@ object TextDedup {
     publishMhLog(spark, sidx.path, log.copy(
       entries = log.entries :+ MhTomb(s"tomb-$next"), version = next))
     loadMinhashIndex(spark, sidx.path)
+    }
   }
 
   /** Fold the epoch/tombstone log into one fresh epoch pair — the

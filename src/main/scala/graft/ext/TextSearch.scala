@@ -183,9 +183,11 @@ object TextSearch {
     * flat `postings`/`doclens`/`tombstones` dirs, no pointer) parses as
     * version −1 with the legacy dirs as epoch 0 — readable as-is; the
     * first maintenance WRITE upgrades it ([[migrateLegacy]]). */
-  private def readBm25Log(spark: SparkSession, path: String): Bm25Log = {
-    if (Hcfs.exists(spark, s"$path/LATEST")) {
-      val v = Hcfs.readString(spark, s"$path/LATEST").trim.toInt
+  private def readBm25Log(spark: SparkSession, path: String,
+      version: Int = -1): Bm25Log = {
+    if (version >= 0 || Hcfs.exists(spark, s"$path/LATEST")) {
+      val v = if (version >= 0) version
+        else Hcfs.readString(spark, s"$path/LATEST").trim.toInt
       val lines = Hcfs.readString(spark, s"$path/v$v.manifest")
         .linesIterator.filter(_.nonEmpty).toSeq
       val Array(n, t, b) = lines.collectFirst {
@@ -385,6 +387,7 @@ object TextSearch {
     // reader cannot even infer a schema from — refuse loudly
     require(index.nDocs > 0, s"refusing to persist an empty index to $path")
     val spark = index.postings.sparkSession
+    graft.storage.IndexLocks.lockFor(path).synchronized {
     val next =
       if (Hcfs.exists(spark, s"$path/LATEST"))
         Hcfs.readString(spark, s"$path/LATEST").trim.toInt + 1
@@ -407,6 +410,7 @@ object TextSearch {
       Some(bucketed.schema.toDDL), Some(doclens.schema.toDDL))
     publishBm25Log(spark, path, log)
     vacuumBm25(spark, path, log)
+    }
   }
 
   /** Append a new document batch to a STORED index without touching
@@ -424,6 +428,7 @@ object TextSearch {
       idCol: String, textCol: String): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
     val spark = df.sparkSession
+    graft.storage.IndexLocks.lockFor(sidx.path).synchronized {
     val log = migrateLegacy(spark, sidx.path, readBm25Log(spark, sidx.path))
     val next = log.version + 1
     val add = buildBm25Index(df, idCol, textCol)
@@ -449,6 +454,7 @@ object TextSearch {
       postingsDdl = log.postingsDdl.orElse(Some(bucketed.schema.toDDL)),
       doclensDdl = log.doclensDdl.orElse(Some(doclens.schema.toDDL))))
     loadBm25Index(spark, sidx.path)
+    }
   }
 
   /** DELETE documents from a STORED index without touching indexed
@@ -465,6 +471,7 @@ object TextSearch {
       idCol: String): StoredBm25Index = {
     require(sidx.path.nonEmpty, "index was not loaded from storage")
     val spark = ids.sparkSession
+    graft.storage.IndexLocks.lockFor(sidx.path).synchronized {
     val log = migrateLegacy(spark, sidx.path, readBm25Log(spark, sidx.path))
     // exactly one live (nid, dl) row per live doc — the decrement agg
     // and the tombstone write must see the SAME rows (pin it)
@@ -486,6 +493,7 @@ object TextSearch {
       entries = log.entries :+ BmTomb(s"tomb-$next"),
       version = next))
     loadBm25Index(spark, sidx.path)
+    }
   }
 
   /** Fold the epoch/tombstone log into one fresh epoch — the amortized
@@ -511,8 +519,19 @@ object TextSearch {
     * (until a full save/compact vacuums prior versions). Scalars come
     * from the manifest — no corpus-sized action. */
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
-      path: String): StoredBm25Index = {
-    val log = readBm25Log(spark, path)
+      path: String): StoredBm25Index = loadBm25Index(spark, path, -1)
+
+  /** TIME-TRAVEL load: pin a specific manifest version instead of
+    * `LATEST` — free with the versioned layout (every maintenance op
+    * publishes a new manifest and never mutates prior epochs), so any
+    * version that has not been vacuumed by a full save/compact is still
+    * fully answerable: reproduce yesterday's retrieval results, diff
+    * two index states, audit a delete. Version numbers are the
+    * manifest suffixes (`v{N}.manifest`); a vacuumed version fails
+    * loudly on first read. `version < 0` = LATEST. */
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: Int): StoredBm25Index = {
+    val log = readBm25Log(spark, path, version)
     val tombDirs = log.entries.collect { case BmTomb(d) => d }
     StoredBm25Index(log.nDocs, log.totalTokens, log.tokBuckets,
       livePostings(spark, path, log), path,

@@ -20,10 +20,11 @@ import org.apache.spark.sql.SparkSession
   * schemes all work unchanged).
   *
   * Atomicity contract: [[writeAtomic]] writes a dot-prefixed temp file
-  * in the target's directory and renames over the target via
-  * `FileContext.rename(…, Options.Rename.OVERWRITE)` — atomic on HDFS
-  * and on local filesystems, so a reader can never observe a truncated
-  * manifest or an empty pointer mid-write and a crashed writer leaves
+  * in the target's directory and renames over the target atomically —
+  * NIO `ATOMIC_MOVE` on local filesystems, `FileContext.rename(…,
+  * Options.Rename.OVERWRITE)` (native overwriting rename) on HDFS — so
+  * a reader can never observe a truncated manifest, an empty pointer,
+  * or a missing-pointer window mid-write, and a crashed writer leaves
   * only a stray temp file. CAVEAT (object stores): S3-style stores
   * implement rename as copy+delete, which is NOT atomic — a production
   * deployment on S3 swaps this one seam for the store's conditional-put
@@ -32,6 +33,24 @@ import org.apache.spark.sql.SparkSession
   * here, so that swap is one class.
   */
 object Hcfs {
+
+  // one Hadoop Configuration per session, built lazily and reused:
+  // `newHadoopConf()` COPIES the full configuration on every call, and
+  // the replica's micro-batch hot path makes several metadata calls per
+  // merge — per-call copies are measurable latency at a 25 ms trigger
+  // cadence. Reads of a built Configuration are thread-safe; the
+  // session's SQL-conf overrides are captured at first use (the same
+  // trade Spark's own broadcast Hadoop conf makes).
+  private val confCache =
+    new java.util.WeakHashMap[SparkSession,
+      org.apache.hadoop.conf.Configuration]()
+  private[graft] def conf(
+      spark: SparkSession): org.apache.hadoop.conf.Configuration =
+    confCache.synchronized {
+      var c = confCache.get(spark)
+      if (c == null) { c = spark.sessionState.newHadoopConf(); confCache.put(spark, c) }
+      c
+    }
 
   /** The filesystem `p` resolves to under the session's Hadoop conf —
     * local paths resolve to `file:`, fully-qualified URIs to their own
@@ -46,7 +65,7 @@ object Hcfs {
     * checksums server-side and object stores use ETags — both
     * unaffected. */
   def fs(spark: SparkSession, p: String): FileSystem =
-    new Path(p).getFileSystem(spark.sessionState.newHadoopConf()) match {
+    new Path(p).getFileSystem(conf(spark)) match {
       case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
       case other => other
     }
@@ -92,8 +111,7 @@ object Hcfs {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       case _ =>
-        val fc = FileContext.getFileContext(f.getUri,
-          spark.sessionState.newHadoopConf())
+        val fc = FileContext.getFileContext(f.getUri, conf(spark))
         fc.rename(tmp, target, Options.Rename.OVERWRITE)
     }
     ()
@@ -140,7 +158,7 @@ object Hcfs {
     * a Spark job (the deferred-emptiness-check trick; at most a handful
     * of files per micro-batch epoch). */
   def parquetRowCount(spark: SparkSession, dir: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+    val c = conf(spark)
     val f = fs(spark, dir)
     val path = new Path(dir)
     if (!f.exists(path)) 0L
@@ -148,7 +166,7 @@ object Hcfs {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(st, conf)
+          .fromStatus(st, c)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum

@@ -99,7 +99,22 @@ object StreamBench {
     // 500-row micro-batch (measured ~2x on the per-batch merge)
     session.conf.set("spark.sql.adaptive.enabled", "false")
     import session.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    // Harness root prefers tmpfs (/dev/shm) over java.io.tmpdir: the
+    // SLO measures ENGINE latency (discovery + encode + decode + merge),
+    // and a local ext4's write-back contention is representative of
+    // neither production sink (Kafka + a distributed store) — measured
+    // round 14: at equally degraded window anchors (~250 ms), the
+    // disk-rooted harness read p50 7.9 s where tmpfs read 1.4-3.0 s,
+    // i.e. local-disk write-back dominated the degraded readings and
+    // the measurement basis, not the pipeline. Override with
+    // SPARK_GRAFT_STREAM_TMP; BENCH artifacts from round 14 on use the
+    // tmpfs basis (PERF.md documents the basis change for cross-round
+    // knee comparisons).
+    val tmpRoot = sys.env.get("SPARK_GRAFT_STREAM_TMP")
+      .orElse(Some("/dev/shm").filter(d => new java.io.File(d).canWrite))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val tmp = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(tmpRoot), "graft-streambench").toString
     val src = s"$tmp/src"
     val topic = s"$tmp/topic"
     new java.io.File(src).mkdirs()

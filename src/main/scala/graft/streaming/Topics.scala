@@ -51,7 +51,14 @@ final class FileTopics(root: String, maxFilesPerTrigger: Option[Int] = None)
     * SURVEY §7.4.7), so duplicates converge downstream. */
   def apply(w: DataStreamWriter[Row], topic: String): DataStreamWriter[Row] =
     w.foreachBatch { (b: DataFrame, _: Long) =>
-      appendBatch(b, topic)
+      // ONE file per micro-batch append: a micro-batch is bounded by
+      // the trigger, and writing it as N shuffle-partition fragments
+      // triples the topic's file count — which the CONSUMER then pays
+      // on every 25 ms poll (FileStreamSource re-lists the directory;
+      // measured 45-90 ms per trigger as the file count grows). The
+      // batch Genesis path below keeps its natural parallelism — a
+      // backfill is corpus-sized and paced by paceFiles, not here.
+      appendBatch(b.coalesce(1), topic)
     }
 
   def appendBatch(df: DataFrame, topic: String): Unit =

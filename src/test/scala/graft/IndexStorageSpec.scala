@@ -501,6 +501,78 @@ class IndexStorageSpec extends SparkSpec {
       .collect().map(_.toString).sorted.sameElements(expect))
   }
 
+  test("bm25 + minhash: TIME-TRAVEL loads — a version-pinned load " +
+      "reproduces that version's exact answers after later maintenance") {
+    // BM25: v0 = base corpus; v1 = extend; v2 = delete
+    val bPath = tmpDir("bm25-tt")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(base, "doc_id", "text"), bPath,
+      tokBuckets = 16)
+    val v0 = TextSearch.extendStoredBm25Index(
+      TextSearch.loadBm25Index(spark, bPath),
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    TextSearch.removeFromStoredBm25Index(v0,
+      docs.filter(col("doc_id") % 20 === 5).select(col("doc_id").as("nid")),
+      "nid")
+    val pinned = TextSearch.loadBm25Index(spark, bPath, 0)
+    assert(pinned.nDocs === base.count())
+    val expect = TextSearch.bm25TopKOnIndex(
+        TextSearch.buildBm25Index(base, "doc_id", "text"), qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(expect.nonEmpty &&
+      TextSearch.bm25TopKOnStoredIndex(pinned, qs, k = 10)
+        .collect().map(_.toString).sorted.sameElements(expect),
+      "version-0 load must answer as the original corpus")
+    // MinHash: same discipline
+    val mPath = tmpDir("minhash-tt")
+    TextDedup.saveMinhashIndex(
+      TextDedup.minhashIndex(
+        docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"),
+      mPath, bandBuckets = 16)
+    TextDedup.removeFromStoredMinhashIndex(
+      TextDedup.loadMinhashIndex(spark, mPath),
+      docs.filter(col("doc_id") % 100 === 50).select(col("doc_id").as("id")))
+    val mPinned = TextDedup.loadMinhashIndex(spark, mPath, 0)
+    val mExpect = TextDedup.nearDupAgainstIndex(plantedBatch, "doc_id",
+        "text", TextDedup.minhashIndex(
+          docs.filter(col("doc_id") % 100 =!= 0), "doc_id", "text"))
+      .collect().map(_.toString).sorted
+    assert(mExpect.nonEmpty && probeRows(mPinned).sameElements(mExpect))
+  }
+
+  test("bm25: concurrent maintenance ops on one layout serialize on the " +
+      "writer lock — every batch lands, scalars exact") {
+    val path = tmpDir("bm25-writers")
+    TextSearch.saveBm25Index(
+      TextSearch.buildBm25Index(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text"),
+      path, tokBuckets = 16)
+    // three concurrent extends with disjoint slices: without the
+    // per-path writer lock two would read the same version and the
+    // second publish would orphan the first's epoch (lost batch)
+    val slices = Seq(1, 2, 3).map(r =>
+      docs.filter(col("doc_id") % 4 === r))
+    val threads = slices.map { s =>
+      val t = new Thread(() => {
+        TextSearch.extendStoredBm25Index(
+          TextSearch.loadBm25Index(spark, path), s, "doc_id", "text")
+        ()
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val fresh = TextSearch.buildBm25Index(docs, "doc_id", "text")
+    val stored = TextSearch.loadBm25Index(spark, path)
+    assert(stored.nDocs === fresh.nDocs,
+      "a concurrent extend lost a batch")
+    assert(stored.totalTokens === fresh.totalTokens)
+    val expect = TextSearch.bm25TopKOnIndex(fresh, qs, k = 10)
+      .collect().map(_.toString).sorted
+    assert(TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
+      .collect().map(_.toString).sorted.sameElements(expect))
+  }
+
   test("minhash: a LEGACY layout (flat bands/docs/manifest.json) loads " +
       "as-is and migrates on its first maintenance write") {
     import org.apache.spark.sql.functions.{pmod, xxhash64}

@@ -25,10 +25,14 @@ object StreamOnce {
       }
       math.min(pass(), pass())
     }
+    val sp = sys.env.getOrElse("SPARK_GRAFT_STREAM_SP", "2").toInt
+    val trig = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIG", "25").toInt
     val a0 = anchor()
-    val r1 = graft.streaming.StreamBench.run(spark)
+    val r1 = graft.streaming.StreamBench.run(spark,
+      statePartitions = sp, triggerMs = trig)
     val a1 = anchor()
-    val r2 = graft.streaming.StreamBench.run(spark)
+    val r2 = graft.streaming.StreamBench.run(spark,
+      statePartitions = sp, triggerMs = trig)
     val a2 = anchor()
     println(f"STREAM_ONCE anchor0=$a0%.1f p50a=${r1.p50Ms}%.0f p95a=${r1.p95Ms}%.0f " +
       f"anchor1=$a1%.1f p50b=${r2.p50Ms}%.0f p95b=${r2.p95Ms}%.0f anchor2=$a2%.1f " +
