@@ -175,4 +175,23 @@ object TextAnalysis {
         array_join(slice(col("__tk"), col("col") + 1, lit(window)), " ")
           .as("chunk"))
   }
+
+  /** [[chunkWindows]] emitting the chunk as its TOKEN ARRAY instead of
+    * rejoined text — same windows, same `chunk_no`, no `array_join`.
+    * For consumers that immediately re-tokenize the chunk text (BM25
+    * over a chunk corpus: x147), join-then-split is lossless (split
+    * products cannot contain the delimiter) and pure waste — a cached
+    * chunk corpus of token arrays saves one full `split` of every chunk
+    * on every corpus pass (round-14 optimization). */
+  def chunkWindowTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    df.select(col(idCol), toks(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__tk")) - 1, lit(0)), lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_no"),
+        slice(col("__tk"), col("col") + 1, lit(window)).as("tk"))
+  }
 }

@@ -581,52 +581,61 @@ object TextSearch {
     * matching no query term do not appear. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKTokens(
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("nid"), split(col(textCol), " ").as("tk")),
+      queries, k, k1, b)
+
+  /** [[bm25TopK]] over a PRE-TOKENIZED corpus: `toks` carries
+    * (nid, tk ARRAY<STRING>). Callers that already hold token arrays —
+    * or whose corpus is a DERIVED table cached inside one query (x147's
+    * chunk corpus) — skip re-`split`ting the text on every corpus pass.
+    * Splitting then rejoining with " " is lossless for split products
+    * (tokens cannot contain the delimiter), so
+    * `bm25TopK(df, id, text, …) == bm25TopKTokens(split-projection, …)`
+    * bit-for-bit.
+    *
+    * Shape note (round-14 optimization): the exact corpus statistics
+    * (nDocs, Σdl — integers) no longer run as their own up-front
+    * `.head()` action; they ride the SAME job as the scoring plan as a
+    * broadcast 1-row aggregate, so one action — and one pass
+    * scheduling — serves the whole query. The arithmetic is unchanged:
+    * avgdl = double(Σdl)/double(n) in IEEE doubles either way, so
+    * scores stay bit-identical to the index paths' (which still derive
+    * their scalars from the manifest driver-side). */
+  def bm25TopKTokens(toks: DataFrame,
+      queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    graft.functions.Functions.register(df.sparkSession)
-    // same null-text rule as buildBm25Index: the two paths must agree
-    // on nDocs/avgdl for their pinned bit-equality
-    val toks = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("nid"),
-        split(col(textCol), " ").as("tk"))
     // exact integer count/sum — the derived avgdl is deterministic and
     // identical to the index path's
-    val st = toks
-      .agg(count(lit(1)), sum(size(col("tk")).cast("long")))
-      .head()
-    // empty corpus: the sum is NULL and avgdl is undefined — return the
-    // empty result the old lazy-plan form produced, instead of throwing
-    if (st.getLong(0) == 0) return emptyResult(toks)
-    val (nDocs, totalTokens) = (st.getLong(0), st.getLong(1))
+    val stats = toks
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(size(col("tk")).cast("long")).cast("double").as("__tt"))
+      .select(col("__n"), (col("__tt") / col("__n")).as("__avgdl"))
     // the query-term set is driver-side data — prune scan-locally, no
     // join: a prefilter skips whole non-matching docs before the
     // explode, an isin keeps only matching postings after. The
-    // prefilter is a MERGE WALK (`sorted_intersect_size` over the
-    // sorted doc tokens and the sorted term literal), not
-    // `arrays_overlap`: overlap is a nested loop — terms × tokens
-    // compares per document (~190M string compares at sf0.1 for x68's
-    // 250-term batch) — where the walk is linear in tokens + terms.
-    // Wall-clock at sf0.1 is UNCHANGED (the prefilter was never the
-    // bottleneck there; A/B'd both ways) — this is a complexity fix
-    // for large standing term sets, where the nested loop grows with
-    // terms and the walk does not. dl rides along as a grouping
-    // column (constant per nid), so scoring needs no corpus join.
+    // prefilter is `exists(tk, t -> t IN (terms))`: OptimizeIn rewrites
+    // the IN to a hash-set `INSET` probe (set built once per plan), so
+    // the prefilter is O(tokens) per doc with O(1) per-token lookups —
+    // strictly cheaper than both `arrays_overlap` (a per-row nested
+    // loop) and the previous sorted-merge-walk form, which paid an
+    // O(dl log dl) `sort_array` of every document's tokens just to set
+    // up its linear walk (round-14 optimization: the per-doc sort was
+    // the prefilter's dominant cost at every scale; existence, unlike
+    // the walk's exact counts, needs no ordering contract at all).
+    // dl rides along as a grouping column (constant per nid), so
+    // scoring needs no corpus join.
     val qterms = queries.flatMap(_._2.split(" ")).distinct
-    // sorted by UTF8String BINARY order (the walk's contract), which
-    // differs from Java's UTF-16 String order beyond ASCII. Doc-side
-    // DUPLICATE tokens are fine here: the walk's dedup contract
-    // affects exact counts, never first-match existence (> 0)
-    val qtermsSorted = qterms.sortWith((a, b) =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0)
     val tf = toks
-      .filter(call_function("sorted_intersect_size", sort_array(col("tk")),
-        array(qtermsSorted.map(lit).toIndexedSeq: _*)) > 0)
+      .filter(exists(col("tk"), t => t.isin(qterms: _*)))
       .select(col("nid"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))
       .filter(col("tok").isin(qterms: _*))
       .groupBy(col("nid"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-    scorePostings(tf, nDocs.toDouble, totalTokens.toDouble / nDocs.toDouble,
-      queries, k, k1, b)
+    scoreTail(tf, _.crossJoin(broadcast(stats)),
+      col("__n"), col("__avgdl"), queries, k, k1, b)
   }
 
   /** The shared scoring tail over PRUNED postings (nid, dl, tok, tf):
@@ -636,6 +645,20 @@ object TextSearch {
     * rounded-score ranking. */
   private def scorePostings(prunedTf: DataFrame, nDocs: Double,
       avgDl: Double, queries: Seq[(Int, String)], k: Int,
+      k1: Double, b: Double): DataFrame =
+    scoreTail(prunedTf, identity, lit(nDocs), lit(avgDl), queries, k, k1, b)
+
+  /** The common scoring tail, parameterized over WHERE the corpus
+    * statistics come from: the index paths pass manifest-derived scalar
+    * literals (`identity`, `lit(n)`, `lit(avgdl)`); the one-shot path
+    * attaches its 1-row stats aggregate to the (≤ query-terms-sized)
+    * document-frequency frame via a broadcast cross join, so the stats
+    * pass rides the same action as the scoring plan. Both roads produce
+    * the IDENTICAL IEEE expression tree over identical double values —
+    * scores are bit-equal (pinned by the x145/x153 oracle family). */
+  private def scoreTail(prunedTf: DataFrame,
+      withStats: DataFrame => DataFrame, nCol: Column, avgdlCol: Column,
+      queries: Seq[(Int, String)], k: Int,
       k1: Double, b: Double): DataFrame = {
     val session = prunedTf.sparkSession
     import session.implicits._
@@ -644,11 +667,11 @@ object TextSearch {
     val qtoks = queries.toDF("qid", "qtext")
       .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
         .as("tok"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
-    val idf = log((lit(nDocs) - col("dfq") + lit(0.5)) /
+    val dfreq = withStats(tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq")))
+    val idf = log((nCol - col("dfq") + lit(0.5)) /
       (col("dfq") + lit(0.5)) + lit(1.0))
     val termScore = idf * col("tf") * lit(k1 + 1) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgDl)))
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdlCol))
     val terms = tf
       .join(broadcast(qtoks), Seq("tok"))
       .join(broadcast(dfreq), Seq("tok"))

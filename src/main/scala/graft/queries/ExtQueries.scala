@@ -1129,6 +1129,9 @@ object ExtQueries {
     // token order.
     "x63_domain_shift_kl" -> entry(
       (s, dir) =>
+        // NOT widened: A/B'd in round 14 (QProf min-warm 1.51 s as-is vs
+        // 1.61 s widened) — the token explode runs single-task but the
+        // widen shuffle costs more than the freed parallelism buys here
         Curation.domainShiftKl(tbl(s, dir, "documents"), "text", "source",
             topN = 50)
           .orderBy(col("source")),
@@ -1980,7 +1983,9 @@ object ExtQueries {
             concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("q"))
           .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
           .toSeq.sortBy(_._1)
-        graft.ext.TextSearch.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+        // wide(): the corpus tokenize+explode is per-row CPU over a
+        // byte-small single-file scan — one task unwidened (round-14)
+        graft.ext.TextSearch.bm25TopK(wide(docs), "doc_id", "text", qs, k = 10)
           .groupBy(col("qid"))
           .agg(coalesce(
               min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
@@ -2091,7 +2096,9 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val mkBmp = udf((id: Long) => Multimodal.syntheticBmp(id))
-        val media = tbl(s, dir, "documents")
+        // wide(): per-row BMP encode+decode CPU over a byte-small
+        // single-file scan — same fix as x112 (round-14 optimization)
+        val media = wide(tbl(s, dir, "documents"))
           .select(col("doc_id").cast("long").as("id"),
             lit("image").as("format"), mkBmp(col("doc_id")).as("media"))
           .as[Multimodal.MediaRecord]
@@ -3280,7 +3287,12 @@ object ExtQueries {
       (s, dir) => {
         import s.implicits._
         val mkGif = udf((id: Long) => Multimodal.syntheticGif(id))
-        val media = tbl(s, dir, "documents")
+        // wide(): 5 000 real GIF encodes + stride decodes are per-row
+        // CPU over a byte-small single-file scan — unwidened this ran
+        // as ONE task on one core (the x141-x143 media queries were
+        // widened; this one had been missed — round-14 optimization
+        // pass, 4.2 s → 1.4 s at sf0.1 same-window)
+        val media = wide(tbl(s, dir, "documents"))
           .select(col("doc_id").cast("long").as("id"),
             lit("video").as("format"), mkGif(col("doc_id")).as("media"))
           .as[Multimodal.MediaRecord]
@@ -3317,12 +3329,36 @@ object ExtQueries {
           explode(array_distinct(split(col("text"), " "))).as("tok"))
         val top = tokd.groupBy(col("tok")).agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("tok")).limit(64)
+        // checkpointed: feeds na AND the per-doc pair unfold — without
+        // it the explode+broadcast-probe scan re-runs per consumer
         val filtered = tokd.join(broadcast(top.select(col("tok"))), "tok")
+          .localCheckpoint(eager = false)
         val na = filtered.groupBy(col("tok")).agg(count(lit(1)).as("n"))
         val cTot = docs.agg(count(lit(1)).as("__c"))
-        filtered.as("x").join(filtered.as("y"), "doc_id")
-          .filter(col("x.tok") < col("y.tok"))
-          .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+        // pair generation without the self-join (the x130 rewrite,
+        // round-14): one shuffle gathers each doc's surviving head
+        // tokens (≤ 64 by construction) into a sorted array, the
+        // tok_a < tok_b pairs unfold scan-locally — the sort-merge
+        // self-join on doc_id and its reshuffles disappear; identical
+        // pair multiset (sorted array enumerates exactly the < pairs;
+        // sort_array and the join's < share UTF8 binary order).
+        // Explicit-N hash repartition on the grouping key: the unfold
+        // is ~2k pair rows of CPU per doc over KB-scale shuffle bytes,
+        // and AQE's byte-based coalescing was collapsing it onto ONE
+        // task (measured: every stage 1 task, 3-5 s; REPARTITION_BY_NUM
+        // is exempt from coalescing and the groupBy reuses its
+        // partitioning, so the same single shuffle keeps cluster width)
+        filtered.repartition(filtered.sparkSession.conf
+            .get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("tok"))).as("ts"))
+          .select(explode(expr(
+            """flatten(transform(ts, (x, i) ->
+              |  transform(slice(ts, i + 2, size(ts) - i - 1),
+              |            y -> named_struct('a', x, 'b', y))))"""
+              .stripMargin)).as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"))
+          .groupBy(col("a"), col("b"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 5)
           .join(broadcast(na.select(col("tok").as("a"), col("n").as("n_a"))),
@@ -4024,15 +4060,36 @@ object ExtQueries {
     // before the lift join.
     "x130_basket_pairs" -> entry(
       (s, dir) => {
+        // Pair generation WITHOUT the self-join (round-14 optimization):
+        // one shuffle groups each order's distinct parts into a sorted
+        // basket array (partial map-side aggregation — the distinct's
+        // separate exchange folds into it), then the x<y pairs unfold
+        // scan-locally from each basket with a HOF — the sort-merge
+        // self-join on `ok`, its two reshuffles of the (ok, pk) rows,
+        // and its per-partition sorts all disappear. 3 Exchanges → 2;
+        // identical pair multiset (a sorted-distinct basket enumerates
+        // exactly the a.pk < b.pk pairs the join produced). Skew note:
+        // a giant basket is quadratic under BOTH shapes; the basket
+        // form additionally bounds it to one row's array instead of a
+        // join partition.
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val np = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+        val baskets = li.groupBy(col("ok"))
+          .agg(sort_array(array_distinct(collect_list(col("pk")))).as("ps"))
+          .select(col("ps"))
+          .localCheckpoint(eager = false) // feeds np AND the pair unfold
+        val np = baskets.select(explode(col("ps")).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("n"))
         val nOrders = tbl(s, dir, "orders")
           .agg(countDistinct(col("o_orderkey")).as("__c"))
-        li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        baskets
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+              |  transform(slice(ps, i + 2, size(ps) - i - 1),
+              |            y -> named_struct('p1', x, 'p2', y))))"""
+              .stripMargin)).as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .groupBy(col("p1"), col("p2"))
           .agg(count(lit(1)).as("n_both"))
           .filter(col("n_both") >= 3)
           .join(broadcast(np.select(col("pk").as("p1"), col("n").as("n1"))),
@@ -4763,17 +4820,21 @@ object ExtQueries {
     "x147_chunked_retrieval" -> entry(
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        // the chunk corpus is DERIVED (split + slice + array_join per
-        // chunk) and bm25TopK walks its corpus three times (exact
-        // stats, prefilter, postings) — cache the loop-invariant chunk
-        // table so the derivation string-work runs once (the x145
-        // cached-artifact pattern; the sweep unpersists after each
-        // query), and widen the byte-small doc scan so that one
-        // derivation spreads across cores (the x85/x93 rationale)
-        val chunks = TextAnalysis.chunkWindows(wide(docs), "doc_id", "text",
-            window = 16, stride = 8)
-          .select((col("doc_id") * 1000L + col("chunk_no")).as("chunk_id"),
-            col("chunk"))
+        // the chunk corpus is DERIVED (split + slice per chunk) and the
+        // BM25 pass walks it twice (exact stats, postings) — cache the
+        // loop-invariant chunk table so the derivation string-work runs
+        // once (the x145 cached-artifact pattern; the sweep unpersists
+        // after each query), and widen the byte-small doc scan so that
+        // one derivation spreads across cores (the x85/x93 rationale).
+        // Cached as TOKEN ARRAYS (chunkWindowTokens + bm25TopKTokens,
+        // round-14): the rejoined chunk text was re-`split` on every
+        // corpus pass — join-then-split is lossless for split products,
+        // so skipping both is bit-neutral and saves a full tokenize of
+        // the chunk corpus per pass
+        val chunks = TextAnalysis.chunkWindowTokens(wide(docs), "doc_id",
+            "text", window = 16, stride = 8)
+          .select((col("doc_id") * 1000L + col("chunk_no")).as("nid"),
+            col("tk"))
           .cache()
         val qs = docs
           .filter(col("doc_id") % 50 === 0 && col("doc_id") <= 2500)
@@ -4781,7 +4842,7 @@ object ExtQueries {
             concat_ws(" ", slice(split(col("text"), " "), 9, 5)).as("q"))
           .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
           .toSeq.sortBy(_._1)
-        graft.ext.TextSearch.bm25TopK(chunks, "chunk_id", "chunk", qs, k = 5)
+        graft.ext.TextSearch.bm25TopKTokens(chunks, qs, k = 5)
           .groupBy(col("qid"))
           .agg(
             coalesce(min(when(expr("nid div 1000") === col("qid").cast("long"),
@@ -5056,9 +5117,13 @@ object ExtQueries {
         // sweeps at different scales never collide
         val path = s"${sys.props("java.io.tmpdir")}/graft-x153-" +
           s"${java.lang.Integer.toHexString(dir.hashCode)}"
+        // tokBuckets 16 at sf-scale — the x158/x159 sizing rule applied
+        // here too (round-14): 64 directories of KB-files was pure fs
+        // overhead on the save; pruning semantics are count-invariant
+        // (spec) and the probe output is bucket-count-independent
         graft.ext.TextSearch.saveBm25Index(
           graft.ext.TextSearch.buildBm25Index(docs, "doc_id", "text"),
-          path, tokBuckets = 64)
+          path, tokBuckets = 16)
         val stored = graft.ext.TextSearch.loadBm25Index(s, path)
         graft.ext.TextSearch.bm25TopKOnStoredIndex(stored, qs, k = 10)
           .groupBy(col("qid"))

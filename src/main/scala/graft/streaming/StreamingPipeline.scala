@@ -425,9 +425,14 @@ final class ParquetReplica(spark: SparkSession, root: String,
   private def reconcile(base: DataFrame,
       deltas: Seq[(Long, String)]): DataFrame = {
     if (deltas.isEmpty) return base
-    val dSchema = schema.add("__seq", org.apache.spark.sql.types.LongType)
-    val d = spark.read.schema(dSchema)
-      .parquet(deltas.map(e => s"$root/${e._2}"): _*)
+    // `__seq` derives from the manifest per delta directory (the write
+    // path stopped storing it — see deltaMerge's codegen-cache note); a
+    // pre-round-14 epoch that still stores the column reads fine — the
+    // explicit schema drops it and the manifest value is identical
+    val d = deltas
+      .map { case (sq, dir) => spark.read.schema(schema)
+        .parquet(s"$root/$dir").withColumn("__seq", lit(sq)) }
+      .reduce(_ unionByName _)
     val cols = schema.fieldNames.toSeq
     val maxTs = lit("9999-12-31 00:00:00").cast("timestamp")
     val minTs = lit("0001-01-01 00:00:00").cast("timestamp")
@@ -756,10 +761,18 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // (NullType), which parquet rejects — CoW never sees this because
     // Persistor.merge unions with the typed target, but the delta epoch
     // writes the shaped rows directly.
+    // NO per-epoch `__seq` literal in the written rows: the epoch seq is
+    // already authoritative in the manifest (`D <seq> <dir>`), and
+    // [[reconcile]] re-derives the column per delta directory at read
+    // time. Embedding it here as `lit(seq)` made the write plan's
+    // generated code differ per micro-batch (Literal codegen inlines
+    // primitive values into the Java source), so EVERY delta append paid
+    // a fresh Janino compile instead of hitting the codegen cache —
+    // pure fixed latency on the sub-second merge path (round-14
+    // optimization; the hot write plan is now batch-invariant).
     Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, ups))
       .drop("__event")
       .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      .withColumn("__seq", lit(seq))
       .write.mode("overwrite").parquet(s"$root/$dir")
     // deferred emptiness check: the parquet FOOTERS of the files just
     // written carry exact row counts — a driver-local metadata read, no

@@ -540,12 +540,20 @@ class PlanShapeSpec extends SparkSpec {
       "re-derivation") {
     val p = executedPlan(query("x147_chunked_retrieval"))
       .split("== Initial Plan ==").head
-    // the chunk table derives once into the cache (the scan hides
-    // behind scorePostings' localCheckpoint, like x145's pin): the
-    // scoring plan must show only the two checkpointed pruned-postings
-    // scans — a re-derivation would surface the chunk posexplode here
-    assert(!p.contains("Generate posexplode"),
-      s"chunk corpus re-derived in the scoring plan:\n${p.take(2000)}")
+    // the chunk table derives once into the cache: the pruned-postings
+    // branches read it through scoreTail's localCheckpoint (2 ExistingRDD
+    // scans) and the fused corpus-stats branch (round-14: the stats
+    // aggregate rides the scoring action) reads the SAME cache through an
+    // InMemoryTableScan. The chunk posexplode may appear exactly once —
+    // as that scan's printed cache-BUILD lineage — never as an inline
+    // re-derivation (which would show a second posexplode, or none of
+    // the InMemoryTableScan)
+    assert(p.contains("InMemoryTableScan"),
+      s"chunk-corpus cache unused in the scoring plan:\n${p.take(2000)}")
+    val posexplodes = p.linesIterator.count(_.contains("Generate posexplode"))
+    assert(posexplodes <= 1,
+      s"chunk corpus re-derived in the scoring plan ($posexplodes " +
+        s"posexplode generators):\n${p.take(2000)}")
     val rddScans = p.linesIterator.count(_.contains("Scan ExistingRDD"))
     assert(rddScans == 2,
       s"expected 2 checkpointed postings scans, got $rddScans:\n${p.take(2000)}")
