@@ -11,6 +11,38 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout: sbt's default logged output
+// can prefix every line with "[info] ", which breaks line-oriented parsing
+// of the bench's JSON contract line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Re-emit the bench's one-line JSON as the LAST line of sbt's stdout.
+// `sbt "runMain graft.Bench"` is the driver's bench invocation; the forked
+// Bench prints its JSON line, but sbt then appends its own
+// "[success] Total time: ..." trailer, so a tail parser of the sbt
+// process's stdout sees the trailer (or a head-truncated JSON line), never
+// a parseable artifact — every BENCH_r*.json through r14 recorded
+// "parsed": null because of it. Bench.main mirrors the full line to
+// BENCH_LAST.json (full sweeps only); this hook — registered once in the
+// sbt JVM itself — prints that mirror at JVM exit, which is AFTER every
+// sbt trailer. Guarded on the file's mtime so only an sbt session that
+// actually completed a full bench re-emits (compile/test/restricted-bench
+// sessions print nothing extra).
+val benchTailReemit: Unit =
+  if (System.getProperty("graft.bench.tail.hook") == null) {
+    System.setProperty("graft.bench.tail.hook", "1")
+    val jvmStart = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getStartTime
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val f = new java.io.File("BENCH_LAST.json")
+        if (f.isFile && f.lastModified >= jvmStart) {
+          val line = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+          if (line.nonEmpty) { System.out.println(line); System.out.flush() }
+        }
+      } catch { case _: Throwable => () }
+    }))
+  }
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
