@@ -65,16 +65,40 @@ object Persistor {
     * MoR mode): shaped rows can be appended now and LWW-reconciled
     * against the base at read time. */
   def shapeForMerge(targetCols: Seq[String], updates: DataFrame): DataFrame = {
-    val shaped = updates
-      .withColumn("synced_canceled_at",
+    // ONE projection, not a withColumn-per-missing-column fold: every
+    // Dataset operation pays an eager analyzer pass over the whole
+    // upstream plan, and this runs once per micro-batch on the
+    // sub-second streaming merge path (round-15: the fold cost ~8
+    // analyzer passes per batch of pure fixed latency)
+    updates.select(targetCols.map {
+      case "synced_canceled_at" =>
         when(col("event_type") === "destroyed",
           coalesce(col("canceled_at"), col("synced_updated_at")))
-          .otherwise(col("canceled_at"))) // null clears = restore
-      .select(
-        (targetCols.filter(updates.columns.toSet ++ Set("synced_canceled_at")).map(col) ++
-          Seq(col("event_type").as("__event"))): _*)
-    targetCols.foldLeft(shaped)((d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+          .otherwise(col("canceled_at")) // null clears = restore
+          .as("synced_canceled_at")
+      case c if updates.columns.contains(c) => col(c)
+      case c => lit(null).as(c)
+    } :+ col("event_type").as("__event"): _*)
+  }
+
+  /** [[shapeForMerge]] CAST to the target schema, without the `__event`
+    * bookkeeping column — the merge-on-read delta-epoch projection
+    * ([[graft.streaming.ParquetReplica]]): shaped rows are written
+    * directly (no union with a typed target to coerce the null-filled
+    * columns), so the epoch write needs explicit types. One projection,
+    * one analyzer pass. */
+  def shapeForMergeTyped(schema: org.apache.spark.sql.types.StructType,
+      updates: DataFrame): DataFrame = {
+    val canceled = when(col("event_type") === "destroyed",
+      coalesce(col("canceled_at"), col("synced_updated_at")))
+      .otherwise(col("canceled_at"))
+    updates.select(schema.fields.toSeq.map { f =>
+      val src =
+        if (f.name == "synced_canceled_at") canceled
+        else if (updates.columns.contains(f.name)) col(f.name)
+        else lit(null)
+      src.cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   def merge(

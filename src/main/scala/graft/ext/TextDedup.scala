@@ -1280,7 +1280,7 @@ object TextDedup {
     val dir = s"${sidx.path}/tomb-$next"
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite").parquet(dir)
-    if (Hcfs.parquetRowCount(spark, dir) == 0L) {
+    if (!Hcfs.parquetHasRows(spark, dir)) {
       Hcfs.delete(spark, dir)
       return loadMinhashIndex(spark, sidx.path)
     }

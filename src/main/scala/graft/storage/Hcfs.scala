@@ -157,6 +157,25 @@ object Hcfs {
     * FOOTERS — driver-side metadata I/O on the directory's files, never
     * a Spark job (the deferred-emptiness-check trick; at most a handful
     * of files per micro-batch epoch). */
+  /** True when any parquet file under `dir` holds at least one row —
+    * [[parquetRowCount]] `> 0` with a short-circuit: footers are read
+    * only until the first non-empty one (the micro-batch merge path
+    * asks exactly this emptiness question once per sub-second batch,
+    * and a non-empty epoch usually answers on its first footer). */
+  def parquetHasRows(spark: SparkSession, dir: String): Boolean = {
+    val c = conf(spark)
+    val f = fs(spark, dir)
+    val path = new Path(dir)
+    f.exists(path) && f.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .exists { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, c)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount > 0L finally r.close()
+      }
+  }
+
   def parquetRowCount(spark: SparkSession, dir: String): Long = {
     val c = conf(spark)
     val f = fs(spark, dir)

@@ -226,6 +226,14 @@ object Replica {
   val identityPrepare: (DataFrame, DataFrame) => DataFrame = (_, u) => u
 }
 
+object ParquetReplica {
+  /** Phase-decomposition tracing for the micro-batch merge path —
+    * stderr lines per [[ParquetReplica.deltaMerge]] phase when
+    * `SPARK_GRAFT_MERGE_DEBUG` is set (dev measurement only). */
+  private[streaming] val mergeDebug: Boolean =
+    sys.env.contains("SPARK_GRAFT_MERGE_DEBUG")
+}
+
 private[streaming] object ReplicaLocks {
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def lockFor(root: String): Object =
@@ -428,11 +436,28 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // `__seq` derives from the manifest per delta directory (the write
     // path stopped storing it — see deltaMerge's codegen-cache note); a
     // pre-round-14 epoch that still stores the column reads fine — the
-    // explicit schema drops it and the manifest value is identical
-    val d = deltas
-      .map { case (sq, dir) => spark.read.schema(schema)
-        .parquet(s"$root/$dir").withColumn("__seq", lit(sq)) }
-      .reduce(_ unionByName _)
+    // explicit schema drops it and the manifest value is identical.
+    // ONE multi-path scan, not an N-way unionByName of per-directory
+    // reads (round-15): per-read analysis/planning grew linearly in the
+    // delta-log length — bounded by compactEvery, but a stalled
+    // compactor at scale made every MoR read progressively costlier to
+    // PLAN. The epoch seq is recovered from each row's source directory
+    // (`delta-<seq>`, the name [[deltaMerge]] writes — verified against
+    // the manifest below, which stays authoritative: any mismatch falls
+    // back to the per-directory union).
+    val dirEncodesSeq = deltas.forall { case (sq, dir) =>
+      dir.split("/").last == s"delta-$sq" }
+    val d =
+      if (dirEncodesSeq)
+        spark.read.schema(schema)
+          .parquet(deltas.map { case (_, dir) => s"$root/$dir" }: _*)
+          .withColumn("__seq",
+            regexp_extract(input_file_name(), "delta-([0-9]+)/[^/]*$", 1)
+              .cast("long"))
+      else deltas
+        .map { case (sq, dir) => spark.read.schema(schema)
+          .parquet(s"$root/$dir").withColumn("__seq", lit(sq)) }
+        .reduce(_ unionByName _)
     val cols = schema.fieldNames.toSeq
     val maxTs = lit("9999-12-31 00:00:00").cast("timestamp")
     val minTs = lit("0001-01-01 00:00:00").cast("timestamp")
@@ -722,6 +747,15 @@ final class ParquetReplica(spark: SparkSession, root: String,
   private def deltaMerge(updates: DataFrame,
       precomputedTouched: Option[Set[Int]],
       prepare: (DataFrame, DataFrame) => DataFrame): Unit = {
+    // phase decomposition for the sub-second merge path (stderr, only
+    // when SPARK_GRAFT_MERGE_DEBUG is set — zero cost otherwise)
+    val dbg = ParquetReplica.mergeDebug
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[deltaMerge $root] $phase ${(now - tMark) / 1e6}%.1f ms")
+      tMark = now
+    }
     val v = currentVersion
     val next = v + 1
     val nb = bucketCount(v)
@@ -729,6 +763,7 @@ final class ParquetReplica(spark: SparkSession, root: String,
     val ds = deltaEntries(v)
     val seq = ds.lastOption.map(_._1).getOrElse(-1L) + 1L
     val dir = s"v$next/delta-$seq"
+    mark("manifest-read")
     // Pin `updates` on the real-prepare path when WE derive the touched
     // set: the collect and the write must see the SAME rows, or a
     // nondeterministic updates plan could hash re-evaluated rows into
@@ -756,9 +791,9 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // overwrite (the writeBucketsTo rule): a crash between this write
     // and publish() leaves an orphan dir at the SAME next/seq, and the
     // micro-batch replay must clobber it, not wedge on ErrorIfExists.
-    // Cast to the replica schema BEFORE writing: shapeForMerge null-fills
-    // target columns absent from the payload as untyped lit(null)
-    // (NullType), which parquet rejects — CoW never sees this because
+    // Cast to the replica schema BEFORE writing: the shape null-fills
+    // target columns absent from the payload, which as untyped lit(null)
+    // (NullType) parquet rejects — CoW never sees this because
     // Persistor.merge unions with the typed target, but the delta epoch
     // writes the shaped rows directly.
     // NO per-epoch `__seq` literal in the written rows: the epoch seq is
@@ -770,18 +805,22 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // a fresh Janino compile instead of hitting the codegen cache —
     // pure fixed latency on the sub-second merge path (round-14
     // optimization; the hot write plan is now batch-invariant).
-    Persistor.shapeForMerge(schema.fieldNames.toSeq, prepare(target, ups))
-      .drop("__event")
-      .select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      .write.mode("overwrite").parquet(s"$root/$dir")
+    // shapeForMergeTyped = the shape + cast + __event-drop as ONE
+    // projection (one analyzer pass — this path runs per micro-batch)
+    val shaped = Persistor.shapeForMergeTyped(schema, prepare(target, ups))
+    mark("plan-construct")
+    shaped.write.mode("overwrite").parquet(s"$root/$dir")
+    mark("write-job")
     // deferred emptiness check: the parquet FOOTERS of the files just
     // written carry exact row counts — a driver-local metadata read, no
     // Spark job. An empty micro-batch leaves no epoch and no version.
-    if (Hcfs.parquetRowCount(spark, s"$root/$dir") == 0L) {
+    if (!Hcfs.parquetHasRows(spark, s"$root/$dir")) {
       Hcfs.delete(spark, s"$root/$dir")
       return
     }
+    mark("footer-count")
     publish(next, man, nb, ds :+ (seq -> dir))
+    mark("publish")
     if (ds.size + 1 >= compactEvery) compactDeltasAsync()
   }
 
