@@ -581,11 +581,12 @@ object TextSearch {
     * matching no query term do not appear. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Int, String)], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75,
+      pinPostings: Boolean = false): DataFrame =
     bm25TopKTokens(
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("nid"), split(col(textCol), " ").as("tk")),
-      queries, k, k1, b)
+      queries, k, k1, b, pinPostings)
 
   /** [[bm25TopK]] over a PRE-TOKENIZED corpus: `toks` carries
     * (nid, tk ARRAY<STRING>). Callers that already hold token arrays —
@@ -606,7 +607,8 @@ object TextSearch {
     * their scalars from the manifest driver-side). */
   def bm25TopKTokens(toks: DataFrame,
       queries: Seq[(Int, String)], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      pinPostings: Boolean = false): DataFrame = {
     // exact integer count/sum — the derived avgdl is deterministic and
     // identical to the index path's
     val stats = toks
@@ -628,11 +630,34 @@ object TextSearch {
     // dl rides along as a grouping column (constant per nid), so
     // scoring needs no corpus join.
     val qterms = queries.flatMap(_._2.split(" ")).distinct
-    val tf = toks
+    val kept = toks
       .filter(exists(col("tk"), t => t.isin(qterms: _*)))
       .select(col("nid"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))
       .filter(col("tok").isin(qterms: _*))
+    // `pinPostings`: explicit-N hash repartition on nid (the x113 rule).
+    // The postings aggregation shuffles FEW bytes (tf rows are
+    // (long,long,token,long)) but everything CPU-heavy downstream — the
+    // final tf aggregate, the checkpointed postings, the per-(query,doc)
+    // scoring fold — inherits this exchange's partition count, and AQE's
+    // byte-based coalescing collapses it to a handful of tasks at bench
+    // scale (measured on x147: the two dominant jobs ran 5-task stages,
+    // 3.0 s + 2.7 s, on 32 cores). REPARTITION_BY_NUM is exempt from
+    // coalescing; hashing by nid alone satisfies the groupBy(nid, dl,
+    // tok) clustering, so the groupBy reuses the exchange — same shuffle
+    // count, cluster-width parallelism. N is the session's shuffle
+    // partitions — scale-adaptive, not a local constant. OPT-IN per call
+    // site because the same pin is a measured LOSS on light corpora
+    // (interleaved A/B, round 15: x147 4.85→3.69 s, x68 2.97→2.19 s
+    // pinned, but x43 0.85→1.04 s, x44 1.22→1.92 s — spreading a
+    // KB-scale postings set over 32 reduce tasks is pure per-task
+    // overhead); callers pin when the corpus × term-set product is the
+    // query's dominant CPU (x68, x147).
+    val grouped =
+      if (pinPostings) kept.repartition(toks.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("nid"))
+      else kept
+    val tf = grouped
       .groupBy(col("nid"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
     scoreTail(tf, _.crossJoin(broadcast(stats)),
       col("__n"), col("__avgdl"), queries, k, k1, b)
@@ -662,8 +687,18 @@ object TextSearch {
       k1: Double, b: Double): DataFrame = {
     val session = prunedTf.sparkSession
     import session.implicits._
-    val tf = prunedTf
-      .localCheckpoint(eager = false) // feeds document frequency AND scoring
+    // The checkpoint is re-evaluation avoidance only (tf feeds document
+    // frequency AND scoring; its input is deterministic) — bypassing it
+    // changes no result. SPARK_GRAFT_PLANDUMP bypasses it so
+    // `explain("formatted")` shows the full postings subtree instead of
+    // truncating at `Scan ExistingRDD` (plan-audit aid; never set in
+    // bench/verify runs). On a real cluster, prefer reliable
+    // `checkpoint()` here if executor loss must not fail the query —
+    // localCheckpoint trades that fault tolerance for speed (guide §5).
+    val tf =
+      if (sys.env.contains("SPARK_GRAFT_PLANDUMP")) prunedTf
+      else prunedTf
+        .localCheckpoint(eager = false) // feeds document frequency AND scoring
     val qtoks = queries.toDF("qid", "qtext")
       .select(col("qid"), explode(array_distinct(split(col("qtext"), " ")))
         .as("tok"))

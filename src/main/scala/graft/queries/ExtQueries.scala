@@ -1985,7 +1985,8 @@ object ExtQueries {
           .toSeq.sortBy(_._1)
         // wide(): the corpus tokenize+explode is per-row CPU over a
         // byte-small single-file scan — one task unwidened (round-14)
-        graft.ext.TextSearch.bm25TopK(wide(docs), "doc_id", "text", qs, k = 10)
+        graft.ext.TextSearch.bm25TopK(wide(docs), "doc_id", "text", qs, k = 10,
+          pinPostings = true)
           .groupBy(col("qid"))
           .agg(coalesce(
               min(when(col("nid") === col("qid").cast("long"), col("rnk"))),
@@ -4842,7 +4843,8 @@ object ExtQueries {
             concat_ws(" ", slice(split(col("text"), " "), 9, 5)).as("q"))
           .collect().map(r => (r.getLong(0).toInt, r.getString(1)))
           .toSeq.sortBy(_._1)
-        graft.ext.TextSearch.bm25TopKTokens(chunks, qs, k = 5)
+        graft.ext.TextSearch.bm25TopKTokens(chunks, qs, k = 5,
+          pinPostings = true)
           .groupBy(col("qid"))
           .agg(
             coalesce(min(when(expr("nid div 1000") === col("qid").cast("long"),

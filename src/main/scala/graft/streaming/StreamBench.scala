@@ -61,10 +61,13 @@ object StreamBench {
     * two hops (producer, consumer) adds on average half a trigger
     * interval of pure discovery WAIT to every row's lag, so a
     * latency-oriented deployment polls as fast as the source listing
-    * allows (100→25 ms took p50 from 1,077 to 808 ms); 2 state/shuffle
-    * partitions — a 500-row micro-batch pays per-partition state-store
-    * open/commit, and 4→2 cut ~100 ms (sized to steady-state volume,
-    * same knob as above, opposite direction of the batch default). */
+    * allows (100→25 ms took p50 from 1,077 to 808 ms); 1 state/shuffle
+    * partition — a 500-row micro-batch pays per-partition state-store
+    * open/commit, and 4→2 cut ~100 ms (round 11), 2→1 another ~100 ms
+    * (round 15, four interleaved fresh-JVM readings, SP=1 better in
+    * all four at comparable anchors). Sized to steady-state volume,
+    * same knob as above, opposite direction of the batch default —
+    * a real deployment raises it with feed volume. */
   def run(spark: SparkSession,
       // feedInterval 400 ms ≈ 1.25k rows/s: the SAME effective rate as
       // before the driver-local feeder (the old Spark-job feeder added
@@ -83,7 +86,7 @@ object StreamBench {
       // (measured phase stays 20 batches at 400 ms = ~1.25k rows/s)
       warmupBatches: Int = 24, warmupFeedIntervalMs: Int = 150,
       keySpace: Int = 10000, replicaBuckets: Int = 4,
-      statePartitions: Int = 2, mergeOnRead: Boolean = true,
+      statePartitions: Int = 1, mergeOnRead: Boolean = true,
       timeoutMs: Long = 180000L, verbose: Boolean = false): Result = {
     require(batches > warmupBatches,
       "need post-warmup batches to report percentiles")
