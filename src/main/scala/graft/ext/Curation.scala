@@ -444,22 +444,46 @@ object Curation {
   def domainShiftKl(df: DataFrame, textCol: String, strataCol: String,
       topN: Int = 50): DataFrame = {
     require(topN >= 1)
-    val tok = df.select(col(strataCol).as("source"),
+    // ONE corpus pass (round-15 restructure): the exploded token rows
+    // fold straight into per-(source, tok) counts — map-side partial
+    // aggregation, so the shuffle and the checkpoint hold the tiny
+    // (strata × vocabulary) table, never the raw token rows. The corpus
+    // counts the top-N head needs are the EXACT integer sums of the
+    // per-stratum counts (c(tok) = Σ_source s(source, tok)), so the old
+    // shape's second corpus scan — and its checkpoint of every exploded
+    // token row — is gone. Same doubles reach the KL terms (same
+    // integers in, same IEEE ops), so results are bit-identical.
+    val scAll = df.select(col(strataCol).as("source"),
         explode(split(col(textCol), " ")).as("tok"))
-      .localCheckpoint(eager = false) // feeds corpus counts AND stratum counts
-    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok")).limit(topN)
-      .localCheckpoint(eager = false) // feeds the total AND two joins
-    val ct = top.agg(sum(col("c")).cast("double").as("tot"))
-    val sc = tok.join(broadcast(top.select(col("tok"))), Seq("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("s"))
-      .localCheckpoint(eager = false) // feeds stratum totals AND terms
-    val st = sc.groupBy(col("source")).agg(sum(col("s")).as("stot"))
+      // materialized by the head collect below; the terms action reuses
+      // the blocks — the corpus is exploded exactly once
+      .localCheckpoint(eager = false)
+    // The top-N head is BOUNDED (≤ topN rows) — collect it and push the
+    // head back into the terms plan as literals: an INSET filter plus a
+    // literal token→count map replace the old shape's three broadcast
+    // joins (each a separate broadcast-build job), and the per-stratum
+    // total becomes a window over the filtered rows instead of a
+    // separate aggregate+join. Same integers reach the same IEEE
+    // expressions (c(tok) and tot are exact integer sums either way),
+    // so the KL terms — and the token-order-pinned fold — are
+    // bit-identical. Round-15: 12 jobs → ~6; every deleted job was
+    // ~60 ms of fixed driver latency on this sub-second query.
+    val topRows = scAll.groupBy(col("tok")).agg(sum(col("s")).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+      .collect()
+    val topToks = topRows.map(_.getString(0)).toSeq
+    val cMap = typedLit(
+      topRows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val tot = topRows.map(_.getLong(1)).sum.toDouble
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
     val p = col("s").cast("double") / col("stot")
-    val q = col("c").cast("double") / col("tot")
-    sc.join(broadcast(top), Seq("tok"))
-      .join(st, Seq("source"))
-      .crossJoin(broadcast(ct))
+    val q = col("c").cast("double") / lit(tot)
+    scAll.filter(col("tok").isin(topToks: _*))
+      .select(col("source"), col("tok"), col("s"),
+        element_at(cMap, col("tok")).as("c"))
+      .withColumn("stot", sum(col("s")).over(w))
       .select(col("source"), col("tok"), (p * log(p / q)).as("term"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens_in_set"),
