@@ -139,12 +139,16 @@ object Graphs {
     // the same numbers at 1x; round 10's 8x curve showed the default
     // itself was the trap and flipped it.
     require(iters >= 1 && checkpointEvery >= 1)
-    // NOT persist()ed — ReuseExchange already computes the closure's
-    // distinct once for all rounds; see the pageRankInt note (caching
-    // measured 4.5× SLOWER here)
+    // localCheckpoint (NOT persist — cache-manager persist() measured
+    // 4.5× slower here, r12): ReuseExchange dedups the closure's
+    // distinct only WITHIN one round's plan; each round's eager
+    // checkpoint is its own execution, so uncheckpointed the
+    // scan+union+distinct subtree re-ran once per round (round-15
+    // measured: jobs drop ~2 per round, see x98 notes)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     var labels = und.select(col("src").as("id"))
       .union(und.select(col("dst").as("id"))).distinct()
       .select(col("id"), col("id").as("label"))
@@ -174,9 +178,11 @@ object Graphs {
     * aggregation; the alive table only shrinks. */
   def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    // same once-per-query closure checkpoint as [[labelPropagation]]
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     var alive = und.select(col("src").as("v"))
       .union(und.select(col("dst").as("v"))).distinct()
     var out = alive.agg(lit(0L).as("round"), count(lit(1)).as("n_alive"))
