@@ -1275,7 +1275,10 @@ object Curation {
         .agg(sum(col("wf")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
-      // `vocab`'s cache is materialized now — its parent can drop
+      // `vocab`'s cache is materialized now — its parent can drop.
+      // Peak storage is TWO cached vocab generations by design (the
+      // parent feeds the child's cache build during the aggregation
+      // above); vocab-table-sized, the price of the one-job rounds.
       parent.foreach(_.unpersist())
       parent = Some(vocab)
       if (top.isEmpty) done = true
@@ -1291,7 +1294,9 @@ object Curation {
       }
     }
     vocab.unpersist()
-    parent.foreach(_.unpersist())
+    // after the final round `parent` and `vocab` alias the same frame —
+    // guard rather than unpersist twice (idempotent either way)
+    parent.filterNot(_ eq vocab).foreach(_.unpersist())
     learned.result().toDF("iter", "left", "right", "cnt")
   }
 

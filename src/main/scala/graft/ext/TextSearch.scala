@@ -609,9 +609,15 @@ object TextSearch {
       queries: Seq[(Int, String)], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
       pinPostings: Boolean = false): DataFrame = {
+    // NULL token arrays are excluded up front (mirrors bm25TopK's text
+    // null filter): an unguarded NULL row would count into nDocs but
+    // contribute nothing to Σdl or the postings, silently skewing
+    // avgdl. Current callers never produce nulls — this pins the
+    // contract for future pre-tokenized callers.
+    val toksNn = toks.filter(col("tk").isNotNull)
     // exact integer count/sum — the derived avgdl is deterministic and
     // identical to the index path's
-    val stats = toks
+    val stats = toksNn
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(size(col("tk")).cast("long")).cast("double").as("__tt"))
       .select(col("__n"), (col("__tt") / col("__n")).as("__avgdl"))
@@ -630,7 +636,7 @@ object TextSearch {
     // dl rides along as a grouping column (constant per nid), so
     // scoring needs no corpus join.
     val qterms = queries.flatMap(_._2.split(" ")).distinct
-    val kept = toks
+    val kept = toksNn
       .filter(exists(col("tk"), t => t.isin(qterms: _*)))
       .select(col("nid"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("tok"))

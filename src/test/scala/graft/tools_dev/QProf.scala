@@ -41,7 +41,16 @@ object QProf {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
-        Thread.sleep(150) // drain listener events
+        // drain the async listener bus until the counters are STABLE
+        // for two consecutive intervals (a fixed sleep let late events
+        // bleed into the next pass's deltas on a loaded box)
+        var stable = 0
+        var last = (jobs.get(), tasks.get())
+        while (stable < 2) {
+          Thread.sleep(100)
+          val cur = (jobs.get(), tasks.get())
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
         println(f"$name pass$i: $dt%.3f s rows=$c jobs=${jobs.get() - j0} tasks=${tasks.get() - k0}")
         dt
       }
