@@ -232,6 +232,16 @@ object ParquetReplica {
     * `SPARK_GRAFT_MERGE_DEBUG` is set (dev measurement only). */
   private[streaming] val mergeDebug: Boolean =
     sys.env.contains("SPARK_GRAFT_MERGE_DEBUG")
+
+  /** A/B knob (dev measurement only): restore the pre-round-14
+    * per-epoch `__seq` literal in the delta write, so the
+    * codegen-cache fix can be re-proven against the old shape in the
+    * same window — the literal makes the hot write plan's generated
+    * code differ per batch (fresh Janino compile each merge). Read
+    * paths drop the stored column via their explicit schema, so the
+    * variant is value-identical. Never set in bench/verify runs. */
+  private[streaming] val seqLiteralAb: Boolean =
+    sys.env.contains("SPARK_GRAFT_SEQ_LITERAL")
 }
 
 private[streaming] object ReplicaLocks {
@@ -807,7 +817,9 @@ final class ParquetReplica(spark: SparkSession, root: String,
     // optimization; the hot write plan is now batch-invariant).
     // shapeForMergeTyped = the shape + cast + __event-drop as ONE
     // projection (one analyzer pass — this path runs per micro-batch)
-    val shaped = Persistor.shapeForMergeTyped(schema, prepare(target, ups))
+    val shaped0 = Persistor.shapeForMergeTyped(schema, prepare(target, ups))
+    val shaped = if (ParquetReplica.seqLiteralAb)
+      shaped0.withColumn("__seq", lit(seq)) else shaped0
     mark("plan-construct")
     shaped.write.mode("overwrite").parquet(s"$root/$dir")
     mark("write-job")

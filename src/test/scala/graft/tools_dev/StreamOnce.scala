@@ -25,17 +25,27 @@ object StreamOnce {
       }
       math.min(pass(), pass())
     }
-    val sp = sys.env.getOrElse("SPARK_GRAFT_STREAM_SP", "2").toInt
+    val sp = sys.env.getOrElse("SPARK_GRAFT_STREAM_SP", "1").toInt
     val trig = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIG", "25").toInt
+    // Janino compilation counters (global codahale metrics): a
+    // batch-invariant hot write plan compiles O(plan shapes) once; a
+    // per-batch-literal plan compiles O(batches) — the per-pass deltas
+    // prove which one is running (round-14 codegen-cache fix re-proof).
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compiles(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val a0 = anchor()
+    val c0 = compiles()
     val r1 = graft.streaming.StreamBench.run(spark,
       statePartitions = sp, triggerMs = trig)
     val a1 = anchor()
+    val c1 = compiles()
     val r2 = graft.streaming.StreamBench.run(spark,
       statePartitions = sp, triggerMs = trig)
     val a2 = anchor()
+    val c2 = compiles()
     println(f"STREAM_ONCE anchor0=$a0%.1f p50a=${r1.p50Ms}%.0f p95a=${r1.p95Ms}%.0f " +
       f"anchor1=$a1%.1f p50b=${r2.p50Ms}%.0f p95b=${r2.p95Ms}%.0f anchor2=$a2%.1f " +
+      f"compilesa=${c1 - c0} compilesb=${c2 - c1} " +
       f"tmpdir=${System.getProperty("java.io.tmpdir")}")
     spark.stop()
   }
