@@ -41,9 +41,14 @@ object BatchConcurrency {
     "x05_ann_cosine_topk", "x13_ann_ivf", "x43_bm25_search",
     "x63_domain_shift_kl", "x85_fuzzy_ed1_join", "x97_pagerank")
 
+  /** `altP95Slowdown` is NaN for single-observation levels; a retried
+    * (degraded-window) level records the DISCARDED observation's p95
+    * here so the artifact shows which levels were sampled best-of-2
+    * (the stream-capacity retry convention, round 15). */
   final case class Level(k: Int, wallS: Double, aggQpsX: Double,
       p50Slowdown: Double, p95Slowdown: Double, failures: Int,
-      anchorBeforeMs: Double, anchorAfterMs: Double, degraded: Boolean)
+      anchorBeforeMs: Double, anchorAfterMs: Double, degraded: Boolean,
+      altP95Slowdown: Double = Double.NaN)
   final case class Result(queries: Seq[String], seqTotalS: Double,
       seqS: Map[String, Double], seqAnchorMs: Double, levels: Seq[Level])
 
@@ -92,7 +97,7 @@ object BatchConcurrency {
     }.toMap
     val seqTotal = seq.values.sum
 
-    val raw = ks.map { k =>
+    def runLevel(k: Int): Level = {
       clearCaches(spark)
       val before = anchorMs(spark)
       val times = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
@@ -127,13 +132,38 @@ object BatchConcurrency {
         pct(0.50), pct(0.95), failures.get(), before, after,
         degraded = false) // gated below against the whole run's floor
     }
+    val raw = ks.map(runLevel)
     clearCaches(spark)
     // nominal = the cleanest anchor this run saw (including the seq
     // baseline's) — a relative gate, robust to slow-but-steady boxes
-    val floor = (seqAnchor +: raw.flatMap(l =>
+    def worst(l: Level) = math.max(l.anchorBeforeMs, l.anchorAfterMs)
+    val floor0 = (seqAnchor +: raw.flatMap(l =>
       Seq(l.anchorBeforeMs, l.anchorAfterMs))).min
-    val levels = raw.map(l => l.copy(degraded =
-      math.max(l.anchorBeforeMs, l.anchorAfterMs) > DegradedX * floor))
+    // ONE retry per degraded-window level (the stream-capacity rule,
+    // round 15): real contention knees are REPRODUCIBLE at the same K
+    // while a shared box's burst is not, so a level whose bracketing
+    // anchors convict its window gets one more chance at a cleaner one.
+    // The cleaner-anchored observation is the measurement; the
+    // discarded one's p95 rides along so the artifact shows the
+    // sampling. The retry's anchors also join the floor: a retry can
+    // only make the gate stricter, never launder the first reading.
+    val retried = raw.map { l =>
+      if (worst(l) <= DegradedX * floor0) l
+      else {
+        System.err.println(
+          f"BENCH WARN batch_concurrency k=${l.k}: window degraded " +
+            f"(anchors ${l.anchorBeforeMs}%.0f/${l.anchorAfterMs}%.0f vs " +
+            f"floor $floor0%.0f) — retrying once")
+        val second = runLevel(l.k)
+        if (worst(second) < worst(l))
+          second.copy(altP95Slowdown = l.p95Slowdown)
+        else l.copy(altP95Slowdown = second.p95Slowdown)
+      }
+    }
+    val floor = (floor0 +: retried.flatMap(l =>
+      Seq(l.anchorBeforeMs, l.anchorAfterMs))).min
+    val levels = retried.map(l => l.copy(degraded =
+      worst(l) > DegradedX * floor))
     Result(qs, seqTotal, seq, seqAnchor, levels)
   }
 
@@ -145,7 +175,10 @@ object BatchConcurrency {
         f"""{"k":${l.k},"wall_s":${l.wallS}%.2f,"agg_qps_x":${l.aggQpsX}%.2f,""" +
           f""""p50_slowdown":${l.p50Slowdown}%.2f,"p95_slowdown":${l.p95Slowdown}%.2f,""" +
           f""""failures":${l.failures},"anchor_before_ms":${l.anchorBeforeMs}%.1f,""" +
-          f""""anchor_after_ms":${l.anchorAfterMs}%.1f,"degraded":${l.degraded}}""")
+          f""""anchor_after_ms":${l.anchorAfterMs}%.1f,"degraded":${l.degraded},""" +
+          s""""alt_p95_slowdown":${
+            if (l.altP95Slowdown.isNaN) "null"
+            else f"${l.altP95Slowdown}%.2f"}}""")
         .mkString("[", ",", "]")
       f"""{"n_queries":${r.queries.size},"seq_total_s":${r.seqTotalS}%.2f,""" +
         f""""seq_anchor_ms":${r.seqAnchorMs}%.1f,"levels":$lv}"""
